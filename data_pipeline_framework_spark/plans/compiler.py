@@ -1,0 +1,608 @@
+"""Operation-DSL compiler: list of op dicts -> ONE lazy DataFrame plan.
+
+The reference interprets a YAML `processing.operations` list eagerly, one
+pandas/Spark step per op (reference processors/pandas_processor.py:19-52,
+processors/spark_processor.py:45-82). Here every op compiles to a
+DataFrame->DataFrame closure and the whole list folds into a single lazy
+chain, so Catalyst sees the complete plan and can push filters into the
+scan, prune columns, reorder joins, and pick join strategies — none of
+which the reference's eager interpreter could do.
+
+Op vocabulary (parity with reference §2.3-2.10, §2.15-2.16 of SURVEY.md):
+    select, filter, transform, aggregate, join, sort, deduplicate, clean,
+    pivot, melt, window, custom_sql, union, limit, sample, repartition.
+
+Scale notes are inline per-op; the common themes:
+  * never collect() except for scalar fills (mean/median), batched one agg
+  * joins accept a `broadcast` hint for dimension tables
+  * everything stays in Spark SQL expressions (whole-stage codegen), no
+    row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+OpFn = Callable[[DataFrame], DataFrame]
+TableResolver = Callable[[str], DataFrame]
+
+# Null representations the reference's `clean` op standardizes to NULL
+# (reference processors/pandas_processor.py:208-213).
+NULL_REPRS = ["", "null", "NULL", "None", "N/A", "n/a", "#N/A"]
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _listify(x) -> list:
+    if x is None:
+        return []
+    return list(x) if isinstance(x, (list, tuple)) else [x]
+
+
+def _string_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
+
+
+def _filter_predicate(column: str, operator: str, value) -> Column:
+    """Column/op/value predicates (reference pandas_processor.py:60-85)."""
+    c = F.col(column)
+    ops: dict[str, Callable[[], Column]] = {
+        "==": lambda: c == value,
+        "=": lambda: c == value,
+        "!=": lambda: c != value,
+        ">": lambda: c > value,
+        "<": lambda: c < value,
+        ">=": lambda: c >= value,
+        "<=": lambda: c <= value,
+        "in": lambda: c.isin(list(value)),
+        "not_in": lambda: ~c.isin(list(value)),
+        "contains": lambda: c.contains(value),
+        "starts_with": lambda: c.startswith(value),
+        "ends_with": lambda: c.endswith(value),
+        "is_null": lambda: c.isNull(),
+        "not_null": lambda: c.isNotNull(),
+        "between": lambda: c.between(value[0], value[1]),
+    }
+    if operator not in ops:
+        raise ValueError(f"unsupported filter operator: {operator!r}")
+    return ops[operator]()
+
+
+# ---------------------------------------------------------------------------
+# op implementations
+
+
+def _op_select(params: Mapping, ctx) -> OpFn:
+    """Keep listed columns, or drop the `exclude` list
+    (reference pandas_processor.py:89-97, spark_processor.py:91-100)."""
+    columns = params.get("columns")
+    exclude = params.get("exclude")
+
+    def fn(df: DataFrame) -> DataFrame:
+        if columns:
+            return df.select(*columns)
+        if exclude:
+            return df.drop(*exclude)
+        return df
+
+    return fn
+
+
+def _op_filter(params: Mapping, ctx) -> OpFn:
+    """SQL-string or column/op/value filters
+    (reference pandas_processor.py:57-85, spark_processor.py:84-89)."""
+    condition = params.get("condition")
+    filters = params.get("filters")
+    if filters is None and "column" in params:
+        filters = [params]
+
+    def fn(df: DataFrame) -> DataFrame:
+        out = df
+        if condition:
+            out = out.filter(condition)
+        for f in filters or []:
+            out = out.filter(
+                _filter_predicate(f["column"], f.get("operator", "=="), f.get("value"))
+            )
+        return out
+
+    return fn
+
+
+def _transform_one(df: DataFrame, t: Mapping) -> DataFrame:
+    """One `transform` sub-op (reference pandas_processor.py:99-155,
+    spark_processor.py:102-154). Output naming conventions preserved:
+    `{col}_year/_month/_day/_weekday` for extract_date_parts."""
+    ttype = t["type"]
+
+    if ttype == "rename":
+        out = df
+        for old, new in t["mapping"].items():
+            out = out.withColumnRenamed(old, new)
+        return out
+
+    if ttype == "cast":
+        return df.withColumns(
+            {c: F.col(c).cast(dtype) for c, dtype in t["columns"].items()}
+        )
+
+    if ttype == "fill_null":
+        return _fill_null(df, t)
+
+    if ttype == "calculate":
+        return df.withColumn(t["column"], F.expr(t["expression"]))
+
+    if ttype == "extract_date_parts":
+        col = t["column"]
+        parts = t.get("parts", ["year", "month", "day", "weekday"])
+        exprs = {
+            "year": F.year(col),
+            "month": F.month(col),
+            "day": F.dayofmonth(col),
+            # reference uses pandas .dt.dayofweek (Mon=0); Spark dayofweek is
+            # Sun=1..Sat=7 — normalize to the reference's Mon=0 convention.
+            "weekday": (F.dayofweek(col) + 5) % 7,
+            "hour": F.hour(col),
+            "quarter": F.quarter(col),
+        }
+        return df.withColumns({f"{col}_{p}": exprs[p] for p in parts})
+
+    if ttype == "regex_extract":
+        new_col = t.get("new_column", t["column"])
+        return df.withColumn(
+            new_col, F.regexp_extract(F.col(t["column"]), t["pattern"], t.get("group", 1))
+        )
+
+    if ttype == "string_operations":
+        cols = _listify(t.get("columns") or t.get("column"))
+        out = df
+        for op in _listify(t.get("operations") or t.get("operation")):
+            if op == "lower":
+                out = out.withColumns({c: F.lower(F.col(c)) for c in cols})
+            elif op == "upper":
+                out = out.withColumns({c: F.upper(F.col(c)) for c in cols})
+            elif op in ("strip", "trim"):
+                out = out.withColumns({c: F.trim(F.col(c)) for c in cols})
+            elif op == "replace":
+                out = out.withColumns(
+                    {
+                        c: F.regexp_replace(F.col(c), t["pattern"], t["replacement"])
+                        for c in cols
+                    }
+                )
+            else:
+                raise ValueError(f"unsupported string operation: {op!r}")
+        return out
+
+    raise ValueError(f"unsupported transform type: {ttype!r}")
+
+
+def _fill_null(df: DataFrame, t: Mapping) -> DataFrame:
+    """fill_null: value / mean / median / mode / ffill / bfill
+    (reference pandas_processor.py:113-125, data_cleaner.py:40-114).
+
+    Scalar fills (mean/median/mode) need ONE batched agg action — the
+    reference collect()s per column (spark_processor.py:121-123); we agg all
+    requested columns in a single pass. ffill/bfill are window fills and
+    stay fully lazy/distributed.
+    """
+    cols = _listify(t.get("columns") or t.get("column"))
+    method = t.get("method", "value")
+
+    if method == "value":
+        return df.fillna(t["value"], subset=cols or None)
+
+    if method in ("mean", "median", "mode"):
+        if method == "mean":
+            aggs = [F.avg(c).alias(c) for c in cols]
+        elif method == "median":
+            aggs = [F.median(c).alias(c) for c in cols]
+        else:
+            aggs = [F.mode(c).alias(c) for c in cols]
+        row = df.agg(*aggs).first().asDict()
+        return df.fillna({c: row[c] for c in cols if row[c] is not None})
+
+    if method in ("ffill", "bfill"):
+        order = _listify(t.get("order_by"))
+        if not order:
+            raise ValueError("ffill/bfill require order_by for deterministic fills")
+        part = _listify(t.get("partition_by"))
+        w = Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1))
+        if method == "ffill":
+            w = w.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+            fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        else:
+            w = w.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+            fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        return df.withColumns({c: fill(c) for c in cols})
+
+    raise ValueError(f"unsupported fill_null method: {method!r}")
+
+
+def _op_transform(params: Mapping, ctx) -> OpFn:
+    transformations = params.get("transformations") or [params]
+
+    def fn(df: DataFrame) -> DataFrame:
+        for t in transformations:
+            df = _transform_one(df, t)
+        return df
+
+    return fn
+
+
+# Aggregation functions the DSL accepts -> pyspark.sql.functions name.
+_AGG_FUNCS = {
+    "sum": "sum",
+    "mean": "avg",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+    "count": "count",
+    "nunique": "countDistinct",
+    "count_distinct": "countDistinct",
+    "approx_count_distinct": "approx_count_distinct",
+    "std": "stddev",
+    "stddev": "stddev",
+    "var": "variance",
+    "variance": "variance",
+    "first": "first",
+    "last": "last",
+    "median": "median",
+    "skew": "skewness",
+    "kurtosis": "kurtosis",
+    "collect_set": "collect_set",
+    "collect_list": "collect_list",
+}
+
+
+def build_agg_exprs(aggregations: Mapping[str, Any]) -> list[Column]:
+    """`{col: func | [funcs]}` -> aliased agg Columns named `{col}_{func}`
+    (the reference's output naming, pandas_processor.py:157-165,
+    spark_processor.py:156-171)."""
+    exprs: list[Column] = []
+    for col, funcs in aggregations.items():
+        for func in _listify(funcs):
+            spark_fn = _AGG_FUNCS.get(func)
+            if spark_fn is None:
+                raise ValueError(f"unsupported aggregation function: {func!r}")
+            exprs.append(getattr(F, spark_fn)(col).alias(f"{col}_{func}"))
+    return exprs
+
+
+def _op_aggregate(params: Mapping, ctx) -> OpFn:
+    """Grouped / global aggregation with `{col}_{func}` output names;
+    group_by without aggs -> per-group count; neither -> summary()
+    (reference pandas_processor.py:157-177, spark_processor.py:156-183)."""
+    group_by = _listify(params.get("group_by"))
+    aggregations = params.get("aggregations") or {}
+
+    def fn(df: DataFrame) -> DataFrame:
+        exprs = build_agg_exprs(aggregations)
+        if group_by and exprs:
+            return df.groupBy(*group_by).agg(*exprs)
+        if group_by:
+            return df.groupBy(*group_by).count()
+        if exprs:
+            return df.agg(*exprs)
+        return df.summary()
+
+    return fn
+
+
+def _op_join(params: Mapping, ctx) -> OpFn:
+    """Equi/theta join (reference pandas_processor.py:179-188,
+    spark_processor.py:185-194) plus Spark-native extras the reference
+    lacked: `broadcast: true` hint for dimension tables and semi/anti join
+    types. Catalyst + AQE pick hash/sort-merge/broadcast physically."""
+    how = params.get("how", params.get("join_type", "inner"))
+    broadcast_right = bool(params.get("broadcast", False))
+
+    def fn(df: DataFrame) -> DataFrame:
+        right = params.get("right")
+        if isinstance(right, str):
+            right = ctx.resolve(right)
+        if broadcast_right:
+            right = F.broadcast(right)
+        if "condition" in params:
+            return df.join(right, F.expr(params["condition"]), how)
+        if "on" in params:
+            return df.join(right, _listify(params["on"]), how)
+        left_on = _listify(params["left_on"])
+        right_on = _listify(params["right_on"])
+        cond = None
+        for lc, rc in zip(left_on, right_on):
+            c = df[lc] == right[rc]
+            cond = c if cond is None else (cond & c)
+        return df.join(right, cond, how)
+
+    return fn
+
+
+def _op_sort(params: Mapping, ctx) -> OpFn:
+    """Multi-column sort with per-column direction
+    (reference pandas_processor.py:190-193, spark_processor.py:196-211)."""
+    by = _listify(params.get("by") or params.get("columns"))
+    ascending = params.get("ascending", True)
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(by)
+
+    def fn(df: DataFrame) -> DataFrame:
+        cols = [F.asc(c) if a else F.desc(c) for c, a in zip(by, ascending)]
+        return df.orderBy(*cols)
+
+    return fn
+
+
+def _op_deduplicate(params: Mapping, ctx) -> OpFn:
+    """dropDuplicates(subset) with keep=first/last/any
+    (reference pandas_processor.py:195-198, spark_processor.py:213-218).
+
+    keep='any' maps straight to dropDuplicates (cheapest: partial agg both
+    sides of the shuffle). keep='first'/'last' require an order_by for
+    distributed determinism and compile to a row_number window.
+    """
+    subset = _listify(params.get("subset"))
+    keep = params.get("keep", "any")
+    order_by = _listify(params.get("order_by"))
+
+    def fn(df: DataFrame) -> DataFrame:
+        if not subset:
+            return df.distinct()
+        if keep == "any" or not order_by:
+            return df.dropDuplicates(subset)
+        order = [F.asc(c) if keep == "first" else F.desc(c) for c in order_by]
+        w = Window.partitionBy(*subset).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    return fn
+
+
+def _op_clean(params: Mapping, ctx) -> OpFn:
+    """Composite cleaner (reference pandas_processor.py:200-221):
+    remove_empty_rows, remove_empty_columns, trim_strings,
+    standardize_nulls."""
+    operations = _listify(params.get("operations")) or [
+        "remove_empty_rows",
+        "trim_strings",
+        "standardize_nulls",
+    ]
+
+    def fn(df: DataFrame) -> DataFrame:
+        out = df
+        # standardize before the empty-row drop so 'N/A'-only rows drop too
+        if "standardize_nulls" in operations:
+            scols = _string_columns(out)
+            out = out.withColumns(
+                {
+                    c: F.when(F.trim(F.col(c)).isin(NULL_REPRS), None).otherwise(
+                        F.col(c)
+                    )
+                    for c in scols
+                }
+            )
+        if "trim_strings" in operations:
+            scols = _string_columns(out)
+            out = out.withColumns({c: F.trim(F.col(c)) for c in scols})
+        if "remove_empty_rows" in operations:
+            out = out.na.drop(how="all")
+        if "remove_empty_columns" in operations:
+            # needs one agg action: a column is empty iff count(col)==0
+            counts = out.agg(
+                *[F.count(c).alias(c) for c in out.columns]
+            ).first()
+            empty = [c for c in out.columns if counts[c] == 0]
+            if empty:
+                out = out.drop(*empty)
+        return out
+
+    return fn
+
+
+def _op_pivot(params: Mapping, ctx) -> OpFn:
+    """groupBy().pivot().agg() (reference pandas_processor.py:223-226,
+    spark_processor.py:220-223, transformations/pivot_operations.py:14-66).
+
+    Pass `pivot_values` for a deterministic column set (and to skip the
+    distinct-values scan — at 100 TB you never want an implicit
+    collect-distinct before a pivot)."""
+    index = _listify(params["index"])
+    pivot_col = params["columns"]
+    values = _listify(params.get("values"))
+    aggfunc = params.get("aggfunc", "sum")
+    pivot_values = params.get("pivot_values")
+    fill_value = params.get("fill_value")
+
+    def fn(df: DataFrame) -> DataFrame:
+        gp = df.groupBy(*index)
+        pv = gp.pivot(pivot_col, pivot_values) if pivot_values else gp.pivot(pivot_col)
+        fname = _AGG_FUNCS.get(aggfunc, aggfunc)
+        if len(values) == 1:
+            out = pv.agg(getattr(F, fname)(values[0]))
+        else:
+            out = pv.agg(
+                *[getattr(F, fname)(v).alias(f"{v}_{aggfunc}") for v in values]
+            )
+        if fill_value is not None:
+            out = out.fillna(fill_value)
+        return out
+
+    return fn
+
+
+def _op_melt(params: Mapping, ctx) -> OpFn:
+    """melt/unpivot (reference pandas_processor.py:228-233,
+    transformations/pivot_operations.py:68-106) -> native df.unpivot."""
+    id_vars = _listify(params.get("id_vars"))
+    value_vars = _listify(params.get("value_vars"))
+    var_name = params.get("var_name", "variable")
+    value_name = params.get("value_name", "value")
+
+    def fn(df: DataFrame) -> DataFrame:
+        vvars = value_vars or [c for c in df.columns if c not in id_vars]
+        return df.unpivot(id_vars, vvars, var_name, value_name)
+
+    return fn
+
+
+def _op_window(params: Mapping, ctx) -> OpFn:
+    """Window op (reference spark_processor.py:225-265): ranking/offset/agg
+    function over a partition/order/frame spec. Full library lives in
+    operators/window_ops.py; this DSL entry covers the reference's op."""
+    from ..operators.window_ops import apply_window_function
+
+    def fn(df: DataFrame) -> DataFrame:
+        return apply_window_function(
+            df,
+            function=params["function"],
+            partition_by=_listify(params.get("partition_by")),
+            order_by=_listify(params.get("order_by")),
+            column=params.get("column"),
+            new_column=params.get("new_column"),
+            rows_between=params.get("rows_between"),
+            range_between=params.get("range_between"),
+            **{
+                k: v
+                for k, v in params.items()
+                if k
+                in ("n", "periods", "default", "window", "min_periods", "method")
+            },
+        )
+
+    return fn
+
+
+def _op_custom_sql(params: Mapping, ctx) -> OpFn:
+    """Register current frame as a temp view, run arbitrary Spark SQL
+    (reference spark_processor.py:267-270). Full Spark SQL is part of the
+    public query surface."""
+    view = params.get("view_name", "current_data")
+    query = params["query"]
+
+    def fn(df: DataFrame) -> DataFrame:
+        df.createOrReplaceTempView(view)
+        return df.sparkSession.sql(query)
+
+    return fn
+
+
+def _op_union(params: Mapping, ctx) -> OpFn:
+    """unionByName with missing-column fill — pandas-concat alignment
+    semantics for multi-file reads (reference csv_source.py:62)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        other = params["other"]
+        if isinstance(other, str):
+            other = ctx.resolve(other)
+        if params.get("by_name", True):
+            return df.unionByName(other, allowMissingColumns=True)
+        return df.union(other)
+
+    return fn
+
+
+def _op_limit(params: Mapping, ctx) -> OpFn:
+    n = int(params["n"])
+    return lambda df: df.limit(n)
+
+
+def _op_sample(params: Mapping, ctx) -> OpFn:
+    fraction = float(params["fraction"])
+    seed = params.get("seed", 42)
+    return lambda df: df.sample(fraction=fraction, seed=seed)
+
+
+def _op_repartition(params: Mapping, ctx) -> OpFn:
+    """Explicit partitioning control — co-locate before repeated joins/aggs
+    on the same key, or size output files."""
+    num = params.get("num")
+    cols = _listify(params.get("columns"))
+
+    def fn(df: DataFrame) -> DataFrame:
+        if num and cols:
+            return df.repartition(int(num), *cols)
+        if cols:
+            return df.repartition(*cols)
+        if num:
+            return df.repartition(int(num))
+        return df
+
+    return fn
+
+
+OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
+    "select": _op_select,
+    "filter": _op_filter,
+    "transform": _op_transform,
+    "aggregate": _op_aggregate,
+    "join": _op_join,
+    "sort": _op_sort,
+    "deduplicate": _op_deduplicate,
+    "clean": _op_clean,
+    "pivot": _op_pivot,
+    "melt": _op_melt,
+    "unpivot": _op_melt,
+    "window": _op_window,
+    "custom_sql": _op_custom_sql,
+    "union": _op_union,
+    "limit": _op_limit,
+    "sample": _op_sample,
+    "repartition": _op_repartition,
+}
+
+
+class CompileContext:
+    """Resolves table names referenced by join/union ops."""
+
+    def __init__(self, tables: Mapping[str, DataFrame] | TableResolver | None = None):
+        self._tables = tables
+
+    def resolve(self, name: str) -> DataFrame:
+        if self._tables is None:
+            raise ValueError(f"no table resolver configured (needed for {name!r})")
+        if callable(self._tables):
+            return self._tables(name)
+        return self._tables[name]
+
+
+def compile_ops(
+    ops: list[Mapping],
+    tables: Mapping[str, DataFrame] | TableResolver | None = None,
+) -> OpFn:
+    """Compile an operation list into one DataFrame->DataFrame closure.
+
+    The composed closure builds a single lazy plan — no intermediate
+    actions, so Catalyst optimizes across op boundaries.
+    """
+    ctx = CompileContext(tables)
+    fns: list[OpFn] = []
+    for op in ops:
+        op_type = op.get("type")
+        if op_type not in OP_REGISTRY:
+            raise ValueError(f"unknown operation type: {op_type!r}")
+        params = op.get("params", {k: v for k, v in op.items() if k != "type"})
+        fns.append(OP_REGISTRY[op_type](params, ctx))
+
+    def composed(df: DataFrame) -> DataFrame:
+        for fn in fns:
+            df = fn(df)
+        return df
+
+    return composed
+
+
+def apply_ops(
+    df: DataFrame,
+    ops: list[Mapping],
+    tables: Mapping[str, DataFrame] | TableResolver | None = None,
+) -> DataFrame:
+    """Convenience: compile and apply in one call."""
+    return compile_ops(ops, tables)(df)

@@ -1,0 +1,74 @@
+"""SparkSession factory tuned for large-scale analytics.
+
+Defaults chosen for the 100 TB design point (AQE on so shuffle partition
+counts and join strategies re-plan at runtime; skew-join handling on;
+Arrow for any pandas-UDF exchange) while remaining correct on local[*].
+
+Reference parity: the reference sets AQE/Arrow/coalescePartitions in its
+YAML spark_config (reference config/pipelines/s3_json_pipeline.yaml and the
+generated template in cli/main.py:908-911); here they are engine defaults.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Engine defaults. Every one of these is overridable via `extra_conf`.
+_DEFAULT_CONF: dict[str, str] = {
+    # Adaptive execution: runtime re-plan of shuffle partition counts,
+    # broadcast-join demotion/promotion, and skew-join splitting. At 100 TB
+    # this is what keeps a static shuffle.partitions guess from being fatal.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow makes pandas_udf / applyInPandas exchange columnar batches.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics for oracle comparison (DuckDB is
+    # UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off: the reference's DSL has permissive casts (e.g. fill/convert
+    # on dirty strings); try_* functions are used where div-by-zero etc.
+    # must be NULL.
+    "spark.sql.ansi.enabled": "false",
+    # Parquet scans: modest split size so local[32] parallelizes small SFs;
+    # on a real cluster AQE coalesces, and 128m is the classic default.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Read TIMESTAMP(NANOS) parquet columns as nanosecond longs instead of
+    # erroring; sources.readers.read_parquet converts them to timestamps.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "data-pipeline-framework-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    `master` defaults to local[N] where N = SPARK_GRAFT_CPUS or all cores —
+    on a real cluster, leave master unset and submit via spark-submit.
+    `shuffle_partitions` defaults to the local core count (AQE coalesces
+    down from there); set it to ~2-3x total executor cores on a cluster.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+
+    conf = dict(_DEFAULT_CONF)
+    if shuffle_partitions is None:
+        # Local heuristic: one shuffle partition per core keeps small-SF
+        # stage overhead low; AQE still merges tiny partitions.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
+        shuffle_partitions = int(cpus)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,111 @@
+"""Batch sources (reference sources/{csv,json,s3}_source.py re-expressed).
+
+All readers return a lazy DataFrame; multi-file handling, globs, and the
+reference's `_source_file` lineage column map to native Spark facilities
+(`spark.read` path globs + `F.input_file_name()`), so a 100 TB prefix scans
+partition-parallel with no driver-side file loop (the reference listed and
+pandas-read files one by one: reference sources/csv_source.py:40-62,
+sources/s3_source.py:50-121).
+
+S3: pass an `s3a://bucket/prefix/*.csv` path — the Hadoop S3A connector
+replaces the reference's boto3 list+fnmatch loop (s3_source.py:218-242).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _with_source_file(df: DataFrame, add: bool, colname: str = "_source_file") -> DataFrame:
+    # reference csv_source.py:56-60 tags each row with its origin file
+    return df.withColumn(colname, F.input_file_name()) if add else df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    header: bool = True,
+    sep: str = ",",
+    encoding: str = "utf-8",
+    infer_schema: bool = True,
+    schema: T.StructType | None = None,
+    source_file_column: bool = False,
+    **options,
+) -> DataFrame:
+    """CSV scan, single file or glob (reference csv_source.py:20-62)."""
+    reader = spark.read.options(
+        header=header, sep=sep, encoding=encoding, **options
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema)
+    return _with_source_file(reader.csv(path), source_file_column)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str | list[str],
+    multiline: bool = False,
+    schema: T.StructType | None = None,
+    source_file_column: bool = False,
+    **options,
+) -> DataFrame:
+    """JSON / JSONL scan (reference json_source.py:21-89). JSONL is the
+    default; `multiline=True` for standard JSON arrays. Nested fields stay
+    as native structs (not flattened at ingest — see SURVEY §1.3); use the
+    `flatten` helper below to reproduce the reference's flat output."""
+    reader = spark.read.options(multiLine=multiline, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return _with_source_file(reader.json(path), source_file_column)
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str | list[str],
+    nanos_ts_columns: tuple[str, ...] = (),
+    source_file_column: bool = False,
+    **options,
+) -> DataFrame:
+    """Parquet scan. `nanos_ts_columns` handles files written with
+    TIMESTAMP(NANOS) (illegal for Spark's vectorized reader): the session
+    must set spark.sql.legacy.parquet.nanosAsLong=true, after which those
+    columns arrive as nanosecond longs and are truncated to microsecond
+    timestamps here (matching DuckDB's nanos->micros truncation)."""
+    df = spark.read.options(**options).parquet(
+        *(path if isinstance(path, list) else [path])
+    )
+    for c in nanos_ts_columns:
+        field = next((f for f in df.schema.fields if f.name == c), None)
+        if field is not None and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return _with_source_file(df, source_file_column)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the benchmark tables, normalizing nanos timestamps."""
+    return read_parquet(
+        spark, f"{sf_dir}/{name}.parquet", nanos_ts_columns=("ts",)
+    )
+
+
+def flatten(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Explicit nested-struct flattener producing the reference's flattened
+    ingest schema (reference json_source.py:56-62 `pd.json_normalize`,
+    stream_processor.py:414-423 `flatten_nested`): struct fields become
+    `parent{sep}child` top-level columns, recursively."""
+    def _flat(schema: T.StructType, prefix: str) -> list[F.Column]:
+        cols = []
+        for f in schema.fields:
+            full = f"{prefix}.{f.name}" if prefix else f.name
+            out = f"{prefix}{sep}{f.name}" if prefix else f.name
+            if isinstance(f.dataType, T.StructType):
+                cols.extend(_flat(f.dataType, full))
+            else:
+                cols.append(F.col(full).alias(out))
+        return cols
+
+    return df.select(*_flat(df.schema, ""))

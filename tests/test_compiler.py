@@ -1,0 +1,218 @@
+"""Op-compiler unit tests (exact-value style, mirroring the reference's
+tests/test_quality_monitor.py assertions — SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_pipeline_framework_spark import apply_ops, compile_ops
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, name=" Alice ", age=34, dept="eng", salary=100.0),
+            Row(id=2, name="bob", age=28, dept="eng", salary=80.0),
+            Row(id=3, name="N/A", age=45, dept="sales", salary=None),
+            Row(id=4, name="dora", age=None, dept="sales", salary=60.0),
+            Row(id=5, name="", age=51, dept="hr", salary=90.0),
+        ]
+    )
+
+
+def test_select_include_exclude(people):
+    assert apply_ops(people, [{"type": "select", "columns": ["id", "age"]}]).columns == [
+        "id",
+        "age",
+    ]
+    assert "salary" not in apply_ops(
+        people, [{"type": "select", "exclude": ["salary"]}]
+    ).columns
+
+
+def test_filter_condition_and_predicates(people):
+    out = apply_ops(people, [{"type": "filter", "condition": "age > 30"}])
+    assert {r.id for r in out.collect()} == {1, 3, 5}
+    out = apply_ops(
+        people,
+        [{"type": "filter", "filters": [
+            {"column": "dept", "operator": "in", "value": ["eng", "hr"]},
+            {"column": "salary", "operator": ">=", "value": 90.0},
+        ]}],
+    )
+    assert {r.id for r in out.collect()} == {1, 5}
+
+
+def test_filter_string_predicates(people):
+    got = apply_ops(
+        people,
+        [{"type": "filter", "filters": [
+            {"column": "name", "operator": "contains", "value": "o"}]}],
+    )
+    assert {r.id for r in got.collect()} == {2, 4}
+
+
+def test_transform_chain(people):
+    out = apply_ops(
+        people,
+        [
+            {"type": "transform", "transformations": [
+                {"type": "rename", "mapping": {"salary": "pay"}},
+                {"type": "cast", "columns": {"age": "double"}},
+                {"type": "calculate", "column": "pay2", "expression": "pay * 2"},
+                {"type": "string_operations", "columns": ["name"],
+                 "operations": ["trim", "upper"]},
+            ]},
+        ],
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].pay2 == 200.0
+    assert rows[1].name == "ALICE"
+    assert dict(out.dtypes)["age"] == "double"
+
+
+def test_fill_null_value_and_mean(people):
+    out = apply_ops(
+        people,
+        [{"type": "transform", "transformations": [
+            {"type": "fill_null", "columns": ["salary"], "method": "mean"}]}],
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[3].salary == pytest.approx((100 + 80 + 60 + 90) / 4)
+
+
+def test_fill_null_ffill(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", t=1, v=None), Row(k="a", t=2, v=5.0), Row(k="a", t=3, v=None),
+         Row(k="b", t=1, v=1.0), Row(k="b", t=2, v=None)]
+    )
+    out = apply_ops(
+        df,
+        [{"type": "transform", "transformations": [
+            {"type": "fill_null", "columns": ["v"], "method": "ffill",
+             "order_by": ["t"], "partition_by": ["k"]}]}],
+    )
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got[("a", 1)] is None          # nothing before
+    assert got[("a", 3)] == 5.0           # carried forward
+    assert got[("b", 2)] == 1.0
+
+
+def test_aggregate_naming_and_group_count(people):
+    out = apply_ops(
+        people,
+        [{"type": "aggregate", "group_by": ["dept"],
+          "aggregations": {"salary": ["sum", "mean"], "id": "count"}}],
+    )
+    assert set(out.columns) == {"dept", "salary_sum", "salary_mean", "id_count"}
+    out2 = apply_ops(people, [{"type": "aggregate", "group_by": ["dept"]}])
+    got = {r.dept: r["count"] for r in out2.collect()}
+    assert got == {"eng": 2, "sales": 2, "hr": 1}
+
+
+def test_join_left_on_right_on(spark, people):
+    depts = spark.createDataFrame(
+        [Row(dname="eng", floor=3), Row(dname="hr", floor=1)]
+    )
+    out = apply_ops(
+        people,
+        [{"type": "join", "right": "depts", "left_on": "dept",
+          "right_on": "dname", "how": "left"}],
+        tables={"depts": depts},
+    )
+    rows = {r.id: r.floor for r in out.collect()}
+    assert rows[1] == 3 and rows[3] is None
+
+
+def test_join_anti(spark, people):
+    depts = spark.createDataFrame([Row(dept="eng")])
+    out = apply_ops(
+        people,
+        [{"type": "join", "right": depts, "on": "dept", "how": "left_anti"}],
+    )
+    assert {r.id for r in out.collect()} == {3, 4, 5}
+
+
+def test_deduplicate_keep_last(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", t=1, v=10), Row(k="a", t=2, v=20), Row(k="b", t=1, v=30)]
+    )
+    out = apply_ops(
+        df,
+        [{"type": "deduplicate", "subset": ["k"], "keep": "last",
+          "order_by": ["t"]}],
+    )
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {"a": 20, "b": 30}
+
+
+def test_clean_standardize_nulls_and_trim(people):
+    out = apply_ops(people, [{"type": "clean", "operations": [
+        "standardize_nulls", "trim_strings"]}])
+    rows = {r.id: r.name for r in out.collect()}
+    assert rows[3] is None and rows[5] is None and rows[1] == "Alice"
+
+
+def test_clean_remove_empty_columns(spark):
+    df = spark.createDataFrame([Row(a=1, b=None), Row(a=2, b=None)], "a int, b string")
+    out = apply_ops(df, [{"type": "clean", "operations": ["remove_empty_columns"]}])
+    assert out.columns == ["a"]
+
+
+def test_pivot_and_melt_roundtrip(spark):
+    df = spark.createDataFrame(
+        [Row(k="x", cat="A", v=1.0), Row(k="x", cat="B", v=2.0),
+         Row(k="y", cat="A", v=3.0)]
+    )
+    wide = apply_ops(df, [{"type": "pivot", "index": ["k"], "columns": "cat",
+                           "values": ["v"], "aggfunc": "sum",
+                           "pivot_values": ["A", "B"]}])
+    got = {r.k: (r.A, r.B) for r in wide.collect()}
+    assert got == {"x": (1.0, 2.0), "y": (3.0, None)}
+    long = apply_ops(wide, [{"type": "melt", "id_vars": ["k"],
+                             "value_vars": ["A", "B"],
+                             "var_name": "cat", "value_name": "v"}])
+    assert long.count() == 4
+
+
+def test_union_missing_columns(spark):
+    a = spark.createDataFrame([Row(x=1, y="p")])
+    b = spark.createDataFrame([Row(x=2)])
+    out = apply_ops(a, [{"type": "union", "other": b}])
+    got = sorted([(r.x, r.y) for r in out.collect()])
+    assert got == [(1, "p"), (2, None)]
+
+
+def test_custom_sql(people):
+    out = apply_ops(
+        people,
+        [{"type": "custom_sql", "view_name": "p",
+          "query": "SELECT dept, count(*) AS n FROM p GROUP BY dept"}],
+    )
+    assert {(r.dept, r.n) for r in out.collect()} == {("eng", 2), ("sales", 2), ("hr", 1)}
+
+
+def test_limit_sample_repartition(people):
+    assert apply_ops(people, [{"type": "limit", "n": 2}]).count() == 2
+    assert apply_ops(people, [{"type": "sample", "fraction": 0.99, "seed": 1}]).count() <= 5
+    assert apply_ops(
+        people, [{"type": "repartition", "num": 2, "columns": ["dept"]}]
+    ).rdd.getNumPartitions() == 2
+
+
+def test_compile_is_lazy_single_plan(people):
+    fn = compile_ops([
+        {"type": "filter", "condition": "age > 30"},
+        {"type": "select", "columns": ["id", "age"]},
+    ])
+    plan = fn(people)._jdf.queryExecution().optimizedPlan().toString()
+    # column pruning + filter present in ONE optimized plan
+    assert "age" in plan
+
+
+def test_unknown_op_raises(people):
+    with pytest.raises(ValueError, match="unknown operation"):
+        compile_ops([{"type": "frobnicate"}])
