@@ -522,6 +522,261 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# time series (operators/timeseries.py)
+
+
+def resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample events to 1-hour buckets per event_type."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    out = TS.resample(
+        ev, "ts", "H",
+        {"value": ["sum", "count"]},
+        group_by=["event_type"],
+    )
+    return out.select(
+        "event_type", "bucket",
+        F.round("value_sum", 2).alias("value_sum"),
+        "value_count",
+    )
+
+
+def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling mean/min/max/median over a 7-row trailing frame per type.
+    Mean is re-derived from the rounded rolling sum (tie-stable)."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    out = TS.rolling_window_stats(
+        ev, "ts", "value", 7,
+        stats=["sum", "count", "min", "max", "median"],
+        group_by=["event_type"], tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id", "event_type",
+        _r(F.round("value_rolling_sum_7", 2) / F.col("value_rolling_count_7"), 4)
+        .alias("roll_mean"),
+        F.round("value_rolling_min_7", 2).alias("roll_min"),
+        F.round("value_rolling_max_7", 2).alias("roll_max"),
+        _r(F.col("value_rolling_median_7"), 4).alias("roll_median"),
+    )
+
+
+def lags_and_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calculate_lags + calculate_differences per user (`{col}_lag_{k}`,
+    `{col}_diff_{k}` naming)."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = TS.calculate_lags(ev, "value", [1, 3], "ts", group_by=["user_id"],
+                            tiebreak=["event_id"])
+    out = TS.calculate_differences(out, "value", [1], "ts", group_by=["user_id"],
+                                   tiebreak=["event_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("value_lag_1", 2).alias("value_lag_1"),
+        F.round("value_lag_3", 2).alias("value_lag_3"),
+        F.round("value_diff_1", 2).alias("value_diff_1"),
+    )
+
+
+def time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calendar feature extraction (`{ts}_hour` ... `{ts}_day_of_year`)."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return TS.calculate_time_features(ev, "ts").drop("ts")
+
+
+def outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier flags via one scalar agg broadcast back (no driver
+    round-trip)."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = TS.detect_outliers(ev, "value", method="iqr", threshold=1.5)
+    return out.select("event_id", F.col("value_is_outlier").alias("is_outlier"))
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gap-based sessionization (30-minute inactivity) per user."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = TS.sessionize(ev, "ts", "30 minutes", group_by=["user_id"],
+                        tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "session_id")
+
+
+def interpolate_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distributed linear interpolation: null-out 'error' rows then lerp
+    between bracketing known points per user."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+    )
+    out = TS.fill_missing(ev, "value", method="interpolate", ts_col="ts",
+                          group_by=["user_id"])
+    return out.select("event_id", "user_id", _r(F.col("value"), 4).alias("value"))
+
+
+def ewm_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exponential smoothing via applyInPandas (sequential recurrence — the
+    genuinely non-SQL-expressible kernel; rows-only check)."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = TS.smooth(ev, "value", method="exponential", alpha=0.3,
+                    ts_col="ts", group_by=["user_id"])
+    return out.select("event_id", "user_id",
+                      F.round("value_smoothed", 4).alias("value_smoothed"))
+
+
+def changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling-mean jump detection (rows-only check: threshold comparisons
+    sit on float accumulations that are not cross-engine stable)."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    out = TS.detect_changepoints(ev, "value", "ts", window=10, threshold=2.0,
+                                 group_by=["event_type"])
+    return out.select("event_id", "event_type",
+                      F.col("value_changepoint").alias("changepoint"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis (functions/text.py)
+
+
+def text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.text_stats(docs, "text")
+    return out.select(
+        "doc_id", "n_chars_calc", "n_words", "n_sentences",
+        _r(F.col("avg_word_len"), 4).alias("avg_word_len"),
+        _r(F.col("punct_ratio"), 6).alias("punct_ratio"),
+        _r(F.col("digit_ratio"), 6).alias("digit_ratio"),
+        _r(F.col("stopword_ratio"), 6).alias("stopword_ratio"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.token_count(docs, "text").select("doc_id", "n_tokens")
+
+
+def language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.language_id(docs, "text")
+    return out.select(
+        "doc_id",
+        _r(F.col("en_score"), 6).alias("en_score"),
+        _r(F.col("de_score"), 6).alias("de_score"),
+        "lang_pred",
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# deduplication (functions/dedup.py)
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup on a corpus with planted duplicates (docs ∪ first 50)."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(docs.filter("doc_id < 50"))
+    out = DD.exact_duplicates(corpus, "doc_id", "text")
+    return out.select(
+        "canonical_id", "n_dups", F.col("member_ids").cast("string").alias("members")
+    )
+
+
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified at 0.7."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+    return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
+
+
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact n-gram-Jaccard near-dups via inverted shingle index at 0.5."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
+
+
+def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_framework_spark.functions import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.simhash_signatures(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# similarity search (functions/similarity.py)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact brute-force cosine top-10 for 5 query vectors."""
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (rows-only check; recall vs brute
+    force is unit-tested in tests/test_similarity.py)."""
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.lsh_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding near-dup pairs (cosine >= 0.35) with LSH candidates then
+    exact rerank (rows-only: plane constants live in engine code)."""
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.embedding_neardup_pairs(emb, threshold=0.35)
+    return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -553,7 +808,161 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_part": melt_part,
         "rollup_subtotals": rollup_subtotals,
         "cube_agg": cube_agg,
+        "resample_hourly": resample_hourly,
+        "rolling_stats": rolling_stats,
+        "lags_and_diffs": lags_and_diffs,
+        "time_features": time_features,
+        "outliers_iqr": outliers_iqr,
+        "sessionize_events": sessionize_events,
+        "interpolate_missing": interpolate_missing,
+        "ewm_smoothing": ewm_smoothing,
+        "changepoints": changepoints,
+        "text_statistics": text_statistics,
+        "token_counts": token_counts,
+        "language_scores": language_scores,
+        "doc_fingerprints": doc_fingerprints,
+        "dedup_exact_groups": dedup_exact_groups,
+        "minhash_neardup": minhash_neardup,
+        "ngram_jaccard_neardup": ngram_jaccard_neardup,
+        "simhash_sigs": simhash_sigs,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embedding_neardup": embedding_neardup,
     }
+
+
+# DuckDB token/shingle expression fragments shared by the text/dedup oracles.
+_DD_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+_DD_HASH = "CAST(('0x' || substr(md5({x}), 1, 13)) AS BIGINT)"
+_DD_SHINGLES = f"""
+    list_distinct(list_transform(
+        CASE WHEN len(w) >= 3
+             THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, len(w) - 1)]
+             ELSE [array_to_string(w, ' ')] END,
+        s -> {_DD_HASH.format(x='s')}))
+"""
+
+
+def _minhash_oracle() -> str:
+    from data_pipeline_framework_spark.functions.dedup import (
+        LSH_BANDS, MINHASH_P, MINHASH_PARAMS,
+    )
+
+    k = len(MINHASH_PARAMS)
+    rows = k // LSH_BANDS
+    mins = ",\n                   ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_selects = "\n                UNION ALL\n                ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ") AS key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {_DD_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents)
+        ),
+        e AS (SELECT doc_id, unnest(sh) AS h FROM d),
+        sig AS (SELECT doc_id, {mins} FROM e GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT ida, idb,
+                   len(list_intersect(x.sh, y.sh))
+                     / (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh))) AS j
+            FROM cand JOIN d x ON cand.ida = x.doc_id
+                      JOIN d y ON cand.idb = y.doc_id
+        )
+        SELECT ida AS id_a, idb AS id_b,
+               FLOOR(j * 1e4 + 0.5) / 1e4 AS jaccard
+        FROM verified WHERE j >= 0.7
+    """
+
+
+def _simhash_oracle() -> str:
+    from data_pipeline_framework_spark.functions.dedup import SIMHASH_BITS
+
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = "\n                 + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, list_distinct({_DD_TOKS}) AS toks FROM documents
+        ),
+        e AS (
+            SELECT doc_id, {_DD_HASH.format(x='t')} AS h
+            FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+        ),
+        v AS (SELECT doc_id, {votes} FROM e GROUP BY doc_id)
+        SELECT d.doc_id,
+               {sig} AS simhash
+        FROM d LEFT JOIN v ON d.doc_id = v.doc_id
+    """
+
+
+def _language_oracle() -> str:
+    from data_pipeline_framework_spark.functions.text import LANG_MARKERS
+
+    marker_sql = {
+        lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_exprs = ",\n                   ".join(
+        f"CASE WHEN len(w) > 0 THEN"
+        f" len(list_filter(w, t -> list_contains({marker_sql[lang]}, t)))"
+        f" / len(w) END AS {lang}_score"
+        for lang in LANG_MARKERS
+    )
+    # Spark's argmax coalesces langs in sorted order; greatest() ignores NULLs
+    # in both engines.
+    pred_branches = "\n                        ".join(
+        f"WHEN {lang}_score = best THEN '{lang}'"
+        for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+        s AS (
+            SELECT doc_id,
+                   {score_exprs}
+            FROM d
+        ),
+        g AS (
+            SELECT *, greatest(en_score, de_score, fr_score, es_score) AS best
+            FROM s
+        )
+        SELECT doc_id,
+               FLOOR(en_score * 1e6 + 0.5) / 1e6 AS en_score,
+               FLOOR(de_score * 1e6 + 0.5) / 1e6 AS de_score,
+               CASE WHEN best IS NULL OR NOT best > 0 THEN 'unknown'
+                        {pred_branches}
+               END AS lang_pred
+        FROM g
+    """
+
+
+_DD_FP = _DD_HASH.format(x="array_to_string(w, ' ')")
+
+
+def _stopword_list_sql() -> str:
+    from data_pipeline_framework_spark.functions.text import STOPWORDS_EN
+
+    return "[" + ", ".join(f"'{m}'" for m in STOPWORDS_EN) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -774,5 +1183,201 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "resample_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket,
+                   ROUND(SUM(value), 2) AS value_sum,
+                   COUNT(value) AS value_count
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "rolling_stats": """
+            SELECT event_id, event_type,
+                   FLOOR(ROUND(SUM(value) OVER w, 2)
+                         / COUNT(value) OVER w * 1e4 + 0.5) / 1e4 AS roll_mean,
+                   ROUND(MIN(value) OVER w, 2) AS roll_min,
+                   ROUND(MAX(value) OVER w, 2) AS roll_max,
+                   FLOOR(MEDIAN(value) OVER w * 1e4 + 0.5) / 1e4 AS roll_median
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "lags_and_diffs": """
+            SELECT event_id, user_id,
+                   ROUND(LAG(value, 1) OVER w, 2) AS value_lag_1,
+                   ROUND(LAG(value, 3) OVER w, 2) AS value_lag_3,
+                   ROUND(value - LAG(value, 1) OVER w, 2) AS value_diff_1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "time_features": """
+            SELECT event_id,
+                   CAST(EXTRACT(hour FROM ts) AS INT)        AS ts_hour,
+                   CAST(EXTRACT(day FROM ts) AS INT)         AS ts_day,
+                   CAST(EXTRACT(isodow FROM ts) - 1 AS INT)  AS ts_day_of_week,
+                   dayname(ts)                                AS ts_day_name,
+                   CAST(EXTRACT(month FROM ts) AS INT)       AS ts_month,
+                   monthname(ts)                              AS ts_month_name,
+                   CAST(EXTRACT(quarter FROM ts) AS INT)     AS ts_quarter,
+                   CAST(EXTRACT(year FROM ts) AS INT)        AS ts_year,
+                   CASE WHEN EXTRACT(isodow FROM ts) >= 6 THEN 1 ELSE 0 END
+                       AS ts_is_weekend,
+                   CAST(EXTRACT(week FROM ts) AS INT)        AS ts_week_of_year,
+                   CAST(EXTRACT(doy FROM ts) AS INT)         AS ts_day_of_year
+            FROM events
+        """,
+        "outliers_iqr": """
+            WITH b AS (
+                SELECT quantile_cont(value, 0.25) AS q1,
+                       quantile_cont(value, 0.75) AS q3
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(value < q1 - 1.5 * (q3 - q1)
+                        OR value > q3 + 1.5 * (q3 - q1) AS INT) AS is_outlier
+            FROM events, b
+        """,
+        "sessionize_events": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                            OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+            FROM (
+                SELECT event_id, user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            )
+        """,
+        "interpolate_missing": """
+            WITH d AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_type <> 'error' THEN value END AS v,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts) AS pos
+                FROM events
+            ), e AS (
+                SELECT event_id, user_id, v, pos,
+                       LAST_VALUE(v IGNORE NULLS) OVER wf  AS pv,
+                       LAST_VALUE(CASE WHEN v IS NOT NULL THEN pos END
+                                  IGNORE NULLS) OVER wf    AS pp,
+                       FIRST_VALUE(v IGNORE NULLS) OVER wb AS nv,
+                       FIRST_VALUE(CASE WHEN v IS NOT NULL THEN pos END
+                                   IGNORE NULLS) OVER wb   AS np
+                FROM d
+                WINDOW
+                  wf AS (PARTITION BY user_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wb AS (PARTITION BY user_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, user_id,
+                   FLOOR((CASE
+                          WHEN v IS NOT NULL THEN v
+                          WHEN pp IS NULL THEN nv
+                          WHEN np IS NULL THEN pv
+                          ELSE pv + (nv - pv) * (pos - pp) / (np - pp)
+                          END) * 1e4 + 0.5) / 1e4 AS value
+            FROM e
+        """,
+        "text_statistics": f"""
+            WITH d AS (
+                SELECT doc_id, text, {_DD_TOKS} AS w, length(text) AS nc
+                FROM documents
+            )
+            SELECT doc_id,
+                   nc AS n_chars_calc,
+                   len(w) AS n_words,
+                   len(list_filter(string_split_regex(text, '[.!?]+'),
+                                   s -> trim(s) <> '')) AS n_sentences,
+                   FLOOR((CASE WHEN len(w) > 0 THEN
+                       list_sum(list_transform(w, t -> length(t))) / len(w)
+                       END) * 1e4 + 0.5) / 1e4 AS avg_word_len,
+                   FLOOR((CASE WHEN nc > 0 THEN
+                       (nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       / nc END) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+                   FLOOR((CASE WHEN nc > 0 THEN
+                       (nc - length(regexp_replace(text, '[0-9]', '', 'g')))
+                       / nc END) * 1e6 + 0.5) / 1e6 AS digit_ratio,
+                   FLOOR((CASE WHEN len(w) > 0 THEN
+                       len(list_filter(w, t -> list_contains(
+                           {_stopword_list_sql()}, t)))
+                       / len(w) END) * 1e6 + 0.5) / 1e6 AS stopword_ratio
+            FROM d
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+            FROM documents
+        """,
+        "language_scores": _language_oracle(),
+        "doc_fingerprints": f"""
+            SELECT doc_id, {_DD_FP} AS fingerprint
+            FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents)
+        """,
+        "dedup_exact_groups": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id, text FROM documents WHERE doc_id < 50
+            ),
+            f AS (
+                SELECT doc_id, {_DD_FP} AS fp
+                FROM (SELECT doc_id, {_DD_TOKS} AS w FROM corpus)
+            )
+            SELECT MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_dups,
+                   '[' || array_to_string(list_sort(list(doc_id)), ', ') || ']'
+                       AS members
+            FROM f GROUP BY fp HAVING COUNT(*) > 1
+        """,
+        "minhash_neardup": _minhash_oracle(),
+        "ngram_jaccard_neardup": f"""
+            WITH d AS (
+                SELECT doc_id, {_DD_SHINGLES} AS sh
+                FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents)
+            ),
+            e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM d),
+            c AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS inter
+                FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   FLOOR(inter / (sz_a + sz_b - inter) * 1e4 + 0.5) / 1e4
+                       AS jaccard
+            FROM c WHERE inter / (sz_a + sz_b - inter) >= 0.5
+        """,
+        "simhash_sigs": _simhash_oracle(),
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_dot_product(qv, e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[])))
+                           AS cos
+                FROM embeddings e, q
+            ),
+            r AS (
+                SELECT query_id, vec_id, cos,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, vec_id) AS INT) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id,
+                   FLOOR(cos * 1e6 + 0.5) / 1e6 AS cosine, rank
+            FROM r WHERE rank <= 10
         """,
     }

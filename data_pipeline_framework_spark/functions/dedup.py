@@ -1,0 +1,287 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design point is 100 TB of documents:
+  * exact dedup = hash-groupBy (one shuffle on a 52-bit fingerprint)
+  * near-dup never does an O(n^2) self-join — candidates come from an
+    inverted index (shared shingle) or LSH band buckets, then only
+    candidates get the exact Jaccard verification
+  * all hashes are the portable md5-prefix hash (functions/text.py:hash52)
+    so results are reproducible across engines/runs — no Python UDFs
+
+MinHash: k signatures h_i(x) = (a_i*x + b_i) mod p over shingle hashes,
+computed as k min-aggregations in ONE pass (no k-way explode). Constants
+are seeded (seed 42) and exported as MINHASH_PARAMS for oracle SQL.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash52, tokens
+
+# (a, b) pairs for k=16 minhash permutations; a < 2^10 keeps a*hash52 < 2^62
+# (no int64 overflow), p = 2^61 - 1 (Mersenne prime).
+MINHASH_P = (1 << 61) - 1
+_rng = random.Random(42)
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 10), _rng.randrange(0, 1 << 60)) for _ in range(16)
+]
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct word-n-gram shingle strings of the lowercased text."""
+    w = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    # degenerate doc shorter than n words -> single shingle of all words
+    grams = F.when(F.size(w) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", w))
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(text_col: Column | str, n: int = 3) -> Column:
+    return F.transform(shingles(text_col, n), hash52)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per
+    duplicate group with the canonical (min) id, member count and ids.
+    Single shuffle on the fingerprint."""
+    from .text import fingerprint
+
+    d = fingerprint(df.select(id_col, text_col), text_col)
+    return (
+        d.groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signature_cols(hashes_col: str = "__sh") -> list[Column]:
+    """k min-hash values from an array of shingle hashes — one agg pass."""
+    # closure factory keeps the lambda unary (default args would change the
+    # arity PySpark's higher-order-function binder sees)
+    def _perm(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_P
+
+    sig = []
+    for i, (a, b) in enumerate(MINHASH_PARAMS):
+        sig.append(
+            F.array_min(
+                F.transform(F.col(hashes_col), _perm(a, b))
+            ).alias(f"mh_{i}")
+        )
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """One row per doc: id + mh_0..mh_{k-1}."""
+    d = df.select(id_col, shingle_hashes(text_col, n).alias("__sh"))
+    return d.select(id_col, *minhash_signature_cols())
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Docs sharing any LSH band -> distinct unordered candidate pairs.
+    Band key = concat of the band's minhash values. The self-join is
+    per-bucket (equi-join on band id+key), never all-pairs."""
+    k = len(MINHASH_PARAMS)
+    rows = k // LSH_BANDS
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    ).alias("key"),
+                )
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingled: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs: join each side's distinct shingle
+    array back in, intersect/union sizes, filter by threshold."""
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.try_divide(inter, union))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline:
+    shingle -> signature -> band buckets -> candidates -> exact verify."""
+    shingled = df.select(id_col, shingle_hashes(text_col, n).alias("__sh"))
+    sig = shingled.select(id_col, *minhash_signature_cols())
+    cand = lsh_candidate_pairs(sig, id_col)
+    return jaccard_verify(cand, shingled, id_col, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup via inverted shingle index:
+    explode shingles -> self-join on shingle hash -> common counts ->
+    jaccard from set sizes. No LSH approximation; candidate generation is
+    bounded by shingle document-frequency (at scale, drop ultra-common
+    shingles first — df > 0.1% of corpus carries no dedup signal)."""
+    sh = df.select(
+        id_col, shingle_hashes(text_col, n).alias("__sh")
+    ).withColumn("__size", F.size("__sh"))
+    inv = sh.select(id_col, "__size", F.explode("__sh").alias("h"))
+    a = inv.select(
+        F.col(id_col).alias("id_a"), F.col("__size").alias("sz_a"), "h"
+    )
+    b = inv.select(
+        F.col(id_col).alias("id_b"), F.col("__size").alias("sz_b"), "h"
+    )
+    common = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        common.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """32-bit SimHash over distinct word tokens: bit i of the signature is
+    the sign of sum over tokens of (+1 if bit i of hash52(token) else -1).
+    Pure expression pipeline: tokens -> hashes -> per-bit vote fold."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(toks, hash52)
+    # bit positions are unrolled as Python ints: F.shiftright/shiftleft take a
+    # literal bit count, not a Column
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+                for i in range(SIMHASH_BITS)
+            ]),
+            lambda x, y: x + y,
+        ),
+    )
+    d = df.select(id_col, votes.alias("__votes"))
+    bit_terms = [
+        F.when(
+            F.element_at("__votes", i + 1) > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
+    ]
+    sig = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig = sig + t
+    return d.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming, candidates from
+    matching 8-bit signature blocks (pigeonhole: distance<=3 over 4 blocks
+    guarantees one identical block)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    blocks = sig.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255))
+                    .alias("key"),
+                )
+                for b in range(SIMHASH_BITS // 8)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.blk", "bk.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

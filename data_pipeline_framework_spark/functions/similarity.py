@@ -1,0 +1,214 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: exact brute-force cosine top-k — a broadcast of the (small)
+query set against the corpus, dot products as JVM-side array expressions
+(F.zip_with + F.aggregate), ranked per query with a window. No Python in
+the loop.
+
+Scale path: LSH (random-hyperplane) bucketing — signatures computed from
+seeded literal hyperplanes, candidates restricted to matching buckets
+(optionally with multi-probe via allowing b-1 of b blocks to match), then
+exact rerank. At 100 TB the bucket join replaces the full cross product;
+recall is tunable with #planes/#probes.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b) -> Column:
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector. The query side is
+    broadcast (it is small by construction); ranking tie-breaks on corpus
+    id for determinism."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Seeded gaussian hyperplanes as plain literals (identical on every
+    executor — no runtime randomness)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit j = 1 iff dot(vec, plane_j) > 0."""
+    bits = []
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(_dot(vec_col, p) > 0, F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 16,
+    n_blocks: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing at least one
+    signature block (n_planes/n_blocks bits) with the query, then exact
+    cosine rerank. Multi-probe comes free from the block decomposition."""
+    dim = len(queries.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    bits_per_block = n_planes // n_blocks
+
+    def with_blocks(df, idc):
+        sig = lsh_signature(F.col("__v"), planes)
+        d = df.withColumn("__sig", sig)
+        return d.select(
+            idc, "__v",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("__sig", b * bits_per_block)
+                        .bitwiseAND(F.lit((1 << bits_per_block) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_blocks)
+                ])
+            ).alias("bk"),
+        ).select(idc, "__v", "bk.blk", "bk.key")
+
+    c = with_blocks(
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("__v")),
+        id_col,
+    )
+    q = with_blocks(
+        queries.select(
+            query_id_col, F.col(vec_col).cast("array<double>").alias("__v")
+        ),
+        query_id_col,
+    )
+    cand = (
+        c.join(
+            F.broadcast(q).withColumnRenamed("__v", "__qv"),
+            ["blk", "key"],
+        )
+        .select(query_id_col, id_col, "__v", "__qv")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("__qv"), F.col("__v")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_blocks: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) with LSH-block
+    candidate generation — the embedding twin of minhash_dedup_pairs."""
+    base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    dim = len(base.select("__v").first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    bits_per_block = n_planes // n_blocks
+    sig = base.withColumn("__sig", lsh_signature(F.col("__v"), planes))
+    blocks = sig.select(
+        id_col, "__v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright("__sig", b * bits_per_block)
+                    .bitwiseAND(F.lit((1 << bits_per_block) - 1))
+                    .alias("key"),
+                )
+                for b in range(n_blocks)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "__v", "bk.blk", "bk.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

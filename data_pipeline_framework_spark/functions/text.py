@@ -1,0 +1,154 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything is built from JVM-side column expressions (split / filter /
+aggregate / regexp) — no Python UDFs in the hot path, so a 100 TB document
+scan stays inside whole-stage codegen. The generalization source is the
+reference's basic text stats (reference
+transformations/feature_engineering.py:141-225: length, word/char/sentence
+counts, avg word length); language-ID, quality scoring, BPE-ish token
+counting and fingerprinting are the scale-path additions BASELINE.json
+calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A 52-bit portable string hash: hex prefix of md5, parseable identically in
+# DuckDB (CAST('0x'||substr(md5(x),1,13) AS BIGINT)). Used everywhere a
+# cross-engine-stable hash is needed (shingles, fingerprints, buckets).
+def hash52(col: Column | str) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("bigint")
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokens, empty strings dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+# BPE-ish token regex: runs of letters, runs of digits, or single
+# non-space punctuation — a standard pre-tokenizer shape.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "por", "para", "que"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["on", "with", "as", "at", "by", "an"]
+
+
+def text_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / word / sentence counts + ratios (superset of reference
+    feature_engineering.py:200-224 'basic' text features).
+
+    Adds: n_chars, n_words, n_sentences, avg_word_len, punct_ratio,
+    digit_ratio, upper_ratio, stopword_ratio, whitespace_ratio.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_words = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
+    )
+    return df.withColumns({
+        "n_chars_calc": n_chars,
+        "n_words": n_words,
+        "n_sentences": F.size(
+            F.filter(F.split(c, r"[.!?]+"), lambda s: F.trim(s) != "")
+        ),
+        "avg_word_len": F.try_divide(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)),
+            n_words,
+        ),
+        "punct_ratio": F.try_divide(
+            n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", "")), n_chars
+        ),
+        "digit_ratio": F.try_divide(
+            n_chars - F.length(F.regexp_replace(c, r"[0-9]", "")), n_chars
+        ),
+        "upper_ratio": F.try_divide(
+            n_chars - F.length(F.regexp_replace(c, r"[A-Z]", "")), n_chars
+        ),
+        "stopword_ratio": F.try_divide(stop_hits, n_words),
+    })
+
+
+def token_count(df: DataFrame, text_col: str, out_col: str = "n_tokens") -> DataFrame:
+    """BPE-ish token count (pre-tokenizer regex, not a learned vocab)."""
+    return df.withColumn(out_col, F.size(bpe_tokens(text_col)))
+
+
+def language_id(
+    df: DataFrame, text_col: str, out_col: str = "lang_pred"
+) -> DataFrame:
+    """Marker-stopword language heuristic: per-language marker hit-rate over
+    tokens; argmax (ties -> lexicographically first language). Adds
+    `{lang}_score` columns + `out_col`."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+
+    # closure factory: a default-arg lambda would change the lambda's arity
+    # as seen by PySpark's higher-order-function binder
+    def _marker_pred(markers: list[str]):
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.try_divide(
+            F.size(F.filter(toks, _marker_pred(markers))), n
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = df.withColumns({f"{lang}_score": s for lang, s in scores.items()})
+    # argmax via greatest + chained when (deterministic tie-break: lang order)
+    best = F.greatest(*[F.col(f"{lang}_score") for lang in LANG_MARKERS])
+    pred = F.lit(None).cast("string")
+    for lang in sorted(LANG_MARKERS):
+        pred = F.coalesce(pred, F.when(F.col(f"{lang}_score") == best, lang))
+    return out.withColumn(out_col, F.when(best > 0, pred).otherwise("unknown"))
+
+
+def quality_score(
+    df: DataFrame, text_col: str, out_col: str = "quality"
+) -> DataFrame:
+    """Composite document-quality heuristic in [0,1]: rewards mid-length
+    documents, moderate average word length, presence of stopwords and
+    sentence structure; penalizes punctuation/digit noise. All terms are
+    bounded ratios; weights sum to 1."""
+    d = text_stats(df, text_col)
+    len_term = F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0))
+    wordlen_ok = F.when(
+        F.col("avg_word_len").between(3.0, 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    stop_term = F.least(F.col("stopword_ratio") * 3, F.lit(1.0))
+    noise = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.col("punct_ratio") * 4 - F.col("digit_ratio") * 2,
+    )
+    score = (
+        0.3 * len_term + 0.2 * wordlen_ok + 0.2 * stop_term + 0.3 * noise
+    )
+    return d.withColumn(out_col, score)
+
+
+def fingerprint(
+    df: DataFrame, text_col: str, out_col: str = "fingerprint"
+) -> DataFrame:
+    """Deterministic 52-bit content fingerprint over normalized text
+    (whitespace-collapsed, lowercased) — the exact-dedup key."""
+    normalized = F.concat_ws(" ", tokens(text_col))
+    return df.withColumn(out_col, hash52(normalized))

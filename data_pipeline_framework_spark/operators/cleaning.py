@@ -1,0 +1,98 @@
+"""Cleaning operators (reference utils/data_cleaner.py + the `clean` op).
+
+Everything is column-expression based — the reference's row-wise Python
+loops (phone standardization iterated df[column].items(),
+data_cleaner.py:134-154) become regexp expressions that run inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# reference data_cleaner.py:266-272 common typo map
+EMAIL_DOMAIN_FIXES = {
+    "gmial.com": "gmail.com",
+    "gmai.com": "gmail.com",
+    "yahooo.com": "yahoo.com",
+    "hotmial.com": "hotmail.com",
+}
+
+EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+
+
+def standardize_phone_numbers(
+    df: DataFrame, column: str, output_format: str = "(XXX) XXX-XXXX"
+) -> DataFrame:
+    """Canonicalize US-style phone numbers (reference data_cleaner.py:116-168):
+    strip non-digits, drop a leading '1' on 11-digit numbers, reformat
+    10-digit numbers as (XXX) XXX-XXXX; anything else -> NULL."""
+    digits = F.regexp_replace(F.col(column).cast("string"), r"[^0-9]", "")
+    digits = F.when(
+        (F.length(digits) == 11) & digits.startswith("1"), digits.substr(2, 10)
+    ).otherwise(digits)
+    formatted = F.concat(
+        F.lit("("), digits.substr(1, 3), F.lit(") "),
+        digits.substr(4, 3), F.lit("-"), digits.substr(7, 4),
+    )
+    return df.withColumn(
+        column, F.when(F.length(digits) == 10, formatted).otherwise(F.lit(None))
+    )
+
+
+def email_valid(column: str) -> Column:
+    return F.col(column).rlike(EMAIL_RE)
+
+
+def validate_emails(
+    df: DataFrame, column: str, strategy: str = "flag"
+) -> DataFrame:
+    """strategies (reference data_cleaner.py:170-228): 'flag' adds
+    `{col}_valid`; 'remove' drops invalid rows; 'fix_common' repairs known
+    domain typos first, then flags."""
+    if strategy == "flag":
+        return df.withColumn(f"{column}_valid", email_valid(column))
+    if strategy == "remove":
+        return df.filter(email_valid(column))
+    if strategy == "fix_common":
+        fixed = F.col(column)
+        for typo, good in EMAIL_DOMAIN_FIXES.items():
+            fixed = F.regexp_replace(
+                fixed, "@" + typo.replace(".", r"\.") + "$", "@" + good
+            )
+        out = df.withColumn(column, fixed)
+        return out.withColumn(f"{column}_valid", email_valid(column))
+    raise ValueError(f"unsupported email strategy: {strategy!r}")
+
+
+def remove_duplicates(
+    df: DataFrame,
+    subset: list[str] | None = None,
+    keep: str = "first",
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """reference data_cleaner.py:230-258 — delegates to the compiler op."""
+    from ..plans.compiler import _op_deduplicate
+
+    return _op_deduplicate(
+        {"subset": subset, "keep": keep, "order_by": order_by}, None
+    )(df)
+
+
+def fix_missing_values(
+    df: DataFrame,
+    strategies: dict[str, dict],
+) -> DataFrame:
+    """Per-column missing-value strategy map (reference data_cleaner.py:40-114):
+    {'col': {'method': 'drop'|'value'|'mean'|'median'|'mode'|'ffill'|'bfill',
+             ...params}}."""
+    from ..plans.compiler import _fill_null
+
+    for col, spec in strategies.items():
+        method = spec.get("method", "value")
+        if method == "drop":
+            df = df.na.drop(subset=[col])
+        else:
+            df = _fill_null(df, {"columns": [col], **spec})
+    return df

@@ -1,0 +1,383 @@
+"""Time-series operators (reference transformations/time_series.py).
+
+All operators are expression-based (whole-stage codegen) except the two
+genuinely sequential kernels (EWM smoothing, seasonal decomposition) which
+escape to Arrow-batched applyInPandas per series — the pattern SURVEY §7.3
+prescribes. Every windowed computation requires an explicit order column
+(+ optional per-series partition keys); nothing assumes a pandas index.
+
+Scale: resampling is a groupBy on (bucket, keys) — shuffles once; rolling
+stats are window frames over (keys) partitions; gap-filling generates the
+time spine WITH a per-key sequence (no driver loop) and joins it back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# pandas-style frequency aliases -> (Spark window duration, date_trunc unit)
+_FREQ = {
+    "min": "1 minute", "1min": "1 minute", "5min": "5 minutes",
+    "15min": "15 minutes", "30min": "30 minutes",
+    "H": "1 hour", "h": "1 hour", "D": "1 day", "d": "1 day",
+    "W": "1 week", "M": "1 month", "Y": "1 year",
+}
+_TRUNC = {"1 minute": "minute", "1 hour": "hour", "1 day": "day",
+          "1 week": "week", "1 month": "month", "1 year": "year"}
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    freq: str,
+    aggregations: dict[str, str | list[str]],
+    group_by: list[str] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Resample to a fixed frequency (reference time_series.py:17-67).
+
+    Calendar frequencies (month/year) use date_trunc; fixed-width ones use
+    F.window so the same code drives Structured Streaming. Output columns
+    follow the `{col}_{func}` convention.
+    """
+    from ..plans.compiler import build_agg_exprs
+
+    duration = _FREQ.get(freq, freq)
+    keys = list(group_by or [])
+    if duration in ("1 month", "1 year", "1 week"):
+        bucket = F.date_trunc(_TRUNC[duration], F.col(ts_col))
+    else:
+        bucket = F.window(ts_col, duration).start
+    out = (
+        df.withColumn(bucket_col, bucket)
+        .groupBy(*keys, bucket_col)
+        .agg(*build_agg_exprs(aggregations))
+    )
+    return out
+
+
+def rolling_window_stats(
+    df: DataFrame,
+    ts_col: str,
+    column: str,
+    window: int,
+    stats: list[str] = ("mean", "std", "min", "max"),
+    group_by: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Trailing `window`-row stats (reference time_series.py:69-116);
+    output `{col}_rolling_{stat}_{w}`. `tiebreak` columns make the ordering
+    total so results are deterministic under distribution."""
+    order = [ts_col] + list(tiebreak or [])
+    w = (
+        Window.partitionBy(*(group_by or []))
+        .orderBy(*order)
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    fns = {
+        "mean": F.avg, "sum": F.sum, "std": F.stddev, "min": F.min,
+        "max": F.max, "count": F.count,
+    }
+    # exact percentiles over a frame (F.median doesn't accept frames)
+    pct = {"median": 0.5, "q25": 0.25, "q75": 0.75}
+    cols = {}
+    for s in stats:
+        if s in pct:
+            cols[f"{column}_rolling_{s}_{window}"] = F.percentile(
+                column, F.lit(pct[s])
+            ).over(w)
+        else:
+            cols[f"{column}_rolling_{s}_{window}"] = fns[s](column).over(w)
+    return df.withColumns(cols)
+
+
+def calculate_time_features(df: DataFrame, ts_col: str) -> DataFrame:
+    """Calendar features (reference time_series.py:283-337); the reference's
+    pandas day_of_week is Mon=0 and week_of_year is ISO."""
+    c = F.col(ts_col)
+    return df.withColumns({
+        f"{ts_col}_hour": F.hour(c),
+        f"{ts_col}_day": F.dayofmonth(c),
+        f"{ts_col}_day_of_week": (F.dayofweek(c) + 5) % 7,
+        f"{ts_col}_day_name": F.date_format(c, "EEEE"),
+        f"{ts_col}_month": F.month(c),
+        f"{ts_col}_month_name": F.date_format(c, "MMMM"),
+        f"{ts_col}_quarter": F.quarter(c),
+        f"{ts_col}_year": F.year(c),
+        f"{ts_col}_is_weekend": ((F.dayofweek(c) + 5) % 7 >= 5).cast("int"),
+        f"{ts_col}_week_of_year": F.weekofyear(c),
+        f"{ts_col}_day_of_year": F.dayofyear(c),
+    })
+
+
+def calculate_lags(
+    df: DataFrame,
+    column: str,
+    lags: list[int],
+    ts_col: str,
+    group_by: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Multiple lag features `{col}_lag_{k}` (reference time_series.py:339-378)."""
+    order = [ts_col] + list(tiebreak or [])
+    w = Window.partitionBy(*(group_by or [])).orderBy(*order)
+    return df.withColumns(
+        {f"{column}_lag_{k}": F.lag(column, int(k)).over(w) for k in lags}
+    )
+
+
+def calculate_differences(
+    df: DataFrame,
+    column: str,
+    periods: list[int],
+    ts_col: str,
+    group_by: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """`{col}_diff_{k}` = value - lag(value, k) (reference time_series.py:380-419)."""
+    order = [ts_col] + list(tiebreak or [])
+    w = Window.partitionBy(*(group_by or [])).orderBy(*order)
+    return df.withColumns(
+        {
+            f"{column}_diff_{k}": F.col(column) - F.lag(column, int(k)).over(w)
+            for k in periods
+        }
+    )
+
+
+def detect_outliers(
+    df: DataFrame,
+    column: str,
+    method: str = "iqr",
+    threshold: float = 1.5,
+    ts_col: str | None = None,
+    window: int = 20,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Outlier flag `{col}_is_outlier` (reference time_series.py:171-231).
+
+    iqr/zscore compute the bounds with ONE scalar agg (exact percentile /
+    mean+stddev) broadcast back via crossJoin of a 1-row frame — no driver
+    round-trip in the plan. rolling_zscore uses a trailing window.
+    """
+    flag = f"{column}_is_outlier"
+    if method == "iqr":
+        bounds = df.agg(
+            F.percentile(column, F.lit(0.25)).alias("__q1"),
+            F.percentile(column, F.lit(0.75)).alias("__q3"),
+        )
+        out = df.crossJoin(F.broadcast(bounds))
+        iqr = F.col("__q3") - F.col("__q1")
+        return out.withColumn(
+            flag,
+            (
+                (F.col(column) < F.col("__q1") - threshold * iqr)
+                | (F.col(column) > F.col("__q3") + threshold * iqr)
+            ).cast("int"),
+        ).drop("__q1", "__q3")
+    if method == "zscore":
+        stats = df.agg(
+            F.avg(column).alias("__mu"), F.stddev(column).alias("__sigma")
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        return out.withColumn(
+            flag,
+            (F.abs((F.col(column) - F.col("__mu")) / F.col("__sigma")) > threshold)
+            .cast("int"),
+        ).drop("__mu", "__sigma")
+    if method == "rolling_zscore":
+        if ts_col is None:
+            raise ValueError("rolling_zscore requires ts_col")
+        w = (
+            Window.partitionBy(*(group_by or []))
+            .orderBy(ts_col)
+            .rowsBetween(-(int(window) - 1), 0)
+        )
+        mu, sigma = F.avg(column).over(w), F.stddev(column).over(w)
+        return df.withColumn(
+            flag,
+            F.when(sigma > 0, (F.abs((F.col(column) - mu) / sigma) > threshold))
+            .otherwise(F.lit(False))
+            .cast("int"),
+        )
+    raise ValueError(f"unsupported outlier method: {method!r}")
+
+
+def fill_missing(
+    df: DataFrame,
+    column: str,
+    method: str = "ffill",
+    ts_col: str | None = None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """ffill / bfill / mean / linear interpolate (reference
+    time_series.py:233-281). Linear interpolation is fully distributed:
+    bracket each null run with the previous/next known (value, position)
+    via ignorenulls window fills, then lerp."""
+    keys = list(group_by or [])
+    if method in ("mean",):
+        from ..plans.compiler import _fill_null
+
+        return _fill_null(df, {"columns": [column], "method": "mean"})
+    if ts_col is None:
+        raise ValueError(f"{method} requires ts_col")
+    part = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    wf = part.orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    wb = part.orderBy(ts_col).rowsBetween(0, Window.unboundedFollowing)
+    if method == "ffill":
+        return df.withColumn(column, F.last(column, ignorenulls=True).over(wf))
+    if method == "bfill":
+        return df.withColumn(column, F.first(column, ignorenulls=True).over(wb))
+    if method == "interpolate":
+        pos = F.row_number().over(part.orderBy(ts_col))
+        d = df.withColumn("__pos", pos)
+        known_pos = F.when(F.col(column).isNotNull(), F.col("__pos"))
+        prev_v = F.last(column, ignorenulls=True).over(wf)
+        prev_p = F.last(known_pos, ignorenulls=True).over(wf)
+        next_v = F.first(column, ignorenulls=True).over(wb)
+        next_p = F.first(known_pos, ignorenulls=True).over(wb)
+        lerp = prev_v + (next_v - prev_v) * (F.col("__pos") - prev_p) / (
+            next_p - prev_p
+        )
+        filled = (
+            F.when(F.col(column).isNotNull(), F.col(column))
+            .when(prev_p.isNull(), next_v)   # leading nulls -> bfill
+            .when(next_p.isNull(), prev_v)   # trailing nulls -> ffill
+            .otherwise(lerp)
+        )
+        return d.withColumn(column, filled).drop("__pos")
+    raise ValueError(f"unsupported fill method: {method!r}")
+
+
+def time_spine(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Dense (key, bucket) spine from each key's min..max timestamp —
+    F.sequence + explode, generated executor-side (the gap-filling
+    prerequisite for resample with fill; reference time_series.py:45-60).
+    """
+    keys = list(group_by or [])
+    bounds = df.groupBy(*keys).agg(
+        F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi")
+    )
+    return bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+
+
+def smooth(
+    df: DataFrame,
+    column: str,
+    method: str = "moving_average",
+    window: int = 5,
+    alpha: float = 0.3,
+    ts_col: str | None = None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """moving_average (window frame) / exponential EWM (applyInPandas — the
+    recurrence is inherently sequential per series; reference
+    time_series.py:421-480). Output `{col}_smoothed`."""
+    out_col = f"{column}_smoothed"
+    if method == "moving_average":
+        w = (
+            Window.partitionBy(*(group_by or []))
+            .orderBy(ts_col)
+            .rowsBetween(-(int(window) - 1), 0)
+        )
+        return df.withColumn(out_col, F.avg(column).over(w))
+    if method == "exponential":
+        if ts_col is None:
+            raise ValueError("exponential smoothing requires ts_col")
+        from pyspark.sql import types as T
+
+        keys = list(group_by or [])
+        # copy the fields — StructType.add would mutate the frame's cached schema
+        schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+        )
+
+        def ewm(pdf):
+            pdf = pdf.sort_values(ts_col)
+            pdf[out_col] = pdf[column].ewm(alpha=alpha, adjust=False).mean()
+            return pdf
+
+        if keys:
+            return df.groupBy(*keys).applyInPandas(ewm, schema)
+        return df.groupBy(F.lit(1)).applyInPandas(ewm, schema)
+    raise ValueError(f"unsupported smoothing method: {method!r}")
+
+
+def detect_changepoints(
+    df: DataFrame,
+    column: str,
+    ts_col: str,
+    window: int = 10,
+    threshold: float = 2.0,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Rolling-mean jump > threshold * rolling std (reference
+    time_series.py:482-527). Flag column `{col}_changepoint`."""
+    part = Window.partitionBy(*(group_by or [])).orderBy(ts_col)
+    w = part.rowsBetween(-(int(window) - 1), 0)
+    mean_c, std_c = F.avg(column).over(w), F.stddev(column).over(w)
+    d = df.withColumn("__rmean", mean_c).withColumn("__rstd", std_c)
+    jump = F.abs(F.col("__rmean") - F.lag("__rmean", 1).over(part))
+    return (
+        d.withColumn(
+            f"{column}_changepoint",
+            F.when(
+                jump > threshold * F.coalesce(F.col("__rstd"), F.lit(0.0)), 1
+            ).otherwise(0),
+        )
+        .drop("__rmean", "__rstd")
+    )
+
+
+_UNIT_MICROS = {
+    "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+    "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+}
+
+
+def _interval_micros(gap: str | int | float) -> int:
+    """'30 minutes' / '5 seconds' / bare seconds -> microseconds."""
+    if isinstance(gap, (int, float)):
+        return int(gap * 1_000_000)
+    qty, unit = gap.strip().split()
+    unit = unit.rstrip("s").lower()
+    if unit not in _UNIT_MICROS:
+        raise ValueError(f"unsupported interval unit: {unit!r}")
+    return int(float(qty) * _UNIT_MICROS[unit])
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_by: list[str] | None = None,
+    session_col: str = "session_id",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based session ids: lag(ts) + cumulative sum of gap>threshold.
+    The batch twin of F.session_window; `gap` like '30 minutes'."""
+    keys = list(group_by or [])
+    order = [ts_col] + list(tiebreak or [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_micros = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(ts_col, 1).over(w)
+    )
+    thresh_micros = F.lit(_interval_micros(gap))
+    new_session = F.when(
+        gap_micros.isNull() | (gap_micros > thresh_micros), 1
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
