@@ -777,6 +777,280 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cleaning (operators/cleaning.py + the `clean` op)
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def clean_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`clean` op: trim_strings + standardize_nulls over a synthesized messy
+    column (testdata is clean, so mess is planted deterministically)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    messy = (
+        F.when(k % 7 == 0, F.lit(" N/A "))
+        .when(k % 11 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" ")))
+    )
+    d = cust.select("c_custkey", messy.alias("segment_raw"))
+    out = apply_ops(
+        d,
+        [{"type": "clean", "operations": ["standardize_nulls", "trim_strings"]}],
+    )
+    return out.select("c_custkey", F.col("segment_raw").alias("segment_clean"))
+
+
+def phone_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """standardize_phone_numbers: 10-digit, 1-prefixed 11-digit, and
+    invalid shapes (reference data_cleaner.py:116-168)."""
+    from data_pipeline_framework_spark.operators import cleaning as CL
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    mid = F.lpad(((k * 7) % 1000).cast("string"), 3, "0")
+    last = F.lpad((k % 10000).cast("string"), 4, "0")
+    raw = (
+        F.when(k % 3 == 0, F.concat(F.lit("555-"), mid, F.lit("-"), last))
+        .when(k % 3 == 1, F.concat(F.lit("+1 (555) "), mid, F.lit("-"), last))
+        .otherwise(F.lit("12345"))
+    )
+    d = cust.select("c_custkey", raw.alias("phone"))
+    return CL.standardize_phone_numbers(d, "phone")
+
+
+def email_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate_emails strategy='fix_common': domain-typo repair then
+    validity flag (reference data_cleaner.py:170-228, typo map :266-272)."""
+    from data_pipeline_framework_spark.operators import cleaning as CL
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    local = F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]+", "."))
+    domain = (
+        F.when(k % 4 == 0, F.lit("gmial.com"))
+        .when(k % 4 == 1, F.lit("gmail.com"))
+        .when(k % 4 == 2, F.lit("no-tld"))
+        .otherwise(F.lit("yahoo.com"))
+    )
+    d = cust.select(
+        "c_custkey", F.concat(local, F.lit("@"), domain).alias("email")
+    )
+    out = CL.validate_emails(d, "email", strategy="fix_common")
+    return out.select("c_custkey", "email", F.col("email_valid").cast("int").alias("email_valid"))
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join through the op DSL: customers with no URGENT orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter("o_orderpriority = '1-URGENT'").select("o_custkey")
+    return apply_ops(
+        cust,
+        [
+            {"type": "join", "right": urgent,
+             "condition": "c_custkey = o_custkey", "how": "left_anti"},
+            {"type": "select", "columns": ["c_custkey", "c_name", "c_mktsegment"]},
+        ],
+    )
+
+
+def ffill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fill_null method='ffill' through the transform op (window fill,
+    fully distributed — no driver scalar collect)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+    )
+    out = apply_ops(
+        ev,
+        [
+            {"type": "transform", "transformations": [
+                {"type": "fill_null", "columns": ["value"], "method": "ffill",
+                 "partition_by": ["user_id"], "order_by": ["ts", "event_id"]},
+            ]},
+        ],
+    )
+    return out.select("event_id", "user_id", F.round("value", 2).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# feature engineering (operators/features.py)
+
+
+def ratio_poly_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{num}_to_{den}_ratio`, `{a}_x_{b}`/`{a}_plus_{b}`, `{col}_pow_{d}`
+    naming (reference feature_engineering.py:344-448, :18-72)."""
+    from data_pipeline_framework_spark.operators import features as FE
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice",
+    )
+    d = FE.create_ratio_features(li, [("l_extendedprice", "l_quantity")])
+    d = FE.create_interaction_features(
+        d, ["l_quantity", "l_discount"], ["multiply", "add"]
+    )
+    d = FE.create_polynomial_features(d, ["l_quantity"], degree=3)
+    return d.select(
+        "l_orderkey", "l_linenumber",
+        _r(F.col("l_extendedprice_to_l_quantity_ratio"), 4).alias(
+            "l_extendedprice_to_l_quantity_ratio"),
+        F.round("l_quantity_x_l_discount", 4).alias("l_quantity_x_l_discount"),
+        F.round("l_quantity_plus_l_discount", 4).alias("l_quantity_plus_l_discount"),
+        F.round("l_quantity_pow_2", 2).alias("l_quantity_pow_2"),
+        F.round("l_quantity_pow_3", 2).alias("l_quantity_pow_3"),
+    )
+
+
+def binning_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """equal-width `{col}_binned` from one global min/max agg broadcast
+    back into the plan (no driver collect)."""
+    from data_pipeline_framework_spark.operators import features as FE
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = FE.create_binning_features(orders, "o_totalprice", "uniform", bins=5)
+    return out.select(
+        "o_orderkey", F.col("o_totalprice_binned").cast("int").alias("bin")
+    )
+
+
+def binning_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile `{col}_binned` via exact percentile edges."""
+    from data_pipeline_framework_spark.operators import features as FE
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = FE.create_binning_features(orders, "o_totalprice", "quantile", bins=4)
+    return out.select(
+        "o_orderkey", F.col("o_totalprice_binned").cast("int").alias("bin")
+    )
+
+
+def categorical_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frequency + label + explicit-value onehot encodings
+    (reference feature_engineering.py:227-296 naming)."""
+    from data_pipeline_framework_spark.operators import features as FE
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = FE.create_categorical_features(cust, "c_mktsegment", "frequency")
+    d = FE.create_categorical_features(d, "c_mktsegment", "label")
+    d = FE.create_categorical_features(
+        d, "c_mktsegment", "onehot", one_hot_values=SEGMENTS
+    )
+    return d.select(
+        "c_custkey", "c_mktsegment", "c_mktsegment_freq", "c_mktsegment_label",
+        *[f"c_mktsegment_{v}" for v in SEGMENTS],
+    )
+
+
+def aggregation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group stats merged back per row via window aggs — no join
+    (reference feature_engineering.py:298-342 did groupby+merge).
+    Mean re-derived from rounded sum for cross-engine hash stability."""
+    from data_pipeline_framework_spark.operators import features as FE
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = FE.create_aggregation_features(
+        ev, ["user_id"], {"value": ["sum", "count", "min", "max"]}
+    )
+    return out.select(
+        "event_id", "user_id",
+        _r(F.round("value_sum_by_user_id", 2) / F.col("value_count_by_user_id"), 4)
+        .alias("value_mean_by_user_id"),
+        F.round("value_min_by_user_id", 2).alias("value_min_by_user_id"),
+        F.round("value_max_by_user_id", 2).alias("value_max_by_user_id"),
+        F.col("value_count_by_user_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot suite extensions
+
+
+def crosstab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross-tabulation counts (reference pivot_operations.py:108-166)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = apply_ops(
+        orders,
+        [
+            {"type": "pivot", "index": ["o_orderpriority"],
+             "columns": "o_orderstatus", "values": ["o_orderkey"],
+             "aggfunc": "count", "pivot_values": ["F", "O", "P"],
+             "fill_value": 0},
+            {"type": "sort", "by": ["o_orderpriority"]},
+        ],
+    )
+    return out
+
+
+def pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_based_pivot: month-truncated date x status
+    (reference pivot_operations.py:389-435)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = apply_ops(
+        orders,
+        [
+            {"type": "transform", "transformations": [
+                {"type": "calculate", "column": "order_month",
+                 "expression": "date_trunc('month', o_orderdate)"},
+            ]},
+            {"type": "pivot", "index": ["order_month"],
+             "columns": "o_orderstatus", "values": ["o_totalprice"],
+             "aggfunc": "sum", "pivot_values": ["F", "O", "P"]},
+            {"type": "sort", "by": ["order_month"]},
+        ],
+    )
+    return out.select(
+        "order_month",
+        F.round("F", 2).alias("F"),
+        F.round("O", 2).alias("O"),
+        F.round("P", 2).alias("P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (batch twins of the streaming operators)
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    out = TS.tumbling_window(
+        ev, "ts", "15 minutes", {"value": ["count", "sum"]},
+        group_by=["event_type"],
+    )
+    return out.select(
+        "window_start", "window_end", "event_type",
+        "value_count", F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    out = TS.sliding_window(
+        ev, "ts", "30 minutes", "15 minutes", {"value": ["count", "sum"]},
+    )
+    return out.select(
+        "window_start", "window_end",
+        "value_count", F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    out = TS.session_window(
+        ev, "ts", "5 minutes", {"value": ["count"]}, group_by=["user_id"],
+    )
+    return out.select(
+        "window_start", "window_end", "user_id", "value_count",
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -828,6 +1102,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "embedding_neardup": embedding_neardup,
+        "clean_standardize": clean_standardize,
+        "phone_standardization": phone_standardization,
+        "email_validation": email_validation,
+        "anti_join_customers": anti_join_customers,
+        "ffill_gaps": ffill_gaps,
+        "ratio_poly_features": ratio_poly_features,
+        "binning_uniform": binning_uniform,
+        "binning_quantile": binning_quantile,
+        "categorical_encoding": categorical_encoding,
+        "aggregation_features": aggregation_features,
+        "crosstab_counts": crosstab_counts,
+        "pivot_monthly": pivot_monthly,
+        "tumbling_window_agg": tumbling_window_agg,
+        "sliding_window_agg": sliding_window_agg,
+        "session_window_agg": session_window_agg,
     }
 
 
@@ -1379,5 +1668,187 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id,
                    FLOOR(cos * 1e6 + 0.5) / 1e6 AS cosine, rank
             FROM r WHERE rank <= 10
+        """,
+        "clean_standardize": """
+            SELECT c_custkey,
+                   CASE WHEN trim(raw) IN
+                            ('', 'null', 'NULL', 'None', 'N/A', 'n/a', '#N/A')
+                        THEN NULL ELSE trim(raw) END AS segment_clean
+            FROM (
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 7 = 0 THEN ' N/A '
+                            WHEN c_custkey % 11 = 0 THEN ''
+                            ELSE '  ' || c_mktsegment || ' ' END AS raw
+                FROM customer
+            )
+        """,
+        "phone_standardization": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 IN (0, 1)
+                        THEN '(555) '
+                             || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+                             || '-'
+                             || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                        ELSE NULL END AS phone
+            FROM customer
+        """,
+        "email_validation": """
+            SELECT c_custkey, email,
+                   CAST(regexp_matches(email,
+                       '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')
+                       AS INT) AS email_valid
+            FROM (
+                SELECT c_custkey,
+                       lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g'))
+                       || '@'
+                       || CASE c_custkey % 4
+                          WHEN 0 THEN 'gmail.com'
+                          WHEN 1 THEN 'gmail.com'
+                          WHEN 2 THEN 'no-tld'
+                          ELSE 'yahoo.com' END AS email
+                FROM customer
+            )
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE c.c_custkey = o.o_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        "ffill_gaps": """
+            SELECT event_id, user_id,
+                   ROUND(LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                             IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         2) AS value
+            FROM events
+        """,
+        "ratio_poly_features": """
+            SELECT l_orderkey, l_linenumber,
+                   FLOOR(l_extendedprice / l_quantity * 1e4 + 0.5) / 1e4
+                       AS l_extendedprice_to_l_quantity_ratio,
+                   ROUND(l_quantity * l_discount, 4) AS l_quantity_x_l_discount,
+                   ROUND(l_quantity + l_discount, 4) AS l_quantity_plus_l_discount,
+                   ROUND(POW(l_quantity, 2), 2) AS l_quantity_pow_2,
+                   ROUND(POW(l_quantity, 3), 2) AS l_quantity_pow_3
+            FROM lineitem
+        """,
+        "binning_uniform": """
+            WITH b AS (
+                SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   CAST(LEAST(GREATEST(
+                       FLOOR((o_totalprice - lo) / ((hi - lo) / 5)), 0), 4)
+                       AS INT) AS bin
+            FROM orders, b
+        """,
+        "binning_quantile": """
+            WITH b AS (
+                SELECT quantile_cont(o_totalprice, 0.25) AS e0,
+                       quantile_cont(o_totalprice, 0.50) AS e1,
+                       quantile_cont(o_totalprice, 0.75) AS e2
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   CAST((o_totalprice > e0)::INT + (o_totalprice > e1)::INT
+                        + (o_totalprice > e2)::INT AS INT) AS bin
+            FROM orders, b
+        """,
+        "categorical_encoding": """
+            SELECT c_custkey, c_mktsegment,
+                   COUNT(*) OVER (PARTITION BY c_mktsegment) AS c_mktsegment_freq,
+                   CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS INT)
+                       AS c_mktsegment_label,
+                   (c_mktsegment = 'AUTOMOBILE')::INT AS c_mktsegment_AUTOMOBILE,
+                   (c_mktsegment = 'BUILDING')::INT   AS c_mktsegment_BUILDING,
+                   (c_mktsegment = 'FURNITURE')::INT  AS c_mktsegment_FURNITURE,
+                   (c_mktsegment = 'HOUSEHOLD')::INT  AS c_mktsegment_HOUSEHOLD,
+                   (c_mktsegment = 'MACHINERY')::INT  AS c_mktsegment_MACHINERY
+            FROM customer
+        """,
+        "aggregation_features": """
+            SELECT event_id, user_id,
+                   FLOOR(ROUND(SUM(value) OVER w, 2)
+                         / COUNT(value) OVER w * 1e4 + 0.5) / 1e4
+                       AS value_mean_by_user_id,
+                   ROUND(MIN(value) OVER w, 2) AS value_min_by_user_id,
+                   ROUND(MAX(value) OVER w, 2) AS value_max_by_user_id,
+                   COUNT(value) OVER w AS value_count_by_user_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+        """,
+        "crosstab_counts": """
+            SELECT o_orderpriority,
+                   COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+                   COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+                   COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "pivot_monthly": """
+            SELECT date_trunc('month', o_orderdate) AS order_month,
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+                                  THEN o_totalprice END), 2) AS "F",
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+                                  THEN o_totalprice END), 2) AS "O",
+                   ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+                                  THEN o_totalprice END), 2) AS "P"
+            FROM orders
+            GROUP BY date_trunc('month', o_orderdate)
+            ORDER BY order_month
+        """,
+        "tumbling_window_agg": """
+            SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start,
+                   time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE
+                       AS window_end,
+                   event_type,
+                   COUNT(value) AS value_count,
+                   ROUND(SUM(value), 2) AS value_sum
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "sliding_window_agg": """
+            WITH assigned AS (
+                SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws, value
+                FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                       - INTERVAL 15 MINUTE AS ws, value
+                FROM events
+            )
+            SELECT ws AS window_start,
+                   ws + INTERVAL 30 MINUTE AS window_end,
+                   COUNT(value) AS value_count,
+                   ROUND(SUM(value), 2) AS value_sum
+            FROM assigned GROUP BY ws
+        """,
+        "session_window_agg": """
+            WITH d AS (
+                SELECT user_id, ts, value,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS prev_ts
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(CASE WHEN prev_ts IS NULL
+                                OR ts - prev_ts >= INTERVAL 5 MINUTE
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sess
+                FROM d
+            )
+            SELECT MIN(ts) AS window_start,
+                   MAX(ts) + INTERVAL 5 MINUTE AS window_end,
+                   user_id,
+                   COUNT(value) AS value_count
+            FROM s GROUP BY user_id, sess
         """,
     }

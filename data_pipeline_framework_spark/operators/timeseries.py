@@ -381,3 +381,81 @@ def sessionize(
         session_col,
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (batch twins of the Structured Streaming operators;
+# F.window / F.session_window accept streaming DataFrames unchanged, so the
+# streaming module reuses these builders verbatim)
+
+_WINDOW_AGG_FNS = {"sum": F.sum, "avg": F.avg, "mean": F.avg, "min": F.min,
+                   "max": F.max, "count": F.count,
+                   "unique_count": F.count_distinct}
+
+
+def _window_aggs(aggregations: dict) -> tuple[list, list[str]]:
+    exprs, names = [], []
+    for col, funcs in aggregations.items():
+        if isinstance(funcs, str):
+            funcs = [funcs]
+        for fn in funcs:
+            name = f"{col}_{fn}"
+            exprs.append(_WINDOW_AGG_FNS[fn](col).alias(name))
+            names.append(name)
+    return exprs, names
+
+
+def _windowed(df, win, win_field, aggregations, keys):
+    exprs, names = _window_aggs(aggregations)
+    return (
+        df.groupBy(win, *keys)
+        .agg(*exprs)
+        .select(
+            F.col(f"{win_field}.start").alias("window_start"),
+            F.col(f"{win_field}.end").alias("window_end"),
+            *keys,
+            *names,
+        )
+    )
+
+
+def tumbling_window(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggregations: dict,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Epoch-aligned fixed event-time windows (reference
+    stream_processor.py:35-56 tumbling windows, minus the
+    close-on-next-arrival bug). Emits window_start / window_end."""
+    return _windowed(df, F.window(ts_col, duration), "window",
+                     aggregations, list(group_by or []))
+
+
+def sliding_window(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggregations: dict,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Overlapping event-time windows (reference stream_processor.py:58-82
+    used processing-time + a bounded deque; this is exact event-time)."""
+    return _windowed(df, F.window(ts_col, duration, slide), "window",
+                     aggregations, list(group_by or []))
+
+
+def session_window(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggregations: dict,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Gap-merged session windows (the reference declared but never
+    implemented them — stream_processor.py:33). Native F.session_window:
+    window_end = last event ts + gap."""
+    return _windowed(df, F.session_window(ts_col, gap), "session_window",
+                     aggregations, list(group_by or []))
