@@ -1051,6 +1051,68 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# profiling / quality / schema inference (functions/profiling.py)
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_PROFILE_FLOAT_METRICS = ["sum", "mean", "stddev", "q25", "median", "q75"]
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact single-pass column profiler, long format."""
+    from data_pipeline_framework_spark.functions import profiling as PR
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = PR.profile_columns(li, PROFILE_COLS)
+    return out.select(
+        "column", "metric",
+        F.when(
+            F.col("metric").isin(_PROFILE_FLOAT_METRICS), _r(F.col("value"), 3)
+        ).otherwise(F.col("value")).alias("value"),
+    )
+
+
+def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """completeness / uniqueness / validity / outlier-ratio metric rows."""
+    from data_pipeline_framework_spark.functions import profiling as PR
+
+    orders = _t(spark, sf_dir, "orders")
+    out = PR.quality_metrics(orders, [
+        {"metric": "completeness", "column": "o_custkey"},
+        {"metric": "uniqueness", "column": "o_orderkey"},
+        {"metric": "validity", "column": "o_totalprice",
+         "predicate": "o_totalprice > 1000"},
+        {"metric": "outlier_ratio", "column": "o_totalprice",
+         "method": "iqr", "threshold": 1.5},
+    ])
+    return out.select("metric", "column", _r(F.col("value"), 6).alias("value"))
+
+
+def correlations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairwise Pearson correlation matrix, long format."""
+    from data_pipeline_framework_spark.functions import profiling as PR
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = PR.correlation_matrix(li, PROFILE_COLS, method="pearson")
+    return out.select("col_a", "col_b", _r(F.col("corr"), 4).alias("corr"))
+
+
+def schema_inference_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema enrichment: types, null fractions, distincts, PK/FK candidacy."""
+    from data_pipeline_framework_spark.functions import profiling as PR
+
+    orders = _t(spark, sf_dir, "orders")
+    return PR.schema_profile(orders)
+
+
+def top_values_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-k value counts with deterministic tie-break."""
+    from data_pipeline_framework_spark.functions import profiling as PR
+
+    orders = _t(spark, sf_dir, "orders")
+    return PR.top_values(orders, "o_orderpriority", 3)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -1117,6 +1179,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_agg": tumbling_window_agg,
         "sliding_window_agg": sliding_window_agg,
         "session_window_agg": session_window_agg,
+        "profile_lineitem": profile_lineitem,
+        "quality_report": quality_report,
+        "correlations_lineitem": correlations_lineitem,
+        "schema_inference_orders": schema_inference_orders,
+        "top_values_priority": top_values_priority,
     }
 
 
@@ -1246,6 +1313,31 @@ def _language_oracle() -> str:
 
 
 _DD_FP = _DD_HASH.format(x="array_to_string(w, ' ')")
+
+
+def _profile_oracle() -> str:
+    exprs = {
+        "count": "COUNT({c})::DOUBLE",
+        "n_null": "(COUNT(*) - COUNT({c}))::DOUBLE",
+        "n_distinct": "COUNT(DISTINCT {c})::DOUBLE",
+        "min": "MIN({c})::DOUBLE",
+        "max": "MAX({c})::DOUBLE",
+        "sum": "FLOOR(SUM({c}) * 1e3 + 0.5) / 1e3",
+        "mean": "FLOOR(AVG({c}) * 1e3 + 0.5) / 1e3",
+        "stddev": "FLOOR(STDDEV({c}) * 1e3 + 0.5) / 1e3",
+        "q25": "FLOOR(quantile_cont({c}, 0.25) * 1e3 + 0.5) / 1e3",
+        "median": "FLOOR(quantile_cont({c}, 0.50) * 1e3 + 0.5) / 1e3",
+        "q75": "FLOOR(quantile_cont({c}, 0.75) * 1e3 + 0.5) / 1e3",
+        "n_zero": "SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END)::DOUBLE",
+        "n_negative": "SUM(CASE WHEN {c} < 0 THEN 1 ELSE 0 END)::DOUBLE",
+    }
+    selects = [
+        f"SELECT '{c}' AS \"column\", '{m}' AS metric, "
+        f"{e.format(c=c)} AS value FROM lineitem"
+        for c in PROFILE_COLS
+        for m, e in exprs.items()
+    ]
+    return "\n            UNION ALL\n            ".join(selects)
 
 
 def _stopword_list_sql() -> str:
@@ -1850,5 +1942,93 @@ def oracle_sql() -> dict[str, str]:
                    user_id,
                    COUNT(value) AS value_count
             FROM s GROUP BY user_id, sess
+        """,
+        "profile_lineitem": _profile_oracle(),
+        "quality_report": """
+            SELECT 'completeness' AS metric, 'o_custkey' AS "column",
+                   FLOOR(COUNT(o_custkey) / COUNT(*) * 1e6 + 0.5) / 1e6 AS value
+            FROM orders
+            UNION ALL
+            SELECT 'uniqueness', 'o_orderkey',
+                   FLOOR(COUNT(DISTINCT o_orderkey) / COUNT(*) * 1e6 + 0.5) / 1e6
+            FROM orders
+            UNION ALL
+            SELECT 'validity', 'o_totalprice',
+                   FLOOR(SUM(CASE WHEN o_totalprice > 1000 THEN 1 ELSE 0 END)
+                         / COUNT(*) * 1e6 + 0.5) / 1e6
+            FROM orders
+            UNION ALL
+            SELECT 'outlier_ratio', 'o_totalprice',
+                   FLOOR(SUM(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                                    OR o_totalprice > q3 + 1.5 * (q3 - q1)
+                             THEN 1 ELSE 0 END) / COUNT(*) * 1e6 + 0.5) / 1e6
+            FROM orders, (
+                SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                       quantile_cont(o_totalprice, 0.75) AS q3
+                FROM orders
+            )
+        """,
+        "correlations_lineitem": """
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   FLOOR(corr(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4
+                       AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount',
+                   FLOOR(corr(l_quantity, l_discount) * 1e4 + 0.5) / 1e4
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   FLOOR(corr(l_extendedprice, l_discount) * 1e4 + 0.5) / 1e4
+            FROM lineitem
+        """,
+        "schema_inference_orders": """
+            SELECT c.column, c.dtype,
+                   (cnt_all - c.cnt) / cnt_all AS null_frac,
+                   c.dst AS n_distinct,
+                   CASE WHEN c.pk_ok AND c.cnt = cnt_all AND c.dst = cnt_all
+                        THEN 1 ELSE 0 END AS pk_candidate,
+                   c.fk AS fk_candidate
+            FROM (
+                SELECT COUNT(*) AS cnt_all,
+                       unnest([
+                           struct_pack("column" := 'o_orderkey',
+                                       dtype := 'bigint',
+                                       cnt := COUNT(o_orderkey),
+                                       dst := COUNT(DISTINCT o_orderkey),
+                                       pk_ok := TRUE, fk := 1),
+                           struct_pack("column" := 'o_custkey',
+                                       dtype := 'bigint',
+                                       cnt := COUNT(o_custkey),
+                                       dst := COUNT(DISTINCT o_custkey),
+                                       pk_ok := TRUE, fk := 1),
+                           struct_pack("column" := 'o_orderstatus',
+                                       dtype := 'string',
+                                       cnt := COUNT(o_orderstatus),
+                                       dst := COUNT(DISTINCT o_orderstatus),
+                                       pk_ok := TRUE, fk := 0),
+                           struct_pack("column" := 'o_totalprice',
+                                       dtype := 'double',
+                                       cnt := COUNT(o_totalprice),
+                                       dst := COUNT(DISTINCT o_totalprice),
+                                       pk_ok := FALSE, fk := 0),
+                           struct_pack("column" := 'o_orderdate',
+                                       dtype := 'timestamp_ntz',
+                                       cnt := COUNT(o_orderdate),
+                                       dst := COUNT(DISTINCT o_orderdate),
+                                       pk_ok := FALSE, fk := 0),
+                           struct_pack("column" := 'o_orderpriority',
+                                       dtype := 'string',
+                                       cnt := COUNT(o_orderpriority),
+                                       dst := COUNT(DISTINCT o_orderpriority),
+                                       pk_ok := TRUE, fk := 0)
+                       ]) AS c
+                FROM orders
+            )
+        """,
+        "top_values_priority": """
+            SELECT o_orderpriority, COUNT(*) AS count
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY count DESC, o_orderpriority LIMIT 3
         """,
     }

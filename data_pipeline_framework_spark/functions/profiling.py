@@ -1,0 +1,261 @@
+"""Profiling / quality / schema-inference aggregates.
+
+Reference surfaces re-expressed as single-pass DataFrame agg plans:
+  * column profiler stats  (reference utils/data_profiler.py:116-189)
+  * quality metrics        (reference utils/quality_monitor.py:49-130)
+  * correlation matrices   (reference utils/data_profiler.py:213-241)
+  * schema enrichment      (reference utils/schema_inference.py:288-343)
+
+The reference sampled 10K-100K rows into pandas; here every profile is ONE
+distributed aggregation over the full table (exact, not sampled) producing a
+long-format DataFrame — no driver collect inside the plan, so the same code
+profiles a 100 TB table. Wide->long goes through an explode of pre-assembled
+structs (pure plan surgery on a 1-row aggregate, negligible at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _numeric_columns(df: DataFrame, columns: list[str] | None) -> list[str]:
+    if columns:
+        return columns
+    return [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC_TYPES)
+    ]
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Numeric column profile, long format (column, metric, value).
+
+    Metrics per column: count, n_null, n_distinct, min, max, sum, mean,
+    stddev, q25, median, q75, n_zero, n_negative
+    (reference data_profiler.py:116-153 stats set, exact instead of
+    100K-row sampled).
+    """
+    cols = _numeric_columns(df, columns)
+    total = F.count(F.lit(1))
+    aggs: list[Column] = [total.alias("__total")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__count"),
+            F.count_distinct(col).alias(f"{c}__n_distinct"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            F.sum(col).cast("double").alias(f"{c}__sum"),
+            F.avg(col).cast("double").alias(f"{c}__mean"),
+            F.stddev(col).cast("double").alias(f"{c}__stddev"),
+            F.percentile(col, F.lit(0.25)).cast("double").alias(f"{c}__q25"),
+            F.percentile(col, F.lit(0.50)).cast("double").alias(f"{c}__median"),
+            F.percentile(col, F.lit(0.75)).cast("double").alias(f"{c}__q75"),
+            F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__n_zero"),
+            F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__n_negative"),
+        ]
+    wide = df.agg(*aggs)
+    metrics = [
+        "count", "n_null", "n_distinct", "min", "max", "sum", "mean",
+        "stddev", "q25", "median", "q75", "n_zero", "n_negative",
+    ]
+    structs = []
+    for c in cols:
+        for m in metrics:
+            if m == "n_null":
+                v = (F.col("__total") - F.col(f"{c}__count")).cast("double")
+            else:
+                v = F.col(f"{c}__{m}").cast("double")
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"), F.lit(m).alias("metric"),
+                    v.alias("value"),
+                )
+            )
+    return wide.select(
+        F.explode(F.array(*structs)).alias("p")
+    ).select("p.column", "p.metric", "p.value")
+
+
+def quality_metrics(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Quality metric rows (metric, column, value in [0,1]) computed in ONE
+    agg pass (reference quality_monitor.py ran one pandas pass per check).
+
+    Rule shapes:
+      {"metric": "completeness", "column": c}          -> non-null ratio
+      {"metric": "uniqueness",  "column": c}           -> distinct/total
+      {"metric": "validity",    "column": c,
+       "predicate": SQL-bool-string}                   -> fraction satisfying
+      {"metric": "outlier_ratio", "column": c,
+       "method": "iqr", "threshold": k}                -> IQR-outlier fraction
+    (reference quality_monitor.py:49-69, :106-130)
+    """
+    total = F.count(F.lit(1))
+    aggs: list[Column] = []
+    emits: list[tuple[str, str, Column]] = []
+    for i, rule in enumerate(rules):
+        m, c = rule["metric"], rule["column"]
+        key = f"__r{i}"
+        if m == "completeness":
+            aggs.append((F.count(F.col(c)) / total).alias(key))
+        elif m == "uniqueness":
+            aggs.append((F.count_distinct(F.col(c)) / total).alias(key))
+        elif m == "validity":
+            pred = F.expr(rule["predicate"])
+            aggs.append(
+                (F.sum(F.when(pred, 1).otherwise(0)) / total).alias(key)
+            )
+        elif m == "outlier_ratio":
+            k = float(rule.get("threshold", 1.5))
+            q1 = F.percentile(F.col(c), F.lit(0.25))
+            q3 = F.percentile(F.col(c), F.lit(0.75))
+            iqr = q3 - q1
+            lo, hi = q1 - k * iqr, q3 + k * iqr
+            # percentiles and the flag count can't share one pass without a
+            # self-join; use the two-pass scalar-broadcast pattern
+            bounds = df.agg(lo.alias("__lo"), hi.alias("__hi"))
+            flagged = (
+                df.crossJoin(F.broadcast(bounds))
+                .agg(
+                    (
+                        F.sum(
+                            F.when(
+                                (F.col(c) < F.col("__lo"))
+                                | (F.col(c) > F.col("__hi")),
+                                1,
+                            ).otherwise(0)
+                        )
+                        / F.count(F.lit(1))
+                    ).alias(key)
+                )
+            )
+            emits.append((m, c, flagged))
+            continue
+        else:
+            raise ValueError(f"unsupported quality metric: {m!r}")
+        emits.append((m, c, None))
+    wide = df.agg(*aggs) if aggs else None
+    pieces = []
+    for i, (rule, (m, c, extra)) in enumerate(zip(rules, emits)):
+        key = f"__r{i}"
+        src = extra if extra is not None else wide
+        pieces.append(
+            src.select(
+                F.lit(m).alias("metric"), F.lit(c).alias("column"),
+                F.col(key).cast("double").alias("value"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def correlation_matrix(
+    df: DataFrame, columns: list[str] | None = None, method: str = "pearson"
+) -> DataFrame:
+    """Pairwise correlations, long format (col_a, col_b, corr), one agg pass
+    (reference data_profiler.py:213-241 pandas .corr()).
+
+    spearman = pearson on average ranks; ranks come from window functions
+    (avg of row_number per tied value), then one corr pass.
+    """
+    cols = _numeric_columns(df, columns)
+    d = df
+    if method == "spearman":
+        from pyspark.sql import Window
+
+        for c in cols:
+            w = Window.orderBy(F.col(c))
+            # average rank for ties: mean of row_numbers within each value
+            d = d.withColumn(
+                f"__rk_{c}",
+                F.avg(F.row_number().over(w)).over(Window.partitionBy(F.col(c))),
+            )
+        use = [f"__rk_{c}" for c in cols]
+    elif method == "pearson":
+        use = cols
+    else:
+        raise ValueError(f"unsupported correlation method: {method!r}")
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            ua, ub = use[cols.index(a)], use[cols.index(b)]
+            aggs.append(F.corr(ua, ub).alias(f"__c_{a}__{b}"))
+            pairs.append((a, b))
+    wide = d.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.col(f"__c_{a}__{b}").alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )
+
+
+def schema_profile(df: DataFrame) -> DataFrame:
+    """Schema-inference enrichment (reference schema_inference.py:288-343):
+    per column — type, null fraction, distinct count, primary-key candidacy
+    (all-unique + non-null + int/string), foreign-key naming heuristic.
+    One exact agg pass instead of the reference's 10K-row sample."""
+    total = F.count(F.lit(1))
+    aggs: list[Column] = [total.alias("__total")]
+    for c in df.columns:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__count"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    structs = []
+    for f in df.schema.fields:
+        c = f.name
+        cnt, dst = F.col(f"{c}__count"), F.col(f"{c}__distinct")
+        null_frac = (F.col("__total") - cnt) / F.col("__total")
+        pk_type_ok = isinstance(
+            f.dataType, (T.IntegerType, T.LongType, T.StringType)
+        )
+        pk = (
+            (cnt == F.col("__total")) & (dst == F.col("__total"))
+            if pk_type_ok
+            else F.lit(False)
+        )
+        fk = F.lit(c.endswith("_id") or c.endswith("key"))
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                null_frac.cast("double").alias("null_frac"),
+                dst.cast("bigint").alias("n_distinct"),
+                pk.cast("int").alias("pk_candidate"),
+                fk.cast("int").alias("fk_candidate"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.column", "p.dtype", "p.null_frac", "p.n_distinct",
+        "p.pk_candidate", "p.fk_candidate",
+    )
+
+
+def top_values(
+    df: DataFrame, column: str, k: int = 10
+) -> DataFrame:
+    """Top-k value counts (reference data_profiler.py:102-104
+    value_counts().head(10)); deterministic tie-break on the value."""
+    return (
+        df.groupBy(column)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc(column))
+        .limit(k)
+    )
