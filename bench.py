@@ -22,6 +22,9 @@ _WIDE = {
     "date_parts", "window_ranking", "window_offsets", "window_running",
     "melt_part", "dedup_first_per_key", "select_transform",
     "filter_predicates", "union_by_name", "sort_topk",
+    "text_statistics", "token_counts", "doc_fingerprints",
+    "tumbling_window_agg", "sessionize_events", "profile_lineitem",
+    "rolling_stats", "aggregation_features",
 }
 
 HEADLINE = [
@@ -35,6 +38,14 @@ HEADLINE = [
     "rollup_subtotals",
     "dedup_first_per_key",
     "date_parts",
+    # scale ops: training-data pipeline surface
+    "text_statistics",
+    "doc_fingerprints",
+    "minhash_neardup",
+    "ann_cosine_topk",
+    "tumbling_window_agg",
+    "rolling_stats",
+    "profile_lineitem",
 ]
 
 

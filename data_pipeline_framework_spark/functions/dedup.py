@@ -159,11 +159,22 @@ def minhash_dedup_pairs(
     text_col: str,
     threshold: float = 0.7,
     n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline:
-    shingle -> signature -> band buckets -> candidates -> exact verify."""
+    shingle -> signature -> band buckets -> candidates -> exact verify.
+
+    The shingle arrays feed three plan branches (signature, verify-left,
+    verify-right) and the band table self-joins, so without persistence the
+    tokenize+md5 work runs ~4x. `cache=True` persists both intermediates —
+    at 100 TB these would be checkpointed to storage between stages instead.
+    """
     shingled = df.select(id_col, shingle_hashes(text_col, n).alias("__sh"))
+    if cache:
+        shingled = shingled.persist()
     sig = shingled.select(id_col, *minhash_signature_cols())
+    if cache:
+        sig = sig.persist()
     cand = lsh_candidate_pairs(sig, id_col)
     return jaccard_verify(cand, shingled, id_col, threshold)
 
@@ -183,7 +194,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         id_col, shingle_hashes(text_col, n).alias("__sh")
     ).withColumn("__size", F.size("__sh"))
-    inv = sh.select(id_col, "__size", F.explode("__sh").alias("h"))
+    inv = sh.select(id_col, "__size", F.explode("__sh").alias("h")).persist()
     a = inv.select(
         F.col(id_col).alias("id_a"), F.col("__size").alias("sz_a"), "h"
     )
@@ -249,7 +260,7 @@ def simhash_pairs(
     """Near-dup pairs with Hamming distance <= max_hamming, candidates from
     matching 8-bit signature blocks (pigeonhole: distance<=3 over 4 blocks
     guarantees one identical block)."""
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = simhash_signatures(df, id_col, text_col).persist()
     blocks = sig.select(
         id_col, "simhash",
         F.explode(

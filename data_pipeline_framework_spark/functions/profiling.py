@@ -50,19 +50,29 @@ def profile_columns(
         col = F.col(c)
         aggs += [
             F.count(col).alias(f"{c}__count"),
-            F.count_distinct(col).alias(f"{c}__n_distinct"),
             F.min(col).cast("double").alias(f"{c}__min"),
             F.max(col).cast("double").alias(f"{c}__max"),
             F.sum(col).cast("double").alias(f"{c}__sum"),
             F.avg(col).cast("double").alias(f"{c}__mean"),
             F.stddev(col).cast("double").alias(f"{c}__stddev"),
-            F.percentile(col, F.lit(0.25)).cast("double").alias(f"{c}__q25"),
-            F.percentile(col, F.lit(0.50)).cast("double").alias(f"{c}__median"),
-            F.percentile(col, F.lit(0.75)).cast("double").alias(f"{c}__q75"),
+            # one percentile accumulator per column (array of 3 probs), not
+            # three — the per-partition value map is the expensive part
+            F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+            .alias(f"{c}__q"),
             F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__n_zero"),
             F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__n_negative"),
         ]
     wide = df.agg(*aggs)
+    # exact distinct counts go in SEPARATE agg plans cross-joined back in:
+    # multiple count_distinct() in one agg makes Catalyst Expand the input
+    # N+1 times, which also multiplies the percentile work — at 100 TB that
+    # is the difference between one scan and four.
+    for c in cols:
+        wide = wide.crossJoin(
+            F.broadcast(
+                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"))
+            )
+        )
     metrics = [
         "count", "n_null", "n_distinct", "min", "max", "sum", "mean",
         "stddev", "q25", "median", "q75", "n_zero", "n_negative",
@@ -72,6 +82,9 @@ def profile_columns(
         for m in metrics:
             if m == "n_null":
                 v = (F.col("__total") - F.col(f"{c}__count")).cast("double")
+            elif m in ("q25", "median", "q75"):
+                idx = {"q25": 1, "median": 2, "q75": 3}[m]
+                v = F.element_at(f"{c}__q", idx).cast("double")
             else:
                 v = F.col(f"{c}__{m}").cast("double")
             structs.append(
@@ -213,11 +226,16 @@ def schema_profile(df: DataFrame) -> DataFrame:
     total = F.count(F.lit(1))
     aggs: list[Column] = [total.alias("__total")]
     for c in df.columns:
-        aggs += [
-            F.count(F.col(c)).alias(f"{c}__count"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-        ]
+        aggs.append(F.count(F.col(c)).alias(f"{c}__count"))
     wide = df.agg(*aggs)
+    # separate plans per exact distinct count — avoids the Expand blowup
+    # (see profile_columns)
+    for c in df.columns:
+        wide = wide.crossJoin(
+            F.broadcast(
+                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+            )
+        )
     structs = []
     for f in df.schema.fields:
         c = f.name

@@ -190,7 +190,8 @@ def embedding_neardup_pairs(
                 for b in range(n_blocks)
             ])
         ).alias("bk"),
-    ).select(id_col, "__v", "bk.blk", "bk.key")
+    ).select(id_col, "__v", "bk.blk", "bk.key").persist()
+    # persisted: the 16 plane dot-products feed both sides of the self-join
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
