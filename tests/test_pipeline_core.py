@@ -1,0 +1,224 @@
+"""Pipeline lifecycle + config + sinks tests.
+
+Ports the intent of the reference's orchestration tests
+(reference tests/unit/test_pipeline_core.py) without the mocking: real
+YAML -> compiled plan -> parquet sink round trips on the sf0.001 tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import yaml
+
+from data_pipeline_framework_spark.core import (
+    Pipeline,
+    load_config,
+    substitute_env,
+)
+from data_pipeline_framework_spark.sinks.writers import (
+    jdbc_upsert,
+    kafka_messages,
+    write_output,
+    write_parquet,
+)
+from data_pipeline_framework_spark.sources.readers import read_parquet
+
+
+# -- config ------------------------------------------------------------------
+
+
+def test_env_substitution(monkeypatch):
+    monkeypatch.setenv("DPF_HOST", "db.example")
+    cfg = substitute_env(
+        {
+            "url": "jdbc:postgresql://${DPF_HOST}:${DPF_PORT:5432}/x",
+            "exact": "${DPF_HOST}",
+            "missing": "${DPF_NOPE:fallback}",
+            "empty": "${DPF_NOPE2}",
+            "nested": [{"k": "${DPF_HOST}"}],
+        }
+    )
+    assert cfg["url"] == "jdbc:postgresql://db.example:5432/x"
+    assert cfg["exact"] == "db.example"
+    assert cfg["missing"] == "fallback"
+    assert cfg["empty"] == ""
+    assert cfg["nested"][0]["k"] == "db.example"
+
+
+def test_config_validation_errors():
+    with pytest.raises(ValueError, match="operations\\[0\\] missing"):
+        load_config(
+            data={
+                "name": "x",
+                "processing": {"operations": [{"no_type": 1}]},
+            }
+        )
+    with pytest.raises(ValueError, match="storage.type"):
+        load_config(data={"name": "x", "storage": {"destination": "t"}})
+
+
+def test_params_nesting_normalized():
+    cfg = load_config(
+        data={
+            "name": "x",
+            "processing": {
+                "operations": [
+                    {"type": "select", "params": {"columns": ["a"]}},
+                    {"type": "limit", "n": 5},
+                ]
+            },
+        }
+    )
+    assert cfg.operations == [
+        {"type": "select", "columns": ["a"]},
+        {"type": "limit", "n": 5},
+    ]
+
+
+# -- full lifecycle ----------------------------------------------------------
+
+
+def test_yaml_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """YAML -> load parquet -> filter/aggregate -> validate -> parquet sink."""
+    out = str(tmp_path / "out")
+    doc = {
+        "name": "orders_rollup",
+        "source": {"type": "parquet"},
+        "input": {"path": f"{sf_dir}/orders.parquet"},
+        "processing": {
+            "operations": [
+                {"type": "filter", "condition": "o_totalprice > 1000"},
+                {
+                    "type": "aggregate",
+                    "group_by": ["o_orderstatus"],
+                    "aggregations": {"o_totalprice": ["sum", "count"]},
+                },
+            ]
+        },
+        "validation": {
+            "enabled": True,
+            "rules": [
+                {"metric": "completeness", "column": "o_orderstatus",
+                 "threshold": 1.0},
+            ],
+        },
+        "profiling": {"enabled": True},
+        "storage": {"type": "parquet", "destination": out, "mode": "replace"},
+    }
+    path = tmp_path / "p.yaml"
+    path.write_text(yaml.safe_dump(doc))
+
+    result = Pipeline.from_yaml(path, spark).run()
+    assert result.status == "success", result.error
+    assert result.rows_written and result.rows_written > 0
+    assert result.validation[0]["status"] == "PASS"
+    assert result.profile  # numeric profile rows present
+
+    back = spark.read.parquet(out)
+    assert back.count() == result.rows_written
+    assert set(back.columns) == {
+        "o_orderstatus", "o_totalprice_sum", "o_totalprice_count",
+    }
+
+
+def test_pipeline_validation_failure(spark, sf_dir):
+    cfg = {
+        "name": "fails",
+        "processing": {"operations": []},
+        "validation": {
+            "enabled": True,
+            "rules": [
+                # never 'impossible' -> validity 0.0 < 0.5
+                {"metric": "validity", "column": "o_orderpriority",
+                 "predicate": "o_orderpriority = 'impossible'",
+                 "threshold": 0.5},
+            ],
+        },
+    }
+    df = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    result = Pipeline(cfg, spark).run(input_df=df)
+    assert result.status == "validation_failed"
+    assert result.validation[0]["status"] == "FAIL"
+
+
+def test_pipeline_error_reported_not_raised(spark):
+    cfg = {"name": "boom", "source": {"type": "parquet"},
+           "input": {"path": "/nonexistent/nope.parquet"}}
+    result = Pipeline(cfg, spark).run()
+    assert result.status == "failed"
+    assert result.error
+
+
+def test_pipeline_join_resolves_named_tables(spark, sf_dir, tmp_path):
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    customer = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    cfg = {
+        "name": "joined",
+        "processing": {
+            "operations": [
+                {"type": "join", "right": "customer",
+                 "condition": "o_custkey = c_custkey", "how": "inner",
+                 "broadcast": True},
+                {"type": "select", "columns": ["o_orderkey", "c_name"]},
+            ]
+        },
+    }
+    result_df = Pipeline(cfg, spark, tables={"customer": customer}).process(orders)
+    assert result_df.columns == ["o_orderkey", "c_name"]
+    assert result_df.count() == orders.count()
+
+
+# -- sinks -------------------------------------------------------------------
+
+
+def test_write_parquet_partitioned(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "part_out")
+    df = read_parquet(spark, f"{sf_dir}/orders.parquet").limit(200)
+    write_parquet(df, out, mode="replace", partition_by=["o_orderstatus"])
+    # hive layout: one dir per status value -> partition pruning works
+    dirs = [d for d in os.listdir(out) if d.startswith("o_orderstatus=")]
+    assert dirs
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_write_output_dispatch_csv_json(spark, sf_dir, tmp_path):
+    df = read_parquet(spark, f"{sf_dir}/region.parquet")
+    meta = write_output(
+        df, {"type": "csv", "destination": str(tmp_path / "c"),
+             "mode": "replace"})
+    assert meta["type"] == "csv"
+    assert spark.read.option("header", True).csv(str(tmp_path / "c")).count() == 5
+    write_output(df, {"type": "json", "destination": str(tmp_path / "j"),
+                      "mode": "replace"})
+    assert spark.read.json(str(tmp_path / "j")).count() == 5
+    with pytest.raises(ValueError, match="unknown storage type"):
+        write_output(df, {"type": "wat", "destination": "x"})
+
+
+def test_kafka_message_shape(spark, sf_dir):
+    df = read_parquet(spark, f"{sf_dir}/region.parquet")
+    msgs = kafka_messages(df, key_column="r_regionkey")
+    assert msgs.columns == ["key", "value"]
+    row = msgs.orderBy("key").first()
+    assert row["key"] == "0"
+    assert '"r_regionkey":0' in row["value"]
+
+
+def test_jdbc_upsert_sql_shape(spark, sf_dir, monkeypatch):
+    df = read_parquet(spark, f"{sf_dir}/region.parquet")
+    staged = {}
+    monkeypatch.setattr(
+        "data_pipeline_framework_spark.sinks.writers.write_jdbc",
+        lambda df, url, table, **kw: staged.setdefault("table", table),
+    )
+    sql = jdbc_upsert(df, "jdbc:postgresql://h/db", "region",
+                      conflict_columns=["r_regionkey"])
+    assert staged["table"] == "region_staging"
+    assert sql == (
+        "INSERT INTO region (r_regionkey, r_name) "
+        "SELECT r_regionkey, r_name FROM region_staging "
+        "ON CONFLICT (r_regionkey) DO UPDATE SET "
+        "r_name = EXCLUDED.r_name"
+    )
