@@ -53,12 +53,18 @@ class Pipeline:
         config: PipelineConfig | dict,
         spark: SparkSession,
         tables: dict[str, DataFrame] | None = None,
+        lineage=None,
     ):
         if isinstance(config, dict):
             config = load_config(data=config)
         self.config = config
         self.spark = spark
         self.tables = tables or {}
+        self.lineage = lineage  # governance.LineageTracker or None
+        self._joined_tables: list[str] = [
+            op.get("right") for op in config.operations
+            if op.get("type") == "join" and isinstance(op.get("right"), str)
+        ]
 
     @classmethod
     def from_yaml(
@@ -202,6 +208,25 @@ class Pipeline:
             if writing:
                 rows = result_df.count()
                 storage_meta = write_output(result_df, self.config.storage)
+
+            if self.lineage is not None:
+                source_name = (
+                    input_source
+                    or self.config.input.get("path")
+                    or self.config.source.get("type", "input")
+                )
+                target = (
+                    self.config.storage.get("destination")
+                    or self.config.storage.get("path")
+                    or name
+                )
+                self.lineage.track(
+                    [str(source_name), *self._joined_tables], str(target),
+                    operation="pipeline",
+                    metadata={"pipeline": name,
+                              "operations": [op["type"] for op in
+                                             self.config.operations]},
+                )
 
             return PipelineResult(
                 status="success", pipeline=name, rows_written=rows,
