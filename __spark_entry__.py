@@ -1113,6 +1113,84 @@ def top_values_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ML feature engineering (operators/ml_features.py)
+
+
+def text_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """basic_stats text features with reference column naming."""
+    from data_pipeline_framework_spark.operators.ml_features import (
+        create_text_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = create_text_features(docs, ["text"], method="basic_stats")
+    return out.select(
+        "doc_id", "text_length", "text_word_count", "text_char_count",
+        "text_sentence_count",
+        _r(F.col("text_avg_word_length"), 4).alias("text_avg_word_length"),
+    )
+
+
+def tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib tf-idf per-term columns (vocabulary non-SQL — weak check)."""
+    from data_pipeline_framework_spark.operators.ml_features import (
+        create_text_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").limit(500)
+    out = create_text_features(
+        docs.select("doc_id", "text"), ["text"], method="tfidf", max_features=8
+    )
+    cols = sorted(c for c in out.columns if c.startswith("text_tfidf_"))
+    return out.select(
+        "doc_id", *[_r(F.col(c), 4).alias(c) for c in cols]
+    ).orderBy("doc_id")
+
+
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seeded KMeans cluster features (iterative MLlib — weak check)."""
+    from data_pipeline_framework_spark.operators.ml_features import (
+        create_clustering_features,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    out = create_clustering_features(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        n_clusters=4, include_distances=True,
+    )
+    return (
+        out.groupBy("cluster_label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _r(F.avg("min_cluster_distance"), 4).alias("avg_center_dist"))
+        .orderBy(F.desc("n"), "cluster_label")
+        .select("n", "avg_center_dist")
+    )
+
+
+def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scaled PCA projection, auto component count (weak check)."""
+    from data_pipeline_framework_spark.operators.ml_features import (
+        create_pca_features,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    )
+    out = create_pca_features(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        n_components=2,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        _r(F.abs(F.col("pca_component_1")), 3).alias("abs_pc1"),
+        _r(F.abs(F.col("pca_component_2")), 3).alias("abs_pc2"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -1184,6 +1262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlations_lineitem": correlations_lineitem,
         "schema_inference_orders": schema_inference_orders,
         "top_values_priority": top_values_priority,
+        "text_feature_stats": text_feature_stats,
+        "tfidf_vectors": tfidf_vectors,
+        "kmeans_cluster_sizes": kmeans_cluster_sizes,
+        "pca_projection": pca_projection,
     }
 
 
@@ -2030,5 +2112,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, COUNT(*) AS count
             FROM orders GROUP BY o_orderpriority
             ORDER BY count DESC, o_orderpriority LIMIT 3
+        """,
+        # tfidf_vectors / kmeans_cluster_sizes / pca_projection are
+        # intentionally oracle-less: MLlib vocabulary order, iterative
+        # cluster fitting, and eigenbasis signs are not SQL-expressible.
+        "text_feature_stats": """
+            WITH t AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+            SELECT doc_id,
+                   LENGTH(t) AS text_length,
+                   CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0
+                        ELSE LEN(string_split_regex(TRIM(t), '\\s+')) END
+                       AS text_word_count,
+                   LENGTH(REPLACE(t, ' ', '')) AS text_char_count,
+                   LEN(string_split_regex(t, '\\.')) AS text_sentence_count,
+                   FLOOR((CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0.0
+                          ELSE CAST(LENGTH(REPLACE(t, ' ', '')) AS DOUBLE)
+                               / LEN(string_split_regex(TRIM(t), '\\s+'))
+                          END) * 1e4 + 0.5) / 1e4
+                       AS text_avg_word_length
+            FROM t
         """,
     }

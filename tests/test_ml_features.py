@@ -1,0 +1,109 @@
+"""MLlib feature ops: text vectors, clustering, PCA.
+
+Deterministic structure/variance assertions (seeds fixed; exact
+coefficients are basis/implementation-dependent — SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_pipeline_framework_spark.operators.ml_features import (
+    create_clustering_features,
+    create_pca_features,
+    create_text_features,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark compiles the query plan"),
+            (2, "spark optimizes the query"),
+            (3, "pandas copies the frame"),
+            (4, None),
+        ],
+        ["id", "body"],
+    )
+
+
+def test_text_basic_stats(docs):
+    out = create_text_features(docs, ["body"], method="basic_stats")
+    rows = {r["id"]: r for r in out.collect()}
+    r1 = rows[1]
+    assert r1["body_length"] == len("spark compiles the query plan")
+    assert r1["body_word_count"] == 5
+    assert r1["body_char_count"] == len("sparkcompilesthequeryplan")
+    assert r1["body_avg_word_length"] == pytest.approx(25 / 5)
+    # null text -> zeros, not nulls
+    r4 = rows[4]
+    assert r4["body_length"] == 0 and r4["body_word_count"] == 0
+    assert r4["body_avg_word_length"] == 0.0
+
+
+def test_text_count_vectors(docs):
+    out = create_text_features(docs, ["body"], method="count", max_features=10)
+    cols = [c for c in out.columns if c.startswith("body_count_")]
+    # stopword 'the' must be removed from the vocabulary
+    assert cols and "body_count_the" not in cols
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["body_count_spark"] == 1.0
+    assert rows[3]["body_count_spark"] == 0.0
+    assert rows[2]["body_count_query"] == 1.0
+
+
+def test_text_tfidf_bigrams(docs):
+    out = create_text_features(
+        docs, ["body"], method="tfidf", max_features=20, ngram_range=(1, 2)
+    )
+    cols = [c for c in out.columns if c.startswith("body_tfidf_")]
+    assert any("_" in c.removeprefix("body_tfidf_") for c in cols)  # bigram present
+    rows = {r["id"]: r for r in out.collect()}
+    # 'spark' appears in 2 of 4 docs -> positive idf, positive tfidf where present
+    assert rows[1]["body_tfidf_spark"] > 0
+    assert rows[3]["body_tfidf_spark"] == 0.0
+
+
+def test_clustering_features(spark):
+    # two obvious blobs around (0,0) and (10,10)
+    pts = [(i, float(i % 3) * 0.1, float(i % 3) * 0.1) for i in range(20)]
+    pts += [(i + 100, 10 + float(i % 3) * 0.1, 10 + float(i % 3) * 0.1)
+            for i in range(20)]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    out = create_clustering_features(df, ["x", "y"], n_clusters=2)
+    assert {"cluster_label", "distance_to_cluster_0", "distance_to_cluster_1",
+            "min_cluster_distance"} <= set(out.columns)
+    rows = out.collect()
+    labels_low = {r["cluster_label"] for r in rows if r["x"] < 5}
+    labels_high = {r["cluster_label"] for r in rows if r["x"] > 5}
+    assert len(labels_low) == 1 and len(labels_high) == 1
+    assert labels_low != labels_high
+    for r in rows:
+        assert r["min_cluster_distance"] == pytest.approx(
+            min(r["distance_to_cluster_0"], r["distance_to_cluster_1"])
+        )
+
+    with pytest.raises(NotImplementedError):
+        create_clustering_features(df, ["x", "y"], algorithm="dbscan")
+
+
+def test_pca_features_auto_components(spark):
+    # all three columns collinear -> after standardization one component
+    # still explains ~all variance (scaling gives every column unit
+    # variance, so "tiny noise" columns would NOT stay tiny)
+    data = [(float(i), 2.0 * i, -3.0 * i + 7) for i in range(50)]
+    df = spark.createDataFrame(data, ["x", "y", "z"])
+    out = create_pca_features(df, ["x", "y", "z"], variance_threshold=0.95)
+    comp_cols = [c for c in out.columns if c.startswith("pca_component_")]
+    assert comp_cols == ["pca_component_1"]
+    vals = [r["pca_component_1"] for r in out.collect()]
+    # projection onto the dominant axis spans the standardized range
+    assert max(vals) - min(vals) > 2.0
+
+    out2 = create_pca_features(df, ["x", "y", "z"], n_components=2)
+    assert [c for c in out2.columns if c.startswith("pca_")] == [
+        "pca_component_1", "pca_component_2",
+    ]
