@@ -1191,6 +1191,95 @@ def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pivot variants (operators/pivot_ops.py)
+
+
+def pivot_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_table with margins from one cube pass."""
+    from data_pipeline_framework_spark.operators import pivot_ops as P
+
+    orders = _t(spark, sf_dir, "orders")
+    out = P.pivot_table(
+        orders, values="o_totalprice", index="o_orderpriority",
+        columns="o_orderstatus", aggfunc="sum", margins=True,
+        fill_value=0.0, pivot_values=["F", "O", "P"],
+    )
+    return out.select(
+        "o_orderpriority",
+        *[_r(F.col(c), 2).alias(c) for c in ["F", "O", "P", "All"]],
+    )
+
+
+def pivot_subtotals_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_with_subtotals: Subtotal rows per lang + Grand Total."""
+    from data_pipeline_framework_spark.operators import pivot_ops as P
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket",
+        F.when(F.col("n_chars") < 500, "short").otherwise("long"),
+    )
+    out = P.pivot_with_subtotals(
+        docs, index=["lang", "source"], columns="len_bucket",
+        values="n_chars", aggfunc="sum", pivot_values=["short", "long"],
+    )
+    return out.select(
+        "lang", "source",
+        F.col("short").cast("bigint").alias("short"),
+        F.col("long").cast("bigint").alias("long"),
+    )
+
+
+def time_pivot_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_based_pivot: quarter buckets x event_type."""
+    from data_pipeline_framework_spark.operators import pivot_ops as P
+
+    ev = _t(spark, sf_dir, "events")
+    out = P.time_based_pivot(
+        ev, "ts", "event_type", "value", period="Q", aggfunc="sum",
+        pivot_values=["click", "error", "purchase", "signup", "view"],
+    )
+    return out.select(
+        "period",
+        *[_r(F.col(c), 2).alias(c)
+          for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+def crosstab_norm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_tab normalized by row (index) totals."""
+    from data_pipeline_framework_spark.operators import pivot_ops as P
+
+    orders = _t(spark, sf_dir, "orders")
+    out = P.cross_tab(
+        orders, "o_orderpriority", "o_orderstatus", normalize="index",
+        pivot_values=["F", "O", "P"],
+    )
+    return out.select(
+        "o_orderpriority",
+        *[_r(F.col(c), 6).alias(c) for c in ["F", "O", "P"]],
+    )
+
+
+def pivot_stats_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot_summary_stats: mean+count cells per linestatus."""
+    from data_pipeline_framework_spark.operators import pivot_ops as P
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = P.pivot_summary_stats(
+        li, index="l_returnflag", columns="l_linestatus",
+        values="l_quantity", stats=["mean", "count"],
+        pivot_values=["F", "O"],
+    )
+    return out.select(
+        "l_returnflag",
+        _r(F.col("F_mean"), 4).alias("F_mean"),
+        F.col("F_count"),
+        _r(F.col("O_mean"), 4).alias("O_mean"),
+        F.col("O_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -1266,6 +1355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors": tfidf_vectors,
         "kmeans_cluster_sizes": kmeans_cluster_sizes,
         "pca_projection": pca_projection,
+        "pivot_margins": pivot_margins,
+        "pivot_subtotals_grid": pivot_subtotals_grid,
+        "time_pivot_quarterly": time_pivot_quarterly,
+        "crosstab_norm_index": crosstab_norm_index,
+        "pivot_stats_grid": pivot_stats_grid,
     }
 
 
@@ -2131,5 +2225,81 @@ def oracle_sql() -> dict[str, str]:
                           END) * 1e4 + 0.5) / 1e4
                        AS text_avg_word_length
             FROM t
+        """,
+        "pivot_margins": """
+            WITH cube_cells AS (
+                SELECT
+                    CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'All'
+                         ELSE o_orderpriority END AS o_orderpriority,
+                    CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'All'
+                         ELSE o_orderstatus END AS st,
+                    SUM(o_totalprice) AS cell
+                FROM orders
+                GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            )
+            SELECT o_orderpriority,
+                   FLOOR(COALESCE(MAX(cell) FILTER (st = 'F'), 0) * 1e2 + 0.5) / 1e2 AS "F",
+                   FLOOR(COALESCE(MAX(cell) FILTER (st = 'O'), 0) * 1e2 + 0.5) / 1e2 AS "O",
+                   FLOOR(COALESCE(MAX(cell) FILTER (st = 'P'), 0) * 1e2 + 0.5) / 1e2 AS "P",
+                   FLOOR(MAX(cell) FILTER (st = 'All') * 1e2 + 0.5) / 1e2 AS "All"
+            FROM cube_cells
+            GROUP BY o_orderpriority
+        """,
+        "pivot_subtotals_grid": """
+            WITH d AS (
+                SELECT lang, source,
+                       CASE WHEN n_chars < 500 THEN 'short' ELSE 'long' END
+                           AS len_bucket,
+                       n_chars
+                FROM documents
+            ), sets AS (
+                SELECT
+                    CASE WHEN GROUPING(lang) = 1 THEN 'Grand Total'
+                         ELSE lang END AS lang,
+                    CASE WHEN GROUPING(lang) = 1 THEN ''
+                         WHEN GROUPING(source) = 1 THEN 'Subtotal'
+                         ELSE source END AS source,
+                    len_bucket, SUM(n_chars) AS cell
+                FROM d
+                GROUP BY GROUPING SETS ((lang, source, len_bucket),
+                                        (lang, len_bucket), (len_bucket))
+            )
+            SELECT lang, source,
+                   CAST(COALESCE(MAX(cell) FILTER (len_bucket = 'short'), 0)
+                        AS BIGINT) AS short,
+                   CAST(COALESCE(MAX(cell) FILTER (len_bucket = 'long'), 0)
+                        AS BIGINT) AS long
+            FROM sets
+            GROUP BY lang, source
+        """,
+        "time_pivot_quarterly": """
+            SELECT date_trunc('quarter', ts) AS period,
+                   FLOOR(SUM(value) FILTER (event_type = 'click') * 1e2 + 0.5) / 1e2 AS click,
+                   FLOOR(SUM(value) FILTER (event_type = 'error') * 1e2 + 0.5) / 1e2 AS error,
+                   FLOOR(SUM(value) FILTER (event_type = 'purchase') * 1e2 + 0.5) / 1e2 AS purchase,
+                   FLOOR(SUM(value) FILTER (event_type = 'signup') * 1e2 + 0.5) / 1e2 AS signup,
+                   FLOOR(SUM(value) FILTER (event_type = 'view') * 1e2 + 0.5) / 1e2 AS view
+            FROM events
+            GROUP BY 1
+        """,
+        "crosstab_norm_index": """
+            SELECT o_orderpriority,
+                   FLOOR(COUNT(*) FILTER (o_orderstatus = 'F')
+                         / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS "F",
+                   FLOOR(COUNT(*) FILTER (o_orderstatus = 'O')
+                         / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS "O",
+                   FLOOR(COUNT(*) FILTER (o_orderstatus = 'P')
+                         / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS "P"
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "pivot_stats_grid": """
+            SELECT l_returnflag,
+                   FLOOR(AVG(l_quantity) FILTER (l_linestatus = 'F') * 1e4 + 0.5) / 1e4 AS "F_mean",
+                   COUNT(l_quantity) FILTER (l_linestatus = 'F') AS "F_count",
+                   FLOOR(AVG(l_quantity) FILTER (l_linestatus = 'O') * 1e4 + 0.5) / 1e4 AS "O_mean",
+                   COUNT(l_quantity) FILTER (l_linestatus = 'O') AS "O_count"
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
     }
