@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_framework_spark import apply_ops
@@ -1280,6 +1280,60 @@ def pivot_stats_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# seasonal decomposition / savgol (operators/timeseries.py numpy kernels)
+
+
+def _daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("v"))
+    )
+
+
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classic additive decomposition, period 7, per event_type."""
+    from data_pipeline_framework_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    daily = _daily_events(spark, sf_dir)
+    out = seasonal_decompose(
+        daily, "day", "v", model="additive", period=7,
+        group_by=["event_type"],
+    )
+    return out.select(
+        "event_type", "day",
+        _r(F.col("v"), 2).alias("v"),
+        _r(F.col("v_trend"), 4).alias("trend"),
+        _r(F.col("v_seasonal"), 4).alias("seasonal"),
+        _r(F.col("v_residual"), 4).alias("residual"),
+    )
+
+
+def savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savitzky-Golay(7, 2) smoothing; interior rows (edge rows use the
+    polynomial-extrapolation mode, oracled separately as non-SQL)."""
+    from data_pipeline_framework_spark.operators.timeseries import smooth
+
+    daily = _daily_events(spark, sf_dir)
+    sm = smooth(daily, "v", method="savgol", window=7, ts_col="day",
+                group_by=["event_type"])
+    w = Window.partitionBy("event_type").orderBy("day")
+    ranked = sm.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    return (
+        ranked.filter((F.col("__rn") >= 4) & (F.col("__rn") <= F.col("__n") - 3))
+        .select(
+            "event_type", "day",
+            _r(F.col("v"), 2).alias("v"),
+            _r(F.col("v_smoothed"), 4).alias("v_smoothed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -1360,6 +1414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_pivot_quarterly": time_pivot_quarterly,
         "crosstab_norm_index": crosstab_norm_index,
         "pivot_stats_grid": pivot_stats_grid,
+        "seasonal_decomposition": seasonal_decomposition,
+        "savgol_smooth": savgol_smooth,
     }
 
 
@@ -2301,5 +2357,70 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(l_quantity) FILTER (l_linestatus = 'O') AS "O_count"
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "seasonal_decomposition": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       SUM(value) AS v
+                FROM events GROUP BY 1, 2
+            ), seq AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                           - 1 AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM daily
+            ), tr AS (
+                SELECT *,
+                       CASE WHEN rn >= 3 AND rn <= n - 4 THEN
+                           AVG(v) OVER (PARTITION BY event_type ORDER BY day
+                                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       END AS trend
+                FROM seq
+            ), det AS (
+                SELECT *, v - trend AS detr, rn % 7 AS phase FROM tr
+            ), ph AS (
+                SELECT event_type, phase, AVG(detr) AS pmean
+                FROM det GROUP BY 1, 2
+            ), phn AS (
+                SELECT event_type, phase,
+                       pmean - AVG(pmean) OVER (PARTITION BY event_type)
+                           AS seasonal
+                FROM ph
+            )
+            SELECT det.event_type, det.day,
+                   FLOOR(det.v * 1e2 + 0.5) / 1e2 AS v,
+                   FLOOR(det.trend * 1e4 + 0.5) / 1e4 AS trend,
+                   FLOOR(phn.seasonal * 1e4 + 0.5) / 1e4 AS seasonal,
+                   FLOOR((det.v - det.trend - phn.seasonal) * 1e4 + 0.5) / 1e4
+                       AS residual
+            FROM det
+            JOIN phn ON det.event_type = phn.event_type
+                    AND det.phase = phn.phase
+        """,
+        "savgol_smooth": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       SUM(value) AS v
+                FROM events GROUP BY 1, 2
+            ), seq AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                           AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM daily
+            ), k AS (
+                SELECT event_type, day, v, rn, n,
+                       (-2 * LAG(v, 3) OVER w + 3 * LAG(v, 2) OVER w
+                        + 6 * LAG(v, 1) OVER w + 7 * v
+                        + 6 * LEAD(v, 1) OVER w + 3 * LEAD(v, 2) OVER w
+                        - 2 * LEAD(v, 3) OVER w) / 21.0 AS sm
+                FROM seq
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)
+            )
+            SELECT event_type, day,
+                   FLOOR(v * 1e2 + 0.5) / 1e2 AS v,
+                   FLOOR(sm * 1e4 + 0.5) / 1e4 AS v_smoothed
+            FROM k
+            WHERE rn >= 4 AND rn <= n - 3
         """,
     }

@@ -272,6 +272,21 @@ def time_spine(
     )
 
 
+def _apply_per_series(df: DataFrame, fn, schema, keys: list[str]) -> DataFrame:
+    """applyInPandas per series; with no keys, group on a temp constant
+    column (grouping directly on a literal trips Spark's GROUP BY ordinal
+    resolution)."""
+    if keys:
+        return df.groupBy(*keys).applyInPandas(fn, schema)
+
+    def drop_g(pdf):
+        return fn(pdf.drop(columns="__g"))
+
+    return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        drop_g, schema
+    )
+
+
 def smooth(
     df: DataFrame,
     column: str,
@@ -308,10 +323,153 @@ def smooth(
             pdf[out_col] = pdf[column].ewm(alpha=alpha, adjust=False).mean()
             return pdf
 
-        if keys:
-            return df.groupBy(*keys).applyInPandas(ewm, schema)
-        return df.groupBy(F.lit(1)).applyInPandas(ewm, schema)
+        return _apply_per_series(df, ewm, schema, keys)
+    if method == "savgol":
+        if ts_col is None:
+            raise ValueError("savgol smoothing requires ts_col")
+        return _savgol(df, column, out_col, ts_col, int(window),
+                       group_by=group_by)
     raise ValueError(f"unsupported smoothing method: {method!r}")
+
+
+def _savgol_1d(y, window: int, polyorder: int):
+    """Savitzky-Golay filter, pure numpy (scipy is not a dependency).
+
+    Interior points: least-squares poly fit over the centered window via a
+    fixed convolution kernel (pinv of the Vandermonde); edges: polynomial
+    fitted to the first/last window evaluated at the edge positions —
+    scipy.signal.savgol_filter(mode='interp') semantics.
+    """
+    import numpy as np
+
+    n = len(y)
+    window = min(window if window % 2 == 1 else window + 1, n if n % 2 == 1 else n - 1)
+    if window < 3 or n < window:
+        return np.asarray(y, dtype=float)
+    polyorder = min(polyorder, window - 1)
+    half = window // 2
+    # convolution coefficients: first row of pinv(Vandermonde)
+    x = np.arange(-half, half + 1, dtype=float)
+    A = np.vander(x, polyorder + 1, increasing=True)  # [1, x, x^2, ...]
+    coeffs = np.linalg.pinv(A)[0]  # evaluates fitted poly at x=0
+    y = np.asarray(y, dtype=float)
+    out = np.convolve(y, coeffs[::-1], mode="same")
+    # edge handling: fit a polynomial to the first/last `window` samples
+    idx = np.arange(window, dtype=float)
+    head = np.polynomial.polynomial.polyfit(idx, y[:window], polyorder)
+    out[:half] = np.polynomial.polynomial.polyval(idx[:half], head)
+    tail = np.polynomial.polynomial.polyfit(idx, y[-window:], polyorder)
+    out[-half:] = np.polynomial.polynomial.polyval(idx[-half:], tail)
+    return out
+
+
+def _savgol(
+    df: DataFrame,
+    column: str,
+    out_col: str,
+    ts_col: str,
+    window: int,
+    polyorder: int = 2,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def apply(pdf):
+        pdf = pdf.sort_values(ts_col)
+        pdf[out_col] = _savgol_1d(pdf[column].to_numpy(), window, polyorder)
+        return pdf
+
+    return _apply_per_series(df, apply, schema, list(group_by or []))
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    model: str = "additive",
+    period: int = 7,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Classic seasonal decomposition (reference time_series.py:118-169,
+    which wraps statsmodels.seasonal_decompose). Output columns
+    `{col}_trend`, `{col}_seasonal`, `{col}_residual`.
+
+    Implemented in numpy inside applyInPandas (statsmodels is not a
+    dependency), matching the classic algorithm: centered moving-average
+    trend (2xMA for even periods, NaN at the edges), per-phase mean of the
+    detrended series normalized to zero-mean (additive) / unit-mean
+    (multiplicative) seasonality, remainder as residual.
+
+    Scale: one Arrow batch per series (group_by keys). A single 100 TB
+    series cannot be decomposed this way — but a single series that large
+    is ill-posed; the operator is designed for many series of bounded
+    length (per device/customer/product), which is the partition-parallel
+    sweet spot.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if model not in ("additive", "multiplicative"):
+        raise ValueError(f"unknown model: {model!r}")
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(f"{value_col}_trend", T.DoubleType()),
+            T.StructField(f"{value_col}_seasonal", T.DoubleType()),
+            T.StructField(f"{value_col}_residual", T.DoubleType()),
+        ]
+    )
+
+    def decompose(pdf):
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        y = pdf[value_col].to_numpy(dtype=float)
+        n = len(y)
+        trend = np.full(n, np.nan)
+        if n >= period + 1:
+            if period % 2 == 0:
+                # 2xMA: weights [0.5, 1, ..., 1, 0.5] / period
+                w = np.ones(period + 1)
+                w[0] = w[-1] = 0.5
+                w /= period
+                half = period // 2
+                conv = np.convolve(y, w, mode="valid")
+                trend[half:n - half] = conv
+            else:
+                half = period // 2
+                conv = np.convolve(y, np.ones(period) / period, mode="valid")
+                trend[half:n - half] = conv
+        if model == "additive":
+            detrended = y - trend
+        else:
+            detrended = np.divide(y, trend, out=np.full(n, np.nan),
+                                  where=~np.isnan(trend) & (trend != 0))
+        phases = np.arange(n) % period
+        means = np.array([
+            np.nanmean(detrended[phases == p]) if np.any(~np.isnan(detrended[phases == p]))
+            else np.nan
+            for p in range(period)
+        ])
+        if model == "additive":
+            means = means - np.nanmean(means)
+            seasonal = means[phases]
+            resid = y - trend - seasonal
+        else:
+            means = means / np.nanmean(means)
+            seasonal = means[phases]
+            resid = np.divide(
+                y, trend * seasonal, out=np.full(n, np.nan),
+                where=~np.isnan(trend) & (trend * seasonal != 0),
+            )
+        pdf[f"{value_col}_trend"] = trend
+        pdf[f"{value_col}_seasonal"] = seasonal
+        pdf[f"{value_col}_residual"] = resid
+        return pdf
+
+    return _apply_per_series(df, decompose, schema, list(group_by or []))
 
 
 def detect_changepoints(
