@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1334,6 +1336,38 @@ def savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal (operators/multimodal.py)
+
+
+def media_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary media round-trip: embeddings packed as npy waveform blobs,
+    decoded in mapInPandas, audio features extracted. The oracle computes
+    the same features directly on the float list — proving the binary
+    pack/decode plumbing is lossless."""
+    from data_pipeline_framework_spark.operators.multimodal import (
+        audio_features,
+        encode_npy,
+    )
+
+    @F.pandas_udf("binary")
+    def pack(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: encode_npy(np.asarray(v, dtype=np.float32))
+        )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    blobs = emb.select(
+        "vec_id", pack("embedding").alias("content"), F.lit("npy").alias("format")
+    )
+    out = audio_features(blobs)
+    return out.select(
+        "vec_id", "n_samples",
+        _r(F.col("rms"), 6).alias("rms"),
+        "zero_crossings",
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -1416,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_stats_grid": pivot_stats_grid,
         "seasonal_decomposition": seasonal_decomposition,
         "savgol_smooth": savgol_smooth,
+        "media_waveform_features": media_waveform_features,
     }
 
 
@@ -2422,5 +2457,16 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(sm * 1e4 + 0.5) / 1e4 AS v_smoothed
             FROM k
             WHERE rn >= 4 AND rn <= n - 3
+        """,
+        "media_waveform_features": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_samples,
+                   FLOOR(sqrt(list_avg(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                         * 1e6 + 0.5) / 1e6 AS rms,
+                   CAST(len(list_filter(range(1, len(embedding)),
+                        i -> embedding[i] * embedding[i + 1] < 0))
+                        AS BIGINT) AS zero_crossings
+            FROM embeddings
         """,
     }

@@ -1,0 +1,104 @@
+"""Multimodal plumbing: binaryFile source, decode kernels, batch shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_pipeline_framework_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    rng = np.random.default_rng(42)
+    # "images": 2D/3D arrays in npy containers
+    for i in range(4):
+        arr = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+        (d / f"img_{i}.npy").write_bytes(MM.encode_npy(arr))
+    # a "video": (frames, h, w) array
+    video = rng.integers(0, 256, size=(10, 8, 8), dtype=np.uint8)
+    (d / "clip_0.vnpy").write_bytes(MM.encode_npy(video))
+    return str(d)
+
+
+def test_read_binary_files_glob(spark, media_dir):
+    df = MM.read_binary_files(spark, media_dir, glob="img_*.npy")
+    assert df.count() == 4
+    assert {"path", "content", "length"} <= set(df.columns)
+    meta = MM.with_media_metadata(df, "image", "npy")
+    row = meta.first()
+    assert row["modality"] == "image" and row["format"] == "npy"
+    assert row["content_bytes"] == row["length"]
+
+
+def test_byte_stats_no_decode(spark, media_dir):
+    df = MM.with_media_metadata(
+        MM.read_binary_files(spark, media_dir, glob="img_0.npy"), "image", "npy"
+    )
+    row = MM.byte_stats(df).first()
+    assert row["byte_size"] == row["length"]
+    assert 0 < row["byte_mean"] < 255
+    assert 0 < row["byte_entropy"] <= 8.0
+
+
+def test_image_stats_decode(spark, media_dir):
+    df = MM.with_media_metadata(
+        MM.read_binary_files(spark, media_dir, glob="img_*.npy"), "image", "npy"
+    )
+    rows = MM.image_stats(df).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r["height"], r["width"], r["channels"]) == (32, 48, 3)
+        assert 100 < r["mean_intensity"] < 155  # uniform bytes ~127.5
+
+
+def test_resize_average_pool(spark, media_dir):
+    df = MM.with_media_metadata(
+        MM.read_binary_files(spark, media_dir, glob="img_0.npy"), "image", "npy"
+    )
+    out = MM.resize_images(df, 16, 24).first()
+    resized = MM.decode_npy(bytes(out["resized"]))
+    assert resized.shape == (16, 24, 3)
+    # average pooling preserves the global mean exactly (integer factors)
+    orig = MM.decode_npy(bytes(out["content"])).astype(np.float64)
+    assert resized.mean() == pytest.approx(orig.mean(), rel=1e-6)
+
+
+def test_video_frame_sampling(spark, media_dir):
+    df = MM.with_media_metadata(
+        MM.read_binary_files(spark, media_dir, glob="clip_*.vnpy"),
+        "video", "npy",
+    )
+    frames = MM.sample_frames(df, every_n=3).collect()
+    assert [f["frame_idx"] for f in frames] == [0, 3, 6, 9]
+    assert all(f["n_frames"] == 10 for f in frames)
+    f0 = MM.decode_npy(bytes(frames[0]["frame"]))
+    assert f0.shape == (8, 8)
+
+
+def test_audio_features(spark):
+    # 1 kHz sine at 16 kHz for 0.5 s: rms = 1/sqrt(2), zc = 2*freq*dur - 1ish
+    t = np.arange(8000) / 16000.0
+    wave = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    blob = MM.encode_npy(wave)
+    df = spark.createDataFrame([("a.npy", bytearray(blob), "npy")],
+                               ["path", "content", "format"])
+    row = MM.audio_features(df).first()
+    assert row["n_samples"] == 8000
+    assert row["duration_sec"] == pytest.approx(0.5)
+    assert row["rms"] == pytest.approx(1 / np.sqrt(2), rel=1e-3)
+    assert abs(row["zero_crossings"] - 1000) <= 1
+    assert row["zcr"] == pytest.approx(1000 / 7999, rel=1e-2)
+
+
+def test_unsupported_format_raises(spark, media_dir):
+    df = MM.with_media_metadata(
+        MM.read_binary_files(spark, media_dir, glob="img_0.npy"),
+        "image", "jpeg",  # wrong format on purpose
+    )
+    with pytest.raises(Exception) as exc_info:
+        MM.image_stats(df).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
