@@ -32,6 +32,18 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
 LSH_BANDS = 4  # 4 bands x 4 rows
 
 
+def _spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Repartition up to the cluster's parallelism before CPU-bound
+    shingle/hash work. Small-file corpora (one 128 MB split = one task)
+    otherwise serialize the most expensive stage of the pipeline on a
+    single core; at 100 TB inputs are already wide and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(text_col: Column | str, n: int = 3) -> Column:
     """Distinct word-n-gram shingle strings of the lowercased text."""
     w = tokens(text_col)
@@ -91,7 +103,7 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """One row per doc: id + mh_0..mh_{k-1}."""
-    d = df.select(id_col, shingle_hashes(text_col, n).alias("__sh"))
+    d = _spread(df).select(id_col, shingle_hashes(text_col, n).alias("__sh"))
     return d.select(id_col, *minhash_signature_cols())
 
 
@@ -169,7 +181,9 @@ def minhash_dedup_pairs(
     tokenize+md5 work runs ~4x. `cache=True` persists both intermediates —
     at 100 TB these would be checkpointed to storage between stages instead.
     """
-    shingled = df.select(id_col, shingle_hashes(text_col, n).alias("__sh"))
+    shingled = _spread(df).select(
+        id_col, shingle_hashes(text_col, n).alias("__sh")
+    )
     if cache:
         shingled = shingled.persist()
     sig = shingled.select(id_col, *minhash_signature_cols())
@@ -191,7 +205,7 @@ def ngram_jaccard_pairs(
     jaccard from set sizes. No LSH approximation; candidate generation is
     bounded by shingle document-frequency (at scale, drop ultra-common
     shingles first — df > 0.1% of corpus carries no dedup signal)."""
-    sh = df.select(
+    sh = _spread(df).select(
         id_col, shingle_hashes(text_col, n).alias("__sh")
     ).withColumn("__size", F.size("__sh"))
     inv = sh.select(id_col, "__size", F.explode("__sh").alias("h")).persist()
@@ -260,7 +274,7 @@ def simhash_pairs(
     """Near-dup pairs with Hamming distance <= max_hamming, candidates from
     matching 8-bit signature blocks (pigeonhole: distance<=3 over 4 blocks
     guarantees one identical block)."""
-    sig = simhash_signatures(df, id_col, text_col).persist()
+    sig = simhash_signatures(_spread(df), id_col, text_col).persist()
     blocks = sig.select(
         id_col, "simhash",
         F.explode(

@@ -33,6 +33,112 @@ def _numeric_columns(df: DataFrame, columns: list[str] | None) -> list[str]:
     ]
 
 
+def exact_percentiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: list[float] = (0.25, 0.5, 0.75),
+    partitions: int | None = None,
+) -> dict[str, list[float]]:
+    """Exact interpolated percentiles for many columns via ONE distributed
+    sort — the 100 TB-safe alternative to `F.percentile`, whose final merge
+    builds a value->count map of every distinct value in a single task
+    (2+ s for one 600 K-distinct column even locally; unbounded at scale).
+
+    Algorithm: melt columns long -> repartitionByRange((col, value)) ->
+    sortWithinPartitions -> per-partition counts (tiny) -> compute each
+    target's (partition, local index) on the driver -> one Arrow pass
+    extracts the floor/ceil rank values -> linear interpolation. Cost is a
+    parallel sort + two cheap passes; no single-task data structure.
+
+    Returns {column: [value per prob]} (NaN-free columns only; a column
+    with zero non-null values maps to Nones).
+    """
+    import math
+
+    sess = df.sparkSession
+    target_p = partitions or sess.sparkContext.defaultParallelism
+    melted = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.col(c).cast("double").alias("v"),
+                )
+                for c in columns
+            ])
+        ).alias("e")
+    ).select("e.c", "e.v").where(F.col("v").isNotNull())
+    # monotonically_increasing_id is sequential within a partition, so
+    # after sortWithinPartitions it IS the local sort rank (plus a
+    # per-partition base) — global rank arithmetic stays JVM-side.
+    sorted_df = (
+        melted.repartitionByRange(target_p, "c", "v")
+        .sortWithinPartitions("c", "v")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    try:
+        counts = (
+            sorted_df.groupBy("pid", "c")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min("mid").alias("mid0"))
+            .orderBy("pid").collect()
+        )
+        # per-column global offset of each (pid, c) chunk, in pid order
+        n_by_col: dict[str, int] = {}
+        offset_rows = []
+        for row in counts:
+            offset_rows.append(
+                (row["pid"], row["c"], n_by_col.get(row["c"], 0), row["mid0"])
+            )
+            n_by_col[row["c"]] = n_by_col.get(row["c"], 0) + row["cnt"]
+        # wanted global ranks per column (floor+ceil of each target)
+        targets: dict[str, list[float]] = {}
+        wanted: dict[str, list[int]] = {}
+        for c in columns:
+            n = n_by_col.get(c, 0)
+            ts = [(n - 1) * p for p in probs] if n else []
+            targets[c] = ts
+            wanted[c] = sorted(
+                {int(math.floor(t)) for t in ts}
+                | {int(math.ceil(t)) for t in ts}
+            )
+        offsets = sess.createDataFrame(
+            offset_rows, "pid int, c string, off long, mid0 long"
+        )
+        g = F.col("off") + F.col("mid") - F.col("mid0")
+        cond = F.lit(False)
+        for c in columns:
+            if wanted[c]:
+                cond = cond | ((F.col("c") == c) & g.isin(wanted[c]))
+        got_rows = (
+            sorted_df.join(F.broadcast(offsets), ["pid", "c"])
+            .filter(cond)
+            .select("c", g.alias("g"), "v")
+            .collect()
+        )
+        got: dict[tuple[str, int], float] = {
+            (r["c"], r["g"]): r["v"] for r in got_rows
+        }
+        result: dict[str, list[float]] = {}
+        for c in columns:
+            vals: list[float | None] = []
+            for t in targets[c] or [None] * len(probs):
+                if t is None:
+                    vals.append(None)
+                    continue
+                lo, hi = int(math.floor(t)), int(math.ceil(t))
+                if lo == hi:
+                    vals.append(got[(c, lo)])
+                else:
+                    frac = t - lo
+                    vals.append(got[(c, lo)] * (1 - frac) + got[(c, hi)] * frac)
+            result[c] = vals
+        return result
+    finally:
+        sorted_df.unpersist()
+
+
 def profile_columns(
     df: DataFrame, columns: list[str] | None = None
 ) -> DataFrame:
@@ -55,22 +161,29 @@ def profile_columns(
             F.sum(col).cast("double").alias(f"{c}__sum"),
             F.avg(col).cast("double").alias(f"{c}__mean"),
             F.stddev(col).cast("double").alias(f"{c}__stddev"),
-            # one percentile accumulator per column (array of 3 probs), not
-            # three — the per-partition value map is the expensive part
+            # one percentile accumulator per column (array of 3 probs).
+            # F.percentile's merge builds a distinct-value map in one task:
+            # fine at profile-sized inputs; for corpus-scale tables switch
+            # to exact_percentiles() above (distributed sort-selection,
+            # same exact interpolated semantics).
             F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
             .alias(f"{c}__q"),
             F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__n_zero"),
             F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__n_negative"),
         ]
     wide = df.agg(*aggs)
-    # exact distinct counts go in SEPARATE agg plans cross-joined back in:
-    # multiple count_distinct() in one agg makes Catalyst Expand the input
-    # N+1 times, which also multiplies the percentile work — at 100 TB that
-    # is the difference between one scan and four.
-    for c in cols:
+    # exact distinct counts go in ONE separate agg cross-joined back in:
+    # sharing an agg with the percentiles would Expand the percentile input
+    # N+1 times; a dedicated agg Expands only the pruned distinct-count
+    # columns (column pruning reaches the scan), so the total cost is two
+    # scans — not one-plus-N.
+    if cols:
         wide = wide.crossJoin(
             F.broadcast(
-                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"))
+                df.select(*cols).agg(*[
+                    F.count_distinct(F.col(c)).alias(f"{c}__n_distinct")
+                    for c in cols
+                ])
             )
         )
     metrics = [

@@ -32,8 +32,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # on dirty strings); try_* functions are used where div-by-zero etc.
     # must be NULL.
     "spark.sql.ansi.enabled": "false",
-    # Parquet scans: modest split size so local[32] parallelizes small SFs;
-    # on a real cluster AQE coalesces, and 128m is the classic default.
+    # Parquet scans: 128m is the classic cluster default; local masters
+    # override this below so a single small file still fans out across
+    # cores (a 20 MB sf0.1 table would otherwise run every scan, and every
+    # CPU-bound expression over it, in ONE task).
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Read TIMESTAMP(NANOS) parquet columns as nanosecond longs instead of
     # erroring; sources.readers.read_parquet converts them to timestamps.
@@ -61,6 +63,13 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
 
     conf = dict(_DEFAULT_CONF)
+    if master.startswith("local"):
+        # small-input parallelism: split files at 4 MB (and open cheaply)
+        # so local benchmarking exercises the same parallel plans a
+        # cluster would; harmless for large inputs (more, smaller tasks —
+        # AQE coalesces downstream shuffles).
+        conf["spark.sql.files.maxPartitionBytes"] = str(4 * 1024 * 1024)
+        conf["spark.sql.files.openCostInBytes"] = str(256 * 1024)
     if shuffle_partitions is None:
         # Local heuristic: one shuffle partition per core keeps small-SF
         # stage overhead low; AQE still merges tiny partitions.

@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_framework_spark.functions.profiling import exact_percentiles
+from data_pipeline_framework_spark.sources.readers import read_parquet
+
+
+def test_exact_percentiles_match_builtin(spark, sf_dir):
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    probs = [0.25, 0.5, 0.75]
+    got = exact_percentiles(li, cols, probs)
+    expected = li.agg(*[
+        F.percentile(F.col(c), F.array(*[F.lit(p) for p in probs])).alias(c)
+        for c in cols
+    ]).first()
+    for c in cols:
+        for i, p in enumerate(probs):
+            assert got[c][i] == pytest.approx(expected[c][i], abs=1e-9), (c, p)
+
+
+def test_exact_percentiles_nulls_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None), (4.0, None)],
+        "a double, b double",
+    )
+    got = exact_percentiles(df, ["a", "b"], [0.5])
+    assert got["a"] == [2.5]
+    assert got["b"] == [None]
