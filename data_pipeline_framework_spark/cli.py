@@ -1,0 +1,152 @@
+"""Command-line entry point (reference cli/main.py, argparse-based).
+
+Commands mirror the reference's CLI surface:
+  run        — execute a pipeline YAML (reference cli/main.py:41-94)
+  queue add / queue process / queue status
+             — queue-driven ingestion (reference cli/main.py:321-487)
+  profile    — numeric profile of a parquet/csv/json file
+  schema     — schema + enrichment report for a file
+
+Usage: python -m data_pipeline_framework_spark.cli run pipeline.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_spark():
+    from .session import get_spark
+
+    return get_spark(app_name="dpf-spark-cli")
+
+
+def _read_any(spark, path: str):
+    from .sources import readers
+
+    if path.endswith(".csv"):
+        return readers.read_csv(spark, path)
+    if path.endswith((".json", ".jsonl")):
+        return readers.read_json(spark, path)
+    return readers.read_parquet(spark, path)
+
+
+def cmd_run(args) -> int:
+    from .core import Pipeline
+
+    spark = _get_spark()
+    pipeline = Pipeline.from_yaml(args.config, spark)
+    if args.input:
+        result = pipeline.run(input_source=args.input, dry_run=args.dry_run)
+    else:
+        result = pipeline.run(dry_run=args.dry_run)
+    print(json.dumps({
+        "status": result.status, "pipeline": result.pipeline,
+        "rows_written": result.rows_written,
+        "duration_sec": round(result.duration_sec, 3),
+        "error": result.error,
+        "validation": result.validation,
+    }, default=str))
+    return 0 if result.status == "success" else 1
+
+
+def cmd_queue_add(args) -> int:
+    from .core.queue import QueueManager
+
+    q = QueueManager(args.db)
+    item_id = q.add(args.file, args.table, priority=args.priority)
+    print(json.dumps({"queued": item_id, "file": args.file,
+                      "table": args.table}))
+    q.close()
+    return 0
+
+
+def cmd_queue_process(args) -> int:
+    from .core.queue import QueueManager, QueueProcessor
+
+    q = QueueManager(args.db)
+    done = QueueProcessor(q, _get_spark()).process_all(args.max_items)
+    print(json.dumps([
+        {"id": i.id, "table": i.table_name, "status": i.status,
+         "error": i.error}
+        for i in done
+    ]))
+    q.close()
+    return 0 if all(i.status == "completed" for i in done) else 1
+
+
+def cmd_queue_status(args) -> int:
+    from .core.queue import QueueManager
+
+    q = QueueManager(args.db)
+    print(json.dumps(q.stats()))
+    q.close()
+    return 0
+
+
+def cmd_profile(args) -> int:
+    from .functions.profiling import profile_columns
+
+    spark = _get_spark()
+    df = _read_any(spark, args.path)
+    rows = profile_columns(df, args.columns or None).collect()
+    print(json.dumps([r.asDict() for r in rows], default=str))
+    return 0
+
+
+def cmd_schema(args) -> int:
+    from .functions.profiling import schema_profile
+
+    spark = _get_spark()
+    df = _read_any(spark, args.path)
+    rows = schema_profile(df).collect()
+    print(json.dumps([r.asDict() for r in rows], default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dpf-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="execute a pipeline YAML")
+    run.add_argument("config")
+    run.add_argument("--input", help="override the configured input path")
+    run.add_argument("--dry-run", action="store_true")
+    run.set_defaults(fn=cmd_run)
+
+    q = sub.add_parser("queue", help="queue-driven ingestion")
+    qsub = q.add_subparsers(dest="queue_command", required=True)
+    qa = qsub.add_parser("add")
+    qa.add_argument("file")
+    qa.add_argument("table")
+    qa.add_argument("--priority", type=int, default=5)
+    qa.add_argument("--db", default="pipeline_queue.db")
+    qa.set_defaults(fn=cmd_queue_add)
+    qp = qsub.add_parser("process")
+    qp.add_argument("--max-items", type=int, default=None)
+    qp.add_argument("--db", default="pipeline_queue.db")
+    qp.set_defaults(fn=cmd_queue_process)
+    qs = qsub.add_parser("status")
+    qs.add_argument("--db", default="pipeline_queue.db")
+    qs.set_defaults(fn=cmd_queue_status)
+
+    prof = sub.add_parser("profile", help="profile numeric columns")
+    prof.add_argument("path")
+    prof.add_argument("--columns", nargs="*")
+    prof.set_defaults(fn=cmd_profile)
+
+    sch = sub.add_parser("schema", help="schema inference report")
+    sch.add_argument("path")
+    sch.set_defaults(fn=cmd_schema)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

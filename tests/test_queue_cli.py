@@ -1,0 +1,87 @@
+"""Queue manager, queue processor, and CLI surface tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_pipeline_framework_spark.cli import build_parser, main
+from data_pipeline_framework_spark.core.queue import (
+    QueueManager,
+    QueueProcessor,
+    QueueStatus,
+    default_item_config,
+)
+
+
+@pytest.fixture()
+def queue(tmp_path):
+    q = QueueManager(tmp_path / "q.db")
+    yield q
+    q.close()
+
+
+def test_queue_priority_fifo_order(queue):
+    a = queue.add("/x/a.csv", "t1", priority=5)
+    b = queue.add("/x/b.csv", "t2", priority=9)
+    c = queue.add("/x/c.csv", "t3", priority=5)
+    # highest priority first, FIFO within a priority
+    assert queue.next_item().id == b
+    assert queue.next_item().id == a
+    assert queue.next_item().id == c
+    assert queue.next_item() is None  # everything claimed
+
+
+def test_queue_state_machine(queue):
+    i = queue.add("/x/a.csv", "t")
+    item = queue.next_item()
+    assert item.status == QueueStatus.PROCESSING.value
+    queue.complete(item.id)
+    assert queue.get(i).status == "completed"
+    j = queue.add("/x/b.csv", "t")
+    queue.next_item()
+    queue.fail(j, "boom")
+    got = queue.get(j)
+    assert got.status == "failed" and got.error == "boom"
+    assert queue.stats() == {"completed": 1, "failed": 1}
+
+
+def test_default_item_config_shape():
+    cfg = default_item_config("/data/in.jsonl", "events")
+    assert cfg["source"]["type"] == "json"
+    assert cfg["processing"]["operations"][0]["type"] == "clean"
+    assert cfg["storage"]["destination"] == "events"
+
+
+def test_queue_processor_end_to_end(spark, sf_dir, tmp_path, queue):
+    out = str(tmp_path / "ingested")
+    cfg = {
+        "name": "q_orders",
+        "source": {"type": "parquet"},
+        "processing": {"operations": [
+            {"type": "filter", "condition": "o_totalprice > 0"},
+        ]},
+        "storage": {"type": "parquet", "destination": out, "mode": "append"},
+    }
+    queue.add(f"{sf_dir}/orders.parquet", "orders_ingested", config=cfg)
+    queue.add("/nonexistent/nope.parquet", "broken", config=cfg)
+
+    done = QueueProcessor(queue, spark).process_all()
+    assert [d.status for d in done] == ["completed", "failed"]
+    assert spark.read.parquet(out).count() > 0
+    assert done[1].error
+
+
+def test_cli_parser_and_queue_commands(tmp_path, capsys):
+    db = str(tmp_path / "q.db")
+    assert main(["queue", "add", "/x/a.csv", "t1", "--db", db,
+                 "--priority", "7"]) == 0
+    added = json.loads(capsys.readouterr().out)
+    assert added["queued"] == 1
+    assert main(["queue", "status", "--db", db]) == 0
+    assert json.loads(capsys.readouterr().out) == {"pending": 1}
+
+    parser = build_parser()
+    args = parser.parse_args(["run", "p.yaml", "--dry-run"])
+    assert args.config == "p.yaml" and args.dry_run is True
