@@ -1368,6 +1368,51 @@ def media_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# as-of / range joins (operators/joins.py)
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """each purchase matched to the user's latest click at-or-before it
+    (single window pass, no join explosion); DuckDB twin uses ASOF JOIN."""
+    from data_pipeline_framework_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"])
+    return out.select(
+        "user_id", "ts",
+        _r(F.col("purchase_value"), 2).alias("purchase_value"),
+        _r(F.col("click_value"), 2).alias("click_value"),
+        F.col("ts_right").alias("click_ts"),
+    )
+
+
+def range_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customers bucketed into overlapping balance intervals via the
+    bucketed range join (equi on bucket, never nested-loop)."""
+    from data_pipeline_framework_spark.operators.joins import range_join
+
+    customer = _t(spark, sf_dir, "customer")
+    intervals = spark.createDataFrame(
+        [(i, i * 500.0, i * 500.0 + 750.0) for i in range(20)],
+        "iid long, lo double, hi double",
+    )
+    out = range_join(
+        customer.select("c_custkey", F.col("c_acctbal").cast("double")),
+        intervals, point="c_acctbal", lower="lo", upper="hi",
+        bucket_width=500.0,
+    )
+    return out.select(
+        "c_custkey", _r(F.col("c_acctbal"), 2).alias("c_acctbal"), "iid"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -1451,6 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decomposition": seasonal_decomposition,
         "savgol_smooth": savgol_smooth,
         "media_waveform_features": media_waveform_features,
+        "asof_join_events": asof_join_events,
+        "range_join_acctbal": range_join_acctbal,
     }
 
 
@@ -2468,5 +2515,31 @@ def oracle_sql() -> dict[str, str]:
                         i -> embedding[i] * embedding[i + 1] < 0))
                         AS BIGINT) AS zero_crossings
             FROM embeddings
+        """,
+        "asof_join_events": """
+            WITH purchases AS (
+                SELECT user_id, ts, value AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT user_id, ts, value AS click_value
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.ts,
+                   FLOOR(p.purchase_value * 1e2 + 0.5) / 1e2 AS purchase_value,
+                   FLOOR(c.click_value * 1e2 + 0.5) / 1e2 AS click_value,
+                   c.ts AS click_ts
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join_acctbal": """
+            SELECT c_custkey,
+                   FLOOR(CAST(c_acctbal AS DOUBLE) * 1e2 + 0.5) / 1e2
+                       AS c_acctbal,
+                   CAST(i.i AS BIGINT) AS iid
+            FROM customer
+            JOIN (SELECT unnest(range(0, 20)) AS i) i
+              ON CAST(c_acctbal AS DOUBLE) >= i.i * 500.0
+             AND CAST(c_acctbal AS DOUBLE) <  i.i * 500.0 + 750.0
         """,
     }
