@@ -92,6 +92,52 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+def get_schema(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    sample_rows: int = 100,
+    **reader_options,
+) -> dict:
+    """Source schema probe (reference csv_source.py:73-104,
+    json_source.py:100-137): inferred dtypes plus null/distinct counts
+    from a bounded sample. The reference pandas-read the first 100 rows;
+    here inference comes from Spark's reader and the stats from a
+    `limit(sample_rows)` scan, so probing a 100 TB prefix reads one
+    split, not the corpus."""
+    fmt = fmt or (
+        "csv" if path.endswith(".csv")
+        else "json" if path.endswith((".json", ".jsonl"))
+        else "parquet"
+    )
+    if fmt == "csv":
+        df = read_csv(spark, path, **reader_options)
+    elif fmt == "json":
+        df = read_json(spark, path, **reader_options)
+    else:
+        df = read_parquet(spark, path, **reader_options)
+    sample = df.limit(sample_rows)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in sample.schema.fields:
+        aggs.append(F.count(F.col(f.name)).alias(f"{f.name}__nn"))
+        aggs.append(F.approx_count_distinct(F.col(f.name)).alias(f"{f.name}__d"))
+    obs = sample.agg(*aggs).first()
+    return {
+        "format": fmt,
+        "sampled_rows": obs["__n"],
+        "columns": [
+            {
+                "name": f.name,
+                "dtype": f.dataType.simpleString(),
+                "nullable": f.nullable,
+                "null_count": obs["__n"] - obs[f"{f.name}__nn"],
+                "distinct_count": obs[f"{f.name}__d"],
+            }
+            for f in sample.schema.fields
+        ],
+    }
+
+
 def flatten(df: DataFrame, sep: str = ".") -> DataFrame:
     """Explicit nested-struct flattener producing the reference's flattened
     ingest schema (reference json_source.py:56-62 `pd.json_normalize`,
