@@ -21,7 +21,7 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     if name == "Pipeline":
-        from .pipeline import Pipeline
+        from .core.pipeline import Pipeline
 
         return Pipeline
     raise AttributeError(name)

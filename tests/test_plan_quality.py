@@ -1,0 +1,112 @@
+"""Plan-quality assertions: the optimizations we design for must actually
+appear in the physical plan. These tests read `explain()` output the way a
+reviewer would — pushed filters at the scan, broadcast joins for dims,
+whole-stage codegen on the hot path, no Python UDFs in relational ops.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_framework_spark import Pipeline, apply_ops
+from data_pipeline_framework_spark.sources.readers import read_parquet
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    out = apply_ops(
+        read_parquet(spark, f"{sf_dir}/lineitem.parquet"),
+        [
+            {"type": "filter", "condition": "l_quantity > 30"},
+            {"type": "select", "columns": ["l_orderkey", "l_quantity"]},
+        ],
+    )
+    explained = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in explained
+    # column pruning: the scan reads 2 columns, not 11
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in explained
+
+
+def test_broadcast_hint_produces_broadcast_join(spark, sf_dir):
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    customer = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    out = apply_ops(
+        orders,
+        [{"type": "join", "right": "customer",
+          "condition": "o_custkey = c_custkey", "broadcast": True}],
+        tables={"customer": customer},
+    )
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_compiled_chain_is_one_lazy_plan_with_codegen(spark, sf_dir):
+    out = apply_ops(
+        read_parquet(spark, f"{sf_dir}/lineitem.parquet"),
+        [
+            {"type": "filter", "condition": "l_shipdate <= TIMESTAMP '1998-09-02'"},
+            {"type": "aggregate", "group_by": ["l_returnflag"],
+             "aggregations": {"l_quantity": ["sum"]}},
+            {"type": "sort", "by": ["l_returnflag"]},
+        ],
+    )
+    out.collect()  # finalize the AQE plan so codegen spans are visible
+    plan = _plan(out)
+    # whole-stage-codegen stages render as `*(N)` markers in the tree
+    assert "*(1)" in plan and "*(2)" in plan
+    assert "BatchEvalPython" not in plan  # no Python UDFs on the hot path
+    assert "pythonUDF" not in plan
+
+
+def test_catalyst_reorders_filter_through_join(spark, sf_dir):
+    """A filter placed AFTER the join in op order must still reach the
+    left scan — the single-lazy-plan design means Catalyst can push it;
+    the reference's eager interpreter could not (SURVEY §4.1)."""
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    customer = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    out = apply_ops(
+        orders,
+        [
+            {"type": "join", "right": "customer",
+             "condition": "o_custkey = c_custkey"},
+            {"type": "filter", "condition": "o_totalprice > 100000"},
+        ],
+        tables={"customer": customer},
+    )
+    opt = _optimized(out)
+    join_pos = opt.index("Join")
+    filter_pos = opt.index("100000")
+    assert filter_pos > join_pos  # filter sits BELOW the join in the tree
+
+
+def test_pipeline_single_persist_multiple_actions(spark, sf_dir):
+    """profiling + validation + write on one pipeline reuse a persisted
+    plan instead of recomputing the op chain per action."""
+    cfg = {
+        "name": "p",
+        "processing": {"operations": [
+            {"type": "filter", "condition": "o_totalprice > 0"},
+        ]},
+        "profiling": {"enabled": True},
+        "validation": {"enabled": True, "rules": [
+            {"metric": "completeness", "column": "o_orderkey",
+             "threshold": 0.5},
+        ]},
+    }
+    df = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    result = Pipeline(cfg, spark).run(input_df=df)
+    assert result.status == "success"
+    assert result.profile and result.validation
+
+
+def test_aqe_enabled_in_session(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
