@@ -494,6 +494,34 @@ def _op_custom_sql(params: Mapping, ctx) -> OpFn:
     return fn
 
 
+def _op_custom(params: Mapping, ctx) -> OpFn:
+    """`custom` op (reference pandas_processor.py:235-248, which `eval`s a
+    lambda string row-wise). Arbitrary eval of config strings is rejected
+    by design (SURVEY §2.15); supported safely:
+
+      {"type": "custom", "column": c, "expression": "<Spark SQL expr>"}
+          -> F.expr, JVM-side, codegen'd (the fast path)
+      {"type": "custom", "column": c, "function": "name",
+       "args": [cols...], "returns": "double"}
+          -> a Python callable pre-registered via compile_ops(udfs=...),
+             wrapped as a pandas UDF (Arrow-batched), never a row UDF.
+    """
+    column = params["column"]
+    if "expression" in params:
+        expr = params["expression"]
+        return lambda df: df.withColumn(column, F.expr(expr))
+    fname = params["function"]
+    args = _listify(params.get("args"))
+    returns = params.get("returns", "double")
+
+    def fn(df: DataFrame) -> DataFrame:
+        func = ctx.resolve_udf(fname)
+        pudf = F.pandas_udf(func, returns)
+        return df.withColumn(column, pudf(*[F.col(a) for a in args]))
+
+    return fn
+
+
 def _op_union(params: Mapping, ctx) -> OpFn:
     """unionByName with missing-column fill — pandas-concat alignment
     semantics for multi-file reads (reference csv_source.py:62)."""
@@ -552,6 +580,7 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "unpivot": _op_melt,
     "window": _op_window,
     "custom_sql": _op_custom_sql,
+    "custom": _op_custom,
     "union": _op_union,
     "limit": _op_limit,
     "sample": _op_sample,
@@ -560,10 +589,16 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
 
 
 class CompileContext:
-    """Resolves table names referenced by join/union ops."""
+    """Resolves table names referenced by join/union ops and registered
+    UDFs referenced by `custom` ops."""
 
-    def __init__(self, tables: Mapping[str, DataFrame] | TableResolver | None = None):
+    def __init__(
+        self,
+        tables: Mapping[str, DataFrame] | TableResolver | None = None,
+        udfs: Mapping[str, Callable] | None = None,
+    ):
         self._tables = tables
+        self._udfs = dict(udfs or {})
 
     def resolve(self, name: str) -> DataFrame:
         if self._tables is None:
@@ -572,17 +607,26 @@ class CompileContext:
             return self._tables(name)
         return self._tables[name]
 
+    def resolve_udf(self, name: str) -> Callable:
+        if name not in self._udfs:
+            raise ValueError(
+                f"UDF {name!r} is not registered; pass it via "
+                "compile_ops(udfs={...}) — config strings are never eval'd"
+            )
+        return self._udfs[name]
+
 
 def compile_ops(
     ops: list[Mapping],
     tables: Mapping[str, DataFrame] | TableResolver | None = None,
+    udfs: Mapping[str, Callable] | None = None,
 ) -> OpFn:
     """Compile an operation list into one DataFrame->DataFrame closure.
 
     The composed closure builds a single lazy plan — no intermediate
     actions, so Catalyst optimizes across op boundaries.
     """
-    ctx = CompileContext(tables)
+    ctx = CompileContext(tables, udfs)
     fns: list[OpFn] = []
     for op in ops:
         op_type = op.get("type")
@@ -603,6 +647,7 @@ def apply_ops(
     df: DataFrame,
     ops: list[Mapping],
     tables: Mapping[str, DataFrame] | TableResolver | None = None,
+    udfs: Mapping[str, Callable] | None = None,
 ) -> DataFrame:
     """Convenience: compile and apply in one call."""
-    return compile_ops(ops, tables)(df)
+    return compile_ops(ops, tables, udfs)(df)

@@ -216,3 +216,33 @@ def test_compile_is_lazy_single_plan(people):
 def test_unknown_op_raises(people):
     with pytest.raises(ValueError, match="unknown operation"):
         compile_ops([{"type": "frobnicate"}])
+
+
+def test_custom_op_expression_and_udf(spark):
+    import pandas
+    import pytest
+
+    from data_pipeline_framework_spark import apply_ops
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id int, v double")
+    out = apply_ops(df, [
+        {"type": "custom", "column": "v2", "expression": "v * v"},
+    ])
+    assert [r["v2"] for r in out.orderBy("id").collect()] == [4.0, 9.0]
+
+    def celsius(f: pandas.Series) -> pandas.Series:
+        return (f - 32.0) * 5.0 / 9.0
+
+    celsius.__annotations__ = {"f": pandas.Series, "return": pandas.Series}
+    out = apply_ops(
+        df,
+        [{"type": "custom", "column": "c", "function": "to_c",
+          "args": ["v"], "returns": "double"}],
+        udfs={"to_c": celsius},
+    )
+    got = [round(r["c"], 4) for r in out.orderBy("id").collect()]
+    assert got == [round((2.0 - 32) * 5 / 9, 4), round((3.0 - 32) * 5 / 9, 4)]
+
+    with pytest.raises(ValueError, match="not registered"):
+        apply_ops(df, [{"type": "custom", "column": "x",
+                        "function": "nope", "args": ["v"]}]).collect()
