@@ -768,6 +768,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: seeded KMeans cells, nprobe nearest cells
+    probed, exact cosine rerank (rows-only: iterative fit is non-SQL;
+    recall vs brute force is unit-tested in tests/test_ivf.py)."""
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_topk(emb, queries, k=10, n_cells=8, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding near-dup pairs (cosine >= 0.35) with LSH candidates then
     exact rerank (rows-only: plane constants live in engine code)."""
@@ -1463,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sigs": simhash_sigs,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
         "clean_standardize": clean_standardize,
         "phone_standardization": phone_standardization,

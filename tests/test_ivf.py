@@ -1,0 +1,49 @@
+"""IVF ANN: recall vs brute force, candidate pruning."""
+
+from __future__ import annotations
+
+from data_pipeline_framework_spark.functions.similarity import (
+    cosine_topk,
+    ivf_index,
+    ivf_topk,
+)
+from data_pipeline_framework_spark.sources.readers import read_parquet
+
+
+def test_ivf_recall_and_pruning(spark, sf_dir):
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.limit(5)
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    exact = cosine_topk(emb, queries, k=10)
+    index = ivf_index(emb, n_cells=8, seed=42)
+    approx = ivf_topk(emb, queries, k=10, n_cells=8, nprobe=4, index=index)
+
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    # probing half the cells must recover most of the true top-10
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+    # the query vector itself lives in a probed cell -> always found
+    for q in exact_sets:
+        assert q in approx_sets[q]
+
+    # pruning: candidates scanned < full corpus per query
+    assigned, _ = index
+    n = emb.count()
+    largest_4_cells = (
+        assigned.groupBy("__cell").count()
+        .orderBy("count", ascending=False).limit(4)
+        .agg({"count": "sum"}).first()[0]
+    )
+    assert largest_4_cells < n  # probing 4 of 8 cells cannot scan everything
