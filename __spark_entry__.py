@@ -1428,6 +1428,37 @@ def range_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mode_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fix_missing_values with method=mode: nulls injected on a tenth of
+    rows are filled with the most frequent value (computed in one agg)."""
+    from data_pipeline_framework_spark.operators.cleaning import (
+        fix_missing_values,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 10 == 0, None)
+        .otherwise(F.col("o_orderpriority")),
+    )
+    out = fix_missing_values(
+        orders, {"o_orderpriority": {"method": "mode"}}
+    )
+    return out.select("o_orderkey", "o_orderpriority")
+
+
+def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deduplicate keep='last' via the descending row_number trick."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = apply_ops(li, [
+        # synthetic lineitem repeats (orderkey, linenumber); the full
+        # order_by makes keep='last' deterministic across engines
+        {"type": "deduplicate", "subset": ["l_orderkey"], "keep": "last",
+         "order_by": ["l_linenumber", "l_partkey", "l_suppkey"]},
+    ])
+    return out.select("l_orderkey", "l_linenumber",
+                      _r(F.col("l_quantity"), 2).alias("l_quantity"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1515,6 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_waveform_features": media_waveform_features,
         "asof_join_events": asof_join_events,
         "range_join_acctbal": range_join_acctbal,
+        "mode_imputation": mode_imputation,
+        "dedup_keep_last": dedup_keep_last,
     }
 
 
@@ -2558,5 +2591,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT unnest(range(0, 20)) AS i) i
               ON CAST(c_acctbal AS DOUBLE) >= i.i * 500.0
              AND CAST(c_acctbal AS DOUBLE) <  i.i * 500.0 + 750.0
+        """,
+        "mode_imputation": """
+            WITH injected AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                            ELSE o_orderpriority END AS o_orderpriority
+                FROM orders
+            ), m AS (
+                SELECT o_orderpriority AS mv FROM injected
+                WHERE o_orderpriority IS NOT NULL
+                GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1
+            )
+            SELECT o_orderkey,
+                   COALESCE(o_orderpriority, (SELECT mv FROM m))
+                       AS o_orderpriority
+            FROM injected
+        """,
+        "dedup_keep_last": """
+            SELECT l_orderkey, l_linenumber,
+                   FLOOR(l_quantity * 1e2 + 0.5) / 1e2 AS l_quantity
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber DESC, l_partkey DESC,
+                             l_suppkey DESC) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
         """,
     }
