@@ -96,3 +96,93 @@ def fix_missing_values(
         else:
             df = _fill_null(df, {"columns": [col], **spec})
     return df
+
+
+class CleaningResult:
+    """Audit record for one cleaning step (reference data_cleaner.py:13-21)."""
+
+    def __init__(self, operation: str, column: str | None,
+                 rows_before: int, rows_after: int, values_changed: int):
+        self.operation = operation
+        self.column = column
+        self.rows_before = rows_before
+        self.rows_after = rows_after
+        self.values_changed = values_changed
+
+    def as_dict(self) -> dict:
+        return {
+            "operation": self.operation, "column": self.column,
+            "rows_before": self.rows_before, "rows_after": self.rows_after,
+            "values_changed": self.values_changed,
+        }
+
+
+def clean_dataset(
+    df: DataFrame,
+    config: list[dict],
+) -> tuple[DataFrame, list[CleaningResult]]:
+    """Config-driven cleaning composition with audit records (reference
+    data_cleaner.py:291-329). Each step is `{operation, ...params}`:
+
+      remove_duplicates  (subset, keep, order_by)
+      fix_missing        (strategies: {col: {method, ...}})
+      standardize_phones (column)
+      validate_emails    (column, strategy)
+      drop_rows_where    (condition)
+
+    Audit counting design: each step costs at most one extra count()
+    action on the incoming frame (row deltas); value-level change counts
+    are computed only for the ops where a row diff cannot express them
+    (phones/emails), as one agg comparing old vs new column.
+    """
+    results: list[CleaningResult] = []
+    for step in config:
+        op = step.get("operation")
+        rows_before = df.count()
+        changed = 0
+        if op == "remove_duplicates":
+            df = remove_duplicates(
+                df, subset=step.get("subset"), keep=step.get("keep", "any"),
+                order_by=step.get("order_by"),
+            )
+            rows_after = df.count()
+            column = ",".join(step.get("subset") or [])
+        elif op == "fix_missing":
+            df = fix_missing_values(df, step["strategies"])
+            rows_after = df.count()
+            column = ",".join(step["strategies"])
+        elif op == "standardize_phones":
+            column = step["column"]
+            # compare old vs new in one frame (no join)
+            tagged = standardize_phone_numbers(
+                df.withColumn("__old", F.col(column)), column
+            )
+            changed = tagged.filter(
+                ~F.col(column).eqNullSafe(F.col("__old"))
+            ).count()
+            df = tagged.drop("__old")
+            rows_after = rows_before
+        elif op == "validate_emails":
+            column = step["column"]
+            tagged = validate_emails(
+                df.withColumn("__old", F.col(column)), column,
+                strategy=step.get("strategy", "flag"),
+            )
+            rows_after = tagged.count()
+            if step.get("strategy", "flag") == "flag":
+                changed = tagged.filter(~F.col(f"{column}_valid")).count()
+            else:
+                changed = tagged.filter(
+                    ~F.col(column).eqNullSafe(F.col("__old"))
+                ).count()
+            df = tagged.drop("__old")
+        elif op == "drop_rows_where":
+            column = None
+            df = df.filter(f"NOT ({step['condition']})")
+            rows_after = df.count()
+        else:
+            raise ValueError(f"unknown cleaning operation: {op!r}")
+        results.append(CleaningResult(
+            op, column, rows_before, rows_after, changed
+        ))
+    return df, results

