@@ -24,7 +24,9 @@ _WIDE = {
     "filter_predicates", "union_by_name", "sort_topk",
     "text_statistics", "token_counts", "doc_fingerprints",
     "tumbling_window_agg", "sessionize_events", "profile_lineitem",
-    "rolling_stats", "aggregation_features",
+    "rolling_stats", "aggregation_features", "asof_join_events",
+    "range_join_acctbal", "dedup_keep_last", "media_waveform_features",
+    "savgol_smooth", "seasonal_decomposition",
 }
 
 HEADLINE = [
@@ -37,12 +39,20 @@ HEADLINE = [
     "pivot_status",
     "rollup_subtotals",
     "dedup_first_per_key",
+    "dedup_keep_last",
     "date_parts",
+    "asof_join_events",
+    "range_join_acctbal",
+    "pivot_margins",
+    "seasonal_decomposition",
+    "savgol_smooth",
     # scale ops: training-data pipeline surface
     "text_statistics",
     "doc_fingerprints",
     "minhash_neardup",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "media_waveform_features",
     "tumbling_window_agg",
     "rolling_stats",
     "profile_lineitem",
@@ -74,6 +84,9 @@ def main() -> None:
         else:
             df.collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries persist intermediates (LSH candidates, IVF index, ...);
+        # drop them so one query's cache doesn't tax the next one's GC
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

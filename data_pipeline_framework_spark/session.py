@@ -64,6 +64,10 @@ def get_spark(
 
     conf = dict(_DEFAULT_CONF)
     if master.startswith("local"):
+        # local[N] packs driver + N executor threads into ONE JVM; the 1g
+        # default heap GC-thrashes once a few persisted intermediates
+        # accumulate. Only effective before the JVM starts (fresh process).
+        conf.setdefault("spark.driver.memory", "8g")
         # small-input parallelism: split files at 4 MB (and open cheaply)
         # so local benchmarking exercises the same parallel plans a
         # cluster would; harmless for large inputs (more, smaller tasks —
