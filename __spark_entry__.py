@@ -1460,6 +1460,150 @@ def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# headline analytical joins + remaining feature/outlier coverage
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective filter + global product-sum, via the DSL.
+    The three predicates reach the parquet scan as PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = apply_ops(li, [
+        {"type": "filter", "filters": [
+            {"column": "l_shipdate", "operator": ">=", "value": "1996-01-01"},
+            {"column": "l_shipdate", "operator": "<", "value": "1997-01-01"},
+            {"column": "l_discount", "operator": ">=", "value": 0.04},
+            {"column": "l_discount", "operator": "<=", "value": 0.06},
+            {"column": "l_quantity", "operator": "<", "value": 24},
+        ]},
+        {"type": "transform", "transformations": [
+            {"type": "calculate", "column": "disc_revenue",
+             "expression": "l_extendedprice * l_discount"},
+        ]},
+        {"type": "aggregate", "aggregations": {"disc_revenue": ["sum"]}},
+    ])
+    return out.select(F.round("disc_revenue_sum", 2).alias("revenue"))
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-table join (nation broadcast), returned-item
+    revenue per customer, deterministic top-20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    out = apply_ops(cust, [
+        {"type": "join", "right": orders, "how": "inner",
+         "left_on": ["c_custkey"], "right_on": ["o_custkey"]},
+        {"type": "filter",
+         "condition": "o_orderdate >= TIMESTAMP '1996-01-01' "
+                      "AND o_orderdate < TIMESTAMP '1996-04-01'"},
+        {"type": "join", "right": li, "how": "inner",
+         "left_on": ["o_orderkey"], "right_on": ["l_orderkey"]},
+        {"type": "filter", "filters": [
+            {"column": "l_returnflag", "operator": "==", "value": "R"}]},
+        {"type": "join", "right": nation, "how": "inner", "broadcast": True,
+         "left_on": ["c_nationkey"], "right_on": ["n_nationkey"]},
+        {"type": "transform", "transformations": [
+            {"type": "calculate", "column": "rev",
+             "expression": "l_extendedprice * (1 - l_discount)"}]},
+        {"type": "aggregate",
+         "group_by": ["c_custkey", "c_name", "n_name"],
+         "aggregations": {"rev": ["sum"]}},
+    ])
+    out = out.select(
+        "c_custkey", "c_name", "n_name",
+        _r(F.col("rev_sum"), 2).alias("revenue"),
+    )
+    return out.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a big agg, then join back to orders —
+    the agg side shrinks first, so AQE broadcasts it into the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    out = orders.join(big, orders.o_orderkey == big.l_orderkey, "inner")
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("total_qty", 2).alias("total_qty"),
+    )
+
+
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi join through the DSL: customers holding >=1 urgent order.
+    Semi joins never duplicate the left side — no post-dedup needed."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    out = apply_ops(cust, [
+        {"type": "join", "right": urgent, "how": "left_semi",
+         "left_on": ["c_custkey"], "right_on": ["o_custkey"]},
+    ])
+    return out.select("c_custkey", "c_name",
+                      F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+def interaction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairwise multiply/subtract interaction features
+    (reference feature_engineering.py:394-448)."""
+    from data_pipeline_framework_spark.operators.features import (
+        create_interaction_features,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    )
+    out = create_interaction_features(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        operations=["multiply", "subtract"],
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        _r(F.col("l_quantity_x_l_extendedprice"), 4).alias("qty_x_price"),
+        _r(F.col("l_quantity_x_l_discount"), 4).alias("qty_x_disc"),
+        _r(F.col("l_extendedprice_x_l_discount"), 4).alias("price_x_disc"),
+        _r(F.col("l_quantity_minus_l_extendedprice"), 4).alias("qty_minus_price"),
+        _r(F.col("l_quantity_minus_l_discount"), 4).alias("qty_minus_disc"),
+        _r(F.col("l_extendedprice_minus_l_discount"), 4).alias("price_minus_disc"),
+    )
+
+
+def outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """global z-score outlier flags: one scalar agg broadcast back, same
+    shape as outliers_iqr (reference time_series.py:193-204)."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = TS.detect_outliers(ev, "value", method="zscore", threshold=3.0)
+    return out.select("event_id", F.col("value_is_outlier").alias("is_outlier"))
+
+
+def outliers_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trailing-20-row z-score per user (reference time_series.py:206-224).
+    The order key is a (ts, event_id) struct so window frames are
+    deterministic under timestamp ties."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value",
+        F.struct("ts", "event_id").alias("__ord"),
+    )
+    out = TS.detect_outliers(
+        ev, "value", method="rolling_zscore", threshold=2.5,
+        ts_col="__ord", window=20, group_by=["user_id"],
+    )
+    return out.select("event_id", "user_id",
+                      F.col("value_is_outlier").alias("is_outlier"))
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -1548,6 +1692,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_acctbal": range_join_acctbal,
         "mode_imputation": mode_imputation,
         "dedup_keep_last": dedup_keep_last,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q18_large_volume": q18_large_volume,
+        "semi_join_urgent_customers": semi_join_urgent_customers,
+        "interaction_features": interaction_features,
+        "outliers_zscore": outliers_zscore,
+        "outliers_rolling_zscore": outliers_rolling_zscore,
     }
 
 
@@ -2618,5 +2769,84 @@ def oracle_sql() -> dict[str, str]:
                              l_suppkey DESC) AS rn
                 FROM lineitem
             ) WHERE rn = 1
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.04 AND 0.06
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5)
+                       / 1e2 AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q18_large_volume": """
+            SELECT o_orderkey, o_custkey, o_orderpriority,
+                   ROUND(o_totalprice, 2) AS o_totalprice,
+                   ROUND(total_qty, 2)    AS total_qty
+            FROM orders
+            JOIN (
+                SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(l_quantity) > 250
+            ) big ON o_orderkey = big.l_orderkey
+        """,
+        "semi_join_urgent_customers": """
+            SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+            FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        "interaction_features": """
+            SELECT l_orderkey, l_linenumber,
+                   FLOOR(l_quantity * l_extendedprice * 1e4 + 0.5) / 1e4
+                       AS qty_x_price,
+                   FLOOR(l_quantity * l_discount * 1e4 + 0.5) / 1e4
+                       AS qty_x_disc,
+                   FLOOR(l_extendedprice * l_discount * 1e4 + 0.5) / 1e4
+                       AS price_x_disc,
+                   FLOOR((l_quantity - l_extendedprice) * 1e4 + 0.5) / 1e4
+                       AS qty_minus_price,
+                   FLOOR((l_quantity - l_discount) * 1e4 + 0.5) / 1e4
+                       AS qty_minus_disc,
+                   FLOOR((l_extendedprice - l_discount) * 1e4 + 0.5) / 1e4
+                       AS price_minus_disc
+            FROM lineitem
+        """,
+        "outliers_zscore": """
+            SELECT event_id,
+                   CAST(ABS((value - mu) / sigma) > 3.0 AS INT) AS is_outlier
+            FROM events
+            CROSS JOIN (
+                SELECT AVG(value) AS mu, STDDEV(value) AS sigma FROM events
+            )
+        """,
+        "outliers_rolling_zscore": """
+            SELECT event_id, user_id,
+                   CASE WHEN sigma > 0 AND ABS((value - mu) / sigma) > 2.5
+                        THEN 1 ELSE 0 END AS is_outlier
+            FROM (
+                SELECT event_id, user_id, value,
+                       AVG(value)    OVER w AS mu,
+                       STDDEV(value) OVER w AS sigma
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            )
         """,
     }
