@@ -1603,6 +1603,32 @@ def outliers_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("value_is_outlier").alias("is_outlier"))
 
 
+def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json_field + flatten_nested (reference stream record transforms
+    stream_processor.py:414-437) applied batch-side: parse the events.props
+    JSON column, splat it, aggregate the extracted field."""
+    from pyspark.sql import types as T
+
+    from data_pipeline_framework_spark.streaming.pipeline import (
+        flatten_nested, parse_json_field,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    ev = parse_json_field(ev, "props", T.StructType(
+        [T.StructField("k", T.LongType())]
+    ))
+    flat = flatten_nested(ev, "props")
+    return (
+        flat.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1699,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interaction_features": interaction_features,
         "outliers_zscore": outliers_zscore,
         "outliers_rolling_zscore": outliers_rolling_zscore,
+        "parse_json_props": parse_json_props,
     }
 
 
@@ -2848,5 +2875,18 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
             )
+        """,
+        "parse_json_props": """
+            SELECT event_type,
+                   COUNT(k) AS n,
+                   CAST(SUM(k) AS BIGINT) AS k_sum,
+                   MIN(k)   AS k_min,
+                   MAX(k)   AS k_max
+            FROM (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            GROUP BY event_type
         """,
     }
