@@ -33,6 +33,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume",
+    "semi_join_urgent_customers",
     "grouped_agg_multi",
     "window_ranking",
     "window_running",

@@ -66,8 +66,10 @@ def get_spark(
     if master.startswith("local"):
         # local[N] packs driver + N executor threads into ONE JVM; the 1g
         # default heap GC-thrashes once a few persisted intermediates
-        # accumulate. Only effective before the JVM starts (fresh process).
-        conf.setdefault("spark.driver.memory", "8g")
+        # accumulate. 32 threads × wide codegen stages want real headroom,
+        # so take a generous slice of the machine (128 GiB here). Only
+        # effective before the JVM starts (fresh process).
+        conf.setdefault("spark.driver.memory", "24g")
         # small-input parallelism: split files at 4 MB (and open cheaply)
         # so local benchmarking exercises the same parallel plans a
         # cluster would; harmless for large inputs (more, smaller tasks —

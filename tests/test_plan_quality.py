@@ -110,3 +110,36 @@ def test_pipeline_single_persist_multiple_actions(spark, sf_dir):
 def test_aqe_enabled_in_session(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    """Q6's three column/op/value filters all push into the parquet scan."""
+    import __spark_entry__ as entry
+
+    out = entry.q6_forecast_revenue(spark, sf_dir)
+    explained = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in explained
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        pushed = [ln for ln in explained.splitlines() if "PushedFilters" in ln]
+        assert any(frag in ln for ln in pushed), frag
+
+
+def test_q10_nation_join_broadcasts(spark, sf_dir):
+    """The nation dim in Q10 must come in as a broadcast join, never a
+    shuffle of the fact side."""
+    import __spark_entry__ as entry
+
+    out = entry.q10_returned_items(spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_semi_join_physical_semi(spark, sf_dir):
+    """left_semi through the DSL stays a semi join physically (no row
+    duplication, no post-dedup)."""
+    import __spark_entry__ as entry
+
+    out = entry.semi_join_urgent_customers(spark, sf_dir)
+    plan = _plan(out)
+    assert "LeftSemi" in plan
