@@ -1629,6 +1629,22 @@ def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fillna_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fill_null method='mean' through the transform op: nulls (here the
+    'error' events) replaced by the column mean — one scalar agg joined
+    back, no driver round-trip (reference spark_processor.py:116-123)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+    )
+    out = apply_ops(ev, [
+        {"type": "transform", "transformations": [
+            {"type": "fill_null", "columns": ["value"], "method": "mean"},
+        ]},
+    ])
+    return out.select("event_id", _r(F.col("value"), 4).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1726,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_zscore": outliers_zscore,
         "outliers_rolling_zscore": outliers_rolling_zscore,
         "parse_json_props": parse_json_props,
+        "fillna_mean": fillna_mean,
     }
 
 
@@ -2888,5 +2905,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY event_type
+        """,
+        "fillna_mean": """
+            SELECT event_id,
+                   FLOOR(COALESCE(value, AVG(value) OVER ()) * 1e4 + 0.5)
+                       / 1e4 AS value
+            FROM (
+                SELECT event_id,
+                       CASE WHEN event_type <> 'error' THEN value END AS value
+                FROM events
+            )
         """,
     }

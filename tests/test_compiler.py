@@ -278,3 +278,18 @@ def test_clean_dataset_audit(spark):
     assert rows[2]["phone"] == "(555) 999-8888" or rows[2]["phone"]
     assert set(rows) == {1, 2}
     assert audit[0].as_dict()["operation"] == "remove_duplicates"
+
+
+def test_aggregate_describe_fallback(spark):
+    """aggregate with neither group_by nor aggregations -> summary stats
+    (reference pandas_processor.py:176-177, spark_processor.py:182-183)."""
+    from data_pipeline_framework_spark import apply_ops
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id int, v double"
+    )
+    out = apply_ops(df, [{"type": "aggregate"}])
+    rows = {r["summary"]: r for r in out.collect()}
+    assert rows["count"]["v"] == "3"
+    assert float(rows["mean"]["v"]) == 20.0
+    assert float(rows["max"]["v"]) == 30.0
