@@ -2163,6 +2163,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(EXTRACT(year FROM ts) AS INT)        AS ts_year,
                    CASE WHEN EXTRACT(isodow FROM ts) >= 6 THEN 1 ELSE 0 END
                        AS ts_is_weekend,
+                   CASE WHEN EXTRACT(isodow FROM ts) < 6 THEN 1 ELSE 0 END
+                       AS ts_is_business_day,
                    CAST(EXTRACT(week FROM ts) AS INT)        AS ts_week_of_year,
                    CAST(EXTRACT(doy FROM ts) AS INT)         AS ts_day_of_year
             FROM events

@@ -106,6 +106,8 @@ def calculate_time_features(df: DataFrame, ts_col: str) -> DataFrame:
         f"{ts_col}_quarter": F.quarter(c),
         f"{ts_col}_year": F.year(c),
         f"{ts_col}_is_weekend": ((F.dayofweek(c) + 5) % 7 >= 5).cast("int"),
+        # plain weekday test, like the reference (no holiday calendar)
+        f"{ts_col}_is_business_day": ((F.dayofweek(c) + 5) % 7 < 5).cast("int"),
         f"{ts_col}_week_of_year": F.weekofyear(c),
         f"{ts_col}_day_of_year": F.dayofyear(c),
     })

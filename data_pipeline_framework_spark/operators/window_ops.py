@@ -58,6 +58,27 @@ percent_rank = _ranked(F.percent_rank, "percent_rank")
 cume_dist = _ranked(F.cume_dist, "cume_dist")
 
 
+def rank_max(
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
+    new_column: str | None = None,
+    descending: bool | list[bool] = False,
+    **_,
+) -> DataFrame:
+    """pandas rank(method='max'): ties get the LAST rank of their tie group.
+    SQL has no direct twin (reference window_functions.py:38-55); count of
+    rows ordered <= current over a RANGE frame gives exactly that."""
+    from pyspark.sql import Window as W
+
+    w = _spec(partition_by, order_by, descending).rangeBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return df.withColumn(
+        new_column or "rank_max", F.count(F.lit(1)).over(w)
+    )
+
+
 def ntile(
     df: DataFrame,
     n: int,
@@ -213,6 +234,7 @@ WINDOW_FUNCTIONS = {
     "dense_rank": dense_rank,
     "percent_rank": percent_rank,
     "cume_dist": cume_dist,
+    "rank_max": rank_max,
     "ntile": ntile,
     "lag": lag,
     "lead": lead,

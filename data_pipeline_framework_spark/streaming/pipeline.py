@@ -192,6 +192,65 @@ def sessionized_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ttl: str | None = None,
+) -> DataFrame:
+    """Custom stateful operator: exactly-once-per-key streaming dedup via
+    `applyInPandasWithState` — emit the first record seen for each key and
+    suppress every later duplicate, across micro-batches.
+
+    This is the streaming twin of exact dedup (functions/dedup.py): a
+    training-data ingest stream drops re-crawled/replayed documents on
+    arrival instead of re-deduplicating the corpus later. State per key is
+    one boolean in the Spark state store (RocksDB-spillable, partitioned by
+    key — no driver state, unbounded key cardinality scales out). `ttl`
+    (e.g. "1 hour", processing-time) bounds state for keys that stop
+    arriving; the reference's stream engine had no stateful ops at all
+    (SURVEY §2.14).
+
+    Built-in `dropDuplicates` on a stream needs a watermark + event-time
+    column in the key; this operator exists for the keyed-forever/TTL
+    semantics and as the template for arbitrary stateful kernels.
+    """
+    import pandas as pd  # noqa: F401  (worker-side dependency)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = df.schema
+    ttl_ms = None
+    if ttl is not None:
+        n, unit = ttl.split()
+        ttl_ms = int(n) * {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+        }[unit]
+
+    def first_only(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if not state.exists:
+            for pdf in pdfs:
+                if len(pdf):
+                    yield pdf.head(1)
+                    break
+            state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        first_only, out_schema, "seen boolean", "append", timeout
+    )
+
+
 # ---------------------------------------------------------------------------
 # sinks
 

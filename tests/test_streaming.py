@@ -144,3 +144,31 @@ def test_exactly_once_restart(spark, events, stream_dir):
         q.awaitTermination(120)
     n = spark.read.parquet(str(out)).count()
     assert n == events.count()
+
+
+def test_dedup_stream_emits_first_per_key(spark, events, stream_dir):
+    """stateful applyInPandasWithState dedup: each user_id appears exactly
+    once in the output regardless of how many micro-batches carry it."""
+    schema = events.schema
+    sdf = ST.read_stream_files(
+        spark, str(stream_dir / "in"), schema=schema,
+        max_files_per_trigger=1,  # force multiple micro-batches
+    )
+    deduped = ST.dedup_stream(sdf, ["user_id"])
+    got = _run_to_memory(spark, deduped, "t_dedup", stream_dir)
+    n_users = events.select("user_id").distinct().count()
+    assert got.count() == n_users
+    assert got.select("user_id").distinct().count() == n_users
+    assert got.columns == events.columns
+
+
+def test_dedup_stream_ttl_state_config(spark, events, stream_dir):
+    """ttl variant builds a ProcessingTimeTimeout stateful plan (executing
+    it under availableNow would idle-wait on the timeout clock, so this is
+    a plan-level check)."""
+    schema = events.schema
+    sdf = ST.read_stream_files(spark, str(stream_dir / "in"), schema=schema)
+    deduped = ST.dedup_stream(sdf, ["user_id"], ttl="1 hour")
+    plan = deduped._jdf.queryExecution().logical().toString()
+    assert "ProcessingTimeTimeout" in plan
+    assert "FlatMapGroupsInPandasWithState" in plan

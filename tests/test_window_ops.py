@@ -91,3 +91,19 @@ def test_dispatch_windowed_agg_frame(series):
 def test_unknown_function_raises(series):
     with pytest.raises(ValueError):
         W.apply_window_function(series, "nope")
+
+
+def test_rank_max_matches_pandas_semantics(spark):
+    """ties share the LAST rank of the tie group (pandas method='max');
+    single ordering column as pandas rank requires."""
+    from data_pipeline_framework_spark.operators import window_ops as W
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("a", 20), ("a", 30), ("b", 5)],
+        "g string, v int",
+    )
+    out = W.rank_max(df, partition_by=["g"], order_by=["v"],
+                     new_column="r")
+    got = sorted((r["g"], r["v"], r["r"]) for r in out.collect())
+    assert got == [("a", 10, 2), ("a", 10, 2), ("a", 20, 3),
+                   ("a", 30, 4), ("b", 5, 1)]
