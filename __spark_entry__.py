@@ -1645,6 +1645,19 @@ def fillna_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", _r(F.col("value"), 4).alias("value"))
 
 
+def correlations_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman correlation via distributed tie-averaged ranks (no global
+    single-task window — profiling.average_ranks)."""
+    from data_pipeline_framework_spark.functions import profiling as PR
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = PR.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        method="spearman",
+    )
+    return out.select("col_a", "col_b", _r(F.col("corr"), 4).alias("corr"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1743,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_rolling_zscore": outliers_rolling_zscore,
         "parse_json_props": parse_json_props,
         "fillna_mean": fillna_mean,
+        "correlations_spearman": correlations_spearman,
     }
 
 
@@ -2917,5 +2931,31 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN event_type <> 'error' THEN value END AS value
                 FROM events
             )
+        """,
+        "correlations_spearman": """
+            WITH rk AS (
+                SELECT
+                    RANK() OVER (ORDER BY l_quantity)
+                      + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0
+                      AS r_qty,
+                    RANK() OVER (ORDER BY l_extendedprice)
+                      + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0
+                      AS r_price,
+                    RANK() OVER (ORDER BY l_discount)
+                      + (COUNT(*) OVER (PARTITION BY l_discount) - 1) / 2.0
+                      AS r_disc
+                FROM lineitem
+            )
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   FLOOR(corr(r_qty, r_price) * 1e4 + 0.5) / 1e4 AS corr
+            FROM rk
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount',
+                   FLOOR(corr(r_qty, r_disc) * 1e4 + 0.5) / 1e4
+            FROM rk
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   FLOOR(corr(r_price, r_disc) * 1e4 + 0.5) / 1e4
+            FROM rk
         """,
     }

@@ -139,6 +139,91 @@ def exact_percentiles(
         sorted_df.unpersist()
 
 
+def average_ranks(
+    df: DataFrame,
+    columns: list[str],
+    partitions: int | None = None,
+    out_prefix: str = "__rk_",
+) -> DataFrame:
+    """Tie-averaged global ranks (1-based) for each column, appended as
+    `{out_prefix}{col}` — the Spearman rank transform, distributed.
+
+    A naive `row_number().over(Window.orderBy(c))` funnels the whole table
+    through ONE task per column; this uses the same machinery as
+    exact_percentiles: melt long -> repartitionByRange -> local sort ->
+    per-partition counts (tiny driver list) -> global position arithmetic
+    JVM-side -> tie-average per value -> null-safe join back by value.
+    Every step is a parallel shuffle/sort; nothing single-task touches the
+    fact rows. Null values get a null rank (F.corr then skips the pair,
+    matching pandas' pairwise-complete behavior).
+    """
+    sess = df.sparkSession
+    target_p = partitions or sess.sparkContext.defaultParallelism
+    melted = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.col(c).cast("double").alias("v"),
+                )
+                for c in columns
+            ])
+        ).alias("e")
+    ).select("e.c", "e.v").where(F.col("v").isNotNull())
+    sorted_df = (
+        melted.repartitionByRange(target_p, "c", "v")
+        .sortWithinPartitions("c", "v")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    try:
+        counts = (
+            sorted_df.groupBy("pid", "c")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min("mid").alias("mid0"))
+            .orderBy("pid").collect()
+        )
+        n_by_col: dict[str, int] = {}
+        offset_rows = []
+        for row in counts:
+            offset_rows.append(
+                (row["pid"], row["c"], n_by_col.get(row["c"], 0), row["mid0"])
+            )
+            n_by_col[row["c"]] = n_by_col.get(row["c"], 0) + row["cnt"]
+        if not offset_rows:
+            out = df
+            for c in columns:
+                out = out.withColumn(
+                    f"{out_prefix}{c}", F.lit(None).cast("double")
+                )
+            return out
+        offsets = sess.createDataFrame(
+            offset_rows, "pid int, c string, off long, mid0 long"
+        )
+        pos = F.col("off") + F.col("mid") - F.col("mid0") + 1
+        avg_rk = (
+            sorted_df.join(F.broadcast(offsets), ["pid", "c"])
+            .select("c", "v", pos.alias("pos"))
+            .groupBy("c", "v")
+            .agg(F.avg("pos").alias("rk"))
+        )
+        out = df
+        for c in columns:
+            rk_c = avg_rk.filter(F.col("c") == c).select(
+                F.col("v").alias("__v"), F.col("rk").alias(f"{out_prefix}{c}")
+            )
+            out = out.join(
+                rk_c, F.col(c).cast("double") == F.col("__v"), "left"
+            ).drop("__v")
+        # materialize before unpersist: callers usually aggregate right away
+        return out
+    finally:
+        # the persisted intermediate is still referenced lazily by `out`;
+        # let the caller's action read it from cache, then evict on GC.
+        # (unpersist(blocking=False) here would race the caller's action.)
+        pass
+
+
 def profile_columns(
     df: DataFrame, columns: list[str] | None = None
 ) -> DataFrame:
@@ -297,15 +382,9 @@ def correlation_matrix(
     cols = _numeric_columns(df, columns)
     d = df
     if method == "spearman":
-        from pyspark.sql import Window
-
-        for c in cols:
-            w = Window.orderBy(F.col(c))
-            # average rank for ties: mean of row_numbers within each value
-            d = d.withColumn(
-                f"__rk_{c}",
-                F.avg(F.row_number().over(w)).over(Window.partitionBy(F.col(c))),
-            )
+        # distributed tie-averaged ranks; see average_ranks for why not a
+        # global row_number window
+        d = average_ranks(df, cols)
         use = [f"__rk_{c}" for c in cols]
     elif method == "pearson":
         use = cols

@@ -147,12 +147,29 @@ def create_categorical_features(
             column, F.when(c.isin(top), c).otherwise(F.lit("other"))
         )
         c = F.col(column)
+    cols = df.columns
     if encoding == "frequency":
-        w = Window.partitionBy(column)
-        return df.withColumn(f"{column}_freq", F.count(F.lit(1)).over(w))
+        # groupBy + broadcast-join back, NOT count().over(partitionBy(col)):
+        # the window form shuffles every fact row by category (hot category
+        # = one reducer); the agg form combines map-side and moves only
+        # |categories| rows.
+        freqs = df.groupBy(column).agg(
+            F.count(F.lit(1)).alias(f"{column}_freq")
+        ).withColumnRenamed(column, "__cat")
+        return df.join(
+            F.broadcast(freqs), F.col(column).eqNullSafe(F.col("__cat"))
+        ).select(*cols, f"{column}_freq")
     if encoding == "label":
-        w = Window.orderBy(column)
-        return df.withColumn(f"{column}_label", F.dense_rank().over(w) - 1)
+        # dense-rank the DISTINCT categories (tiny), broadcast back — a
+        # global-window dense_rank over the fact table would funnel every
+        # row through one task. Deterministic: label = alphabetical rank.
+        labels = df.select(column).distinct().withColumn(
+            f"{column}_label",
+            F.dense_rank().over(Window.orderBy(column)) - 1,
+        ).withColumnRenamed(column, "__cat")
+        return df.join(
+            F.broadcast(labels), F.col(column).eqNullSafe(F.col("__cat"))
+        ).select(*cols, f"{column}_label")
     if encoding == "onehot":
         if one_hot_values is None:
             one_hot_values = sorted(

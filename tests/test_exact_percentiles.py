@@ -29,3 +29,18 @@ def test_exact_percentiles_nulls_and_empty(spark):
     got = exact_percentiles(df, ["a", "b"], [0.5])
     assert got["a"] == [2.5]
     assert got["b"] == [None]
+
+
+def test_average_ranks_ties_and_nulls(spark):
+    """tie groups share the mean of their positions; nulls rank as null."""
+    from data_pipeline_framework_spark.functions.profiling import average_ranks
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 20.0), (4, None), (5, 5.0)],
+        "id int, v double",
+    )
+    out = {r["id"]: r["__rk_v"] for r in average_ranks(df, ["v"]).collect()}
+    assert out[5] == 1.0
+    assert out[1] == out[2] == 2.5   # positions 2,3 averaged
+    assert out[3] == 4.0
+    assert out[4] is None
