@@ -1122,6 +1122,34 @@ def schema_inference_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.schema_profile(orders)
 
 
+def schema_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """constraint/index enrichment: NOT NULL / UNIQUE / CHECK>=0 candidates,
+    cardinality class, index recommendations (reference
+    schema_inference.py:321-374), exact distributed aggregation."""
+    from data_pipeline_framework_spark.functions import profiling as PR
+
+    orders = _t(spark, sf_dir, "orders")
+    out = PR.schema_constraints(orders)
+    return out.select(
+        "column", "dtype", _r(F.col("null_pct"), 6).alias("null_pct"),
+        "n_distinct", "cardinality", "not_null_ok", "unique_ok",
+        "check_nonneg", "index_reason",
+    )
+
+
+def string_patterns_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic string-pattern detection (email/phone/url/numeric_id
+    fractions; reference schema_inference.py:207-232), one agg pass."""
+    from data_pipeline_framework_spark.functions import profiling as PR
+
+    cust = _t(spark, sf_dir, "customer")
+    out = PR.string_patterns(cust, ["c_name", "c_mktsegment"])
+    return out.select(
+        "column", "pattern", _r(F.col("match_frac"), 6).alias("match_frac"),
+        "detected",
+    )
+
+
 def top_values_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """top-k value counts with deterministic tie-break."""
     from data_pipeline_framework_spark.functions import profiling as PR
@@ -1730,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": quality_report,
         "correlations_lineitem": correlations_lineitem,
         "schema_inference_orders": schema_inference_orders,
+        "schema_constraints_orders": schema_constraints_orders,
+        "string_patterns_customer": string_patterns_customer,
         "top_values_priority": top_values_priority,
         "text_feature_stats": text_feature_stats,
         "tfidf_vectors": tfidf_vectors,
@@ -2600,6 +2630,100 @@ def oracle_sql() -> dict[str, str]:
                        ]) AS c
                 FROM orders
             )
+        """,
+        "schema_constraints_orders": """
+            SELECT c.column, c.dtype,
+                   FLOOR((cnt_all - c.cnt) * 100.0 / cnt_all * 1e6 + 0.5) / 1e6
+                       AS null_pct,
+                   c.dst AS n_distinct,
+                   CASE WHEN c.dst * 1.0 / cnt_all > 0.8 THEN 'high'
+                        WHEN c.dst * 1.0 / cnt_all > 0.1 THEN 'medium'
+                        ELSE 'low' END AS cardinality,
+                   CASE WHEN (cnt_all - c.cnt) * 100.0 / cnt_all < 5
+                        THEN 1 ELSE 0 END AS not_null_ok,
+                   CASE WHEN c.cnt = cnt_all AND c.dst = cnt_all
+                        THEN 1 ELSE 0 END AS unique_ok,
+                   c.chk AS check_nonneg,
+                   CASE WHEN c.fk THEN 'foreign_key_performance'
+                        WHEN c.dst * 1.0 / cnt_all <= 0.1 AND c.dst > 1
+                             THEN 'low_cardinality_filtering'
+                        WHEN c.temporal THEN 'time_based_queries'
+                        ELSE NULL END AS index_reason
+            FROM (
+                SELECT COUNT(*) AS cnt_all,
+                       unnest([
+                           struct_pack("column" := 'o_orderkey',
+                                       dtype := 'bigint',
+                                       cnt := COUNT(o_orderkey),
+                                       dst := COUNT(DISTINCT o_orderkey),
+                                       chk := CASE WHEN MIN(o_orderkey) >= 0
+                                                   THEN 1 ELSE 0 END,
+                                       fk := TRUE, temporal := FALSE),
+                           struct_pack("column" := 'o_custkey',
+                                       dtype := 'bigint',
+                                       cnt := COUNT(o_custkey),
+                                       dst := COUNT(DISTINCT o_custkey),
+                                       chk := CASE WHEN MIN(o_custkey) >= 0
+                                                   THEN 1 ELSE 0 END,
+                                       fk := TRUE, temporal := FALSE),
+                           struct_pack("column" := 'o_orderstatus',
+                                       dtype := 'string',
+                                       cnt := COUNT(o_orderstatus),
+                                       dst := COUNT(DISTINCT o_orderstatus),
+                                       chk := CAST(NULL AS INT),
+                                       fk := FALSE, temporal := FALSE),
+                           struct_pack("column" := 'o_totalprice',
+                                       dtype := 'double',
+                                       cnt := COUNT(o_totalprice),
+                                       dst := COUNT(DISTINCT o_totalprice),
+                                       chk := CASE WHEN MIN(o_totalprice) >= 0
+                                                   THEN 1 ELSE 0 END,
+                                       fk := FALSE, temporal := FALSE),
+                           struct_pack("column" := 'o_orderdate',
+                                       dtype := 'timestamp_ntz',
+                                       cnt := COUNT(o_orderdate),
+                                       dst := COUNT(DISTINCT o_orderdate),
+                                       chk := CAST(NULL AS INT),
+                                       fk := FALSE, temporal := TRUE),
+                           struct_pack("column" := 'o_orderpriority',
+                                       dtype := 'string',
+                                       cnt := COUNT(o_orderpriority),
+                                       dst := COUNT(DISTINCT o_orderpriority),
+                                       chk := CAST(NULL AS INT),
+                                       fk := FALSE, temporal := FALSE)
+                       ]) AS c
+                FROM orders
+            )
+        """,
+        "string_patterns_customer": """
+            WITH pats AS (
+                SELECT * FROM (VALUES
+                    ('email', '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$', 0.7),
+                    ('phone', '^[\\+]?[1-9]?[0-9]{7,15}$', 0.5),
+                    ('url', '^https?://', 0.5),
+                    ('numeric_id', '^[0-9]+$', 0.8)
+                ) AS t(pattern, re, thr)
+            ),
+            cols AS (
+                SELECT 'c_name' AS "column", c_name AS v FROM customer
+                UNION ALL
+                SELECT 'c_mktsegment', c_mktsegment FROM customer
+            )
+            SELECT c."column", p.pattern,
+                   FLOOR(
+                       COALESCE(
+                           SUM(CASE WHEN regexp_matches(c.v, p.re)
+                                    THEN 1 ELSE 0 END) * 1.0
+                           / NULLIF(COUNT(c.v), 0), 0.0
+                       ) * 1e6 + 0.5
+                   ) / 1e6 AS match_frac,
+                   CASE WHEN COALESCE(
+                           SUM(CASE WHEN regexp_matches(c.v, p.re)
+                                    THEN 1 ELSE 0 END) * 1.0
+                           / NULLIF(COUNT(c.v), 0), 0.0) > p.thr
+                        THEN 1 ELSE 0 END AS detected
+            FROM cols c CROSS JOIN pats p
+            GROUP BY c."column", p.pattern, p.thr
         """,
         "top_values_priority": """
             SELECT o_orderpriority, COUNT(*) AS count

@@ -458,6 +458,213 @@ def schema_profile(df: DataFrame) -> DataFrame:
     )
 
 
+_PATTERNS = {
+    # reference schema_inference.py:207-232 (semantic string patterns)
+    "email": (r"^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$", 0.7),
+    "phone": (r"^[\+]?[1-9]?[0-9]{7,15}$", 0.5),
+    "url": (r"^https?://", 0.5),
+    "numeric_id": (r"^[0-9]+$", 0.8),
+}
+
+
+def schema_constraints(df: DataFrame) -> DataFrame:
+    """Constraint / index enrichment (reference schema_inference.py:321-374),
+    long format — one row per column:
+
+      column, dtype, null_pct, n_distinct, cardinality(low/medium/high),
+      not_null_ok (<5% nulls), unique_ok (all-distinct non-PK-typed too),
+      check_nonneg (numeric min >= 0), index_reason
+      (foreign_key_performance | low_cardinality_filtering |
+       time_based_queries | NULL)
+
+    The reference derived these from a 10K-row pandas sample; here the
+    stats come from exact distributed aggregation (same two-scan pattern as
+    schema_profile: shared agg for counts/mins + one pruned distinct-count
+    agg), so the plan holds at any table size.
+    """
+    total = F.count(F.lit(1))
+    aggs: list[Column] = [total.alias("__total")]
+    numeric = {
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, _NUMERIC_TYPES)
+    }
+    temporal = {
+        f.name for f in df.schema.fields
+        if isinstance(
+            f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        )
+    }
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__count"))
+        if c in numeric:
+            aggs.append(
+                F.min(F.col(c)).cast("double").alias(f"{c}__min")
+            )
+    wide = df.agg(*aggs)
+    if df.columns:
+        wide = wide.crossJoin(
+            F.broadcast(
+                df.agg(*[
+                    F.count_distinct(F.col(c)).alias(f"{c}__distinct")
+                    for c in df.columns
+                ])
+            )
+        )
+    structs = []
+    for f in df.schema.fields:
+        c = f.name
+        cnt, dst = F.col(f"{c}__count"), F.col(f"{c}__distinct")
+        tot = F.col("__total")
+        null_pct = (tot - cnt) * F.lit(100.0) / tot
+        ratio = dst / tot
+        cardinality = (
+            F.when(ratio > 0.8, F.lit("high"))
+            .when(ratio > 0.1, F.lit("medium"))
+            .otherwise(F.lit("low"))
+        )
+        fk = c.endswith("_id") or c.endswith("Id") or c.endswith("key")
+        # reference priority (schema_inference.py:345-374):
+        # FK, elif low-cardinality, elif date/timestamp
+        index_reason = (
+            F.lit("foreign_key_performance") if fk
+            else F.when(
+                (ratio <= 0.1) & (dst > 1),
+                F.lit("low_cardinality_filtering"),
+            ).otherwise(
+                F.lit("time_based_queries") if c in temporal
+                else F.lit(None).cast("string")
+            )
+        )
+        check_nonneg = (
+            (F.col(f"{c}__min") >= 0).cast("int") if c in numeric
+            else F.lit(None).cast("int")
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                null_pct.cast("double").alias("null_pct"),
+                dst.cast("bigint").alias("n_distinct"),
+                cardinality.alias("cardinality"),
+                (null_pct < 5).cast("int").alias("not_null_ok"),
+                ((cnt == tot) & (dst == tot)).cast("int").alias("unique_ok"),
+                check_nonneg.alias("check_nonneg"),
+                index_reason.alias("index_reason"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.column", "p.dtype", "p.null_pct", "p.n_distinct",
+        "p.cardinality", "p.not_null_ok", "p.unique_ok",
+        "p.check_nonneg", "p.index_reason",
+    )
+
+
+def string_patterns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Semantic pattern detection for string columns (reference
+    schema_inference.py:207-232): fraction of non-null values matching
+    email/phone/url/numeric_id regexes, plus the detected label when the
+    fraction clears the reference's per-pattern threshold. One agg pass
+    over the full table (reference sampled 100 values)."""
+    cols = columns or [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+    aggs: list[Column] = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"{c}__n"))
+        for name, (pat, _thr) in _PATTERNS.items():
+            aggs.append(
+                F.sum(col.rlike(pat).cast("int")).alias(f"{c}__{name}")
+            )
+    wide = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        n = F.col(f"{c}__n")
+        for name, (_pat, thr) in _PATTERNS.items():
+            frac = F.when(
+                n > 0, F.col(f"{c}__{name}") / n
+            ).otherwise(F.lit(0.0))
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(name).alias("pattern"),
+                    frac.cast("double").alias("match_frac"),
+                    (frac > thr).cast("int").alias("detected"),
+                )
+            )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.column", "p.pattern", "p.match_frac", "p.detected"
+    )
+
+
+def infer_schema_report(df: DataFrame, table_name: str = "inferred_table") -> dict:
+    """Full schema-inference report with the reference's shape
+    (schema_inference.py:36-78): columns -> stats, primary_key_candidates,
+    foreign_key_candidates, constraints {not_null, unique, check},
+    indexes_recommended, data_quality summary. The heavy lifting runs as
+    the distributed plans above (schema_profile + schema_constraints);
+    only the tiny per-column summary rows reach the driver."""
+    base = {r["column"]: r.asDict() for r in schema_profile(df).collect()}
+    cons = {r["column"]: r.asDict() for r in schema_constraints(df).collect()}
+    report: dict = {
+        "table_name": table_name,
+        "total_columns": len(df.columns),
+        "columns": {},
+        "primary_key_candidates": [],
+        "foreign_key_candidates": [],
+        "constraints": {"not_null": [], "unique": [], "check": []},
+        "indexes_recommended": [],
+        "data_quality": {},
+    }
+    quality_scores = []
+    for c in df.columns:
+        b, k = base[c], cons[c]
+        null_pct = k["null_pct"]
+        score = 100.0
+        if null_pct > 50:
+            score -= 40
+        elif null_pct > 20:
+            score -= 20
+        elif null_pct > 5:
+            score -= 10
+        quality_scores.append(score)
+        report["columns"][c] = {
+            "dtype": b["dtype"],
+            "null_percentage": null_pct,
+            "unique_count": b["n_distinct"],
+            "cardinality": k["cardinality"],
+            "is_primary_key_candidate": bool(b["pk_candidate"]),
+            "is_foreign_key_candidate": bool(b["fk_candidate"]),
+            "data_quality_score": score,
+        }
+        if b["pk_candidate"]:
+            report["primary_key_candidates"].append(c)
+        if b["fk_candidate"]:
+            report["foreign_key_candidates"].append({
+                "column": c,
+                "referenced_table": c.replace("_id", "").replace("key", ""),
+                "confidence": "medium",
+            })
+        if k["not_null_ok"]:
+            report["constraints"]["not_null"].append(c)
+        if k["unique_ok"] and not b["pk_candidate"]:
+            report["constraints"]["unique"].append(c)
+        if k["check_nonneg"]:
+            report["constraints"]["check"].append(f"{c} >= 0")
+        if k["index_reason"]:
+            report["indexes_recommended"].append({
+                "type": "btree", "columns": [c], "reason": k["index_reason"],
+            })
+    report["data_quality"] = {
+        "overall_score": (
+            sum(quality_scores) / len(quality_scores) if quality_scores else 0
+        ),
+        "primary_key_coverage": bool(report["primary_key_candidates"]),
+    }
+    return report
+
+
 def top_values(
     df: DataFrame, column: str, k: int = 10
 ) -> DataFrame:

@@ -1,0 +1,80 @@
+"""Schema-inference enrichment: PK/FK candidates, constraints, index
+recommendations, string patterns, and the assembled report
+(reference utils/schema_inference.py:36-78, :288-374)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_pipeline_framework_spark.functions import profiling as PR
+
+
+def _fixture(spark):
+    rows = [
+        Row(
+            user_id=i,
+            dept_id=i % 3,
+            email=f"user{i}@example.com" if i % 10 else None,
+            status="active" if i % 2 else "inactive",
+            balance=float(i) * 1.5,
+        )
+        for i in range(100)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_schema_constraints_flags(spark):
+    df = _fixture(spark)
+    out = {r["column"]: r.asDict() for r in PR.schema_constraints(df).collect()}
+
+    # user_id: all-unique non-null int, ends _id -> unique + fk-index
+    uid = out["user_id"]
+    assert uid["unique_ok"] == 1 and uid["not_null_ok"] == 1
+    assert uid["check_nonneg"] == 1
+    assert uid["cardinality"] == "high"
+    assert uid["index_reason"] == "foreign_key_performance"
+
+    # dept_id: 3 distinct of 100 -> low cardinality, but FK wins priority
+    assert out["dept_id"]["cardinality"] == "low"
+    assert out["dept_id"]["index_reason"] == "foreign_key_performance"
+
+    # status: low-cardinality non-FK string -> filtering index
+    assert out["status"]["index_reason"] == "low_cardinality_filtering"
+    assert out["status"]["check_nonneg"] is None
+
+    # email: 10% nulls -> not_null fails
+    assert out["email"]["not_null_ok"] == 0
+
+
+def test_string_patterns_detects_email(spark):
+    df = _fixture(spark)
+    out = {
+        (r["column"], r["pattern"]): r.asDict()
+        for r in PR.string_patterns(df, ["email", "status"]).collect()
+    }
+    assert out[("email", "email")]["detected"] == 1
+    assert out[("email", "email")]["match_frac"] == 1.0  # of non-null values
+    assert out[("status", "email")]["detected"] == 0
+    assert out[("status", "numeric_id")]["match_frac"] == 0.0
+
+
+def test_infer_schema_report_assembly(spark):
+    df = _fixture(spark)
+    rep = PR.infer_schema_report(df, table_name="users")
+
+    assert rep["table_name"] == "users"
+    assert rep["total_columns"] == 5
+    assert "user_id" in rep["primary_key_candidates"]
+    fk_cols = {f["column"] for f in rep["foreign_key_candidates"]}
+    assert {"user_id", "dept_id"} <= fk_cols
+    assert "status" in rep["constraints"]["not_null"]
+    assert "balance >= 0" in rep["constraints"]["check"]
+    # user_id is PK candidate -> excluded from plain UNIQUE list
+    assert "user_id" not in rep["constraints"]["unique"]
+    reasons = {
+        r["columns"][0]: r["reason"] for r in rep["indexes_recommended"]
+    }
+    assert reasons["status"] == "low_cardinality_filtering"
+    # email column: 10% nulls -> per-column score penalty applied
+    assert rep["columns"]["email"]["data_quality_score"] == 90.0
+    assert rep["data_quality"]["primary_key_coverage"] is True
