@@ -1122,6 +1122,51 @@ def schema_inference_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.schema_profile(orders)
 
 
+def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan (reference csv_source.py:20-62): multi-file glob union with
+    `_source_file` provenance. Round-trips nation through CSV part-files in
+    a tmp dir, reads them back through sources.read_csv (header +
+    inferSchema + glob), and checks the content against the parquet oracle
+    — proving the reader's schema inference and multi-file union."""
+    import os
+    import tempfile
+
+    from data_pipeline_framework_spark.sources import readers as R
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = os.path.join(tempfile.gettempdir(), f"dpfs_csv_nation_{tag}")
+    nation.repartition(2).write.mode("overwrite").option(
+        "header", True
+    ).csv(tmp)
+    back = R.read_csv(
+        spark, f"{tmp}/*.csv", source_file_column=True
+    )
+    # provenance column must be populated; content must match the source
+    return back.filter(F.col("_source_file").isNotNull()).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL scan (reference json_source.py:21-89): round-trips a region
+    projection through line-delimited JSON and reads it back with schema
+    inference; content checked against the parquet oracle."""
+    import os
+    import tempfile
+
+    from data_pipeline_framework_spark.sources import readers as R
+
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = os.path.join(tempfile.gettempdir(), f"dpfs_json_region_{tag}")
+    region.write.mode("overwrite").json(tmp)
+    back = R.read_json(spark, f"{tmp}/*.json")
+    return back.select("r_regionkey", "r_name")
+
+
 def schema_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """constraint/index enrichment: NOT NULL / UNIQUE / CHECK>=0 candidates,
     cardinality class, index recommendations (reference
@@ -1758,6 +1803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report": quality_report,
         "correlations_lineitem": correlations_lineitem,
         "schema_inference_orders": schema_inference_orders,
+        "csv_scan_roundtrip": csv_scan_roundtrip,
+        "json_scan_roundtrip": json_scan_roundtrip,
         "schema_constraints_orders": schema_constraints_orders,
         "string_patterns_customer": string_patterns_customer,
         "top_values_priority": top_values_priority,
@@ -2630,6 +2677,12 @@ def oracle_sql() -> dict[str, str]:
                        ]) AS c
                 FROM orders
             )
+        """,
+        "csv_scan_roundtrip": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """,
+        "json_scan_roundtrip": """
+            SELECT r_regionkey, r_name FROM region
         """,
         "schema_constraints_orders": """
             SELECT c.column, c.dtype,

@@ -71,7 +71,19 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from data_pipeline_framework_spark import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    # benchmark session: no UI/event listeners (29 queries × thousands of
+    # tasks of retained UI state otherwise taxes the driver late in the
+    # run), tiny retained-execution buffers.
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "8",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "100",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
@@ -89,8 +101,11 @@ def main() -> None:
             df.collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         # queries persist intermediates (LSH candidates, IVF index, ...);
-        # drop them so one query's cache doesn't tax the next one's GC
+        # drop them so one query's cache doesn't tax the next one's GC,
+        # and collect the garbage NOW so its GC pause doesn't land inside
+        # (and get billed to) whichever query runs next
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -235,6 +235,13 @@ def profile_columns(
     100K-row sampled).
     """
     cols = _numeric_columns(df, columns)
+    # quartiles via the distributed sort-selection kernel: F.percentile's
+    # merge step builds a value->count map of every distinct value in ONE
+    # task (tens of seconds for a few 600K-distinct columns locally;
+    # unbounded at corpus scale). exact_percentiles computes the same exact
+    # interpolated values with a parallel range-sort, so the profiler stays
+    # 100 TB-safe at the cost of being eager about this one statistic.
+    quart = exact_percentiles(df, cols) if cols else {}
     total = F.count(F.lit(1))
     aggs: list[Column] = [total.alias("__total")]
     for c in cols:
@@ -246,13 +253,6 @@ def profile_columns(
             F.sum(col).cast("double").alias(f"{c}__sum"),
             F.avg(col).cast("double").alias(f"{c}__mean"),
             F.stddev(col).cast("double").alias(f"{c}__stddev"),
-            # one percentile accumulator per column (array of 3 probs).
-            # F.percentile's merge builds a distinct-value map in one task:
-            # fine at profile-sized inputs; for corpus-scale tables switch
-            # to exact_percentiles() above (distributed sort-selection,
-            # same exact interpolated semantics).
-            F.percentile(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-            .alias(f"{c}__q"),
             F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__n_zero"),
             F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__n_negative"),
         ]
@@ -281,8 +281,9 @@ def profile_columns(
             if m == "n_null":
                 v = (F.col("__total") - F.col(f"{c}__count")).cast("double")
             elif m in ("q25", "median", "q75"):
-                idx = {"q25": 1, "median": 2, "q75": 3}[m]
-                v = F.element_at(f"{c}__q", idx).cast("double")
+                idx = {"q25": 0, "median": 1, "q75": 2}[m]
+                qv = quart.get(c, [None, None, None])[idx]
+                v = F.lit(qv).cast("double")
             else:
                 v = F.col(f"{c}__{m}").cast("double")
             structs.append(

@@ -161,30 +161,96 @@ def lsh_topk(
     )
 
 
+def _kmeans_numpy(train, n_cells: int, seed: int, n_iter: int = 20):
+    """Seeded Lloyd's k-means on an in-driver sample (kmeans++-style
+    farthest-point init from a fixed RandomState). Training an n_cells-entry
+    codebook needs only ~O(256 * n_cells) vectors, so the sample fits any
+    driver; this is the FAISS recipe (train on a sample, assign the corpus
+    distributed) and replaces an iterative MLlib fit — ~2 Spark jobs
+    instead of ~40."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    x = np.asarray(train, dtype="float64")
+    n = len(x)
+    # kmeans++ init
+    centers = [x[rng.randint(n)]]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, n_cells):
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        idx = rng.choice(n, p=probs)
+        centers.append(x[idx])
+        d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(axis=1))
+    c = np.stack(centers)
+    for _ in range(n_iter):
+        # pairwise squared distances via the expansion trick (no N×K×D temp)
+        dist = (
+            (x ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * x @ c.T
+            + (c ** 2).sum(axis=1)
+        )
+        assign = dist.argmin(axis=1)
+        new_c = c.copy()
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members):
+                new_c[j] = members.mean(axis=0)
+        if np.allclose(new_c, c):
+            c = new_c
+            break
+        c = new_c
+    return c
+
+
 def ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
+    max_train: int = 65536,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF (inverted-file) index: seeded KMeans partitions the corpus into
+    """IVF (inverted-file) index: seeded k-means partitions the corpus into
     `n_cells` Voronoi cells; returns (assignments, centroids).
 
-    The assignments DataFrame (id, vector, __cell) is the persistent
-    index — at 100 TB, write it `partitionBy("__cell")` so a probe scans
-    only the probed cells' files (partition pruning does the work)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Codebook training happens on a bounded driver-side sample (max_train
+    vectors — the FAISS practice; a codebook never needs the full corpus),
+    then every corpus vector is assigned to its nearest centroid in ONE
+    distributed Arrow-batched pass. The assignments DataFrame
+    (id, vector, __cell) is the persistent index — at 100 TB, write it
+    `partitionBy("__cell")` so a probe scans only the probed cells' files
+    (partition pruning does the work)."""
+    import numpy as np
+    import pandas as pd
 
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("__fv", array_to_vector("__v"))
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell"
-    ).fit(c)
-    assigned = model.transform(c).select(id_col, "__v", "__cell")
-    centers = [list(map(float, cc)) for cc in model.clusterCenters()]
+    )
+    n_total = c.count()
+    if n_total <= max_train:
+        sample = [r["__v"] for r in c.select("__v").collect()]
+    else:
+        frac = min(1.0, (max_train * 1.2) / n_total)
+        sample = [
+            r["__v"]
+            for r in c.select("__v").sample(frac, seed=seed)
+            .limit(max_train).collect()
+        ]
+    centers_arr = _kmeans_numpy(sample, n_cells, seed)
+
+    def _assign(vecs):
+        m = np.stack(vecs.to_numpy())
+        dist = (
+            (m ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * m @ centers_arr.T
+            + (centers_arr ** 2).sum(axis=1)
+        )
+        return pd.Series(dist.argmin(axis=1).astype("int32"))
+
+    _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    assign_udf = F.pandas_udf(_assign, "int")
+    assigned = c.withColumn("__cell", assign_udf(F.col("__v")))
+    centers = [list(map(float, cc)) for cc in centers_arr]
     return assigned, centers
 
 

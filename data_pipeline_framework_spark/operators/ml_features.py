@@ -175,13 +175,10 @@ def create_clustering_features(
     algorithm: str = "kmeans",
     include_distances: bool = True,
 ) -> DataFrame:
-    """KMeans cluster label + center distances (reference :450-511)."""
+    """KMeans cluster label + center distances, or grid-DBSCAN labels
+    (reference :450-511; DBSCAN params eps=0.5 / min_samples=5 at :498)."""
     if algorithm == "dbscan":
-        raise NotImplementedError(
-            "DBSCAN has no MLlib implementation; the reference used sklearn "
-            "(feature_engineering.py:496-503). Use kmeans, or a density "
-            "approximation via LSH bucketing."
-        )
+        return _grid_dbscan(df, feature_cols)
     if algorithm != "kmeans":
         raise ValueError(f"unknown clustering algorithm: {algorithm!r}")
 
@@ -207,6 +204,105 @@ def create_clustering_features(
             F.least(*[F.col(f"distance_to_cluster_{i}") for i in range(len(centers))]),
         )
     return work.drop("__features", "__scaled")
+
+
+def _grid_dbscan(
+    df: DataFrame,
+    feature_cols: list[str],
+    eps: float = 0.5,
+    min_samples: int = 5,
+) -> DataFrame:
+    """Distributed density clustering approximating DBSCAN (the reference
+    ran sklearn.DBSCAN(eps=0.5, min_samples=5) on scaled features,
+    feature_engineering.py:496-503 — impossible to run single-node at scale).
+
+    Grid approximation: standardize, bucket points into eps-sized grid
+    cells, call a cell "core" when it holds >= min_samples points, and
+    union core cells that are grid-adjacent (Chebyshev distance 1 — every
+    eps-neighbor pair lives in adjacent cells). Points in core cells get
+    the component label; points in non-core cells adjacent to exactly a
+    core component become border members; the rest are noise (-1).
+
+    Scale shape: the point->cell map and per-cell counts are one shuffle;
+    only the DENSE-cell list (bounded by n/min_samples, typically orders
+    of magnitude smaller than the data, independent of row count for
+    fixed-density data) reaches the driver for the union-find. Labels are
+    deterministic: components renumbered 0..k-1 by size desc, then lexical
+    min cell. Deviation from exact DBSCAN (documented): density is tested
+    per-cell, not per eps-ball, so clusters separated by < eps*sqrt(d) may
+    merge and sparse cluster fringes can read as noise."""
+    work = _assemble_scaled(df, feature_cols)
+    arr = vector_to_array(F.col("__scaled"))
+    d = len(feature_cols)
+    cell = F.array(*[
+        F.floor(arr[j] / F.lit(float(eps))).cast("long") for j in range(d)
+    ])
+    pts = work.withColumn("__cell", cell)
+    counts = pts.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n"))
+    core = [
+        tuple(r["__cell"])
+        for r in counts.filter(F.col("__n") >= min_samples).collect()
+    ]
+
+    # driver-side union-find over dense cells (cell graph, not point graph)
+    parent = {c: c for c in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    core_set = set(core)
+    from itertools import product as _product
+
+    for c in core:
+        for off in _product((-1, 0, 1), repeat=d):
+            if all(o == 0 for o in off):
+                continue
+            nb = tuple(ci + o for ci, o in zip(c, off))
+            if nb in core_set:
+                ra, rb = find(c), find(nb)
+                if ra != rb:
+                    parent[ra] = rb
+    comp: dict[tuple, int] = {}
+    sizes: dict[tuple, int] = {}
+    for c in core:
+        sizes[find(c)] = sizes.get(find(c), 0) + 1
+    roots = sorted(sizes, key=lambda r: (-sizes[r], r))
+    root_label = {r: i for i, r in enumerate(roots)}
+    for c in core:
+        comp[c] = root_label[find(c)]
+
+    # border assignment: every non-core cell adjacent to a core cell
+    # inherits the smallest adjacent component. Derived from the CORE set
+    # (bounded, already on the driver) — never by collecting sparse cells,
+    # whose count is O(points) in the noise-heavy worst case.
+    border: dict[tuple, int] = {}
+    for c, lab in comp.items():
+        for off in _product((-1, 0, 1), repeat=d):
+            if all(o == 0 for o in off):
+                continue
+            nb = tuple(ci + o for ci, o in zip(c, off))
+            if nb not in comp:
+                border[nb] = (
+                    lab if nb not in border else min(border[nb], lab)
+                )
+
+    spark = df.sparkSession
+    label_rows = [(list(c), l) for c, l in comp.items()] + [
+        (list(c), l) for c, l in border.items()
+    ]
+    if label_rows:
+        labels = spark.createDataFrame(
+            label_rows, "__cell array<bigint>, cluster_label int"
+        )
+        out = pts.join(F.broadcast(labels), "__cell", "left").withColumn(
+            "cluster_label", F.coalesce("cluster_label", F.lit(-1))
+        )
+    else:
+        out = pts.withColumn("cluster_label", F.lit(-1))
+    return out.drop("__cell", "__features", "__scaled")
 
 
 # ---------------------------------------------------------------------------

@@ -86,8 +86,29 @@ def test_clustering_features(spark):
             min(r["distance_to_cluster_0"], r["distance_to_cluster_1"])
         )
 
-    with pytest.raises(NotImplementedError):
-        create_clustering_features(df, ["x", "y"], algorithm="dbscan")
+def test_grid_dbscan_blobs_and_noise(spark):
+    # two tight blobs of 30 + isolated noise points; grid-DBSCAN on scaled
+    # features must find exactly two clusters and flag the noise with -1
+    pts = [(i, 0.0 + (i % 5) * 0.01, 0.0 + (i % 7) * 0.01) for i in range(30)]
+    pts += [(100 + i, 10.0 + (i % 5) * 0.01, 10.0 + (i % 7) * 0.01)
+            for i in range(30)]
+    pts += [(200, -40.0, 35.0), (201, 42.0, -38.0)]  # noise, far away
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    out = create_clustering_features(
+        df, ["x", "y"], algorithm="dbscan"
+    )
+    rows = out.collect()
+    lab_a = {r["cluster_label"] for r in rows if 0 <= r["id"] < 30}
+    lab_b = {r["cluster_label"] for r in rows if 100 <= r["id"] < 130}
+    noise = {r["cluster_label"] for r in rows if r["id"] >= 200}
+    assert len(lab_a) == 1 and len(lab_b) == 1
+    assert lab_a != lab_b
+    assert -1 not in lab_a | lab_b
+    assert noise == {-1}
+    # labels deterministic and dense: {0, 1}
+    assert lab_a | lab_b == {0, 1}
+    # no MLlib vector residue in the output schema
+    assert {"__cell", "__features", "__scaled"}.isdisjoint(out.columns)
 
 
 def test_pca_features_auto_components(spark):
