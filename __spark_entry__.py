@@ -740,7 +740,9 @@ def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exact brute-force cosine top-10 for 5 query vectors."""
+    """exact brute-force cosine top-10 for 5 query vectors. Oracle-checked:
+    the DuckDB twin mirrors the dot/norm/divide op order so the raw doubles
+    agree to the 6-decimal rounding."""
     from data_pipeline_framework_spark.functions import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2370,6 +2372,30 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY fp HAVING COUNT(*) > 1
         """,
         "minhash_neardup": _minhash_oracle(),
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+            ), scored AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(q.qv, c.cv) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(c.cv, c.cv))) AS cos_raw
+                FROM q, c
+            ), ranked AS (
+                SELECT query_id, vec_id, cos_raw,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_raw DESC, vec_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id,
+                   FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
+            FROM ranked WHERE rank <= 10
+        """,
         "ngram_jaccard_neardup": f"""
             WITH d AS (
                 SELECT doc_id, {_DD_SHINGLES} AS sh

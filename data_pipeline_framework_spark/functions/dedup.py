@@ -36,10 +36,25 @@ def _spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Repartition up to the cluster's parallelism before CPU-bound
     shingle/hash work. Small-file corpora (one 128 MB split = one task)
     otherwise serialize the most expensive stage of the pipeline on a
-    single core; at 100 TB inputs are already wide and this is a no-op."""
+    single core; at 100 TB inputs are already wide and this is a no-op.
+
+    Width probe: `inputFiles()` (metadata-only, ~ms). File count lower-
+    bounds the scan's partition count (block splitting only adds tasks),
+    so `files >= target` safely skips the shuffle. Only non-file-backed
+    plans fall through to the JVM-side RDD probe; the Python `df.rdd`
+    probe is never used (it builds a Python-serialized RDD — ~1 s of
+    plan conversion per call)."""
     sc = df.sparkSession.sparkContext
     target = parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n = len(df.inputFiles())
+    except Exception:
+        n = 0
+    if n >= target:
+        return df
+    if n == 0:  # non-file plan (in-memory, stream, join output)
+        n = df._jdf.rdd().getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 

@@ -38,6 +38,154 @@ def exact_percentiles(
     columns: list[str],
     probs: list[float] = (0.25, 0.5, 0.75),
     partitions: int | None = None,
+    accuracy: int = 10_000,
+) -> dict[str, list[float]]:
+    """Exact interpolated percentiles for many columns in TWO narrow agg
+    passes (sketch-bracketed selection), falling back per column to the
+    distributed-sort kernel when verification fails.
+
+    Pass 1: one `df.agg` computing per column count/min/max plus an
+    `approx_percentile` sketch evaluated at p ± margin (margin = 4/accuracy,
+    4x the sketch's ~1/accuracy rank-error bound). Pass 2: one `df.agg`
+    computing, per (column, prob), the exact rank of the bracket's lower
+    edge (`sum(v < lo)`) and the sorted candidate window (`collect_list`
+    of values inside the bracket — expected size ~2*margin*n, a few
+    hundred values at any accuracy-matched scale). The true floor/ceil
+    rank values are then read off the window driver-side. Rank arithmetic
+    is verified exactly; any column whose window missed the target ranks
+    (sketch bound violated — shouldn't happen, but exactness must not
+    depend on it) is recomputed with `_exact_percentiles_sort`.
+
+    Scale shape: two full scans, no shuffle beyond partial-agg merge, no
+    melt, no global sort. At 100 TB, raise `accuracy` so 2*n/accuracy
+    values fit the driver (or let the sort fallback take over); the
+    window size is bounded and checked, never trusted.
+
+    Returns {column: [value per prob]}; a column with zero non-null
+    values maps to Nones. NaN-free inputs assumed (NaN compares false
+    everywhere and would trip the verified fallback).
+    """
+    if not columns or not probs:
+        return {c: [None] * len(probs) for c in columns}
+    aggs = percentile_meta_aggs(columns, probs, accuracy)
+    row = df.agg(*aggs).first()
+    meta = {
+        c: (row[f"{c}__n"], row[f"{c}__min"], row[f"{c}__max"],
+            row[f"{c}__b"])
+        for c in columns
+    }
+    return percentiles_from_meta(
+        df, columns, probs, meta, accuracy=accuracy, partitions=partitions
+    )
+
+
+def _bracket_probs(probs, margin: float) -> list[float]:
+    return sorted({max(p - margin, 0.0) for p in probs}
+                  | {min(p + margin, 1.0) for p in probs})
+
+
+def percentile_meta_aggs(
+    columns: list[str],
+    probs: list[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+) -> list[Column]:
+    """Pass-1 aggregate expressions for `percentiles_from_meta` — exposed
+    so a host aggregation (e.g. the profiler's main stats pass) can fuse
+    them into its own scan instead of paying a separate one. Aliases:
+    `{c}__n/{c}__min/{c}__max/{c}__b`."""
+    margin = 4.0 / accuracy
+    bracket = _bracket_probs(probs, margin)
+    aggs: list[Column] = []
+    for c in columns:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(v).alias(f"{c}__n"),
+            F.min(v).alias(f"{c}__min"),
+            F.max(v).alias(f"{c}__max"),
+            F.percentile_approx(
+                v, F.array(*[F.lit(p) for p in bracket]), accuracy
+            ).alias(f"{c}__b"),
+        ]
+    return aggs
+
+
+def percentiles_from_meta(
+    df: DataFrame,
+    columns: list[str],
+    probs: list[float],
+    meta: dict[str, tuple],
+    accuracy: int = 10_000,
+    partitions: int | None = None,
+) -> dict[str, list[float]]:
+    """Pass 2 of the sketch-bracketed selection: exact rank-below counts
+    plus sorted candidate windows in one agg, values read off driver-side,
+    rank arithmetic verified, sort-kernel fallback per failed column.
+    `meta` maps column -> (n_nonnull, min, max, sketch values at the
+    bracket probs from `percentile_meta_aggs`)."""
+    import math
+
+    margin = 4.0 / accuracy
+    bracket = _bracket_probs(probs, margin)
+    b_idx = {p: i for i, p in enumerate(bracket)}
+    exprs: list[Column] = []
+    for c in columns:
+        n, mn, mx, sketch = meta[c]
+        if not n:
+            continue
+        for j, p in enumerate(probs):
+            lo = sketch[b_idx[max(p - margin, 0.0)]]
+            hi = sketch[b_idx[min(p + margin, 1.0)]]
+            # belt-and-braces clamp (sketch endpoints are true min/max
+            # for p=0/1, but exactness rides on the verify, not on this)
+            lo = max(min(lo, hi), mn)
+            hi = min(max(lo, hi), mx)
+            v = F.col(c).cast("double")
+            exprs.append(
+                F.sum(F.when(v < lo, 1).otherwise(0)).alias(f"{c}__{j}__lt")
+            )
+            exprs.append(
+                F.sort_array(
+                    F.collect_list(F.when((v >= lo) & (v <= hi), v))
+                ).alias(f"{c}__{j}__w")
+            )
+    win = df.agg(*exprs).first() if exprs else None
+
+    result: dict[str, list[float]] = {}
+    retry: list[str] = []
+    for c in columns:
+        n = meta[c][0]
+        if not n:
+            result[c] = [None] * len(probs)
+            continue
+        vals: list[float] = []
+        ok = True
+        for j, p in enumerate(probs):
+            t = (n - 1) * p
+            lo_r, hi_r = int(math.floor(t)), int(math.ceil(t))
+            base = win[f"{c}__{j}__lt"] or 0
+            w = win[f"{c}__{j}__w"]
+            if not (base <= lo_r and hi_r < base + len(w)):
+                ok = False
+                break
+            a, b = w[lo_r - base], w[hi_r - base]
+            frac = t - lo_r
+            vals.append(a if lo_r == hi_r else a * (1 - frac) + b * frac)
+        if ok:
+            result[c] = vals
+        else:
+            retry.append(c)
+    if retry:
+        result.update(
+            _exact_percentiles_sort(df, retry, probs, partitions)
+        )
+    return result
+
+
+def _exact_percentiles_sort(
+    df: DataFrame,
+    columns: list[str],
+    probs: list[float] = (0.25, 0.5, 0.75),
+    partitions: int | None = None,
 ) -> dict[str, list[float]]:
     """Exact interpolated percentiles for many columns via ONE distributed
     sort — the 100 TB-safe alternative to `F.percentile`, whose final merge
@@ -150,7 +298,7 @@ def average_ranks(
 
     A naive `row_number().over(Window.orderBy(c))` funnels the whole table
     through ONE task per column; this uses the same machinery as
-    exact_percentiles: melt long -> repartitionByRange -> local sort ->
+    _exact_percentiles_sort: melt long -> repartitionByRange -> local sort ->
     per-partition counts (tiny driver list) -> global position arithmetic
     JVM-side -> tie-average per value -> null-safe join back by value.
     Every step is a parallel shuffle/sort; nothing single-task touches the
@@ -235,66 +383,69 @@ def profile_columns(
     100K-row sampled).
     """
     cols = _numeric_columns(df, columns)
-    # quartiles via the distributed sort-selection kernel: F.percentile's
-    # merge step builds a value->count map of every distinct value in ONE
-    # task (tens of seconds for a few 600K-distinct columns locally;
-    # unbounded at corpus scale). exact_percentiles computes the same exact
-    # interpolated values with a parallel range-sort, so the profiler stays
-    # 100 TB-safe at the cost of being eager about this one statistic.
-    quart = exact_percentiles(df, cols) if cols else {}
+    probs = (0.25, 0.5, 0.75)
     total = F.count(F.lit(1))
+    # Scan 1: every per-column statistic PLUS the quartile bracket sketch
+    # (percentile_meta_aggs) in one fused agg. Quartiles themselves come
+    # from the sketch-bracketed exact-selection kernel: F.percentile's
+    # merge step would build a value->count map of every distinct value in
+    # ONE task (seconds for a 600K-distinct column locally; unbounded at
+    # corpus scale), while the kernel's scan-2 only collects the tiny
+    # verified candidate window around each target rank.
     aggs: list[Column] = [total.alias("__total")]
     for c in cols:
         col = F.col(c)
         aggs += [
-            F.count(col).alias(f"{c}__count"),
-            F.min(col).cast("double").alias(f"{c}__min"),
-            F.max(col).cast("double").alias(f"{c}__max"),
             F.sum(col).cast("double").alias(f"{c}__sum"),
             F.avg(col).cast("double").alias(f"{c}__mean"),
             F.stddev(col).cast("double").alias(f"{c}__stddev"),
             F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__n_zero"),
             F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__n_negative"),
         ]
-    wide = df.agg(*aggs)
-    # exact distinct counts go in ONE separate agg cross-joined back in:
-    # sharing an agg with the percentiles would Expand the percentile input
-    # N+1 times; a dedicated agg Expands only the pruned distinct-count
-    # columns (column pruning reaches the scan), so the total cost is two
-    # scans — not one-plus-N.
+    aggs += percentile_meta_aggs(cols, probs)
+    row = df.agg(*aggs).first()
+    # Scan 2: quartile window extraction (+ verified fallback).
+    meta = {
+        c: (row[f"{c}__n"], row[f"{c}__min"], row[f"{c}__max"],
+            row[f"{c}__b"])
+        for c in cols
+    }
+    quart = percentiles_from_meta(df, cols, probs, meta) if cols else {}
+    # Scan 3: exact distinct counts in a dedicated agg — fusing several
+    # count_distinct columns into the stats agg would Expand (replicate)
+    # the input once per distinct column; standalone, column pruning
+    # reaches the scan and the Expand covers only these columns.
     if cols:
-        wide = wide.crossJoin(
-            F.broadcast(
-                df.select(*cols).agg(*[
-                    F.count_distinct(F.col(c)).alias(f"{c}__n_distinct")
-                    for c in cols
-                ])
-            )
-        )
+        nd_row = df.select(*cols).agg(*[
+            F.count_distinct(F.col(c)).alias(c) for c in cols
+        ]).first()
     metrics = [
         "count", "n_null", "n_distinct", "min", "max", "sum", "mean",
         "stddev", "q25", "median", "q75", "n_zero", "n_negative",
     ]
-    structs = []
+    out_rows: list[tuple[str, str, float | None]] = []
     for c in cols:
+        n = row[f"{c}__n"]
+        q = quart.get(c, [None, None, None])
+        vals = {
+            "count": float(n),
+            "n_null": float(row["__total"] - n),
+            "n_distinct": float(nd_row[c]),
+            "min": row[f"{c}__min"],
+            "max": row[f"{c}__max"],
+            "sum": row[f"{c}__sum"],
+            "mean": row[f"{c}__mean"],
+            "stddev": row[f"{c}__stddev"],
+            "q25": q[0], "median": q[1], "q75": q[2],
+            "n_zero": float(row[f"{c}__n_zero"]),
+            "n_negative": float(row[f"{c}__n_negative"]),
+        }
         for m in metrics:
-            if m == "n_null":
-                v = (F.col("__total") - F.col(f"{c}__count")).cast("double")
-            elif m in ("q25", "median", "q75"):
-                idx = {"q25": 0, "median": 1, "q75": 2}[m]
-                qv = quart.get(c, [None, None, None])[idx]
-                v = F.lit(qv).cast("double")
-            else:
-                v = F.col(f"{c}__{m}").cast("double")
-            structs.append(
-                F.struct(
-                    F.lit(c).alias("column"), F.lit(m).alias("metric"),
-                    v.alias("value"),
-                )
-            )
-    return wide.select(
-        F.explode(F.array(*structs)).alias("p")
-    ).select("p.column", "p.metric", "p.value")
+            v = vals[m]
+            out_rows.append((c, m, None if v is None else float(v)))
+    return df.sparkSession.createDataFrame(
+        out_rows, "column string, metric string, value double"
+    )
 
 
 def quality_metrics(df: DataFrame, rules: list[dict]) -> DataFrame:
