@@ -134,3 +134,65 @@ def test_compiler_matches_duckdb(spark, rows, program):
     con.close()
 
     assert _canon(got) == _canon(want)
+
+
+# --- join differential: every `how`, null keys, duplicate keys ----------
+
+_jrows_l = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),   # k
+        st.integers(0, 99),                        # x
+    ),
+    min_size=0, max_size=12,
+)
+_jrows_r = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),   # k
+        st.integers(100, 199),                     # y
+    ),
+    min_size=0, max_size=12,
+)
+_join_how = st.sampled_from(
+    ["inner", "left", "right", "full", "left_semi", "left_anti"]
+)
+
+_JOIN_SQL = {
+    "inner": "SELECT k, x, y FROM l JOIN r USING (k)",
+    "left": "SELECT k, x, y FROM l LEFT JOIN r USING (k)",
+    "right": "SELECT k, x, y FROM l RIGHT JOIN r USING (k)",
+    "full": "SELECT k, x, y FROM l FULL JOIN r USING (k)",
+    "left_semi": "SELECT k, x FROM l SEMI JOIN r USING (k)",
+    "left_anti": "SELECT k, x FROM l ANTI JOIN r USING (k)",
+}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(lrows=_jrows_l, rrows=_jrows_r, how=_join_how)
+def test_join_op_matches_duckdb(spark, lrows, rrows, how):
+    """The join op must agree with DuckDB for every join type, including
+    null-key rows (never match; kept by left/full/anti, dropped by
+    inner/semi) and duplicate keys (cross products). `on`-list joins
+    coalesce the key column exactly like SQL USING."""
+    sdf_l = spark.createDataFrame(lrows, "k long, x long")
+    sdf_r = spark.createDataFrame(rrows, "k long, y long")
+    ops = [{
+        "type": "join",
+        "params": {"right": sdf_r, "on": "k", "how": how},
+    }]
+    got = compile_ops(ops)(sdf_l).toPandas()
+
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows, columns=["k", "x"]).astype(
+        {"k": "Int64", "x": "int64"}
+    ))
+    con.register("r", pd.DataFrame(rrows, columns=["k", "y"]).astype(
+        {"k": "Int64", "y": "int64"}
+    ))
+    want = con.execute(_JOIN_SQL[how]).df()
+    con.close()
+
+    assert _canon(got) == _canon(want)
