@@ -1169,6 +1169,32 @@ def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("r_regionkey", "r_name")
 
 
+def csv_schema_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV schema probe (reference csv_source.py:73-104): round-trips
+    region through CSV, probes it with sources.get_schema (inferSchema +
+    bounded-sample null counts), and returns one row per column. Pins the
+    inferred dtype and exact null counts; the probe's approx distinct
+    count is intentionally excluded (HLL is not oracle-stable)."""
+    import os
+    import tempfile
+
+    from data_pipeline_framework_spark.sources import readers as R
+
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = os.path.join(tempfile.gettempdir(), f"dpfs_probe_region_{tag}")
+    region.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    probe = R.get_schema(spark, f"{tmp}/*.csv", fmt="csv")
+    rows = [
+        (c["name"], c["dtype"], int(c["null_count"]))
+        for c in probe["columns"]
+        if not c["name"].startswith("_")  # drop provenance column if any
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, dtype string, null_count bigint"
+    )
+
+
 def schema_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """constraint/index enrichment: NOT NULL / UNIQUE / CHECK>=0 candidates,
     cardinality class, index recommendations (reference
@@ -1807,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_inference_orders": schema_inference_orders,
         "csv_scan_roundtrip": csv_scan_roundtrip,
         "json_scan_roundtrip": json_scan_roundtrip,
+        "csv_schema_probe": csv_schema_probe,
         "schema_constraints_orders": schema_constraints_orders,
         "string_patterns_customer": string_patterns_customer,
         "top_values_priority": top_values_priority,
@@ -2709,6 +2736,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_scan_roundtrip": """
             SELECT r_regionkey, r_name FROM region
+        """,
+        "csv_schema_probe": """
+            SELECT 'r_regionkey' AS col_name, 'int' AS dtype,
+                   COUNT(*) - COUNT(r_regionkey) AS null_count FROM region
+            UNION ALL
+            SELECT 'r_name', 'string',
+                   COUNT(*) - COUNT(r_name) FROM region
         """,
         "schema_constraints_orders": """
             SELECT c.column, c.dtype,
