@@ -53,7 +53,10 @@ def _spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     if n >= target:
         return df
     if n == 0:  # non-file plan (in-memory, stream, join output)
-        n = df._jdf.rdd().getNumPartitions()
+        try:
+            n = df._jdf.rdd().getNumPartitions()
+        except Exception:
+            return df.repartition(target)
     if n < target:
         return df.repartition(target)
     return df
