@@ -10,6 +10,13 @@ executor-parallel (``df.write`` / ``foreachPartition``), so a 100 TB write
 never touches the driver.
 """
 
+from .ddl import (
+    create_table,
+    ddl_for_schema,
+    drop_table,
+    get_table_info,
+    list_tables,
+)
 from .writers import (
     write_csv,
     write_json,
@@ -32,4 +39,9 @@ __all__ = [
     "write_kafka",
     "redis_kv_writer",
     "write_output",
+    "create_table",
+    "ddl_for_schema",
+    "drop_table",
+    "get_table_info",
+    "list_tables",
 ]
