@@ -1585,6 +1585,50 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.round("disc_revenue_sum", 2).alias("revenue"))
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated subquery as a THETA semi join
+    (condition `o_orderkey = l_orderkey AND l_shipdate > o_orderdate`),
+    priority counts for one quarter. The driver schema has no
+    l_commitdate/l_receiptdate, so the late-line predicate is
+    shipped-after-order-date. Catalyst executes the equi part hashed with
+    the inequality as a post-filter — no BNL explosion."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    out = apply_ops(orders, [
+        {"type": "filter", "filters": [
+            {"column": "o_orderdate", "operator": ">=", "value": "1996-01-01"},
+            {"column": "o_orderdate", "operator": "<", "value": "1996-04-01"},
+        ]},
+        {"type": "join", "right": li, "how": "left_semi",
+         "condition": "o_orderkey = l_orderkey AND l_shipdate > o_orderdate"},
+        {"type": "aggregate", "group_by": ["o_orderpriority"],
+         "aggregations": {"o_orderkey": ["count"]}},
+        {"type": "sort", "by": ["o_orderpriority"]},
+    ])
+    return out
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month; part side
+    broadcast, conditional sum over the joined fact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    )
+    out = joined.agg(
+        (
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev)
+        ).alias("__pct")
+    )
+    return out.select(_r(F.col("__pct"), 4).alias("promo_revenue_pct"))
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: 4-table join (nation broadcast), returned-item
     revenue per customer, deterministic top-20."""
@@ -1853,7 +1897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_acctbal": range_join_acctbal,
         "mode_imputation": mode_imputation,
         "dedup_keep_last": dedup_keep_last,
+        "q4_order_priority": q4_order_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q14_promo_revenue": q14_promo_revenue,
         "q10_returned_items": q10_returned_items,
         "q18_large_volume": q18_large_volume,
         "semi_join_urgent_customers": semi_join_urgent_customers,
@@ -3074,6 +3120,31 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.04 AND 0.06
               AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority,
+                   COUNT(o_orderkey) AS o_orderkey_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q14_promo_revenue": """
+            SELECT FLOOR(
+                100.0
+                * SUM(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0 END)
+                / SUM(l_extendedprice * (1 - l_discount))
+                * 1e4 + 0.5) / 1e4 AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name,

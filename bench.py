@@ -32,8 +32,10 @@ _WIDE = {
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q4_order_priority",
     "q5_regional_revenue",
     "q6_forecast_revenue",
+    "q14_promo_revenue",
     "q10_returned_items",
     "q18_large_volume",
     "semi_join_urgent_customers",
