@@ -143,3 +143,15 @@ def test_semi_join_physical_semi(spark, sf_dir):
     out = entry.semi_join_urgent_customers(spark, sf_dir)
     plan = _plan(out)
     assert "LeftSemi" in plan
+
+
+def test_theta_semi_join_hashed_not_bnl(spark, sf_dir):
+    """Q4's EXISTS-with-inequality must run as a HASHED semi join on the
+    equi key with the inequality as a join-condition extra — a
+    BroadcastNestedLoopJoin here would be O(orders x lineitem) at scale."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
