@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # pandas-style frequency aliases -> (Spark window duration, date_trunc unit)
 _FREQ = {
@@ -517,6 +518,26 @@ def _interval_micros(gap: str | int | float) -> int:
     return int(float(qty) * _UNIT_MICROS[unit])
 
 
+def _is_ntz(df: DataFrame, col: str) -> bool:
+    field = next((f for f in df.schema.fields if f.name == col), None)
+    return field is not None and isinstance(field.dataType, T.TimestampNTZType)
+
+
+def _epoch_micros(col, ntz: bool) -> F.Column:
+    """Microseconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+
+    unix_micros only accepts TIMESTAMP_LTZ; NANOS parquet (e.g. the events
+    table) arrives as TIMESTAMP_NTZ, so NTZ inputs go through
+    timestamp_diff(MICROSECOND, epoch, ts) — wall-clock arithmetic that is
+    independent of the session timezone (verified against a non-UTC session)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if ntz:
+        return F.timestamp_diff(
+            "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
+        )
+    return F.unix_micros(c)
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,
@@ -530,8 +551,9 @@ def sessionize(
     keys = list(group_by or [])
     order = [ts_col] + list(tiebreak or [])
     w = Window.partitionBy(*keys).orderBy(*order)
-    gap_micros = F.unix_micros(F.col(ts_col)) - F.unix_micros(
-        F.lag(ts_col, 1).over(w)
+    ntz = _is_ntz(df, ts_col)
+    gap_micros = _epoch_micros(ts_col, ntz) - _epoch_micros(
+        F.lag(ts_col, 1).over(w), ntz
     )
     thresh_micros = F.lit(_interval_micros(gap))
     new_session = F.when(

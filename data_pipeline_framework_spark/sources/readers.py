@@ -71,10 +71,14 @@ def read_parquet(
     **options,
 ) -> DataFrame:
     """Parquet scan. `nanos_ts_columns` handles files written with
-    TIMESTAMP(NANOS) (illegal for Spark's vectorized reader): the session
-    must set spark.sql.legacy.parquet.nanosAsLong=true, after which those
-    columns arrive as nanosecond longs and are truncated to microsecond
-    timestamps here (matching DuckDB's nanos->micros truncation)."""
+    TIMESTAMP(NANOS) (illegal for Spark's vectorized reader): with
+    spark.sql.legacy.parquet.nanosAsLong=true those columns arrive as
+    nanosecond longs and are truncated to microsecond timestamps here
+    (matching DuckDB's nanos->micros truncation). The conf is runtime-
+    settable, so it is applied here rather than assumed on the session —
+    callers with a vanilla SparkSession (e.g. an external harness) read
+    NANOS files without special setup."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.options(**options).parquet(
         *(path if isinstance(path, list) else [path])
     )

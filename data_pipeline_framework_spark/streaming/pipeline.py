@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.timeseries import _window_aggs
 
@@ -138,6 +139,19 @@ def field_filters(kind: str, column: str, value=None) -> Column:
 # watermarked windowed aggregations
 
 
+def _watermarked(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """withWatermark, coercing TIMESTAMP_NTZ event time to TIMESTAMP first.
+
+    Spark watermarks only accept TIMESTAMP_LTZ; NANOS-parquet sources (the
+    events table) arrive as NTZ. The cast interprets NTZ wall-clock in the
+    session timezone (UTC in get_spark sessions), which is the only
+    consistent event-time reading available."""
+    field = next((f for f in df.schema.fields if f.name == ts_col), None)
+    if field is not None and isinstance(field.dataType, T.TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
+
+
 def tumbling_stream(
     df: DataFrame,
     ts_col: str,
@@ -152,7 +166,7 @@ def tumbling_stream(
     from ..operators.timeseries import tumbling_window
 
     return tumbling_window(
-        df.withWatermark(ts_col, watermark), ts_col, duration,
+        _watermarked(df, ts_col, watermark), ts_col, duration,
         aggregations, group_by,
     )
 
@@ -169,7 +183,7 @@ def sliding_stream(
     from ..operators.timeseries import sliding_window
 
     return sliding_window(
-        df.withWatermark(ts_col, watermark), ts_col, duration, slide,
+        _watermarked(df, ts_col, watermark), ts_col, duration, slide,
         aggregations, group_by,
     )
 
@@ -187,7 +201,7 @@ def sessionized_stream(
     from ..operators.timeseries import session_window
 
     return session_window(
-        df.withWatermark(ts_col, watermark), ts_col, gap,
+        _watermarked(df, ts_col, watermark), ts_col, gap,
         aggregations, group_by,
     )
 
