@@ -87,22 +87,29 @@ class QueueManager:
 
     def next_item(self) -> QueueItem | None:
         """Atomically claim the highest-priority pending item (priority
-        DESC, FIFO within priority — reference queue_manager.py:142-167)."""
-        with self._conn:  # single transaction: select + mark
-            row = self._conn.execute(
-                "SELECT id FROM queue_items WHERE status = ?"
-                " ORDER BY priority DESC, id ASC LIMIT 1",
-                (QueueStatus.PENDING.value,),
-            ).fetchone()
-            if row is None:
-                return None
-            self._conn.execute(
-                "UPDATE queue_items SET status = ?, updated_at = ?"
-                " WHERE id = ? AND status = ?",
-                (QueueStatus.PROCESSING.value, time.time(), row[0],
-                 QueueStatus.PENDING.value),
-            )
-        return self.get(row[0])
+        DESC, FIFO within priority — reference queue_manager.py:142-167).
+
+        Cross-process safe: the guarded UPDATE's rowcount decides whether
+        THIS connection won the claim; on a lost race (another worker
+        flipped the row between our SELECT and UPDATE) it retries with the
+        next candidate instead of processing a stolen item."""
+        while True:
+            with self._conn:  # single transaction: select + mark
+                row = self._conn.execute(
+                    "SELECT id FROM queue_items WHERE status = ?"
+                    " ORDER BY priority DESC, id ASC LIMIT 1",
+                    (QueueStatus.PENDING.value,),
+                ).fetchone()
+                if row is None:
+                    return None
+                claimed = self._conn.execute(
+                    "UPDATE queue_items SET status = ?, updated_at = ?"
+                    " WHERE id = ? AND status = ?",
+                    (QueueStatus.PROCESSING.value, time.time(), row[0],
+                     QueueStatus.PENDING.value),
+                ).rowcount
+            if claimed:
+                return self.get(row[0])
 
     def complete(self, item_id: int) -> None:
         self._set_status(item_id, QueueStatus.COMPLETED, None)

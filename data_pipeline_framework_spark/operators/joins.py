@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -50,13 +51,21 @@ def asof_join(
         return f"{right_prefix}{c}"
 
     on_right = rname(f"{on}_right")
-    # union both sides: left carries payload nulls, right carries values
+    # union both sides: left carries a NULL payload struct, right rows carry
+    # ONE struct of all payload columns + the right `on` value. Carrying a
+    # single struct (not each column independently) guarantees every
+    # attached value comes from the SAME matched right row — including that
+    # row's own NULLs (pandas merge_asof / DuckDB ASOF JOIN semantics; a
+    # per-column last(ignorenulls) would backfill NULL payload fields from
+    # older rows and could mix rows).
+    pay_type = T.StructType(
+        [T.StructField(rname(c), right.schema[c].dataType) for c in rcols]
+        + [T.StructField(on_right, right.schema[on].dataType)]
+    )
     lt = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(rname(c))
-          for c in rcols],
-        F.lit(None).cast(right.schema[on].dataType).alias(on_right),
+        F.lit(None).cast(pay_type).alias("__rpay"),
     )
     rt = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -64,8 +73,10 @@ def asof_join(
         *[F.col(c) for c in by],
         F.col(on),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(rname(c)) for c in rcols],
-        F.col(on).alias(on_right),
+        F.struct(
+            *[F.col(c).alias(rname(c)) for c in rcols],
+            F.col(on).alias(on_right),
+        ).alias("__rpay"),
     ).select(*lt.columns)  # align column order
     u = lt.unionByName(rt)
 
@@ -76,22 +87,20 @@ def asof_join(
             .orderBy(F.col(on).asc(), F.col("__is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carried = {c: F.last(rname(c), ignorenulls=True).over(w) for c in rcols}
-        carried_on = F.last(on_right, ignorenulls=True).over(w)
+        carried_pay = F.last("__rpay", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*by)
             .orderBy(F.col(on).asc(), F.col("__is_left").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        carried = {c: F.first(rname(c), ignorenulls=True).over(w) for c in rcols}
-        carried_on = F.first(on_right, ignorenulls=True).over(w)
+        carried_pay = F.first("__rpay", ignorenulls=True).over(w)
 
     out = u.select(
         *[F.col(c) for c in left.columns],
         F.col("__is_left"),
-        *[carried[c].alias(rname(c)) for c in rcols],
-        carried_on.alias(on_right),
+        *[carried_pay.getField(rname(c)).alias(rname(c)) for c in rcols],
+        carried_pay.getField(on_right).alias(on_right),
     ).filter(F.col("__is_left") == 1).drop("__is_left")
 
     if tolerance is not None:
@@ -137,10 +146,34 @@ def range_join(
     cond = (F.col(point) >= F.col(lower)) & (F.col(point) < F.col(upper))
     if bucket_width is None:
         if by:
-            return left.join(right, on=by, how=how).filter(cond)
+            if how == "inner":
+                return left.join(right, on=by, how=how).filter(cond)
+            # Non-inner: the range predicate must live IN the join condition
+            # (a post-join filter would drop the null-extended rows and
+            # silently degrade to inner). Rename right keys so the output
+            # keeps single key columns.
+            r2 = right
+            for k in by:
+                r2 = r2.withColumnRenamed(k, f"__r_{k}")
+            jcond = cond
+            for k in by:
+                jcond = (F.col(k) == F.col(f"__r_{k}")) & jcond
+            out = left.join(r2, jcond, how=how)
+            if how in ("semi", "left_semi", "leftsemi",
+                       "anti", "left_anti", "leftanti"):
+                return out  # left columns only; no right keys to merge
+            for k in by:
+                out = out.withColumn(
+                    k, F.coalesce(F.col(k), F.col(f"__r_{k}"))
+                ).drop(f"__r_{k}")
+            return out
         return left.join(right, cond, how=how)
 
     bw = float(bucket_width)
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"bucketed range_join supports how='inner'/'left', got {how!r}"
+        )
 
     def bucket(col: Column) -> Column:
         return F.floor(col.cast("double") / bw).cast("long")
@@ -152,5 +185,20 @@ def range_join(
             F.sequence(bucket(F.col(lower)), bucket(F.col(upper))),
         ),
     )
-    out = lb.join(rb, on=by + ["__b"], how="inner").filter(cond).drop("__b")
-    return out
+    inner = lb.join(rb, on=by + ["__b"], how="inner").filter(cond).drop("__b")
+    if how == "inner":
+        return inner
+    # left outer: re-add left rows that matched no interval, null-extended.
+    # Row identity comes from a transient id so duplicate left rows survive.
+    lid = left.withColumn("__lid", F.monotonically_increasing_id())
+    lb = lid.withColumn("__b", bucket(F.col(point)))
+    matched = lb.join(rb, on=by + ["__b"], how="inner").filter(cond).drop("__b")
+    unmatched = lid.join(
+        matched.select("__lid").distinct(), on="__lid", how="left_anti"
+    )
+    rextra = [c for c in matched.columns if c not in lid.columns]
+    for c in rextra:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(matched.schema[c].dataType)
+        )
+    return matched.unionByName(unmatched).drop("__lid")

@@ -157,12 +157,18 @@ def pivot_multiple_values(
         *[_agg_col(aggfunc, v).alias(v) for v in values]
     )
     if len(values) > 1:
+        # Spark names cells '{cat}_{val}'. Match by known value-name suffix
+        # (longest first) — rpartition would split at the wrong underscore
+        # whenever a value column itself contains one (e.g. 'unit_price').
+        by_len = sorted(values, key=len, reverse=True)
         for c in out.columns:
             if c in index:
                 continue
-            cat, _, val = c.rpartition("_")
-            if val in values:
-                out = out.withColumnRenamed(c, f"{val}_{cat}")
+            for val in by_len:
+                if c.endswith(f"_{val}"):
+                    cat = c[: -len(val) - 1]
+                    out = out.withColumnRenamed(c, f"{val}_{cat}")
+                    break
     else:
         out = out.select(
             *index,

@@ -136,6 +136,7 @@ def jdbc_upsert(
     update_columns: list[str] | None = None,
     properties: Mapping[str, str] | None = None,
     staging_suffix: str = "_staging",
+    connection=None,
 ) -> str:
     """Bulk upsert: staged write + one ``INSERT .. ON CONFLICT`` statement.
 
@@ -144,10 +145,12 @@ def jdbc_upsert(
     storage/postgresql_storage.py:267-306). At scale the row stream must
     not pass through the driver, so: (1) ``df.write.jdbc`` the batch into
     ``{table}{staging_suffix}`` (parallel), (2) run a single set-based
-    upsert from staging into the target, (3) drop staging. Returns the
-    upsert SQL so callers (and tests) can inspect/execute it; execution
-    requires a JDBC-capable driver connection (not installed in the test
-    container).
+    upsert from staging into the target, (3) drop staging.
+
+    ``connection`` is a driver-side DB-API connection (psycopg2 et al.);
+    when given, steps (2)-(3) execute and commit here. Without it the
+    staging table is written and the SQL returned for the caller to run —
+    the upsert has NOT reached the target yet.
     """
     staging = f"{table}{staging_suffix}"
     cols = df.columns
@@ -158,13 +161,40 @@ def jdbc_upsert(
         )
     else:
         action = "DO NOTHING"
+    # WHERE true disambiguates INSERT..SELECT..ON CONFLICT for SQLite's
+    # parser; harmless on Postgres.
     sql = (
         f"INSERT INTO {table} ({', '.join(cols)}) "
-        f"SELECT {', '.join(cols)} FROM {staging} "
+        f"SELECT {', '.join(cols)} FROM {staging} WHERE true "
         f"ON CONFLICT ({', '.join(conflict_columns)}) {action}"
     )
     write_jdbc(df, url, staging, mode="overwrite", properties=properties)
+    if connection is not None:
+        cur = connection.cursor()
+        try:
+            cur.execute(sql)
+            cur.execute(f"DROP TABLE {staging}")
+            connection.commit()
+        finally:
+            cur.close()
     return sql
+
+
+def _upsert_connection(cfg: Mapping[str, Any]):
+    """Build the driver-side DB-API connection for the upsert finalize step.
+
+    Programmatic callers put a live connection under ``connection``;
+    YAML configs name a DB-API module (``dbapi: psycopg2``) plus
+    ``dbapi_args`` connect kwargs.
+    """
+    if cfg.get("connection") is not None:
+        return cfg["connection"], False
+    if cfg.get("dbapi"):
+        import importlib
+
+        mod = importlib.import_module(cfg["dbapi"])
+        return mod.connect(**dict(cfg.get("dbapi_args") or {})), True
+    return None, False
 
 
 # ---------------------------------------------------------------------------
@@ -312,12 +342,27 @@ def write_output(df: DataFrame, storage: Mapping[str, Any]) -> dict[str, Any]:
         write_json(df, dest, mode)
     elif stype in ("jdbc", "postgresql"):
         if storage.get("upsert"):
-            jdbc_upsert(
-                df, cfg["url"], dest,
-                conflict_columns=storage["upsert"]["conflict_columns"],
-                update_columns=storage["upsert"].get("update_columns"),
-                properties=cfg.get("properties"),
-            )
+            conn, own = _upsert_connection(cfg)
+            if conn is None:
+                # Refuse to half-run: without a finalize connection only the
+                # staging table would be written and the MERGE never issued —
+                # a silent no-op that reports success.
+                raise NotImplementedError(
+                    "storage.upsert needs a finalize connection: pass "
+                    "config.connection (DB-API connection) or config.dbapi "
+                    "(+ dbapi_args) naming the driver module"
+                )
+            try:
+                jdbc_upsert(
+                    df, cfg["url"], dest,
+                    conflict_columns=storage["upsert"]["conflict_columns"],
+                    update_columns=storage["upsert"].get("update_columns"),
+                    properties=cfg.get("properties"),
+                    connection=conn,
+                )
+            finally:
+                if own:
+                    conn.close()
         else:
             write_jdbc(
                 df, cfg["url"], dest, mode,

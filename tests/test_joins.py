@@ -110,3 +110,52 @@ def test_range_join_bucketed_matches_plain(spark):
     # bucketed plan must be an equi join, not nested-loop
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+def test_asof_null_payload_comes_from_matched_row(spark):
+    """The matched right row's own NULLs must be attached, not backfilled
+    from an older right row (pandas merge_asof / DuckDB ASOF semantics)."""
+    left = spark.createDataFrame([("k", 30, "L")], "k string, t int, l string")
+    right = spark.createDataFrame(
+        [("k", 10, 1.0, "old"), ("k", 20, None, "new")],
+        "k string, t int, v double, tag string",
+    )
+    out = asof_join(left, right, on="t", by=["k"]).first()
+    assert out["t_right"] == 20 and out["tag"] == "new"
+    assert out["v"] is None  # NOT 1.0 from the older row
+
+
+def test_range_join_left_outer_keeps_unmatched(spark):
+    events = spark.createDataFrame(
+        [("a", 5.0), ("a", 95.0), ("b", 5.0)], "k string, x double"
+    )
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 10.0, "lo"), ("b", 100.0, 200.0, "out")],
+        "k string, lo double, hi double, label string",
+    )
+    out = range_join(events, intervals, "x", "lo", "hi", by=["k"], how="left")
+    got = {(r["k"], r["x"]): r["label"] for r in out.collect()}
+    assert got == {("a", 5.0): "lo", ("a", 95.0): None, ("b", 5.0): None}
+
+    semi = range_join(events, intervals, "x", "lo", "hi", by=["k"],
+                      how="left_semi")
+    assert {(r["k"], r["x"]) for r in semi.collect()} == {("a", 5.0)}
+    assert semi.columns == ["k", "x"]
+
+
+def test_range_join_bucketed_left_matches_plain(spark):
+    events = spark.createDataFrame(
+        [(5.0,), (42.0,), (999.0,), (42.0,)], "x double"  # dup left row
+    )
+    intervals = spark.createDataFrame(
+        [(0.0, 10.0, 1), (40.0, 50.0, 2)], "lo double, hi double, iid long"
+    )
+    plain = range_join(events, intervals, "x", "lo", "hi", how="left")
+    bucketed = range_join(events, intervals, "x", "lo", "hi", how="left",
+                          bucket_width=20.0)
+    key = lambda r: (r["x"], r["iid"])
+    assert sorted(map(key, plain.collect()), key=str) == \
+        sorted(map(key, bucketed.collect()), key=str)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        range_join(events, intervals, "x", "lo", "hi", how="full",
+                   bucket_width=20.0)

@@ -218,7 +218,7 @@ def test_jdbc_upsert_sql_shape(spark, sf_dir, monkeypatch):
     assert staged["table"] == "region_staging"
     assert sql == (
         "INSERT INTO region (r_regionkey, r_name) "
-        "SELECT r_regionkey, r_name FROM region_staging "
+        "SELECT r_regionkey, r_name FROM region_staging WHERE true "
         "ON CONFLICT (r_regionkey) DO UPDATE SET "
         "r_name = EXCLUDED.r_name"
     )

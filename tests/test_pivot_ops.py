@@ -142,3 +142,22 @@ def test_pivot_summary_stats(sales):
     rows = {r["region"]: r for r in out.collect()}
     assert rows["east"]["red_mean"] == 20.0
     assert rows["east"]["red_count"] == 2
+
+
+def test_pivot_multiple_values_underscore_value_names(spark):
+    from data_pipeline_framework_spark.operators.pivot_ops import (
+        pivot_multiple_values,
+    )
+
+    df = spark.createDataFrame(
+        [("r1", "a", 1.0, 10.0), ("r1", "b", 2.0, 20.0)],
+        "id string, cat string, unit_price double, qty double",
+    )
+    out = pivot_multiple_values(
+        df, index="id", columns="cat", values=["unit_price", "qty"]
+    )
+    assert sorted(c for c in out.columns if c != "id") == [
+        "qty_a", "qty_b", "unit_price_a", "unit_price_b"
+    ]
+    r = out.first()
+    assert r["unit_price_a"] == 1.0 and r["qty_b"] == 20.0

@@ -85,3 +85,49 @@ def test_cli_parser_and_queue_commands(tmp_path, capsys):
     parser = build_parser()
     args = parser.parse_args(["run", "p.yaml", "--dry-run"])
     assert args.config == "p.yaml" and args.dry_run is True
+
+
+def test_next_item_lost_race_retries(tmp_path):
+    """If another worker steals the selected row between SELECT and the
+    guarded UPDATE, next_item must claim the NEXT pending item, not return
+    the stolen one."""
+    import sqlite3
+
+    from data_pipeline_framework_spark.core.queue import QueueManager, QueueStatus
+
+    q = QueueManager(tmp_path / "race.db")
+    first = q.add("/a.csv", "t", priority=9)
+    second = q.add("/b.csv", "t", priority=1)
+
+    thief = sqlite3.connect(str(tmp_path / "race.db"))
+    # WAL lets the thief commit while the victim's SELECT cursor is open
+    thief.execute("PRAGMA journal_mode=WAL")
+    real_conn = q._conn
+    stolen = {"done": False}
+
+    class RacingConn:
+        def execute(self, sql, *args):
+            out = real_conn.execute(sql, *args)
+            if sql.lstrip().startswith("SELECT id") and not stolen["done"]:
+                stolen["done"] = True
+                # another process claims the row we just selected
+                thief.execute(
+                    "UPDATE queue_items SET status = ? WHERE id = ?",
+                    (QueueStatus.PROCESSING.value, first),
+                )
+                thief.commit()
+            return out
+
+        def __getattr__(self, name):
+            return getattr(real_conn, name)
+
+        def __enter__(self):
+            return real_conn.__enter__()
+
+        def __exit__(self, *a):
+            return real_conn.__exit__(*a)
+
+    q._conn = RacingConn()
+    item = q.next_item()
+    assert item is not None and item.id == second
+    thief.close()
