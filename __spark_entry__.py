@@ -341,12 +341,23 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """intersect + except: nations having customers but no suppliers."""
+    """intersect AND except, both with non-empty results: nations whose
+    rich (acctbal>9000) BUILDING customers do / don't overlap the rich
+    MACHINERY nations. Tagged union so one result exercises both ops."""
     cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    c_nations = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
-    s_nations = supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
-    return c_nations.exceptAll(s_nations).orderBy("nationkey")
+    a = (
+        cust.filter("c_mktsegment = 'BUILDING' AND c_acctbal > 9000")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    b = (
+        cust.filter("c_mktsegment = 'MACHINERY' AND c_acctbal > 9000")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = a.intersect(b).withColumn("which", F.lit("both"))
+    only_a = a.exceptAll(b).withColumn("which", F.lit("building_only"))
+    return both.unionByName(only_a).orderBy("which", "nationkey")
 
 
 def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,20 +637,24 @@ def interpolate_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ewm_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exponential smoothing via applyInPandas (sequential recurrence — the
-    genuinely non-SQL-expressible kernel; rows-only check)."""
+    """exponential smoothing via applyInPandas (sequential recurrence per
+    series). Oracle: DuckDB list_reduce over the cumulative window list
+    replays the same adjust=False recurrence; values agree to the 4-decimal
+    rounding."""
     from data_pipeline_framework_spark.operators import timeseries as TS
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = TS.smooth(ev, "value", method="exponential", alpha=0.3,
                     ts_col="ts", group_by=["user_id"])
     return out.select("event_id", "user_id",
-                      F.round("value_smoothed", 4).alias("value_smoothed"))
+                      _r(F.col("value_smoothed"), 4).alias("value_smoothed"))
 
 
 def changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rolling-mean jump detection (rows-only check: threshold comparisons
-    sit on float accumulations that are not cross-engine stable)."""
+    """rolling-mean jump detection. Oracle: the same rolling avg/stddev +
+    lag comparison in DuckDB window SQL (boundary comparisons sit ~1e-15
+    from the threshold only on adversarial data; real values are far from
+    ties)."""
     from data_pipeline_framework_spark.operators import timeseries as TS
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
@@ -764,23 +779,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = SIM.lsh_topk(emb, queries, k=10)
+    out = SIM.lsh_topk(emb, queries, k=10, dim=64)
     return out.select(
         "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
     )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: seeded KMeans cells, nprobe nearest cells
-    probed, exact cosine rerank (rows-only: iterative fit is non-SQL;
-    recall vs brute force is unit-tested in tests/test_ivf.py)."""
+    """IVF approximate top-10 over a FIXED seeded codebook: cell
+    assignment + nprobe probing + exact cosine rerank are then a pure
+    function of the data, so the DuckDB oracle replicates the whole
+    pipeline (trained-codebook recall is unit-tested in tests/test_ivf.py)."""
     from data_pipeline_framework_spark.functions import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = SIM.ivf_topk(emb, queries, k=10, n_cells=8, nprobe=4)
+    out = SIM.ivf_topk(
+        emb, queries, k=10, n_cells=8, nprobe=4,
+        centers=SIM.fixed_codebook(64, n_cells=8, seed=7),
+    )
     return out.select(
         "query_id", "vec_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
     )
@@ -792,7 +811,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.embedding_neardup_pairs(emb, threshold=0.35)
+    out = SIM.embedding_neardup_pairs(emb, threshold=0.35, dim=64)
     return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
 
 
@@ -1082,7 +1101,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import profiling as PR
 
     li = _t(spark, sf_dir, "lineitem")
-    out = PR.profile_columns(li, PROFILE_COLS)
+    out = PR.profile_columns(li, PROFILE_COLS, exact=True)
     return out.select(
         "column", "metric",
         F.when(
@@ -1121,7 +1140,7 @@ def schema_inference_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import profiling as PR
 
     orders = _t(spark, sf_dir, "orders")
-    return PR.schema_profile(orders)
+    return PR.schema_profile(orders, exact=True)
 
 
 def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,7 +1221,7 @@ def schema_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import profiling as PR
 
     orders = _t(spark, sf_dir, "orders")
-    out = PR.schema_constraints(orders)
+    out = PR.schema_constraints(orders, exact=True)
     return out.select(
         "column", "dtype", _r(F.col("null_pct"), 6).alias("null_pct"),
         "n_distinct", "cardinality", "not_null_ok", "unique_ok",
@@ -2071,6 +2090,159 @@ def _stopword_list_sql() -> str:
     return "[" + ", ".join(f"'{m}'" for m in STOPWORDS_EN) + "]"
 
 
+def _sql_dlist(vals) -> str:
+    """DuckDB DOUBLE[] literal from a python vector."""
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+
+def _lsh_sig_sql(planes, vexpr: str = "v") -> str:
+    """Replicates similarity.lsh_signature: bit j set iff dot(v, plane_j)>0."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vexpr}, {_sql_dlist(p)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+_ANN_COS = (
+    "list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of queries()['ann_lsh_topk']: same seeded planes, same
+    4x4-bit block buckets, same exact-cosine rerank."""
+    from data_pipeline_framework_spark.functions.similarity import hyperplanes
+
+    sig = _lsh_sig_sql(hyperplanes(64, 16, seed=42))
+    return f"""
+        WITH c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 5
+        ), csig AS (
+            SELECT vec_id, v, {sig} AS sig FROM c
+        ), qsig AS (
+            SELECT query_id, v, {sig} AS sig FROM q
+        ), blks AS (
+            SELECT unnest([0, 1, 2, 3]) AS blk
+        ), cb AS (
+            SELECT vec_id, v, blk, (sig >> (blk * 4)) & 15 AS key
+            FROM csig, blks
+        ), qb AS (
+            SELECT query_id, v, blk, (sig >> (blk * 4)) & 15 AS key
+            FROM qsig, blks
+        ), cand AS (
+            SELECT DISTINCT qb.query_id, cb.vec_id
+            FROM qb JOIN cb ON qb.blk = cb.blk AND qb.key = cb.key
+        ), scored AS (
+            SELECT cand.query_id, cand.vec_id, {_ANN_COS} AS cos_raw
+            FROM cand
+            JOIN (SELECT query_id, v AS qv FROM qsig) q USING (query_id)
+            JOIN (SELECT vec_id, v AS cv FROM csig) c USING (vec_id)
+        ), ranked AS (
+            SELECT query_id, vec_id, cos_raw,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_raw DESC, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id,
+               FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
+        FROM ranked WHERE rank <= 10
+    """
+
+
+def _embedding_neardup_oracle() -> str:
+    """DuckDB twin of queries()['embedding_neardup']: block-bucket
+    self-join candidates, exact cosine >= 0.35."""
+    from data_pipeline_framework_spark.functions.similarity import hyperplanes
+
+    sig = _lsh_sig_sql(hyperplanes(64, 16, seed=42))
+    return f"""
+        WITH c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), csig AS (
+            SELECT vec_id, v, {sig} AS sig FROM c
+        ), blks AS (
+            SELECT unnest([0, 1, 2, 3]) AS blk
+        ), cb AS (
+            SELECT vec_id, v, blk, (sig >> (blk * 4)) & 15 AS key
+            FROM csig, blks
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM cb a JOIN cb b
+              ON a.blk = b.blk AND a.key = b.key AND a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT id_a, id_b, {_ANN_COS} AS cos_raw
+            FROM cand
+            JOIN (SELECT vec_id AS id_a, v AS qv FROM csig) x USING (id_a)
+            JOIN (SELECT vec_id AS id_b, v AS cv FROM csig) y USING (id_b)
+        )
+        SELECT id_a, id_b, FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS cosine
+        FROM scored WHERE cos_raw >= 0.35
+    """
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of queries()['ann_ivf_topk']: the fixed seeded codebook
+    makes assignment/probing deterministic — nearest cell per corpus
+    vector (squared-L2, ties to the lowest cell id, as np.argmin), 4
+    nearest cells probed per query (stable argsort), exact cosine rerank."""
+    from data_pipeline_framework_spark.functions.similarity import fixed_codebook
+
+    cents = fixed_codebook(64, n_cells=8, seed=7)
+    cent_rows = ", ".join(
+        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(cents)
+    )
+    d2 = (
+        "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
+        " + list_dot_product(cent.cv, cent.cv)"
+    )
+    return f"""
+        WITH cent(cell, cv) AS (VALUES {cent_rows}),
+        c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 5
+        ), cassign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, cent.cell,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id ORDER BY {d2}, cent.cell
+                       ) AS rn
+                FROM c, cent
+            ) WHERE rn = 1
+        ), qprobe AS (
+            SELECT query_id, v, cell FROM (
+                SELECT q.query_id, q.v, cent.cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id ORDER BY {d2}, cent.cell
+                       ) AS rn
+                FROM q, cent
+            ) WHERE rn <= 4
+        ), scored AS (
+            SELECT qprobe.query_id, cassign.vec_id,
+                   qprobe.v AS qv, cassign.v AS cv
+            FROM qprobe JOIN cassign USING (cell)
+        ), ranked AS (
+            SELECT query_id, vec_id, {_ANN_COS} AS cos_raw,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {_ANN_COS} DESC, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id,
+               FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
+        FROM ranked WHERE rank <= 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -2190,10 +2362,19 @@ def oracle_sql() -> dict[str, str]:
             FROM customer WHERE c_mktsegment = 'MACHINERY'
         """,
         "set_ops": """
-            SELECT DISTINCT c_nationkey AS nationkey FROM customer
-            EXCEPT
-            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
-            ORDER BY nationkey
+            WITH a AS (
+                SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+            ), b AS (
+                SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000
+            )
+            SELECT nationkey, 'both' AS which
+            FROM (SELECT nationkey FROM a INTERSECT SELECT nationkey FROM b)
+            UNION ALL
+            SELECT nationkey, 'building_only' AS which
+            FROM (SELECT nationkey FROM a EXCEPT SELECT nationkey FROM b)
+            ORDER BY which, nationkey
         """,
         "group_count": """
             SELECT o_orderpriority, COUNT(*) AS count
@@ -2468,6 +2649,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id,
                    FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
+        "ewm_smoothing": """
+            SELECT event_id, user_id,
+                   FLOOR(list_reduce(
+                       list(value) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ),
+                       (acc, x) -> 0.3 * x + 0.7 * acc
+                   ) * 1e4 + 0.5) / 1e4 AS value_smoothed
+            FROM events
+        """,
+        "changepoints": """
+            WITH b AS (
+                SELECT event_id, event_type, ts,
+                       avg(value) OVER w10 AS rmean,
+                       stddev(value) OVER w10 AS rstd
+                FROM events
+                WINDOW w10 AS (
+                    PARTITION BY event_type ORDER BY ts
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+                )
+            ), j AS (
+                SELECT event_id, event_type, rstd,
+                       abs(rmean - lag(rmean) OVER (
+                           PARTITION BY event_type ORDER BY ts
+                       )) AS jump
+                FROM b
+            )
+            SELECT event_id, event_type,
+                   CASE WHEN jump > 2.0 * coalesce(rstd, 0.0)
+                        THEN 1 ELSE 0 END AS changepoint
+            FROM j
         """,
         "ngram_jaccard_neardup": f"""
             WITH d AS (

@@ -217,33 +217,59 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     n: int = 3,
+    max_df: float | int | None = 0.05,
+    min_df_cut: int = 5,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup via inverted shingle index:
-    explode shingles -> self-join on shingle hash -> common counts ->
-    jaccard from set sizes. No LSH approximation; candidate generation is
-    bounded by shingle document-frequency (at scale, drop ultra-common
-    shingles first — df > 0.1% of corpus carries no dedup signal)."""
+    """Exact n-gram-Jaccard near-dup via inverted shingle index.
+
+    Candidate generation: explode shingles, drop shingles whose document
+    frequency exceeds ``max_df`` (fraction of corpus if <=1.0, else an
+    absolute count; floor ``min_df_cut`` so tiny corpora keep an index),
+    then self-join the surviving postings. The df-cut is the scale
+    guarantee: one stop-shingle in 1% of 10^9 docs would otherwise emit
+    ~10^14 candidate rows from a single key. Jaccard itself is verified
+    EXACTLY on the full shingle sets of each candidate pair, so the cut
+    only loses pairs whose every shared shingle is ultra-common — such
+    pairs sit far below any useful threshold. ``max_df=None`` disables
+    the cut (exact candidate generation too)."""
     sh = _spread(df).select(
         id_col, shingle_hashes(text_col, n).alias("__sh")
-    ).withColumn("__size", F.size("__sh"))
-    inv = sh.select(id_col, "__size", F.explode("__sh").alias("h")).persist()
-    a = inv.select(
-        F.col(id_col).alias("id_a"), F.col("__size").alias("sz_a"), "h"
-    )
-    b = inv.select(
-        F.col(id_col).alias("id_b"), F.col("__size").alias("sz_b"), "h"
-    )
-    common = (
+    ).persist()
+    cand = ngram_candidate_pairs(sh, id_col, max_df, min_df_cut)
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+def ngram_candidate_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    max_df: float | int | None = 0.05,
+    min_df_cut: int = 5,
+) -> DataFrame:
+    """Inverted-index candidate pairs over (id, __sh shingle-array) rows,
+    df-cut applied. Split out of ngram_jaccard_pairs so candidate-volume
+    bounds are testable in isolation."""
+    inv = shingled.select(id_col, F.explode("__sh").alias("h"))
+    if max_df is not None:
+        if isinstance(max_df, float) and max_df <= 1.0:
+            cut = max(int(max_df * shingled.count()), min_df_cut)
+        else:
+            cut = int(max_df)
+        hot = (
+            inv.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > cut)
+            .select("h")
+        )
+        # hot shingles are few by construction: broadcast anti-join
+        inv = inv.join(F.broadcast(hot), "h", "left_anti")
+    inv = inv.persist()
+    a = inv.select(F.col(id_col).alias("id_a"), "h")
+    b = inv.select(F.col(id_col).alias("id_b"), "h")
+    return (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    j = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    return (
-        common.withColumn("jaccard", j)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 

@@ -373,14 +373,15 @@ def average_ranks(
 
 
 def profile_columns(
-    df: DataFrame, columns: list[str] | None = None
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
 ) -> DataFrame:
     """Numeric column profile, long format (column, metric, value).
 
     Metrics per column: count, n_null, n_distinct, min, max, sum, mean,
     stddev, q25, median, q75, n_zero, n_negative
     (reference data_profiler.py:116-153 stats set, exact instead of
-    100K-row sampled).
+    100K-row sampled). ``exact=False`` swaps n_distinct to an HLL sketch
+    folded into scan 1, dropping the dedicated distinct scan.
     """
     cols = _numeric_columns(df, columns)
     probs = (0.25, 0.5, 0.75)
@@ -402,6 +403,11 @@ def profile_columns(
             F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__n_zero"),
             F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__n_negative"),
         ]
+    if not exact:
+        for c in cols:
+            aggs.append(
+                F.approx_count_distinct(F.col(c), 0.01).alias(f"{c}__nd")
+            )
     aggs += percentile_meta_aggs(cols, probs)
     row = df.agg(*aggs).first()
     # Scan 2: quartile window extraction (+ verified fallback).
@@ -415,10 +421,12 @@ def profile_columns(
     # count_distinct columns into the stats agg would Expand (replicate)
     # the input once per distinct column; standalone, column pruning
     # reaches the scan and the Expand covers only these columns.
-    if cols:
+    if cols and exact:
         nd_row = df.select(*cols).agg(*[
             F.count_distinct(F.col(c)).alias(c) for c in cols
         ]).first()
+    else:
+        nd_row = {c: row[f"{c}__nd"] for c in cols}
     metrics = [
         "count", "n_null", "n_distinct", "min", "max", "sum", "mean",
         "stddev", "q25", "median", "q75", "n_zero", "n_negative",
@@ -562,24 +570,53 @@ def correlation_matrix(
     )
 
 
-def schema_profile(df: DataFrame) -> DataFrame:
+def _distinct_aggs(
+    df: DataFrame, exact: bool, rsd: float = 0.01
+) -> tuple[list[Column], list[Column]]:
+    """(shared-pass aggs, dedicated-pass aggs) producing `{c}__distinct`.
+
+    Default (approx): HyperLogLog++ sketches fold into the SAME agg pass as
+    every other statistic — a profile is ONE table scan at any width.
+    ``exact=True``: exact count_distinct in a dedicated second agg (fusing
+    several into the stats agg would Expand-replicate the input once per
+    column); 2 scans total, still never one scan per column.
+    """
+    if exact:
+        return [], [
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct")
+            for c in df.columns
+        ]
+    return [
+        F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__distinct")
+        for c in df.columns
+    ], []
+
+
+def _all_distinct(cnt: Column, dst: Column, tot: Column, exact: bool) -> Column:
+    """non-null + all-values-distinct test, sketch-tolerant in approx mode
+    (HLL rsd=0.01: accept >=97% of total — a *candidate* flag, like the
+    reference's own 10K-row sample heuristic; exact=True pins equality)."""
+    if exact:
+        return (cnt == tot) & (dst == tot)
+    return (cnt == tot) & (dst >= tot * F.lit(0.97))
+
+
+def schema_profile(df: DataFrame, exact: bool = False) -> DataFrame:
     """Schema-inference enrichment (reference schema_inference.py:288-343):
     per column — type, null fraction, distinct count, primary-key candidacy
     (all-unique + non-null + int/string), foreign-key naming heuristic.
-    One exact agg pass instead of the reference's 10K-row sample."""
+
+    Distinct counts are HLL sketches folded into the single stats scan by
+    default (`exact=True` adds one dedicated exact-distinct pass) — the
+    reference sampled 10K rows instead (schema_inference.py:17)."""
     total = F.count(F.lit(1))
     aggs: list[Column] = [total.alias("__total")]
     for c in df.columns:
         aggs.append(F.count(F.col(c)).alias(f"{c}__count"))
-    wide = df.agg(*aggs)
-    # separate plans per exact distinct count — avoids the Expand blowup
-    # (see profile_columns)
-    for c in df.columns:
-        wide = wide.crossJoin(
-            F.broadcast(
-                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
-            )
-        )
+    shared_d, dedicated_d = _distinct_aggs(df, exact)
+    wide = df.agg(*aggs, *shared_d)
+    if dedicated_d:
+        wide = wide.crossJoin(F.broadcast(df.agg(*dedicated_d)))
     structs = []
     for f in df.schema.fields:
         c = f.name
@@ -589,7 +626,7 @@ def schema_profile(df: DataFrame) -> DataFrame:
             f.dataType, (T.IntegerType, T.LongType, T.StringType)
         )
         pk = (
-            (cnt == F.col("__total")) & (dst == F.col("__total"))
+            _all_distinct(cnt, dst, F.col("__total"), exact)
             if pk_type_ok
             else F.lit(False)
         )
@@ -619,7 +656,7 @@ _PATTERNS = {
 }
 
 
-def schema_constraints(df: DataFrame) -> DataFrame:
+def schema_constraints(df: DataFrame, exact: bool = False) -> DataFrame:
     """Constraint / index enrichment (reference schema_inference.py:321-374),
     long format — one row per column:
 
@@ -630,9 +667,10 @@ def schema_constraints(df: DataFrame) -> DataFrame:
        time_based_queries | NULL)
 
     The reference derived these from a 10K-row pandas sample; here the
-    stats come from exact distributed aggregation (same two-scan pattern as
-    schema_profile: shared agg for counts/mins + one pruned distinct-count
-    agg), so the plan holds at any table size.
+    stats come from distributed aggregation — ONE scan with HLL distinct
+    sketches by default, or two scans with `exact=True` (shared agg for
+    counts/mins + one pruned exact-distinct agg) — so the plan holds at
+    any table size.
     """
     total = F.count(F.lit(1))
     aggs: list[Column] = [total.alias("__total")]
@@ -652,16 +690,10 @@ def schema_constraints(df: DataFrame) -> DataFrame:
             aggs.append(
                 F.min(F.col(c)).cast("double").alias(f"{c}__min")
             )
-    wide = df.agg(*aggs)
-    if df.columns:
-        wide = wide.crossJoin(
-            F.broadcast(
-                df.agg(*[
-                    F.count_distinct(F.col(c)).alias(f"{c}__distinct")
-                    for c in df.columns
-                ])
-            )
-        )
+    shared_d, dedicated_d = _distinct_aggs(df, exact)
+    wide = df.agg(*aggs, *shared_d)
+    if dedicated_d:
+        wide = wide.crossJoin(F.broadcast(df.agg(*dedicated_d)))
     structs = []
     for f in df.schema.fields:
         c = f.name
@@ -699,7 +731,8 @@ def schema_constraints(df: DataFrame) -> DataFrame:
                 dst.cast("bigint").alias("n_distinct"),
                 cardinality.alias("cardinality"),
                 (null_pct < 5).cast("int").alias("not_null_ok"),
-                ((cnt == tot) & (dst == tot)).cast("int").alias("unique_ok"),
+                _all_distinct(cnt, dst, tot, exact)
+                .cast("int").alias("unique_ok"),
                 check_nonneg.alias("check_nonneg"),
                 index_reason.alias("index_reason"),
             )

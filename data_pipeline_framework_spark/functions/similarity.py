@@ -81,6 +81,19 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     ]
 
 
+def fixed_codebook(
+    dim: int, n_cells: int = 8, seed: int = 7
+) -> list[list[float]]:
+    """Seeded gaussian codebook literals — a data-independent IVF codebook.
+    Recall is below a trained codebook's, but cell assignment becomes a
+    deterministic function of (dim, n_cells, seed), so results are exactly
+    reproducible by an external oracle and index builds touch no data."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_cells)
+    ]
+
+
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit j = 1 iff dot(vec, plane_j) > 0."""
     bits = []
@@ -106,11 +119,17 @@ def lsh_topk(
     n_planes: int = 16,
     n_blocks: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing at least one
     signature block (n_planes/n_blocks bits) with the query, then exact
-    cosine rerank. Multi-probe comes free from the block decomposition."""
-    dim = len(queries.select(vec_col).first()[0])
+    cosine rerank. Multi-probe comes free from the block decomposition.
+
+    Pass ``dim`` (the embedding width) to keep plan construction fully
+    lazy; parquet list columns don't carry a length, so without it a
+    bounded one-row probe runs before planning."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     bits_per_block = n_planes // n_blocks
 
@@ -209,6 +228,7 @@ def ivf_index(
     n_cells: int = 16,
     seed: int = 42,
     max_train: int = 65536,
+    centers: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF (inverted-file) index: seeded k-means partitions the corpus into
     `n_cells` Voronoi cells; returns (assignments, centroids).
@@ -226,17 +246,21 @@ def ivf_index(
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    n_total = c.count()
-    if n_total <= max_train:
-        sample = [r["__v"] for r in c.select("__v").collect()]
+    if centers is not None:
+        # pretrained / fixed codebook: zero driver actions, zero data reads
+        centers_arr = np.asarray(centers, dtype="float64")
     else:
-        frac = min(1.0, (max_train * 1.2) / n_total)
-        sample = [
-            r["__v"]
-            for r in c.select("__v").sample(frac, seed=seed)
-            .limit(max_train).collect()
-        ]
-    centers_arr = _kmeans_numpy(sample, n_cells, seed)
+        n_total = c.count()
+        if n_total <= max_train:
+            sample = [r["__v"] for r in c.select("__v").collect()]
+        else:
+            frac = min(1.0, (max_train * 1.2) / n_total)
+            sample = [
+                r["__v"]
+                for r in c.select("__v").sample(frac, seed=seed)
+                .limit(max_train).collect()
+            ]
+        centers_arr = _kmeans_numpy(sample, n_cells, seed)
 
     def _assign(vecs):
         m = np.stack(vecs.to_numpy())
@@ -265,6 +289,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     index: tuple[DataFrame, list[list[float]]] | None = None,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the `nprobe` nearest cells per query,
     exact cosine rerank inside them. Candidates shrink by ~n_cells/nprobe
@@ -274,7 +299,7 @@ def ivf_topk(
     import pandas as pd
 
     assigned, centers = index if index is not None else ivf_index(
-        corpus, id_col, vec_col, n_cells, seed
+        corpus, id_col, vec_col, n_cells, seed, centers=centers
     )
     centers_arr = np.asarray(centers)
 
@@ -314,11 +339,14 @@ def embedding_neardup_pairs(
     n_planes: int = 16,
     n_blocks: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) with LSH-block
-    candidate generation — the embedding twin of minhash_dedup_pairs."""
+    candidate generation — the embedding twin of minhash_dedup_pairs.
+    Pass ``dim`` to keep plan construction fully lazy (see lsh_topk)."""
     base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
-    dim = len(base.select("__v").first()[0])
+    if dim is None:
+        dim = len(base.select("__v").first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     bits_per_block = n_planes // n_blocks
     sig = base.withColumn("__sig", lsh_signature(F.col("__v"), planes))

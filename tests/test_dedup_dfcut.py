@@ -1,0 +1,69 @@
+"""Document-frequency cut in the n-gram Jaccard inverted index.
+
+A stop-shingle present in every document must not drive candidate
+generation: without the cut, one shingle shared by N docs emits N^2/2
+candidate pairs — the scale-killer the df-cut exists to prevent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_framework_spark.functions.dedup import (
+    ngram_candidate_pairs,
+    ngram_jaccard_pairs,
+    shingle_hashes,
+)
+
+STOP = "all rights reserved worldwide in perpetuity"
+
+
+def _corpus(spark, n_docs=40):
+    rows = []
+    for i in range(n_docs):
+        # unique body + the planted boilerplate every doc carries
+        body = f"document {i} talks about topic{i} subject{i} entity{i}"
+        rows.append((i, f"{body} {STOP}"))
+    # one true near-dup pair: 100 and 101 share a rare long body
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows.append((100, f"{dup} variant one {STOP}"))
+    rows.append((101, f"{dup} variant two {STOP}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingled(df):
+    return df.select("doc_id", shingle_hashes("text", 3).alias("__sh"))
+
+
+def test_df_cut_bounds_candidates(spark):
+    docs = _corpus(spark)
+    sh = _shingled(docs)
+    uncut = ngram_candidate_pairs(sh, "doc_id", max_df=None).count()
+    cut = ngram_candidate_pairs(sh, "doc_id", max_df=0.05).count()
+    # stop-shingles connect every doc to every other without the cut
+    assert uncut > 500
+    # with the cut only rare-shingle co-occurrence survives
+    assert cut < 10
+
+
+def test_df_cut_keeps_true_neardups(spark):
+    docs = _corpus(spark)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, n=3, max_df=0.05
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(100, 101)}
+    # jaccard is computed on FULL shingle sets, not the cut index
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, n=3, max_df=None
+    ).collect()
+    want = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got == {k: v for k, v in want.items() if k in got}
+
+
+def test_absolute_max_df(spark):
+    docs = _corpus(spark)
+    sh = _shingled(docs)
+    # absolute cut of 3 docs behaves like the fractional cut here
+    cut = ngram_candidate_pairs(sh, "doc_id", max_df=3).count()
+    assert cut < 10

@@ -47,3 +47,27 @@ def test_ivf_recall_and_pruning(spark, sf_dir):
         .agg({"count": "sum"}).first()[0]
     )
     assert largest_4_cells < n  # probing 4 of 8 cells cannot scan everything
+
+
+def test_lsh_topk_with_dim_is_fully_lazy(spark, monkeypatch):
+    """With dim given, no driver action may run during plan construction."""
+    from pyspark.sql import DataFrame
+
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = vecs.limit(2).selectExpr("vec_id as query_id", "embedding")
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver action during plan construction")
+
+    monkeypatch.setattr(DataFrame, "first", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "count", boom)
+    plan_a = SIM.lsh_topk(vecs, qs, k=3, dim=3)
+    plan_b = SIM.embedding_neardup_pairs(vecs, threshold=0.5, dim=3)
+    monkeypatch.undo()
+    assert plan_a.count() > 0 and plan_b.count() >= 0

@@ -78,3 +78,43 @@ def test_infer_schema_report_assembly(spark):
     # email column: 10% nulls -> per-column score penalty applied
     assert rep["columns"]["email"]["data_quality_score"] == 90.0
     assert rep["data_quality"]["primary_key_coverage"] is True
+
+
+def test_default_profile_is_single_scan(spark, sf_dir):
+    """Default (approx) schema profiling folds distinct sketches into the
+    one stats scan: no per-column crossJoin, no Expand replication."""
+    from data_pipeline_framework_spark.functions.profiling import (
+        schema_constraints,
+        schema_profile,
+    )
+    from data_pipeline_framework_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    for fn in (schema_profile, schema_constraints):
+        plan = fn(orders)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") + plan.count("Scan parquet") <= 2, plan
+        assert "Expand" not in plan, plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+    exact_plan = (
+        schema_profile(orders, exact=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exact opt-in adds ONE dedicated distinct pass, never one per column
+    assert exact_plan.count("Expand") <= 1
+
+
+def test_approx_distincts_close_and_flags_sane(spark, sf_dir):
+    from data_pipeline_framework_spark.functions.profiling import schema_profile
+    from data_pipeline_framework_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    approx = {r["column"]: r for r in schema_profile(orders).collect()}
+    exact = {r["column"]: r for r in schema_profile(orders, exact=True).collect()}
+    for c, e in exact.items():
+        a = approx[c]
+        if e["n_distinct"]:
+            assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+                0.05 * e["n_distinct"], 2
+            )
+        assert a["pk_candidate"] == e["pk_candidate"]  # holds at rsd=0.01
