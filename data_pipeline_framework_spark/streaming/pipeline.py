@@ -78,13 +78,22 @@ def read_stream_kafka(
         df = df.option(k, v)
     out = df.load()
     if value_schema is not None:
-        out = out.select(
-            "topic", "partition", "offset",
-            F.col("timestamp").alias("kafka_timestamp"),
-            F.col("key").cast("string").alias("key"),
-            F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-        ).select("topic", "partition", "offset", "kafka_timestamp", "key", "v.*")
+        out = parse_kafka_envelope(out, value_schema)
     return out
+
+
+def parse_kafka_envelope(df: DataFrame, value_schema) -> DataFrame:
+    """Split a Kafka-shaped frame (topic/partition/offset/timestamp/key/
+    value) into envelope columns + the JSON payload splatted to columns —
+    the reference's to_dataframe shape (kafka_source.py:178-213). Pure
+    column expressions, so it works on batch frames too (and is the exact
+    inverse of sinks.writers.kafka_messages for the payload columns)."""
+    return df.select(
+        "topic", "partition", "offset",
+        F.col("timestamp").alias("kafka_timestamp"),
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+    ).select("topic", "partition", "offset", "kafka_timestamp", "key", "v.*")
 
 
 # ---------------------------------------------------------------------------

@@ -172,3 +172,38 @@ def test_dedup_stream_ttl_state_config(spark, events, stream_dir):
     plan = deduped._jdf.queryExecution().logical().toString()
     assert "ProcessingTimeTimeout" in plan
     assert "FlatMapGroupsInPandasWithState" in plan
+
+
+def test_kafka_producer_consumer_roundtrip(spark, sf_dir):
+    """kafka_messages -> parse_kafka_envelope round-trips payload columns
+    without a broker: the producer envelope is materialized as a
+    Kafka-shaped frame and parsed back with the consumer's own splat."""
+    from data_pipeline_framework_spark.sinks.writers import kafka_messages
+    from data_pipeline_framework_spark.sources.readers import read_table
+    from data_pipeline_framework_spark.streaming.pipeline import (
+        parse_kafka_envelope,
+    )
+
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    msgs = kafka_messages(nation, key_column="n_nationkey")
+    shaped = msgs.select(
+        F.lit("nation").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+    )
+    parsed = parse_kafka_envelope(
+        shaped, "n_nationkey long, n_name string, n_regionkey long"
+    )
+    got = {
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in parsed.collect()
+    }
+    want = {tuple(r) for r in nation.collect()}
+    assert got == want
+    keys = {r["key"] for r in parsed.collect()}
+    assert keys == {str(k) for k, _, _ in want}
