@@ -668,6 +668,16 @@ def changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis (functions/text.py)
 
 
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composite document-quality heuristic (length/word-length/stopword/
+    noise terms, weights sum to 1) — the training-data filter signal."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.quality_score(docs, "text")
+    return out.select("doc_id", _r(F.col("quality"), 6).alias("quality"))
+
+
 def text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import text as TX
 
@@ -1864,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_smoothing": ewm_smoothing,
         "changepoints": changepoints,
         "text_statistics": text_statistics,
+        "doc_quality_scores": doc_quality_scores,
         "token_counts": token_counts,
         "language_scores": language_scores,
         "doc_fingerprints": doc_fingerprints,
@@ -2572,6 +2583,37 @@ def oracle_sql() -> dict[str, str]:
                           ELSE pv + (nv - pv) * (pos - pp) / (np - pp)
                           END) * 1e4 + 0.5) / 1e4 AS value
             FROM e
+        """,
+        "doc_quality_scores": f"""
+            WITH d AS (
+                SELECT doc_id, text, {_DD_TOKS} AS w, length(text) AS nc
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       CASE WHEN len(w) > 0 THEN
+                           list_sum(list_transform(w, t -> length(t))) / len(w)
+                       END AS awl,
+                       CASE WHEN nc > 0 THEN
+                           (nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                           / nc END AS punct,
+                       CASE WHEN nc > 0 THEN
+                           (nc - length(regexp_replace(text, '[0-9]', '', 'g')))
+                           / nc END AS digit,
+                       CASE WHEN len(w) > 0 THEN
+                           len(list_filter(w, t -> list_contains(
+                               {_stopword_list_sql()}, t)))
+                           / len(w) END AS stop
+                FROM d
+            )
+            SELECT doc_id,
+                   FLOOR((0.3 * LEAST(n_words / 100.0, 1.0)
+                        + 0.2 * (CASE WHEN awl BETWEEN 3.0 AND 10.0
+                                      THEN 1.0 ELSE 0.0 END)
+                        + 0.2 * LEAST(stop * 3, 1.0)
+                        + 0.3 * GREATEST(0.0, 1.0 - punct * 4 - digit * 2)
+                   ) * 1e6 + 0.5) / 1e6 AS quality
+            FROM s
         """,
         "text_statistics": f"""
             WITH d AS (

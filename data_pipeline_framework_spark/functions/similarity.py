@@ -278,6 +278,35 @@ def ivf_index(
     return assigned, centers
 
 
+def write_ivf_index(
+    index: tuple[DataFrame, list[list[float]]], path: str, mode: str = "overwrite"
+) -> None:
+    """Persist an ivf_index: assignments parquet `partitionBy("__cell")` +
+    the codebook as a one-row-per-cell parquet sidecar.
+
+    Cell-partitioned layout is the at-scale probe story: a query touching
+    nprobe cells scans ONLY those cells' files — Spark partition pruning,
+    so probe I/O is ~nprobe/n_cells of the corpus regardless of its size."""
+    assigned, centers = index
+    assigned.write.mode(mode).partitionBy("__cell").parquet(f"{path}/cells")
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/codebook")
+
+
+def read_ivf_index(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """Load a persisted IVF index; the assignments scan keeps the
+    partition column so downstream `__cell` filters prune at the source."""
+    assigned = spark.read.parquet(f"{path}/cells")
+    codebook = spark.read.parquet(f"{path}/codebook").orderBy("cell").collect()
+    centers = [list(r["center"]) for r in codebook]
+    return assigned, centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -71,3 +71,35 @@ def test_lsh_topk_with_dim_is_fully_lazy(spark, monkeypatch):
     plan_b = SIM.embedding_neardup_pairs(vecs, threshold=0.5, dim=3)
     monkeypatch.undo()
     assert plan_a.count() > 0 and plan_b.count() >= 0
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    import random
+    rng = random.Random(3)
+    vecs = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = vecs.limit(3).selectExpr("vec_id as query_id", "embedding")
+    idx = SIM.ivf_index(vecs, n_cells=4, seed=11)
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(idx, path)
+    loaded = SIM.read_ivf_index(spark, path)
+    assert [
+        [round(x, 9) for x in c] for c in loaded[1]
+    ] == [[round(x, 9) for x in c] for c in idx[1]]
+
+    fresh = SIM.ivf_topk(vecs, qs, k=5, index=idx)
+    reread = SIM.ivf_topk(vecs, qs, k=5, index=loaded)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])
+    assert sorted(map(key, fresh.collect())) == \
+        sorted(map(key, reread.collect()))
+
+    # a cell filter on the persisted layout must prune at the source
+    probe = loaded[0].filter("__cell IN (0, 1)")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan

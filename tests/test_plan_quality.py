@@ -155,3 +155,38 @@ def test_theta_semi_join_hashed_not_bnl(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_dfcut_is_broadcast_anti_join(spark):
+    """The hot-shingle cut must subtract via a BROADCAST anti join (the hot
+    list is tiny by construction); the candidate join stays hashed."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", max_df=0.2)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_is_one_window_pass_no_join(spark, sf_dir):
+    """asof_join must compile to union + window (one shuffle on the key),
+    never a join operator — that is its whole scale argument."""
+    from data_pipeline_framework_spark.operators.joins import asof_join
+    from data_pipeline_framework_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    left = ev.filter("event_type IS NULL OR true").select("user_id", "ts")
+    out = asof_join(left, ev, on="ts", by=["user_id"])
+    plan = _plan(out)
+    assert "Window" in plan and "Union" in plan, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "NestedLoop", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in asof plan:\n{plan}"
+    # exactly one exchange hash-partitions on the by-key for the window
+    assert plan.count("hashpartitioning(user_id") >= 1
