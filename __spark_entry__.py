@@ -678,6 +678,21 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", _r(F.col("quality"), 6).alias("quality"))
 
 
+def tfidf_doc_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus-wide tf-idf aggregates per doc, no driver-side vocabulary
+    (the oracle-checked complement of the MLlib tfidf_vectors query)."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.tfidf_doc_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        _r(F.col("tfidf_mass"), 4).alias("tfidf_mass"),
+        _r(F.col("tfidf_max"), 6).alias("tfidf_max"),
+        "n_distinct_terms",
+    )
+
+
 def text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import text as TX
 
@@ -1875,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoints": changepoints,
         "text_statistics": text_statistics,
         "doc_quality_scores": doc_quality_scores,
+        "tfidf_doc_mass": tfidf_doc_mass,
         "token_counts": token_counts,
         "language_scores": language_scores,
         "doc_fingerprints": doc_fingerprints,
@@ -2583,6 +2599,25 @@ def oracle_sql() -> dict[str, str]:
                           ELSE pv + (nv - pv) * (pos - pp) / (np - pp)
                           END) * 1e4 + 0.5) / 1e4 AS value
             FROM e
+        """,
+        "tfidf_doc_mass": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_DD_TOKS}) AS tok FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2
+            ), dfq AS (
+                SELECT tok, count(*) AS dfc FROM tf GROUP BY 1
+            ), n AS (
+                SELECT count(*) AS nd FROM documents
+            )
+            SELECT tf.doc_id,
+                   FLOOR(sum(tf.tf * ln((n.nd + 1) / (dfq.dfc + 1)))
+                         * 1e4 + 0.5) / 1e4 AS tfidf_mass,
+                   FLOOR(max(tf.tf * ln((n.nd + 1) / (dfq.dfc + 1)))
+                         * 1e6 + 0.5) / 1e6 AS tfidf_max,
+                   count(*) AS n_distinct_terms
+            FROM tf JOIN dfq USING (tok), n
+            GROUP BY tf.doc_id
         """,
         "doc_quality_scores": f"""
             WITH d AS (

@@ -152,3 +152,35 @@ def fingerprint(
     (whitespace-collapsed, lowercased) — the exact-dedup key."""
     normalized = F.concat_ws(" ", tokens(text_col))
     return df.withColumn(out_col, hash52(normalized))
+
+
+def tfidf_doc_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document tf-idf aggregates over the WHOLE corpus vocabulary —
+    no driver-side vocabulary (CountVectorizer collects its vocab to the
+    driver; at corpus scale that is the bottleneck, and top-N truncation
+    changes results). idf = ln((N+1)/(df+1)), the MLlib smoothing.
+
+    Output per doc: tfidf_mass (sum of tf*idf over its distinct terms),
+    tfidf_max (strongest term weight), n_distinct_terms.
+    Shape: explode -> (doc,term) agg -> term-df agg -> co-partitioned join
+    back on term -> doc agg. Two shuffle keys (doc+term, term); the corpus
+    size N arrives as a broadcast scalar, not a driver action."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    tf = toks.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    weighted = (
+        tf.join(dfreq, "__t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__w",
+            F.col("__tf") * F.log((F.col("__N") + 1) / (F.col("__df") + 1)),
+        )
+    )
+    return weighted.groupBy(id_col).agg(
+        F.sum("__w").alias("tfidf_mass"),
+        F.max("__w").alias("tfidf_max"),
+        F.count(F.lit(1)).alias("n_distinct_terms"),
+    )
