@@ -222,3 +222,46 @@ def test_jdbc_upsert_sql_shape(spark, sf_dir, monkeypatch):
         "ON CONFLICT (r_regionkey) DO UPDATE SET "
         "r_name = EXCLUDED.r_name"
     )
+
+
+def test_five_concurrent_pipelines(spark, sf_dir, tmp_path):
+    """Parity with the reference's concurrency benchmark
+    (test_benchmarks.py: 5 concurrent pipelines): five pipeline runs
+    submitted from five threads against one session must all succeed and
+    write consistent outputs — Spark schedules their jobs concurrently."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    results = {}
+
+    def run_one(i):
+        out = str(tmp_path / f"out{i}")
+        cfg = {
+            "name": f"concurrent_{i}",
+            "source": {"type": "parquet"},
+            "input": {"path": f"{sf_dir}/orders.parquet"},
+            "processing": {"operations": [
+                {"type": "filter", "condition": f"o_custkey % 5 = {i}"},
+                {"type": "aggregate", "group_by": ["o_orderpriority"],
+                 "aggregations": {"o_totalprice": ["sum", "count"]}},
+            ]},
+            "storage": {"type": "parquet", "destination": out,
+                        "mode": "replace"},
+        }
+        results[i] = (Pipeline(cfg, spark).run(), out)
+
+    threads = [threading.Thread(target=run_one, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 5
+    total = 0
+    for i, (res, out) in results.items():
+        assert res.status == "success", (i, res.error)
+        back = spark.read.parquet(out)
+        total += back.agg(F.sum("o_totalprice_count")).first()[0]
+    # the five custkey-residue slices partition the table exactly
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert total == orders.count()
