@@ -196,3 +196,70 @@ def test_join_op_matches_duckdb(spark, lrows, rrows, how):
     con.close()
 
     assert _canon(got) == _canon(want)
+
+
+# --- window-function differential --------------------------------------
+
+_wrows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["a", "b"])),        # g
+        st.one_of(st.none(), st.integers(-100, 100)),             # v
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_wfn = st.sampled_from([
+    "row_number", "rank", "dense_rank", "lag", "lead",
+    "running_sum", "moving_sum",
+])
+
+_W_SQL = {
+    "row_number": "row_number() OVER w",
+    "rank": "rank() OVER w",
+    "dense_rank": "dense_rank() OVER w",
+    "lag": "lag(v, 1) OVER w",
+    "lead": "lead(v, 1) OVER w",
+    "running_sum": "CAST(sum(v) OVER (PARTITION BY g ORDER BY u "
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                   "AS BIGINT)",
+    "moving_sum": "CAST(sum(v) OVER (PARTITION BY g ORDER BY u "
+                  "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)",
+}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_wrows, fn=_wfn)
+def test_window_functions_match_duckdb(spark, rows, fn):
+    from data_pipeline_framework_spark.operators.window_ops import (
+        apply_window_function,
+    )
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]  # u: unique order key
+    sdf = spark.createDataFrame(data, "g string, v long, u long")
+    kw = {"partition_by": ["g"], "order_by": ["u"], "new_column": "out"}
+    if fn in ("row_number", "rank", "dense_rank"):
+        out = apply_window_function(sdf, fn, **kw)
+    elif fn in ("lag", "lead"):
+        out = apply_window_function(sdf, fn, column="v", offset=1, **kw)
+    elif fn == "running_sum":
+        out = apply_window_function(sdf, "running_sum", column="v", **kw)
+    else:
+        out = apply_window_function(
+            sdf, "sum", column="v", rows_between=(-2, 0), **kw
+        )
+    got = _canon(out.select("g", "v", "u", "out").toPandas())
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(data, columns=["g", "v", "u"]))
+    sql = (
+        f"SELECT g, v, u, {_W_SQL[fn]} AS out FROM t "
+        "WINDOW w AS (PARTITION BY g ORDER BY u)"
+    )
+    want = _canon(con.sql(sql).df())
+    con.close()
+    assert got == want
