@@ -759,6 +759,20 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash near-dup pairs -> duplicate CLUSTERS via alternating-star
+    connected components (component = min reachable doc_id) — the canonical-
+    doc-selection step of a dedup pipeline. Oracle: recursive-CTE reachability
+    over the same verified pairs."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+    labels = DD.connected_components(pairs)
+    w = Window.partitionBy("component")
+    return labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact n-gram-Jaccard near-dups via inverted shingle index at 0.5."""
     from data_pipeline_framework_spark.functions import dedup as DD
@@ -1896,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "dedup_exact_groups": dedup_exact_groups,
         "minhash_neardup": minhash_neardup,
+        "neardup_clusters": neardup_clusters,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
         "simhash_sigs": simhash_sigs,
         "ann_cosine_topk": ann_cosine_topk,
@@ -1973,7 +1988,7 @@ _DD_SHINGLES = f"""
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte_body() -> str:
     from data_pipeline_framework_spark.functions.dedup import (
         LSH_BANDS, MINHASH_P, MINHASH_PARAMS,
     )
@@ -1990,8 +2005,7 @@ def _minhash_oracle() -> str:
         + ") AS key FROM sig"
         for b in range(LSH_BANDS)
     )
-    return f"""
-        WITH d AS (
+    body = f"""d AS (
             SELECT doc_id, {_DD_SHINGLES} AS sh
             FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents)
         ),
@@ -2010,10 +2024,38 @@ def _minhash_oracle() -> str:
                         - len(list_intersect(x.sh, y.sh))) AS j
             FROM cand JOIN d x ON cand.ida = x.doc_id
                       JOIN d y ON cand.idb = y.doc_id
-        )
+        )"""
+    return body
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_cte_body()}
         SELECT ida AS id_a, idb AS id_b,
                FLOOR(j * 1e4 + 0.5) / 1e4 AS jaccard
         FROM verified WHERE j >= 0.7
+    """
+
+
+def _neardup_clusters_oracle() -> str:
+    """Recursive-CTE twin of minhash pairs -> connected components:
+    component = min doc_id reachable through the verified-pair graph."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte_body()},
+        pairs AS (SELECT ida AS u, idb AS v FROM verified WHERE j >= 0.7),
+        sym AS (
+            SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS n FROM sym),
+        reach(n, l) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT s.u, r.l FROM sym s JOIN reach r ON s.v = r.n
+        ),
+        labels AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n)
+        SELECT node, component,
+               COUNT(*) OVER (PARTITION BY component) AS cluster_size
+        FROM labels
     """
 
 
@@ -2703,6 +2745,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY fp HAVING COUNT(*) > 1
         """,
         "minhash_neardup": _minhash_oracle(),
+        "neardup_clusters": _neardup_clusters_oracle(),
         "ann_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

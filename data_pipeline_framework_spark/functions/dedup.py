@@ -354,3 +354,88 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster labels from near-dup PAIRS: (node, component)
+    where component = the minimum node id reachable through the pair graph.
+
+    Alternating large-star / small-star contraction (the MapReduce
+    connected-components algorithm of Kiveris et al.) — converges in
+    O(log n) rounds regardless of chain length, each round two grouped
+    aggregations + joins on the node key; no adjacency list is ever
+    collected, so a 10^9-node dup graph runs in bounded executor memory.
+    This is the step after minhash_dedup_pairs/embedding_neardup_pairs in
+    a real dedup pipeline: clusters -> keep min-id canonical doc.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+
+    def _checksum(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+        m = m.select("u", F.least("__mn", "u").alias("__m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        o = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("__m"))
+        kids = o.join(m, "u").select(F.col("v").alias("x"), F.col("__m"))
+        selfs = m.select(F.col("u").alias("x"), F.col("__m"))
+        return (
+            kids.union(selfs)
+            .filter(F.col("x") != F.col("__m"))
+            .select(F.col("x").alias("u"), F.col("__m").alias("v"))
+            .distinct()
+        )
+
+    prev_sum = _checksum(e)
+    for _ in range(max_iter):
+        # localCheckpoint truncates the lineage each round — without it the
+        # logical plan doubles per iteration and Catalyst re-optimization
+        # cost explodes long before the data does (the standard iterative-
+        # algorithm failure mode; on a cluster use checkpoint() on durable
+        # storage for fault tolerance instead)
+        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        cur_sum = _checksum(nxt)
+        e.unpersist()
+        e = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    # fixpoint edges are stars (node -> component root); roots label
+    # themselves
+    labels = e.select("u", "v").union(
+        e.select(F.col("v").alias("u"), F.col("v").alias("v"))
+    )
+    return labels.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("node"), "component"
+    )

@@ -67,3 +67,48 @@ def test_absolute_max_df(spark):
     # absolute cut of 3 docs behaves like the fractional cut here
     cut = ngram_candidate_pairs(sh, "doc_id", max_df=3).count()
     assert cut < 10
+
+
+def test_connected_components_vs_bfs(spark):
+    """Alternating-star contraction must agree with a reference BFS on
+    random graphs, and converge on a long chain (the label-propagation
+    worst case) within the round budget."""
+    import collections
+    import random
+
+    from data_pipeline_framework_spark.functions.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    comp, seen = {}, set()
+    for s in sorted(adj):
+        if s in seen:
+            continue
+        stack, mem = [s], {s}
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in mem:
+                    mem.add(y)
+                    stack.append(y)
+        for x in mem:
+            seen.add(x)
+            comp[x] = min(mem)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == comp
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    labels = connected_components(chain, max_iter=12).collect()
+    assert len(labels) == 121
+    assert {r["component"] for r in labels} == {0}
