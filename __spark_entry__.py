@@ -759,6 +759,40 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """end-to-end training-corpus filter: keep docs that are (1) English
+    by marker-stopword argmax, (2) quality >= 0.68, (3) the canonical
+    member of their byte-dup fingerprint group, (4) not a non-canonical
+    member of a minhash near-dup cluster. One composed plan over four
+    operator families; oracle replays every stage in DuckDB."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lang = TX.language_id(docs, "text").select("doc_id", "lang_pred")
+    qual = TX.quality_score(docs, "text").select("doc_id", "quality")
+    fp = TX.fingerprint(docs, "text")
+    canon = fp.withColumn(
+        "__c", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    exact_keep = canon.filter(F.col("doc_id") == F.col("__c")).select("doc_id")
+    pairs = DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+    near_drop = (
+        DD.connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_keep, "doc_id")
+        .join(near_drop, "doc_id", "left_anti")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.68))
+        .select("doc_id", _r(F.col("quality"), 6).alias("quality"))
+    )
+
+
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minhash near-dup pairs -> duplicate CLUSTERS via alternating-star
     connected components (component = min reachable doc_id) — the canonical-
@@ -1911,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": dedup_exact_groups,
         "minhash_neardup": minhash_neardup,
         "neardup_clusters": neardup_clusters,
+        "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
         "simhash_sigs": simhash_sigs,
         "ann_cosine_topk": ann_cosine_topk,
@@ -2034,6 +2069,99 @@ def _minhash_oracle() -> str:
         SELECT ida AS id_a, idb AS id_b,
                FLOOR(j * 1e4 + 0.5) / 1e4 AS jaccard
         FROM verified WHERE j >= 0.7
+    """
+
+
+def _curation_oracle() -> str:
+    """DuckDB replay of corpus_curation: language argmax + quality formula
+    + fingerprint canonicalization + recursive-CTE near-dup clusters."""
+    from data_pipeline_framework_spark.functions.text import LANG_MARKERS
+
+    marker_sql = {
+        lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_exprs = ",\n                   ".join(
+        f"CASE WHEN len(w) > 0 THEN"
+        f" len(list_filter(w, t -> list_contains({marker_sql[lang]}, t)))"
+        f" / len(w) END AS {lang}_score"
+        for lang in LANG_MARKERS
+    )
+    pred_branches = "\n                        ".join(
+        f"WHEN {lang}_score = best THEN '{lang}'"
+        for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+        WITH RECURSIVE {_minhash_cte_body()},
+        pairs AS (SELECT ida AS u, idb AS v FROM verified WHERE j >= 0.7),
+        sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        nodes AS (SELECT DISTINCT u AS n FROM sym),
+        reach(n, l) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT s.u, r.l FROM sym s JOIN reach r ON s.v = r.n
+        ),
+        labels AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n),
+        near_drop AS (SELECT node AS doc_id FROM labels WHERE node <> component),
+        t AS (
+            SELECT doc_id, text, {_DD_TOKS} AS w, length(text) AS nc
+            FROM documents
+        ),
+        fp AS (SELECT doc_id, {_DD_FP} AS f FROM t),
+        exact_keep AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS c FROM fp
+            ) WHERE doc_id = c
+        ),
+        ls AS (
+            SELECT doc_id,
+                   {score_exprs}
+            FROM t
+        ),
+        lp AS (
+            SELECT doc_id,
+                   CASE WHEN best IS NULL OR NOT best > 0 THEN 'unknown'
+                        {pred_branches}
+                   END AS lang_pred
+            FROM (
+                SELECT *, greatest(en_score, de_score, fr_score, es_score)
+                       AS best
+                FROM ls
+            )
+        ),
+        qs AS (
+            SELECT doc_id,
+                   0.3 * LEAST(n_words / 100.0, 1.0)
+                 + 0.2 * (CASE WHEN awl BETWEEN 3.0 AND 10.0
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.2 * LEAST(stop * 3, 1.0)
+                 + 0.3 * GREATEST(0.0, 1.0 - punct * 4 - digit * 2) AS q
+            FROM (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       CASE WHEN len(w) > 0 THEN
+                           list_sum(list_transform(w, t -> length(t))) / len(w)
+                       END AS awl,
+                       CASE WHEN nc > 0 THEN
+                           (nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                           / nc END AS punct,
+                       CASE WHEN nc > 0 THEN
+                           (nc - length(regexp_replace(text, '[0-9]', '', 'g')))
+                           / nc END AS digit,
+                       CASE WHEN len(w) > 0 THEN
+                           len(list_filter(w, t -> list_contains(
+                               {_stopword_list_sql()}, t)))
+                           / len(w) END AS stop
+                FROM t
+            )
+        )
+        SELECT t.doc_id, FLOOR(qs.q * 1e6 + 0.5) / 1e6 AS quality
+        FROM t
+        JOIN exact_keep USING (doc_id)
+        JOIN lp USING (doc_id)
+        JOIN qs USING (doc_id)
+        WHERE t.doc_id NOT IN (SELECT doc_id FROM near_drop)
+          AND lp.lang_pred = 'en' AND qs.q >= 0.68
     """
 
 
@@ -2746,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_neardup": _minhash_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),
+        "corpus_curation": _curation_oracle(),
         "ann_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
