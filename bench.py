@@ -26,7 +26,8 @@ _WIDE = {
     "tumbling_window_agg", "sessionize_events", "profile_lineitem",
     "rolling_stats", "aggregation_features", "asof_join_events",
     "range_join_acctbal", "dedup_keep_last", "media_waveform_features",
-    "savgol_smooth", "seasonal_decomposition",
+    "savgol_smooth", "seasonal_decomposition", "doc_quality_scores",
+    "tfidf_doc_mass", "neardup_clusters",
 }
 
 HEADLINE = [
@@ -62,6 +63,11 @@ HEADLINE = [
     "tumbling_window_agg",
     "rolling_stats",
     "profile_lineitem",
+    # round-2 additions (appended; earlier entries keep their positions
+    # so per-query comparison against prior rounds holds)
+    "doc_quality_scores",
+    "tfidf_doc_mass",
+    "neardup_clusters",
 ]
 
 

@@ -396,11 +396,13 @@ def connected_components(
         )
         m = sym.groupBy("u").agg(F.min("v").alias("__mn"))
         m = m.select("u", F.least("__mn", "u").alias("__m"))
+        # no distinct here: small_star's final aggregation dedups, and the
+        # grouped-min is insensitive to duplicate edges — one less shuffle
+        # per round
         return (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("__m").alias("v"))
-            .distinct()
         )
 
     def small_star(edges: DataFrame) -> DataFrame:
