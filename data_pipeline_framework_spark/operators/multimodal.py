@@ -102,17 +102,31 @@ def _decode(blob: bytes, fmt: str) -> np.ndarray:
 
         return np.asarray(Image.open(io.BytesIO(blob)))
     if fmt == "wav":
-        try:
-            import soundfile  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "WAV decode requires soundfile, not installed here"
-            ) from exc
-        import soundfile
-
-        data, _sr = soundfile.read(io.BytesIO(blob))
-        return np.asarray(data)
+        return decode_wav(blob)
     raise ValueError(f"unknown media format: {fmt!r}")
+
+
+def decode_wav(blob: bytes) -> np.ndarray:
+    """PCM WAV decode with the stdlib `wave` module — no audio library
+    needed. Integer samples are scaled to [-1, 1] (soundfile.read's
+    float64 convention), stereo arrives as (frames, channels)."""
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:  # unsigned 8-bit
+        data = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif sw == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width: {sw}")
+    return data.reshape(-1, nch) if nch > 1 else data
 
 
 # ---------------------------------------------------------------------------

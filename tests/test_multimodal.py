@@ -102,3 +102,49 @@ def test_unsupported_format_raises(spark, media_dir):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_wav_decode_stdlib_end_to_end(spark):
+    """Real WAV bytes (stdlib wave writer) through the distributed
+    audio_features kernel — the codec is no longer environment-gated."""
+    import io
+    import math
+    import struct
+    import wave as wavemod
+
+    import numpy as np
+
+    from data_pipeline_framework_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    def make_wav(freq, n=1600, sr=16000, stereo=False):
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(2 if stereo else 1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            for i in range(n):
+                v = int(32000 * math.sin(2 * math.pi * freq * i / sr))
+                frame = struct.pack("<h", v)
+                w.writeframes(frame * (2 if stereo else 1))
+        return buf.getvalue()
+
+    mono = make_wav(440)
+    arr = decode_wav(mono)
+    assert arr.shape == (1600,) and abs(arr).max() <= 1.0
+    stereo = decode_wav(make_wav(220, stereo=True))
+    assert stereo.shape == (1600, 2)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mono), "wav"), (2, bytearray(make_wav(880)), "wav")],
+        "media_id int, content binary, format string",
+    )
+    out = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert out[1]["n_samples"] == 1600
+    assert abs(out[1]["duration_sec"] - 0.1) < 1e-9
+    # a 440 Hz tone over 0.1 s crosses zero ~2*44 times; 880 Hz twice that
+    assert 80 <= out[1]["zero_crossings"] <= 96
+    assert 160 <= out[2]["zero_crossings"] <= 184
+    assert 0.6 < out[1]["rms"] < 0.8  # sine RMS = amp/sqrt(2) ~ 0.69
