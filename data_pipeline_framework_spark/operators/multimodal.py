@@ -9,12 +9,12 @@ partition-parallel with no driver involvement.
 Design:
   * `read_binary_files` — Spark's native binaryFile source (path, length,
     modificationTime, content), glob + pathGlobFilter pushdown.
-  * decode: REAL for the container-independent `.npy` payload format
-    (numpy deserialization — deterministic, no native image libs needed);
-    JPEG/PNG/WAV decode is gated behind a Pillow/soundfile import-try and
-    raises NotImplementedError in this container (libs not installed) —
-    the Spark-side plumbing (schemas, batch iteration, partitioning) is
-    identical for both paths and is what the tests exercise.
+  * decode: REAL, library-free, for npy (numpy container), PNG (stdlib
+    zlib + spec filter reconstruction), BMP (uncompressed 8/24/32-bit),
+    PPM/PGM (binary netpbm), and PCM WAV (stdlib wave). Only JPEG — whose
+    DCT entropy coding genuinely needs a codec library — is gated behind
+    a Pillow import-try and raises NotImplementedError in this container;
+    its Spark-side plumbing is identical to the native formats.
   * image ops: byte_stats (content-level), image_stats / resize
     (average-pool) on decoded arrays, video frame sampling, audio
     rms / zero-crossing features.
@@ -90,13 +90,19 @@ def decode_npy(blob: bytes) -> np.ndarray:
 def _decode(blob: bytes, fmt: str) -> np.ndarray:
     if fmt == "npy":
         return decode_npy(blob)
-    if fmt in ("jpeg", "jpg", "png"):
+    if fmt == "png":
+        return decode_png(blob)
+    if fmt == "bmp":
+        return decode_bmp(blob)
+    if fmt in ("ppm", "pgm"):
+        return decode_ppm(blob)
+    if fmt in ("jpeg", "jpg"):
         try:
             from PIL import Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "JPEG/PNG decode requires Pillow, which is not installed in "
-                "this container; the npy path exercises the same plumbing"
+                "JPEG decode requires Pillow, which is not installed in this "
+                "container; PNG/BMP/PPM/WAV/npy decode natively"
             ) from exc
         from PIL import Image
 
@@ -127,6 +133,229 @@ def decode_wav(blob: bytes) -> np.ndarray:
     else:
         raise NotImplementedError(f"unsupported WAV sample width: {sw}")
     return data.reshape(-1, nch) if nch > 1 else data
+
+
+# --- PNG (pure stdlib-zlib + numpy; RFC 2083 critical chunks) --------------
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# IHDR color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Pure-numpy PNG decode (stdlib zlib inflate + filter reconstruction,
+    per the public PNG spec). Supports bit depth 8, color types gray /
+    RGB / gray+alpha / RGBA, non-interlaced — i.e. everything
+    `encode_png` emits and the common training-corpus cases. Palette or
+    16-bit inputs raise (re-encode upstream). Row filters 0-2 reconstruct
+    fully vectorized; 3/4 (Average/Paeth) carry a left-pixel recurrence,
+    so they scan width-wise per filtered row only."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG byte stream")
+    pos, width = 8, None
+    idat = []
+    while pos < len(blob):
+        (length,) = np.frombuffer(blob, dtype=">u4", count=1, offset=pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + int(length)]
+        pos += 12 + int(length)  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height = np.frombuffer(data, dtype=">u4", count=2)
+            depth, color, _comp, _filt, interlace = data[8:13]
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace} "
+                    "unsupported (8-bit gray/RGB/LA/RGBA, non-interlaced only)"
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    import zlib
+
+    raw = zlib.decompress(b"".join(idat))
+    ch = _PNG_CHANNELS[color]
+    w, h = int(width), int(height)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).reshape(w, ch)
+        if ftype == 0:
+            rec = row.copy()
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-1] -> prefix sum
+            rec = (np.cumsum(row.astype(np.uint32), axis=0) % 256).astype(np.uint8)
+        elif ftype == 2:  # Up: uint8 addition wraps mod 256 natively
+            rec = row + prev
+        elif ftype in (3, 4):  # Average / Paeth: left-recurrence scan
+            r32 = row.astype(np.int32)
+            p32 = prev.astype(np.int32)
+            rec32 = np.empty((w, ch), dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                up = p32[x]
+                if ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                    )
+                rec32[x] = (r32[x] + pred) & 255
+                left, upleft = rec32[x], up
+            rec = rec32.astype(np.uint8)
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out[:, :, 0] if ch == 1 else out
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Deterministic PNG writer (filter 0 rows, one zlib stream).
+    Accepts uint8 (h, w) gray or (h, w, {1,2,3,4}) arrays."""
+    import zlib
+
+    arr = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = (
+        np.array([w, h], dtype=">u4").tobytes()
+        + bytes([8, color, 0, 0, 0])
+    )
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return (
+            np.array([len(data)], dtype=">u4").tobytes()
+            + ctype + data
+            + np.array([crc], dtype=">u4").tobytes()
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# --- BMP (uncompressed BITMAPINFOHEADER) -----------------------------------
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Windows BMP decode: uncompressed 8-bit palette / 24-bit BGR /
+    32-bit BGRX, bottom-up or top-down, 4-byte row padding. Returns
+    uint8 (h, w) for paletted grayscale, else (h, w, 3|4) in RGB order."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP byte stream")
+    (data_off,) = np.frombuffer(blob, dtype="<u4", count=1, offset=10)
+    (dib_size,) = np.frombuffer(blob, dtype="<u4", count=1, offset=14)
+    width, height = np.frombuffer(blob, dtype="<i4", count=2, offset=18)
+    (bpp,) = np.frombuffer(blob, dtype="<u2", count=1, offset=28)
+    (compression,) = np.frombuffer(blob, dtype="<u4", count=1, offset=30)
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    w = int(width)
+    h, top_down = (int(-height), True) if height < 0 else (int(height), False)
+    bypp = int(bpp) // 8
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bpp}")
+    stride = (w * bypp + 3) & ~3
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=h * stride, offset=int(data_off)
+    ).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        pal = np.frombuffer(
+            blob, dtype=np.uint8, count=256 * 4, offset=14 + int(dib_size)
+        ).reshape(256, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        idx = rows[:, :w]
+        rgb = pal[idx]
+        if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
+            return np.ascontiguousarray(rgb[..., 0])  # grayscale palette
+        return np.ascontiguousarray(rgb)
+    px = rows[:, : w * bypp].reshape(h, w, bypp)
+    return np.ascontiguousarray(px[:, :, 2::-1] if bypp == 3 else px[:, :, [2, 1, 0, 3]])
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Deterministic 24-bit bottom-up BMP writer. Accepts uint8 (h, w)
+    gray (replicated to RGB) or (h, w, 3)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    dib = (
+        np.array([40], dtype="<u4").tobytes()
+        + np.array([w, h], dtype="<i4").tobytes()
+        + np.array([1, 24], dtype="<u2").tobytes()
+        + np.array([0, h * stride, 2835, 2835, 0, 0], dtype="<u4").tobytes()
+    )
+    header = (
+        b"BM"
+        + np.array([14 + 40 + h * stride], dtype="<u4").tobytes()
+        + b"\x00\x00\x00\x00"
+        + np.array([14 + 40], dtype="<u4").tobytes()
+    )
+    return header + dib + body.tobytes()
+
+
+# --- PPM / PGM (netpbm binary) ---------------------------------------------
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary netpbm decode: P5 (grayscale PGM) -> (h, w), P6 (RGB PPM)
+    -> (h, w, 3); maxval <= 255 -> uint8, else big-endian uint16."""
+    magic = blob[:2]
+    if magic not in (b"P5", b"P6"):
+        raise NotImplementedError(f"netpbm magic {magic!r} (binary P5/P6 only)")
+    # header: magic, width, height, maxval as whitespace-separated tokens,
+    # '#' comments running to end-of-line
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        c = blob[pos : pos + 1]
+        if c == b"#":
+            pos = blob.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while not blob[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(blob[pos:end]))
+            pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    ch = 3 if magic == b"P6" else 1
+    dt = np.uint8 if maxval < 256 else np.dtype(">u2")
+    data = np.frombuffer(blob, dtype=dt, count=h * w * ch, offset=pos)
+    return data.reshape((h, w, 3) if ch == 3 else (h, w))
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Deterministic binary netpbm writer: (h, w) -> P5, (h, w, 3) -> P6."""
+    arr = np.asarray(img, dtype=np.uint8)
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
 # ---------------------------------------------------------------------------

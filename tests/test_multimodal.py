@@ -148,3 +148,107 @@ def test_wav_decode_stdlib_end_to_end(spark):
     assert 80 <= out[1]["zero_crossings"] <= 96
     assert 160 <= out[2]["zero_crossings"] <= 184
     assert 0.6 < out[1]["rms"] < 0.8  # sine RMS = amp/sqrt(2) ~ 0.69
+
+
+# --- library-free image codecs (PNG / BMP / PPM) ---------------------------
+
+
+def _spec_png(img, filters):
+    """Independent spec-reference PNG builder: applies the named row
+    filters per the public PNG spec with scalar per-pixel arithmetic, so
+    decode_png's vectorized reconstruction is checked against a second
+    implementation, not against its own encoder."""
+    import zlib
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    h, w, ch = img.shape
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w):
+            for k in range(ch):
+                o = int(img[y, x, k])
+                left = int(img[y, x - 1, k]) if x > 0 else 0
+                up = int(img[y - 1, x, k]) if y > 0 else 0
+                ul = int(img[y - 1, x - 1, k]) if (x > 0 and y > 0) else 0
+                pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2,
+                        4: paeth(left, up, ul)}[f]
+                raw.append((o - pred) & 255)
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = np.array([w, h], dtype=">u4").tobytes() + bytes([8, color, 0, 0, 0])
+
+    def chunk(t, d):
+        crc = zlib.crc32(t + d) & 0xFFFFFFFF
+        return (np.array([len(d)], dtype=">u4").tobytes() + t + d
+                + np.array([crc], dtype=">u4").tobytes())
+
+    return (MM._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_image_codec_roundtrips():
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (13, 9), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+    assert (MM.decode_png(MM.encode_png(g)) == g).all()
+    assert (MM.decode_png(MM.encode_png(rgb)) == rgb).all()
+    assert (MM.decode_png(MM.encode_png(rgba)) == rgba).all()
+    assert (MM.decode_bmp(MM.encode_bmp(rgb)) == rgb).all()
+    assert (MM.decode_bmp(MM.encode_bmp(g)) == np.repeat(g[:, :, None], 3, 2)).all()
+    assert (MM.decode_ppm(MM.encode_ppm(g)) == g).all()
+    assert (MM.decode_ppm(MM.encode_ppm(rgb)) == rgb).all()
+    # netpbm comments in the header
+    blob = b"P5\n# comment line\n9 13\n255\n" + g.tobytes()
+    assert (MM.decode_ppm(blob) == g).all()
+
+
+def test_png_all_filters_reconstruct():
+    rng = np.random.default_rng(11)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, (11, 7, ch), dtype=np.uint8)
+        for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = MM.decode_png(_spec_png(img, filters))
+            if got.ndim == 2:
+                got = got[:, :, None]
+            assert (got == img).all(), (ch, filters)
+
+
+def test_image_stats_mixed_formats(spark):
+    """One DataFrame carrying PNG + BMP + PGM blobs of the same image:
+    the per-row format dispatch decodes each and all stats agree."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 12), dtype=np.uint8)
+    rows = [
+        (1, bytearray(MM.encode_png(img)), "png"),
+        (2, bytearray(MM.encode_bmp(img)), "bmp"),
+        (3, bytearray(MM.encode_ppm(img)), "pgm"),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, content binary, format string")
+    out = {r["media_id"]: r for r in MM.image_stats(df).collect()}
+    want_mean = float(img.mean())
+    for mid, r in out.items():
+        assert (r["height"], r["width"]) == (16, 12), mid
+        assert r["mean_intensity"] == pytest.approx(want_mean, abs=1e-9), mid
+    # bmp replicates gray to 3 channels; png/pgm stay single-channel
+    assert out[1]["channels"] == 1 and out[3]["channels"] == 1
+    assert out[2]["channels"] == 3
+
+
+def test_resize_on_png(spark):
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 24, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(MM.encode_png(img)), "png")],
+        "media_id int, content binary, format string",
+    )
+    out = MM.resize_images(df, 16, 12).first()
+    resized = MM.decode_npy(bytes(out["resized"]))
+    assert resized.shape == (16, 12, 3)
+    assert resized.mean() == pytest.approx(img.astype(np.float64).mean(), rel=1e-6)
