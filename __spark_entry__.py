@@ -1576,6 +1576,38 @@ def media_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pipeline round-trip with a REAL codec: each embedding is
+    quantized to an 8x8 uint8 grayscale image, compressed to actual PNG
+    bytes (operators/multimodal.py: stdlib-zlib encoder), decoded back by
+    the pure-numpy PNG decoder inside the distributed image_stats kernel.
+    The oracle recomputes the quantized pixel mean straight from the
+    floats — matching proves the PNG encode->decode loop is lossless."""
+    from data_pipeline_framework_spark.operators.multimodal import (
+        encode_png,
+        image_stats,
+    )
+
+    @F.pandas_udf("binary")
+    def pack(s: pd.Series) -> pd.Series:
+        def go(v):
+            q = np.clip(
+                np.floor((np.asarray(v, dtype=np.float64) + 1.0) * 127.5), 0, 255
+            ).astype(np.uint8)
+            return encode_png(q.reshape(8, 8))
+
+        return s.map(go)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    blobs = emb.select(
+        "vec_id", pack("embedding").alias("content"), F.lit("png").alias("format")
+    )
+    return image_stats(blobs).select(
+        "vec_id", "height", "width", "channels",
+        _r(F.col("mean_intensity"), 6).alias("mean_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of / range joins (operators/joins.py)
 
@@ -1989,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decomposition": seasonal_decomposition,
         "savgol_smooth": savgol_smooth,
         "media_waveform_features": media_waveform_features,
+        "media_image_features": media_image_features,
         "asof_join_events": asof_join_events,
         "range_join_acctbal": range_join_acctbal,
         "mode_imputation": mode_imputation,
@@ -3524,6 +3557,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(range(1, len(embedding)),
                         i -> embedding[i] * embedding[i + 1] < 0))
                         AS BIGINT) AS zero_crossings
+            FROM embeddings
+        """,
+        "media_image_features": """
+            SELECT vec_id,
+                   CAST(8 AS INTEGER) AS height,
+                   CAST(8 AS INTEGER) AS width,
+                   CAST(1 AS INTEGER) AS channels,
+                   FLOOR(list_avg(list_transform(embedding,
+                         x -> least(greatest(FLOOR((CAST(x AS DOUBLE) + 1.0)
+                                    * 127.5), 0), 255)))
+                         * 1e6 + 0.5) / 1e6 AS mean_q
             FROM embeddings
         """,
         "asof_join_events": """

@@ -27,7 +27,7 @@ _WIDE = {
     "rolling_stats", "aggregation_features", "asof_join_events",
     "range_join_acctbal", "dedup_keep_last", "media_waveform_features",
     "savgol_smooth", "seasonal_decomposition", "doc_quality_scores",
-    "tfidf_doc_mass", "neardup_clusters",
+    "tfidf_doc_mass", "neardup_clusters", "media_image_features",
 }
 
 HEADLINE = [
@@ -68,6 +68,7 @@ HEADLINE = [
     "doc_quality_scores",
     "tfidf_doc_mass",
     "neardup_clusters",
+    "media_image_features",
 ]
 
 
