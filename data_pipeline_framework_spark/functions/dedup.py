@@ -19,6 +19,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import hash52, tokens
 
@@ -356,11 +357,43 @@ def simhash_pairs(
     )
 
 
+def _driver_union_find(rows, spark) -> DataFrame:
+    """Finish tiny (bounded, see caller) edge sets driver-side: path-halving
+    union-find, component = min member id. Returns (node, component)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for u, v in rows:
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # root at the smaller id so the root IS the component label
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    labels = [(n, find(n)) for n in parent]
+    schema = T.StructType([
+        T.StructField("node", T.LongType(), False),
+        T.StructField("component", T.LongType(), False),
+    ])
+    return spark.createDataFrame(labels, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_finish_threshold: int = 250_000,
 ) -> DataFrame:
     """Duplicate-cluster labels from near-dup PAIRS: (node, component)
     where component = the minimum node id reachable through the pair graph.
@@ -372,6 +405,15 @@ def connected_components(
     collected, so a 10^9-node dup graph runs in bounded executor memory.
     This is the step after minhash_dedup_pairs/embedding_neardup_pairs in
     a real dedup pipeline: clusters -> keep min-id canonical doc.
+
+    `driver_finish_threshold`: once the (monotonically contracting) edge
+    set is at most this many edges, the remainder is finished driver-side
+    with union-find — bounded memory (250K edges = a few MB), same labels.
+    Near-dup graphs are sparse relative to the corpus and each star round
+    shrinks them, so small inputs skip the iteration entirely and large
+    inputs save the tail rounds, where per-round scheduling overhead
+    dwarfs the actual work. Same bounded-driver pattern as the IVF
+    codebook (similarity.py); set 0 to force the fully distributed path.
     """
     e = (
         pairs.select(
@@ -421,6 +463,13 @@ def connected_components(
 
     prev_sum = _checksum(e)
     for _ in range(max_iter):
+        if prev_sum[0] <= driver_finish_threshold:
+            rows = e.select("u", "v").collect()
+            labels = _driver_union_find(
+                ((r["u"], r["v"]) for r in rows), e.sparkSession
+            )
+            e.unpersist()
+            return labels
         # localCheckpoint truncates the lineage each round — without it the
         # logical plan doubles per iteration and Catalyst re-optimization
         # cost explodes long before the data does (the standard iterative-

@@ -102,13 +102,23 @@ def test_connected_components_vs_bfs(spark):
             seen.add(x)
             comp[x] = min(mem)
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r["node"]: r["component"]
-           for r in connected_components(df).collect()}
-    assert got == comp
+    # all three execution regimes must agree with the BFS reference:
+    # immediate driver union-find, fully distributed star contraction,
+    # and distributed rounds that hand off to the driver mid-way
+    for threshold in (250_000, 0, 30):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                df, driver_finish_threshold=threshold
+            ).collect()
+        }
+        assert got == comp, f"threshold={threshold}"
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(120)], "id_a long, id_b long"
     )
-    labels = connected_components(chain, max_iter=12).collect()
+    labels = connected_components(
+        chain, max_iter=12, driver_finish_threshold=0
+    ).collect()
     assert len(labels) == 121
     assert {r["component"] for r in labels} == {0}
