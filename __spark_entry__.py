@@ -693,6 +693,65 @@ def tfidf_doc_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters: top-bigram share and duplicate-
+    trigram share per doc, one exploded (doc, n, gram) shuffle for both."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.repetition_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
+        "top_bigram_count", "bigram_total",
+        _r(F.col("top_bigram_frac"), 6).alias("top_bigram_frac"),
+        "dup_trigram_count", "trigram_total",
+        _r(F.col("dup_trigram_frac"), 6).alias("dup_trigram_frac"),
+    )
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-doc mean token log-prob under the corpus's own unigram model —
+    the cheap fluency filter (CCNet-style, corpus as its own LM)."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens",
+        _r(F.col("avg_logprob"), 4).alias("avg_logprob"),
+        _r(F.col("min_logprob"), 4).alias("min_logprob"),
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub before a corpus ships: count+replace email/SSN/phone in
+    one codegen projection. The testdata carries no PII-shaped text, so
+    the blob embeds deterministic key-derived email/SSN/phone strings —
+    built identically in the oracle — making this a real differential
+    test of the redaction regexes (a dialect drift breaks the hash)."""
+    from data_pipeline_framework_spark.operators.cleaning import redact_pii
+
+    k = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        F.col("c_nationkey") + 10, k % 1000, (k * 7) % 1000, (k * 13) % 10000,
+    )
+    ssn = F.format_string("%03d-%02d-%04d", k % 1000, k % 100, (k * 3) % 10000)
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", "")),
+        F.lit("@example.com"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat_ws(
+            " ", F.col("c_name"), email, F.lit("ssn"), ssn, F.lit("tel"), phone
+        ).alias("blob"),
+    )
+    return redact_pii(cust, ["blob"]).select(
+        "c_custkey", "blob", "pii_redactions"
+    )
+
+
 def text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import text as TX
 
@@ -1972,6 +2031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "tfidf_doc_mass": tfidf_doc_mass,
         "token_counts": token_counts,
+        "gopher_repetition": gopher_repetition,
+        "unigram_logprob_scores": unigram_logprob_scores,
+        "pii_redaction": pii_redaction,
         "language_scores": language_scores,
         "doc_fingerprints": doc_fingerprints,
         "dedup_exact_groups": dedup_exact_groups,
@@ -2883,6 +2945,101 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
             FROM documents
+        """,
+        "gopher_repetition": f"""
+            WITH w AS (
+                SELECT doc_id, {_DD_TOKS} AS ws FROM documents
+            ),
+            g AS (
+                SELECT doc_id, 2 AS n, ws[i] || ' ' || ws[i+1] AS gram
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+                UNION ALL
+                SELECT doc_id, 3 AS n,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+            ),
+            cnt AS (
+                SELECT doc_id, n, gram, count(*) AS c
+                FROM g GROUP BY doc_id, n, gram
+            ),
+            agg AS (
+                SELECT doc_id,
+                    CAST(coalesce(max(CASE WHEN n = 2 THEN c END), 0)
+                         AS BIGINT) AS top_bigram_count,
+                    CAST(coalesce(sum(CASE WHEN n = 2 THEN c END), 0)
+                         AS BIGINT) AS bigram_total,
+                    CAST(coalesce(sum(CASE WHEN n = 3 AND c > 1 THEN c END), 0)
+                         AS BIGINT) AS dup_trigram_count,
+                    CAST(coalesce(sum(CASE WHEN n = 3 THEN c END), 0)
+                         AS BIGINT) AS trigram_total
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT a.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+                   a.top_bigram_count, a.bigram_total,
+                   FLOOR(CASE WHEN a.bigram_total > 0
+                         THEN a.top_bigram_count / a.bigram_total
+                         ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS top_bigram_frac,
+                   a.dup_trigram_count, a.trigram_total,
+                   FLOOR(CASE WHEN a.trigram_total > 0
+                         THEN a.dup_trigram_count / a.trigram_total
+                         ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS dup_trigram_frac
+            FROM agg a JOIN w USING (doc_id)
+        """,
+        "unigram_logprob_scores": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_DD_TOKS}) AS t FROM documents
+            ),
+            cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cnt)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   FLOOR(avg(ln(c / s)) * 1e4 + 0.5) / 1e4 AS avg_logprob,
+                   FLOOR(min(ln(c / s)) * 1e4 + 0.5) / 1e4 AS min_logprob
+            FROM tok JOIN cnt USING (t) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "pii_redaction": """
+            WITH base AS (
+                SELECT c_custkey,
+                       c_name || ' '
+                       || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '',
+                                               'g'))
+                       || '@example.com'
+                       || ' ssn ' || printf('%03d-%02d-%04d',
+                            c_custkey % 1000, c_custkey % 100,
+                            (c_custkey * 3) % 10000)
+                       || ' tel ' || printf('%02d-%03d-%03d-%04d',
+                            c_nationkey + 10, c_custkey % 1000,
+                            (c_custkey * 7) % 1000, (c_custkey * 13) % 10000)
+                       AS blob
+                FROM customer
+            ),
+            r1 AS (
+                SELECT c_custkey,
+                       regexp_replace(blob,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g') AS b1,
+                       len(regexp_extract_all(blob,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                         AS n1
+                FROM base
+            ),
+            r2 AS (
+                SELECT c_custkey,
+                       regexp_replace(b1, '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                                      '[SSN]', 'g') AS b2,
+                       n1,
+                       len(regexp_extract_all(b1,
+                           '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n2
+                FROM r1
+            )
+            SELECT c_custkey,
+                   regexp_replace(b2, '\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b',
+                                  '[PHONE]', 'g') AS blob,
+                   CAST(n1 + n2 + len(regexp_extract_all(b2,
+                        '\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b'))
+                        AS BIGINT) AS pii_redactions
+            FROM r2
         """,
         "language_scores": _language_oracle(),
         "doc_fingerprints": f"""

@@ -28,6 +28,7 @@ _WIDE = {
     "range_join_acctbal", "dedup_keep_last", "media_waveform_features",
     "savgol_smooth", "seasonal_decomposition", "doc_quality_scores",
     "tfidf_doc_mass", "neardup_clusters", "media_image_features",
+    "gopher_repetition", "unigram_logprob_scores", "pii_redaction",
 }
 
 HEADLINE = [
@@ -69,6 +70,9 @@ HEADLINE = [
     "tfidf_doc_mass",
     "neardup_clusters",
     "media_image_features",
+    "gopher_repetition",
+    "unigram_logprob_scores",
+    "pii_redaction",
 ]
 
 

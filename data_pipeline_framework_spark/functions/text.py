@@ -184,3 +184,145 @@ def tfidf_doc_stats(
         F.max("__w").alias("tfidf_max"),
         F.count(F.lit(1)).alias("n_distinct_terms"),
     )
+
+
+def _ngram_array(words: Column, n: int) -> Column:
+    """Word n-grams as an array column, built with array expressions
+    (0-based subscripts), staying JVM-side. Docs shorter than n yield an
+    empty array — guarded explicitly because sequence(a, b) with a > b
+    counts DOWN in Spark rather than returning empty."""
+    parts = " , ' ', ".join(f"__w[i - {n - 1 - k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence({n - 1}, size(__w) - 1), i -> concat({parts})) "
+        f"ELSE array() END"
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition filters per document: the fraction of word
+    bigrams taken by the single most frequent bigram, and the fraction of
+    trigram occurrences that are duplicates (trigrams seen more than
+    once). High values flag boilerplate/spam for corpus curation
+    (the repetition rules of Rae et al., "Scaling Language Models" /
+    the C4 cleanup heuristics).
+
+    Shape: both gram sizes explode into ONE (doc, n, gram) stream ->
+    count per gram -> per-doc conditional agg. Two shuffle keys
+    ((doc,n,gram) then doc) regardless of corpus size; no per-doc Python,
+    no driver state. Docs shorter than a gram size report 0 for it.
+
+    Output: id, n_words, top_bigram_count, bigram_total, top_bigram_frac,
+    dup_trigram_count, trigram_total, dup_trigram_frac.
+    """
+    base = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__w"),
+    ).select(
+        id_col, "__w", F.size("__w").alias("n_words"),
+        _ngram_array(F.col("__w"), 2).alias("__g2"),
+        _ngram_array(F.col("__w"), 3).alias("__g3"),
+    )
+    stream = base.select(
+        id_col, "n_words", F.lit(2).alias("__n"),
+        F.explode("__g2").alias("__gram"),
+    ).unionByName(
+        base.select(
+            id_col, "n_words", F.lit(3).alias("__n"),
+            F.explode("__g3").alias("__gram"),
+        )
+    )
+    cnt = stream.groupBy(id_col, "__n", "__gram").agg(
+        F.count(F.lit(1)).alias("__c"), F.first("n_words").alias("n_words")
+    )
+    two, three = F.col("__n") == 2, F.col("__n") == 3
+    dup = F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)
+    out = cnt.groupBy(id_col).agg(
+        F.first("n_words").alias("n_words"),
+        F.coalesce(F.max(F.when(two, F.col("__c"))), F.lit(0)).alias(
+            "top_bigram_count"
+        ),
+        F.coalesce(F.sum(F.when(two, F.col("__c"))), F.lit(0)).alias(
+            "bigram_total"
+        ),
+        F.coalesce(F.sum(F.when(three, dup)), F.lit(0)).alias(
+            "dup_trigram_count"
+        ),
+        F.coalesce(F.sum(F.when(three, F.col("__c"))), F.lit(0)).alias(
+            "trigram_total"
+        ),
+    )
+    frac = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.col(num) / F.col(den)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col, "n_words", "top_bigram_count", "bigram_total",
+        frac("top_bigram_count", "bigram_total").alias("top_bigram_frac"),
+        "dup_trigram_count", "trigram_total",
+        frac("dup_trigram_count", "trigram_total").alias("dup_trigram_frac"),
+    )
+
+
+def line_repetition_exprs(text: Column) -> dict[str, Column]:
+    """Line-level repetition metrics as pure column expressions (for real
+    multi-line corpora; the benchmark documents are single-line). Zero
+    shuffles — everything evaluates inside the row's projection:
+    n_lines, dup_line_frac (lines that are repeats of an earlier line),
+    dup_line_char_frac (chars in lines whose line occurs > once)."""
+    lines = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
+    n = F.size(lines)
+    n_uniq = F.size(F.array_distinct(lines))
+    # chars in lines occurring more than once: O(L^2) per row in the
+    # lambda, fine for documents (L = lines per doc, not corpus size)
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"),
+    )
+    return {
+        "n_lines": n,
+        "dup_line_frac": F.when(
+            n > 0, (n - n_uniq) / n.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "dup_line_char_frac": F.when(
+            total_chars > 0, dup_chars / total_chars.cast("double")
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram distribution — the classic cheap fluency/quality signal
+    (documents of rare or shuffled tokens score low; cf. CCNet's LM
+    perplexity filtering, here with the corpus itself as the model).
+
+    Shape: explode -> token counts (one shuffle on token) -> join tokens
+    back on token -> per-doc agg. The corpus token total joins in as a
+    broadcast scalar, same pattern as tfidf_doc_stats — no driver action.
+
+    Output: id, n_tokens, avg_logprob (natural log), min_logprob.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    cnt = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    total = cnt.agg(F.sum("__c").alias("__total"))
+    scored = (
+        toks.join(cnt, "__t")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__lp", F.log(F.col("__c") / F.col("__total")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("__lp").alias("avg_logprob"),
+        F.min("__lp").alias("min_logprob"),
+    )

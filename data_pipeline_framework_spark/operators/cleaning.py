@@ -186,3 +186,55 @@ def clean_dataset(
             op, column, rows_before, rows_after, changed
         ))
     return df, results
+
+
+# Redaction patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    # TPC-H style international phone: CC-XXX-XXX-XXXX
+    "phone": (r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    columns: list[str],
+    patterns: dict[str, tuple[str, str]] | None = None,
+    count_col: str | None = "pii_redactions",
+) -> DataFrame:
+    """Scrub PII from text columns before a corpus ships to training:
+    each named pattern is counted (pre-replacement) and replaced with its
+    placeholder, chained in a fixed order so overlapping patterns (SSN
+    inside a longer phone shape) resolve deterministically. Pure
+    regexp_count/regexp_replace expressions — codegen, no UDFs.
+
+    `count_col`: total replacements across all columns+patterns (None to
+    skip). The per-row count is what corpus-curation audits aggregate.
+    """
+    pats = patterns or PII_PATTERNS
+    redacted: dict[str, Column] = {}
+    counts: list[Column] = []
+    for c in columns:
+        col = F.col(c)
+        for pat, repl in pats.values():
+            # count against the chain state BEFORE this pattern's
+            # replacement, so the total is exactly the number of
+            # substitutions the chain performs
+            counts.append(F.regexp_count(col, F.lit(pat)))
+            col = F.regexp_replace(col, pat, repl)
+        redacted[c] = col
+    # one projection: counts and replacements all bind to the ORIGINAL
+    # columns (withColumn-per-column would rebind counts to already-
+    # redacted text and always count zero)
+    out = [
+        redacted[f.name].alias(f.name) if f.name in redacted else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    if count_col:
+        total = counts[0]
+        for extra in counts[1:]:
+            total = total + extra
+        out.append(total.cast("long").alias(count_col))
+    return df.select(*out)

@@ -1,0 +1,102 @@
+"""Corpus-curation operators: repetition filters, unigram log-prob,
+PII redaction."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_framework_spark.functions.text import (
+    line_repetition_exprs,
+    repetition_stats,
+    unigram_logprob,
+)
+from data_pipeline_framework_spark.operators.cleaning import redact_pii
+
+
+def test_repetition_stats_hand_checked(spark):
+    # "a b a b a": bigrams = [a b, b a, a b, b a] -> top count 2 of 4
+    # trigrams = [a b a, b a b, a b a] -> "a b a" x2 dup of 3
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["bigram_total"], r1["top_bigram_count"]) == (5, 4, 2)
+    assert r1["top_bigram_frac"] == pytest.approx(0.5)
+    assert (r1["trigram_total"], r1["dup_trigram_count"]) == (3, 2)
+    assert r1["dup_trigram_frac"] == pytest.approx(2 / 3)
+    r2 = out[2]  # all grams unique
+    assert r2["top_bigram_frac"] == pytest.approx(1 / 3)
+    assert r2["dup_trigram_count"] == 0 and r2["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_stats_short_docs(spark):
+    # 2 words: one bigram, no trigram; 1 word: no grams at all (dropped,
+    # like the oracle which has no gram rows to group)
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "solo")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert set(rows) == {1}
+    assert rows[1]["bigram_total"] == 1 and rows[1]["trigram_total"] == 0
+    assert rows[1]["dup_trigram_frac"] == 0.0
+
+
+def test_line_repetition_exprs(spark):
+    text = "alpha\nbeta\nalpha\ngamma\n\n  \n"
+    df = spark.createDataFrame([(text,)], "text string")
+    m = line_repetition_exprs(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in m.items()]).first()
+    # 4 non-blank lines, 'alpha' repeats: dup_line_frac = 1/4,
+    # dup chars = 2*5 alpha chars of 5+4+5+5=19 total
+    assert row["n_lines"] == 4
+    assert row["dup_line_frac"] == pytest.approx(0.25)
+    assert row["dup_line_char_frac"] == pytest.approx(10 / 19)
+
+
+def test_unigram_logprob_hand_checked(spark):
+    # corpus: "a a b" + "a c" -> counts a=3,b=1,c=1, total=5
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    lp = lambda c: math.log(c / 5)  # noqa: E731
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx((2 * lp(3) + lp(1)) / 3)
+    assert out[1]["min_logprob"] == pytest.approx(lp(1))
+    assert out[2]["avg_logprob"] == pytest.approx((lp(3) + lp(1)) / 2)
+
+
+def test_redact_pii_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "ssn 123-45-6789 tel 44-123-456-7890"),
+            (3, "clean text, nothing to scrub 12-34"),
+            (4, "two mails a@b.io c@d.co and ssn 987-65-4321"),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r for r in redact_pii(df, ["t"]).collect()}
+    assert out[1]["t"] == "mail [EMAIL] now" and out[1]["pii_redactions"] == 1
+    assert out[2]["t"] == "ssn [SSN] tel [PHONE]"
+    assert out[2]["pii_redactions"] == 2
+    assert out[3]["t"].startswith("clean") and out[3]["pii_redactions"] == 0
+    assert out[4]["t"] == "two mails [EMAIL] [EMAIL] and ssn [SSN]"
+    assert out[4]["pii_redactions"] == 3
+
+
+def test_redact_pii_multi_column_binds_original(spark):
+    # counts must come from the ORIGINAL text, not the already-redacted
+    # intermediate (the withColumn-rebind failure mode)
+    df = spark.createDataFrame(
+        [(1, "a@b.io", "c@d.io 111-22-3333")], "id long, x string, y string"
+    )
+    row = redact_pii(df, ["x", "y"]).first()
+    assert row["x"] == "[EMAIL]"
+    assert row["y"] == "[EMAIL] [SSN]"
+    assert row["pii_redactions"] == 3
