@@ -190,3 +190,48 @@ def test_asof_join_is_one_window_pass_no_join(spark, sf_dir):
         assert bad not in plan, f"{bad} in asof plan:\n{plan}"
     # exactly one exchange hash-partitions on the by-key for the window
     assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_redact_pii_is_pure_projection(spark, sf_dir):
+    """PII redaction must compile to expressions in the scan's projection:
+    no shuffle, no Python, and column pruning still reaching the scan."""
+    from data_pipeline_framework_spark.operators.cleaning import redact_pii
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey", "c_name as blob"
+    )
+    out = redact_pii(cust, ["blob"])
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_single_gram_shuffle_chain(spark, sf_dir):
+    """Both gram sizes must ride one exploded stream: the plan has the
+    (doc,n,gram) and per-doc aggregations but no join and no Python."""
+    from data_pipeline_framework_spark.functions.text import repetition_stats
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = repetition_stats(docs, "doc_id", "text")
+    plan = _plan(out)
+    assert "Join" not in plan  # union + aggs only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two logical shuffle keys -> at most 3 exchanges (gram agg may add a
+    # partial/final pair under one key); a join-shaped plan would add more
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_unigram_logprob_broadcasts_corpus_total(spark, sf_dir):
+    """The corpus token total must arrive via broadcast of a 1-row agg —
+    no driver action, no full-size nested-loop join."""
+    from data_pipeline_framework_spark.functions.text import unigram_logprob
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = unigram_logprob(docs, "doc_id", "text")
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total, broadcast
+    assert "BatchEvalPython" not in plan
