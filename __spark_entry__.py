@@ -752,6 +752,36 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic per-source corpus downsampling: hash(seed||id)
+    buckets, partitioning-independent (df.sample would change with every
+    repartition), pure pushed-down filter."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_hash_sample(
+        docs, "doc_id", "source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.0},
+        default_rate=0.1,
+    )
+
+
+def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixed-token-budget training shards by cumulative token offset —
+    the contiguous-offset cut used when materializing training data."""
+    from data_pipeline_framework_spark.functions import text as TX
+    from data_pipeline_framework_spark.functions.sampling import pack_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_shards(docs, "doc_id", "n_tokens", budget=2000).select(
+        "doc_id", "n_tokens", "token_offset", "shard"
+    )
+
+
 def text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import text as TX
 
@@ -2032,6 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_doc_mass": tfidf_doc_mass,
         "token_counts": token_counts,
         "gopher_repetition": gopher_repetition,
+        "stratified_sample_docs": stratified_sample_docs,
+        "token_shard_packing": token_shard_packing,
         "unigram_logprob_scores": unigram_logprob_scores,
         "pii_redaction": pii_redaction,
         "language_scores": language_scores,
@@ -2984,6 +3016,31 @@ def oracle_sql() -> dict[str, str]:
                          THEN a.dup_trigram_count / a.trigram_total
                          ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS dup_trigram_frac
             FROM agg a JOIN w USING (doc_id)
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE (CAST(('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)),
+                         1, 13)) AS BIGINT) % 1000000)
+                  < CASE source WHEN 'src0' THEN 1000000
+                                WHEN 'src1' THEN 500000
+                                WHEN 'src2' THEN 0
+                                ELSE 100000 END
+        """,
+        "token_shard_packing": f"""
+            WITH t AS (
+                SELECT doc_id, len({_DD_TOKS}) AS n_tokens FROM documents
+            ),
+            o AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tokens
+                            AS BIGINT) AS token_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens, token_offset,
+                   CAST(floor(token_offset / 2000) AS BIGINT) AS shard
+            FROM o
         """,
         "unigram_logprob_scores": f"""
             WITH tok AS (

@@ -29,6 +29,7 @@ _WIDE = {
     "savgol_smooth", "seasonal_decomposition", "doc_quality_scores",
     "tfidf_doc_mass", "neardup_clusters", "media_image_features",
     "gopher_repetition", "unigram_logprob_scores", "pii_redaction",
+    "stratified_sample_docs", "token_shard_packing",
 }
 
 HEADLINE = [
@@ -73,6 +74,8 @@ HEADLINE = [
     "gopher_repetition",
     "unigram_logprob_scores",
     "pii_redaction",
+    "stratified_sample_docs",
+    "token_shard_packing",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Deterministic sampling & shard packing for training-corpus assembly.
+
+`df.sample()` draws from a per-partition RNG: resplitting the input
+changes which rows survive, so a 100 TB corpus resampled after a
+repartition yields a different training set. Everything here derives
+per-row decisions from the portable 52-bit content hash
+(functions/text.py:hash52) instead — reproducible across runs, engines
+and partitionings, and expressible in the DuckDB oracle.
+
+Shard packing assigns documents to fixed-token-budget training shards by
+cumulative token offset — the standard contiguous-offset cut (a document
+belongs to the shard where its first token lands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import hash52
+
+# hash bucket resolution: rates are exact multiples of 1e-6
+_BUCKETS = 1_000_000
+
+
+def _bucket(id_col: str, seed: str) -> Column:
+    """Uniform bucket in [0, 1e6) from the row id + seed string."""
+    return F.pmod(hash52(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                  F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, seed: str = "s0"
+) -> DataFrame:
+    """Keep ~rate of rows, decided by hash(seed || id) — deterministic,
+    partitioning-independent, no shuffle (pure filter, pushes past scans
+    like any predicate). Changing `seed` draws an independent sample."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.filter(_bucket(id_col, seed) < int(rate * _BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downweight an over-
+    represented source: {"web": 0.1, "books": 1.0}). The rate map is a
+    small driver-side literal compiled into one CASE expression — still a
+    pure filter, zero shuffles."""
+    threshold: Column = F.lit(int(default_rate * _BUCKETS))
+    for value, rate in sorted(rates.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {value!r} must be in [0,1]")
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(_bucket(id_col, seed) < threshold)
+
+
+def pack_shards(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Assign each document to a training shard of ~`budget` tokens:
+    shard = floor(cumulative-token-offset / budget) in `order_col` order
+    (a doc belongs to the shard where its first token lands, so every
+    shard except the last spans >= budget tokens and shards are
+    contiguous in the ordering).
+
+    One range-partitioned sort (Spark's window over a global ORDER BY);
+    at corpus scale prefer an `order_col` that is already roughly sorted
+    on disk so the range exchange moves little data. Adds `out_col` and
+    `token_offset`."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
+    return df.withColumn("token_offset", offset).withColumn(
+        out_col, F.floor(F.col("token_offset") / budget).cast("long")
+    )

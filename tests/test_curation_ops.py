@@ -100,3 +100,48 @@ def test_redact_pii_multi_column_binds_original(spark):
     assert row["x"] == "[EMAIL]"
     assert row["y"] == "[EMAIL] [SSN]"
     assert row["pii_redactions"] == 3
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    from data_pipeline_framework_spark.functions.sampling import hash_sample
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(17), "doc_id", 0.2).collect()
+    }
+    assert a == b  # same rows regardless of partitioning
+    assert 0.17 < len(a) / 10_000 < 0.23  # rate is honored
+    c = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2, seed="s1").collect()}
+    assert c != a  # new seed, independent draw
+    assert hash_sample(df, "doc_id", 0.0).count() == 0
+    assert hash_sample(df, "doc_id", 1.0).count() == 10_000
+
+
+def test_stratified_hash_sample_rates(spark):
+    from data_pipeline_framework_spark.functions.sampling import (
+        stratified_hash_sample,
+    )
+
+    rows = [(i, "keep" if i % 2 else "drop") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = stratified_hash_sample(
+        df, "doc_id", "src", {"keep": 1.0, "drop": 0.0}, default_rate=0.5
+    )
+    got = out.groupBy("src").count().collect()
+    assert {r["src"]: r["count"] for r in got} == {"keep": 2000}
+
+
+def test_pack_shards_hand_checked(spark):
+    from data_pipeline_framework_spark.functions.sampling import pack_shards
+
+    df = spark.createDataFrame(
+        [(1, 600), (2, 600), (3, 600), (4, 600), (5, 10)],
+        "doc_id long, n_tokens long",
+    )
+    out = {r["doc_id"]: r for r in
+           pack_shards(df, "doc_id", "n_tokens", budget=1000).collect()}
+    # offsets 0,600,1200,1800,2400 -> shards 0,0,1,1,2
+    assert [out[i]["shard"] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 1, 2]
+    assert out[5]["token_offset"] == 2400
