@@ -1893,6 +1893,128 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between two nation pairs through a
+    4-way join; both nation lookups broadcast (tiny dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    out = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("l_year"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
+    )
+    return out.select(
+        "supp_nation", "cust_nation", "l_year",
+        _r(F.col("__rev"), 2).alias("revenue"),
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join then a distribution-of-counts
+    double aggregation — zero-order customers must survive as c_count=0."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier revenue agg, then keep the max-revenue
+    row(s) via a broadcast 1-row max — the scalar-subquery pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(F.col("l_shipdate") >= F.lit("1996-01-01"))
+        .filter(F.col("l_shipdate") < F.lit("1997-01-01"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    mx = revenue.agg(F.max("total_rev").alias("__mx"))
+    out = (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+    )
+    return out.select(
+        "s_suppkey", "s_name", _r(F.col("total_rev"), 2).alias("total_rev")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part average quantity as a correlated
+    threshold (computed once, joined back — never a per-row subquery),
+    then the brand's below-threshold revenue. Quantities are integral
+    doubles, so the distributed avg is bit-exact and the strict `<`
+    matches any engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("__qlim")
+    )
+    out = (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#23")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(thresh, li.l_partkey == F.col("t_pk"))
+        .filter(F.col("l_quantity") < F.col("__qlim"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("__ay"))
+    )
+    return out.select(_r(F.coalesce(F.col("__ay"), F.lit(0.0)), 2).alias("avg_yearly"))
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balances (broadcast scalar) with no
+    RECENT orders (anti join on a filtered right side), aggregated per
+    segment. The recency filter keeps the result non-empty — every
+    above-average customer holds at least one all-time order here."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    out = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").alias("__tot"),
+        )
+    )
+    return out.select(
+        "c_mktsegment", "numcust", _r(F.col("__tot"), 2).alias("totacctbal")
+    )
+
+
 def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left-semi join through the DSL: customers holding >=1 urgent order.
     Semi joins never duplicate the left side — no post-dedup needed."""
@@ -2125,6 +2247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q10_returned_items": q10_returned_items,
         "q18_large_volume": q18_large_volume,
+        "q7_nation_volume": q7_nation_volume,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
         "semi_join_urgent_customers": semi_join_urgent_customers,
         "interaction_features": interaction_features,
         "outliers_zscore": outliers_zscore,
@@ -3895,6 +4022,73 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY l_orderkey
                 HAVING SUM(l_quantity) > 250
             ) big ON o_orderkey = big.l_orderkey
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS l_year,
+                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5)
+                       / 1e2 AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c LEFT OUTER JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   FLOOR(total_rev * 1e2 + 0.5) / 1e2 AS total_rev
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH thresh AS (
+                SELECT l_partkey AS t_pk, 0.2 * AVG(l_quantity) AS qlim
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT FLOOR(COALESCE(SUM(l_extendedprice) / 7.0, 0.0)
+                         * 1e2 + 0.5) / 1e2 AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN thresh ON l_partkey = t_pk
+            WHERE p_brand = 'Brand#23' AND l_quantity < qlim
+        """,
+        "q22_idle_rich_customers": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+                   FLOOR(SUM(c_acctbal) * 1e2 + 0.5) / 1e2 AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+                  )
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01'
+                  )
+            GROUP BY c_mktsegment
         """,
         "semi_join_urgent_customers": """
             SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal

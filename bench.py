@@ -76,6 +76,11 @@ HEADLINE = [
     "pii_redaction",
     "stratified_sample_docs",
     "token_shard_packing",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
 ]
 
 
