@@ -263,3 +263,40 @@ def test_window_functions_match_duckdb(spark, rows, fn):
     want = _canon(con.sql(sql).df())
     con.close()
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lrows=_rows,
+    rrows=_rows,
+    op=st.sampled_from(["intersect", "exceptAll", "intersectAll", "unionByName"]),
+)
+def test_set_ops_match_duckdb(spark, lrows, rrows, op):
+    """Multiset semantics of intersect/except/union against DuckDB —
+    including NULL rows, duplicate rows, and empty sides."""
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(g, int(v) if v is not None else None, int(u)) for g, v, u in rows],
+        "g string, v long, u long",
+    )
+    l, r = mk(lrows), mk(rrows)
+    got = getattr(l, op)(r).toPandas()
+
+    con = duckdb.connect()
+    lp = pd.DataFrame(lrows, columns=["g", "v", "u"]).astype(
+        {"v": "Int64", "u": "int64"})
+    rp = pd.DataFrame(rrows, columns=["g", "v", "u"]).astype(
+        {"v": "Int64", "u": "int64"})
+    con.register("l", lp)
+    con.register("r", rp)
+    sql = {
+        "intersect": "SELECT * FROM l INTERSECT SELECT * FROM r",
+        "intersectAll": "SELECT * FROM l INTERSECT ALL SELECT * FROM r",
+        "exceptAll": "SELECT * FROM l EXCEPT ALL SELECT * FROM r",
+        "unionByName": "SELECT * FROM l UNION ALL SELECT g, v, u FROM r",
+    }[op]
+    want = con.execute(sql).df()
+    assert _canon(got) == _canon(want), op
