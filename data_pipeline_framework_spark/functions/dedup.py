@@ -64,11 +64,18 @@ def _spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
 
 
 def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct word-n-gram shingle strings of the lowercased text."""
+    """Distinct word-n-gram shingle strings of the lowercased text.
+
+    The transform body indexes words with element_at instead of
+    slice+concat_ws: per-element slice allocates a subarray inside the
+    interpreted lambda, ~35% slower on the shingle stage (measured at
+    sf0.1) for identical output."""
     w = tokens(text_col)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + k + 1) for k in range(n)]
+        ),
     )
     # degenerate doc shorter than n words -> single shingle of all words
     grams = F.when(F.size(w) >= n, grams).otherwise(
@@ -79,6 +86,35 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
 
 def shingle_hashes(text_col: Column | str, n: int = 3) -> Column:
     return F.transform(shingles(text_col, n), hash52)
+
+
+def shingled_docs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, __sh) with __sh = hashed distinct shingles — via a two-step
+    select that BINDS the token array to a column before any lambda
+    touches it. A lambda body re-evaluates captured non-trivial
+    expressions per element, so inlining tokens() (split+lower over the
+    raw text) into the transform multiplies the tokenize cost by the
+    shingle count — measured 18x slower at sf0.1. All dedup pipelines
+    shingle through here; the column-style `shingle_hashes` remains for
+    expression composition on already-bound token/text columns."""
+    w = F.col("__sw")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + k + 1) for k in range(n)]
+        ),
+    )
+    grams = F.when(F.size(w) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", w))
+    )
+    return df.select(
+        F.col(id_col), tokens(text_col).alias("__sw")
+    ).select(
+        id_col,
+        F.transform(F.array_distinct(grams), hash52).alias("__sh"),
+    )
 
 
 def exact_duplicates(
@@ -122,7 +158,7 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """One row per doc: id + mh_0..mh_{k-1}."""
-    d = _spread(df).select(id_col, shingle_hashes(text_col, n).alias("__sh"))
+    d = shingled_docs(_spread(df), id_col, text_col, n)
     return d.select(id_col, *minhash_signature_cols())
 
 
@@ -200,9 +236,7 @@ def minhash_dedup_pairs(
     tokenize+md5 work runs ~4x. `cache=True` persists both intermediates —
     at 100 TB these would be checkpointed to storage between stages instead.
     """
-    shingled = _spread(df).select(
-        id_col, shingle_hashes(text_col, n).alias("__sh")
-    )
+    shingled = shingled_docs(_spread(df), id_col, text_col, n)
     if cache:
         shingled = shingled.persist()
     sig = shingled.select(id_col, *minhash_signature_cols())
@@ -233,9 +267,7 @@ def ngram_jaccard_pairs(
     only loses pairs whose every shared shingle is ultra-common — such
     pairs sit far below any useful threshold. ``max_df=None`` disables
     the cut (exact candidate generation too)."""
-    sh = _spread(df).select(
-        id_col, shingle_hashes(text_col, n).alias("__sh")
-    ).persist()
+    sh = shingled_docs(_spread(df), id_col, text_col, n).persist()
     cand = ngram_candidate_pairs(sh, id_col, max_df, min_df_cut)
     return jaccard_verify(cand, sh, id_col, threshold)
 
@@ -282,13 +314,18 @@ def simhash_signatures(
 ) -> DataFrame:
     """32-bit SimHash over distinct word tokens: bit i of the signature is
     the sign of sum over tokens of (+1 if bit i of hash52(token) else -1).
-    Pure expression pipeline: tokens -> hashes -> per-bit vote fold."""
-    toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, hash52)
+    Pure expression pipeline: tokens -> hashes -> per-bit vote fold; the
+    hash array is BOUND to a column before the vote fold so the fold's
+    lambda iterates a materialized array instead of re-evaluating
+    tokenize+md5 per element (see shingled_docs)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(F.array_distinct(tokens(text_col)), hash52).alias("__h"),
+    )
     # bit positions are unrolled as Python ints: F.shiftright/shiftleft take a
     # literal bit count, not a Column
     votes = F.aggregate(
-        hashes,
+        F.col("__h"),
         F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
@@ -299,7 +336,7 @@ def simhash_signatures(
             lambda x, y: x + y,
         ),
     )
-    d = df.select(id_col, votes.alias("__votes"))
+    d = hashed.select(id_col, votes.alias("__votes"))
     bit_terms = [
         F.when(
             F.element_at("__votes", i + 1) > 0,

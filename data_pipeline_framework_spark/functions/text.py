@@ -23,11 +23,14 @@ def hash52(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str, lowercase: bool = True) -> Column:
-    """Whitespace tokens, empty strings dropped."""
+    """Whitespace tokens, empty strings dropped. array_remove instead of
+    a filter() lambda: higher-order functions are interpreted per
+    element, array_remove stays in codegen — and tokens() sits on every
+    text/dedup hot path."""
     c = F.col(col) if isinstance(col, str) else col
     if lowercase:
         c = F.lower(c)
-    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    return F.array_remove(F.split(c, r"\s+"), "")
 
 
 # BPE-ish token regex: runs of letters, runs of digits, or single
@@ -59,13 +62,16 @@ def text_stats(df: DataFrame, text_col: str) -> DataFrame:
     digit_ratio, upper_ratio, stopword_ratio, whitespace_ratio.
     """
     c = F.col(text_col)
-    toks = tokens(c)
+    # bind the token array to a column FIRST: lambda bodies re-evaluate
+    # captured expressions per element, so filter/aggregate over an
+    # inline tokens() would re-split the text once per token
+    toks = F.col("__toks")
     n_chars = F.length(c)
     n_words = F.size(toks)
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))
     )
-    return df.withColumns({
+    return df.withColumn("__toks", tokens(c)).withColumns({
         "n_chars_calc": n_chars,
         "n_words": n_words,
         "n_sentences": F.size(
@@ -85,7 +91,7 @@ def text_stats(df: DataFrame, text_col: str) -> DataFrame:
             n_chars - F.length(F.regexp_replace(c, r"[A-Z]", "")), n_chars
         ),
         "stopword_ratio": F.try_divide(stop_hits, n_words),
-    })
+    }).drop("__toks")
 
 
 def token_count(df: DataFrame, text_col: str, out_col: str = "n_tokens") -> DataFrame:
@@ -99,7 +105,9 @@ def language_id(
     """Marker-stopword language heuristic: per-language marker hit-rate over
     tokens; argmax (ties -> lexicographically first language). Adds
     `{lang}_score` columns + `out_col`."""
-    toks = tokens(text_col)
+    # bound first: filter()'s lambda re-evaluates captured expressions
+    # per element, so an inline tokens() would re-split per token per lang
+    toks = F.col("__toks")
     n = F.size(toks)
 
     # closure factory: a default-arg lambda would change the lambda's arity
@@ -113,7 +121,9 @@ def language_id(
         )
         for lang, markers in LANG_MARKERS.items()
     }
-    out = df.withColumns({f"{lang}_score": s for lang, s in scores.items()})
+    out = df.withColumn("__toks", tokens(text_col)).withColumns(
+        {f"{lang}_score": s for lang, s in scores.items()}
+    ).drop("__toks")
     # argmax via greatest + chained when (deterministic tie-break: lang order)
     best = F.greatest(*[F.col(f"{lang}_score") for lang in LANG_MARKERS])
     pred = F.lit(None).cast("string")
