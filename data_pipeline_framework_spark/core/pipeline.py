@@ -15,7 +15,8 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.compiler import compile_ops
@@ -206,8 +207,20 @@ class Pipeline:
             rows = None
             storage_meta: dict = {}
             if writing:
-                rows = result_df.count()
-                storage_meta = write_output(result_df, self.config.storage)
+                stype = self.config.storage.get("type", "parquet")
+                if stype in ("none", "noop"):
+                    # no write action runs -> an Observation would block
+                    storage_meta = write_output(result_df, self.config.storage)
+                else:
+                    # rows_written rides the write action itself
+                    # (CollectMetrics) — a separate count() would be a
+                    # second full pass over the result at corpus scale
+                    obs = Observation()
+                    observed = result_df.observe(
+                        obs, F.count(F.lit(1)).alias("rows")
+                    )
+                    storage_meta = write_output(observed, self.config.storage)
+                    rows = obs.get["rows"]
 
             if self.lineage is not None:
                 source_name = (
