@@ -137,6 +137,7 @@ def jdbc_upsert(
     properties: Mapping[str, str] | None = None,
     staging_suffix: str = "_staging",
     connection=None,
+    pre_commit_sql: list[str] | None = None,
 ) -> str:
     """Bulk upsert: staged write + one ``INSERT .. ON CONFLICT`` statement.
 
@@ -151,6 +152,10 @@ def jdbc_upsert(
     when given, steps (2)-(3) execute and commit here. Without it the
     staging table is written and the SQL returned for the caller to run —
     the upsert has NOT reached the target yet.
+
+    ``pre_commit_sql``: statements executed after the merge INSIDE the
+    same transaction (e.g. a stream batch-commit marker, so marker and
+    data commit atomically — see streaming idempotent_batch_sink).
     """
     staging = f"{table}{staging_suffix}"
     cols = df.columns
@@ -174,6 +179,8 @@ def jdbc_upsert(
         try:
             cur.execute(sql)
             cur.execute(f"DROP TABLE {staging}")
+            for extra in pre_commit_sql or ():
+                cur.execute(extra)
             connection.commit()
         finally:
             cur.close()

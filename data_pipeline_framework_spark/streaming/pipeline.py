@@ -314,3 +314,66 @@ def write_stream(
     for k, v in options.items():
         w = w.option(k, v)
     return w.start()
+
+
+def idempotent_batch_sink(
+    table: str,
+    conflict_columns: list[str],
+    connection_factory: Callable,
+    url: str = "",
+    properties=None,
+    commits_table: str = "stream_commits",
+    query_id: str = "stream",
+) -> Callable:
+    """Exactly-once foreachBatch target over a transactional JDBC/DB-API
+    sink (the reference's `enable_exactly_once_processing` flag, given an
+    implementation).
+
+    Per micro-batch: (1) skip if (query_id, batch_id) is already in
+    `commits_table` — a replay after checkpoint restart; (2) otherwise
+    apply the batch as ONE set-based upsert (jdbc_upsert: parallel
+    staging write + INSERT..ON CONFLICT) and insert the commit marker in
+    the SAME transaction, so data and marker land atomically. The upsert
+    itself is idempotent on `conflict_columns`, so even the no-marker
+    crash window (merge committed, next run replays) cannot duplicate
+    rows — the marker makes replays cheap, the merge makes them safe.
+
+    `connection_factory` -> a fresh driver-side DB-API connection per
+    batch (psycopg2, sqlite3, ...). Usage:
+        write_stream(df, foreach_batch=idempotent_batch_sink(...),
+                     checkpoint=...)
+    """
+    from ..sinks.writers import jdbc_upsert
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            try:
+                cur.execute(
+                    f"CREATE TABLE IF NOT EXISTS {commits_table} ("
+                    "query_id TEXT NOT NULL, batch_id BIGINT NOT NULL, "
+                    "PRIMARY KEY (query_id, batch_id))"
+                )
+                conn.commit()
+                qid = query_id.replace("'", "''")
+                cur.execute(
+                    f"SELECT 1 FROM {commits_table} "
+                    f"WHERE query_id = '{qid}' AND batch_id = {int(batch_id)}"
+                )
+                if cur.fetchone():
+                    return  # replayed batch: already committed
+            finally:
+                cur.close()
+            jdbc_upsert(
+                batch_df, url, table, conflict_columns,
+                properties=properties, connection=conn,
+                pre_commit_sql=[
+                    f"INSERT INTO {commits_table} VALUES "
+                    f"('{qid}', {int(batch_id)})"
+                ],
+            )
+        finally:
+            conn.close()
+
+    return sink
