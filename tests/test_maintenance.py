@@ -1,0 +1,57 @@
+"""Parquet table maintenance: keyed merge, compaction, health stats."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_framework_spark.sinks.maintenance import (
+    compact_parquet,
+    merge_parquet,
+    table_stats,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(100)],
+        "id long, name string, score double",
+    ).repartition(20).write.parquet(path)
+    return path
+
+
+def test_merge_parquet_updates_and_inserts(spark, table):
+    updates = spark.createDataFrame(
+        [(5, "five", 555.0), (200, "new", 2.0)],
+        "id long, name string, score double",
+    )
+    meta = merge_parquet(spark, table, updates, keys=["id"])
+    assert meta["merged_keys"] == ["id"]
+    got = {r["id"]: (r["name"], r["score"])
+           for r in spark.read.parquet(table).collect()}
+    assert len(got) == 101          # 100 originals, 1 replaced, 1 new
+    assert got[5] == ("five", 555.0)   # updated in place
+    assert got[200] == ("new", 2.0)    # inserted
+    assert got[6] == ("u6", 6.0)       # untouched rows survive
+
+
+def test_merge_parquet_rejects_missing_columns(spark, table):
+    bad = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_parquet(spark, table, bad, keys=["id"])
+
+
+def test_compact_parquet_preserves_data(spark, table):
+    before = table_stats(spark, table)
+    assert before["n_files"] == 20
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(table).collect()
+    )
+    meta = compact_parquet(spark, table, target_file_mb=128)
+    assert meta["files_after"] == 1   # tiny table -> one file
+    after = table_stats(spark, table)
+    assert after["n_files"] == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(table).collect()) \
+        == rows_before
+    assert after["small_file_ratio"] == 1.0  # still < 16 MB, honestly small
