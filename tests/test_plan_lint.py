@@ -1,0 +1,92 @@
+"""Global plan lint: every registered driver query's physical plan is
+checked for scale-killers. Individual plan-quality tests assert the
+GOOD patterns (pushdown, broadcast, codegen) on chosen queries; this
+lint asserts the BAD patterns appear nowhere across the whole registry —
+a regression guard that a new query can't slip past.
+
+Banned everywhere:
+  * CartesianProduct — an unconditional all-pairs join
+  * BatchEvalPython — row-at-a-time Python UDF on a relational path
+
+Allowed with justification:
+  * BroadcastNestedLoopJoin ONLY for queries that cross-join a broadcast
+    1-row aggregate (the scalar-subquery pattern) — bounded by design
+  * ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas for the
+    sanctioned vectorized escape hatches (media decode, seasonal
+    decomposition, savgol, kmeans/pca MLlib internals)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+# scalar-subquery pattern: a broadcast 1-row aggregate cross-joined in
+_BNL_OK = {
+    "q15_top_supplier",
+    "q22_idle_rich_customers",
+    "unigram_logprob_scores",
+    "tfidf_doc_mass",
+    "ann_cosine_topk",      # broadcast bounded query side
+    "csv_schema_probe",     # 1-row observed-stats join
+    "corpus_curation",      # composes tfidf/quality scalar aggregates
+    # broadcast 1-row bounds/stats aggregates (min/max/quantiles/means)
+    "binning_uniform",
+    "binning_quantile",
+    "outliers_iqr",
+    "outliers_zscore",
+    "quality_report",
+    "schema_inference_orders",
+    "schema_constraints_orders",
+}
+
+# queries whose operators legitimately run vectorized Python
+_ARROW_OK = {
+    "media_waveform_features",
+    "media_image_features",
+    "seasonal_decomposition",
+    "savgol_smooth",
+    "kmeans_cluster_sizes",
+    "pca_projection",
+    "tfidf_vectors",
+    "changepoints",
+    "ann_ivf_topk",   # Arrow-batched cell assignment
+    "ewm_smoothing",  # sequential recurrence, applyInPandas per series
+}
+
+
+def _plans(spark, sf_dir):
+    failures = []
+    for name, fn in sorted(entry.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 - report, don't abort the sweep
+            failures.append(f"{name}: plan build failed: {exc}")
+            continue
+        yield name, plan, failures
+
+
+def test_no_scale_killers_in_any_registered_query(spark, sf_dir):
+    failures: list[str] = []
+    gen = _plans(spark, sf_dir)
+    for name, plan, failures in gen:
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-wise Python UDF (BatchEvalPython)")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNL_OK:
+            failures.append(
+                f"{name}: BroadcastNestedLoopJoin outside the scalar-"
+                "subquery allowlist"
+            )
+        if (
+            ("ArrowEvalPython" in plan or "MapInPandas" in plan
+             or "FlatMapGroupsInPandas" in plan)
+            and name not in _ARROW_OK
+        ):
+            failures.append(
+                f"{name}: vectorized Python outside the sanctioned list"
+            )
+    assert not failures, "\n".join(failures)
