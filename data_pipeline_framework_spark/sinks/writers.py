@@ -68,6 +68,37 @@ def write_json(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(_mode(mode)).json(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    fmt: str = "json",
+    max_records_per_file: int | None = 100_000,
+    shard_partitions: int | None = None,
+    order_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """Materialize a training corpus as bounded shards (JSONL by default —
+    the interchange format data loaders stream).
+
+    `max_records_per_file` caps records per output file via Spark's
+    maxRecordsPerFile (enforced inside each write task, no extra pass);
+    `shard_partitions` optionally repartitions first so shard count and
+    task parallelism match the consumer; `order_by` sorts WITHIN each
+    shard (sortWithinPartitions — deterministic shard contents without a
+    global sort barrier)."""
+    if shard_partitions:
+        df = df.repartition(shard_partitions)
+    if order_by:
+        df = df.sortWithinPartitions(*order_by)
+    w = df.write.mode(_mode(mode))
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    if compression:
+        w = w.option("compression", compression)
+    getattr(w, fmt)(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

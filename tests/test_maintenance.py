@@ -55,3 +55,26 @@ def test_compact_parquet_preserves_data(spark, table):
     assert sorted(tuple(r) for r in spark.read.parquet(table).collect()) \
         == rows_before
     assert after["small_file_ratio"] == 1.0  # still < 16 MB, honestly small
+
+
+def test_write_training_shards_bounded_files(spark, tmp_path):
+    from pathlib import Path
+
+    from data_pipeline_framework_spark.sinks.writers import (
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1000)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        df, out, max_records_per_file=100, shard_partitions=2,
+        order_by=["doc_id"],
+    )
+    files = [p for p in Path(out).glob("*.json") if p.stat().st_size > 0]
+    # 2 partitions x 500 rows, capped at 100 records/file -> >= 10 files
+    assert len(files) >= 10
+    for f in files:
+        assert sum(1 for _ in open(f)) <= 100
+    assert spark.read.json(out).count() == 1000
