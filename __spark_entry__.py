@@ -1893,6 +1893,35 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew-safe salted equi join + two-stage salted aggregation: lineitem
+    joins orders with hot keys spread across salted tasks, then per-
+    priority revenue merges from salted partials. The oracle is the PLAIN
+    join+agg — salting must be invisible in the result."""
+    from data_pipeline_framework_spark.operators.skew import (
+        salted_join,
+        two_stage_agg,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on="l_orderkey", how="inner")
+    out = two_stage_agg(
+        joined, "o_orderpriority", {"rev": ["sum", "count", "avg"]}
+    )
+    return out.select(
+        "o_orderpriority",
+        _r(F.col("rev_sum"), 2).alias("rev_sum"),
+        F.col("rev_count").cast("long").alias("n_items"),
+        _r(F.col("rev_avg"), 4).alias("rev_avg"),
+    )
+
+
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue flow between two nation pairs through a
     4-way join; both nation lookups broadcast (tiny dims)."""
@@ -2248,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q18_large_volume": q18_large_volume,
         "q7_nation_volume": q7_nation_volume,
+        "salted_join_revenue": salted_join_revenue,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -4022,6 +4052,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY l_orderkey
                 HAVING SUM(l_quantity) > 250
             ) big ON o_orderkey = big.l_orderkey
+        """,
+        "salted_join_revenue": """
+            SELECT o_orderpriority,
+                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5)
+                       / 1e2 AS rev_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   FLOOR((SUM(l_extendedprice * (1 - l_discount)) / COUNT(*))
+                         * 1e4 + 0.5) / 1e4 AS rev_avg
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "q7_nation_volume": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

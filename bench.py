@@ -81,6 +81,7 @@ HEADLINE = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
+    "salted_join_revenue",
 ]
 
 
