@@ -300,3 +300,49 @@ def test_set_ops_match_duckdb(spark, lrows, rrows, op):
     }[op]
     want = con.execute(sql).df()
     assert _canon(got) == _canon(want), op
+
+
+# --- as-of join differential -------------------------------------------
+
+# unique (uid, ts) per side avoids tie-order ambiguity, which DuckDB and
+# pandas leave implementation-defined
+def _asof_side(n_max):
+    return st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(-9, 9)),
+        min_size=1, max_size=n_max,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lrows=_asof_side(12),
+    rrows=_asof_side(12),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_duckdb(spark, lrows, rrows, direction):
+    """asof_join must agree with DuckDB's native ASOF LEFT JOIN on random
+    keyed series, both directions, including left rows with no match
+    (NULL-extended)."""
+    from data_pipeline_framework_spark.operators.joins import asof_join
+
+    l = spark.createDataFrame(lrows, "uid long, ts long, lv long")
+    r = spark.createDataFrame(rrows, "uid long, ts long, rv long")
+    got = asof_join(l, r, on="ts", by=["uid"], direction=direction).toPandas()
+
+    cmp = "l.ts >= r.ts" if direction == "backward" else "l.ts <= r.ts"
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows, columns=["uid", "ts", "lv"]))
+    con.register("r", pd.DataFrame(rrows, columns=["uid", "ts", "rv"]))
+    want = con.execute(
+        f"""
+        SELECT l.uid, l.ts, l.lv, r.rv AS rv, r.ts AS ts_right
+        FROM l ASOF LEFT JOIN r ON l.uid = r.uid AND {cmp}
+        """
+    ).df()
+    con.close()
+    assert _canon(got) == _canon(want)
