@@ -1957,6 +1957,81 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in the testdata, so profit =
+    discounted revenue): profit by supplier nation and order year for
+    parts whose name carries a token — a 4-way join with a LIKE filter
+    and a two-level rollup key."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    out = (
+        li.join(F.broadcast(part.filter(F.col("p_name").contains("bolt"))),
+                li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("__p"))
+    )
+    return out.select(
+        "nation", "o_year", _r(F.col("__p"), 2).alias("profit")
+    )
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp derived from lineitem's part-supplier
+    pairs): distinct supplier count per brand/type/size bucket, excluding
+    one brand — a distinct-count over a joined dimension."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part")
+    out = (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#45")
+                    & (F.col("p_size") <= 15)
+                )
+            ),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+    return out.select("p_brand", "p_type", "p_size", "supplier_cnt")
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    predicate bundles — the disjunctive-pushdown stress case (Catalyst
+    must keep the join equi and push the residual OR below it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    out = j.filter(cond).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__r"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return out.select(
+        _r(F.coalesce(F.col("__r"), F.lit(0.0)), 2).alias("revenue"), "n_items"
+    )
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: LEFT OUTER join then a distribution-of-counts
     double aggregation — zero-order customers must survive as c_count=0."""
@@ -2279,6 +2354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "salted_join_revenue": salted_join_revenue,
         "q13_customer_distribution": q13_customer_distribution,
+        "q9_product_profit": q9_product_profit,
+        "q16_supplier_counts": q16_supplier_counts,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_idle_rich_customers": q22_idle_rich_customers,
@@ -4077,6 +4155,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5)
+                       / 1e2 AS profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%bolt%'
+            GROUP BY 1, 2
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45' AND p_size <= 15
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT FLOOR(COALESCE(SUM(l_extendedprice * (1 - l_discount)),
+                                  0.0) * 1e2 + 0.5) / 1e2 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "q13_customer_distribution": """
             SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist

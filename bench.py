@@ -82,6 +82,9 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
     "salted_join_revenue",
+    "q9_product_profit",
+    "q16_supplier_counts",
+    "q19_disjunctive_revenue",
 ]
 
 
