@@ -252,3 +252,51 @@ def test_resize_on_png(spark):
     resized = MM.decode_npy(bytes(out["resized"]))
     assert resized.shape == (16, 12, 3)
     assert resized.mean() == pytest.approx(img.astype(np.float64).mean(), rel=1e-6)
+
+
+def test_bmp_topdown_and_32bit():
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    # hand-build a TOP-DOWN (negative height) 24-bit BMP
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)  # top-down BGR
+    dib = (np.array([40], dtype="<u4").tobytes()
+           + np.array([w, -h], dtype="<i4").tobytes()
+           + np.array([1, 24], dtype="<u2").tobytes()
+           + np.array([0, h * stride, 2835, 2835, 0, 0], dtype="<u4").tobytes())
+    blob = (b"BM" + np.array([14 + 40 + h * stride], dtype="<u4").tobytes()
+            + b"\x00\x00\x00\x00" + np.array([54], dtype="<u4").tobytes()
+            + dib + body.tobytes())
+    assert (MM.decode_bmp(blob) == rgb).all()
+
+    # 32-bit BGRA, bottom-up
+    rgba = rng.integers(0, 256, (4, 3, 4), dtype=np.uint8)
+    h, w, _ = rgba.shape
+    body32 = rgba[::-1][:, :, [2, 1, 0, 3]].reshape(h, w * 4)
+    dib32 = (np.array([40], dtype="<u4").tobytes()
+             + np.array([w, h], dtype="<i4").tobytes()
+             + np.array([1, 32], dtype="<u2").tobytes()
+             + np.array([0, h * w * 4, 2835, 2835, 0, 0], dtype="<u4").tobytes())
+    blob32 = (b"BM" + np.array([14 + 40 + h * w * 4], dtype="<u4").tobytes()
+              + b"\x00\x00\x00\x00" + np.array([54], dtype="<u4").tobytes()
+              + dib32 + body32.tobytes())
+    assert (MM.decode_bmp(blob32) == rgba).all()
+
+
+def test_ppm_16bit_and_unsupported():
+    import pytest as _pytest
+
+    rng = np.random.default_rng(10)
+    g16 = rng.integers(0, 65536, (3, 4), dtype=np.uint16)
+    blob = b"P5\n4 3\n65535\n" + g16.astype(">u2").tobytes()
+    got = MM.decode_ppm(blob)
+    assert got.dtype == np.dtype(">u2") and (got == g16).all()
+    with _pytest.raises(NotImplementedError):
+        MM.decode_ppm(b"P3\n1 1\n255\n0 0 0")  # ascii netpbm unsupported
+    with _pytest.raises(NotImplementedError):
+        MM.decode_bmp(b"BM" + bytes(12) + np.array([40], dtype="<u4").tobytes()
+                      + np.array([1, 1], dtype="<i4").tobytes()
+                      + np.array([1, 24], dtype="<u2").tobytes()
+                      + np.array([1], dtype="<u4").tobytes() + bytes(20))
