@@ -78,3 +78,23 @@ def test_write_training_shards_bounded_files(spark, tmp_path):
     for f in files:
         assert sum(1 for _ in open(f)) <= 100
     assert spark.read.json(out).count() == 1000
+
+
+def test_merge_parquet_partitioned_layout(spark, tmp_path):
+    path = str(tmp_path / "ptbl")
+    spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(60)],
+        "id long, bucket int, score double",
+    ).write.partitionBy("bucket").parquet(path)
+    updates = spark.createDataFrame(
+        [(7, 1, 700.0), (100, 2, 1.0)], "id long, bucket int, score double"
+    )
+    merge_parquet(spark, path, updates, keys=["id"], partition_by=["bucket"])
+    from pathlib import Path
+
+    # hive layout survives the rewrite
+    assert sorted(
+        p.name for p in Path(path).iterdir() if p.name.startswith("bucket=")
+    ) == ["bucket=0", "bucket=1", "bucket=2"]
+    got = {r["id"]: r["score"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 61 and got[7] == 700.0 and got[100] == 1.0
