@@ -693,6 +693,82 @@ def tfidf_doc_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic Lloyd k-means, FULLY oracle-checked — the iterative-
+    ML differential MLlib's KMeans can't give (implementation-ordered).
+    Features are integer-quantized embedding dims cast to double, so all
+    sums/means/distances are exact IEEE arithmetic independent of
+    partition order; the oracle replays the same 4 iterations as chained
+    CTEs and must reproduce every assignment bit-for-bit."""
+    from data_pipeline_framework_spark.operators.ml_features import (
+        lloyd_kmeans,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        *[
+            F.floor(F.element_at("embedding", i + 1).cast("double") * 1000)
+            .cast("double").alias(f"f{i}")
+            for i in range(3)
+        ],
+    )
+    out = lloyd_kmeans(
+        pts, "vec_id", ["f0", "f1", "f2"], k=3, iters=4, init_ids=[0, 1, 2]
+    )
+    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def _kmeans_oracle(k: int = 3, iters: int = 4, dims: int = 3) -> str:
+    """Generate the DuckDB twin of kmeans_lloyd: same init, same
+    assign/recenter iterations as chained CTEs, same tie-break."""
+    fs = [f"f{i}" for i in range(dims)]
+    ms = [f"m{i}" for i in range(dims)]
+    feat = ",\n                   ".join(
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000) AS DOUBLE)"
+        f" AS f{i}"
+        for i in range(dims)
+    )
+    init = "\n                UNION ALL ".join(
+        f"SELECT CAST({c} AS BIGINT) AS cluster, "
+        + ", ".join(f"{f} AS {m}" for f, m in zip(fs, ms))
+        + f" FROM pts WHERE vec_id = {c}"
+        for c in range(k)
+    )
+    dist = " + ".join(f"(p.{f} - c.{m}) * (p.{f} - c.{m})"
+                      for f, m in zip(fs, ms))
+
+    def assign(ct: str) -> str:
+        return (
+            "SELECT vec_id, " + ", ".join(fs) + ", cluster FROM (\n"
+            "                  SELECT p.*, c.cluster,\n"
+            "                         ROW_NUMBER() OVER (PARTITION BY p.vec_id"
+            f" ORDER BY {dist}, c.cluster) AS rn\n"
+            f"                  FROM pts p CROSS JOIN {ct} c) WHERE rn = 1"
+        )
+
+    ctes = [f"pts AS (\n                SELECT vec_id,\n                   "
+            f"{feat}\n                FROM embeddings\n            )",
+            f"c0 AS (\n                {init}\n            )"]
+    for t in range(1, iters + 1):
+        ctes.append(f"a{t} AS (\n                {assign(f'c{t - 1}')}\n"
+                    "            )")
+        means = ", ".join(f"avg({f}) AS {m}" for f, m in zip(fs, ms))
+        keep = ", ".join(f"COALESCE(n.{m}, prev.{m}) AS {m}" for m in ms)
+        ctes.append(
+            f"c{t} AS (\n                SELECT prev.cluster, {keep}\n"
+            f"                FROM c{t - 1} prev LEFT JOIN (\n"
+            f"                    SELECT cluster, {means} FROM a{t}"
+            " GROUP BY cluster\n"
+            f"                ) n ON prev.cluster = n.cluster\n            )"
+        )
+    return (
+        "WITH " + ",\n            ".join(ctes) + "\n            "
+        "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (\n"
+        f"                {assign(f'c{iters}')}\n            )"
+    )
+
+
 def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition filters: top-bigram share and duplicate-
     trigram share per doc, one exploded (doc, n, gram) shuffle for both."""
@@ -2288,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_doc_mass": tfidf_doc_mass,
         "token_counts": token_counts,
         "gopher_repetition": gopher_repetition,
+        "kmeans_lloyd": kmeans_lloyd,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shard_packing": token_shard_packing,
         "unigram_logprob_scores": unigram_logprob_scores,
@@ -3252,6 +3329,7 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS dup_trigram_frac
             FROM agg a JOIN w USING (doc_id)
         """,
+        "kmeans_lloyd": _kmeans_oracle(),
         "stratified_sample_docs": """
             SELECT doc_id, source FROM documents
             WHERE (CAST(('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)),

@@ -29,7 +29,7 @@ _WIDE = {
     "savgol_smooth", "seasonal_decomposition", "doc_quality_scores",
     "tfidf_doc_mass", "neardup_clusters", "media_image_features",
     "gopher_repetition", "unigram_logprob_scores", "pii_redaction",
-    "stratified_sample_docs", "token_shard_packing",
+    "stratified_sample_docs", "token_shard_packing", "kmeans_lloyd",
 }
 
 HEADLINE = [
@@ -85,6 +85,7 @@ HEADLINE = [
     "q9_product_profit",
     "q16_supplier_counts",
     "q19_disjunctive_revenue",
+    "kmeans_lloyd",
 ]
 
 

@@ -342,3 +342,73 @@ def create_pca_features(
     ]
     base_cols = df.columns if keep_input else []
     return work.select(*base_cols, *comp_cols)
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: list[str],
+    k: int = 3,
+    iters: int = 4,
+    init_ids: list | None = None,
+) -> DataFrame:
+    """Deterministic, engine-differentiable Lloyd k-means over DataFrame
+    expressions (MLlib's KMeans is seeded but implementation-ordered, so
+    it can't be replayed in another engine; this can).
+
+    Init: the rows whose ids are `init_ids` (sorted; default the k
+    smallest ids — deterministic, no RNG). Each iteration assigns every
+    point to its nearest center (squared-distance argmin, ties -> lowest
+    cluster id) and recomputes centers as per-cluster means; an emptied
+    cluster keeps its previous center. Centers are collected per
+    iteration — k x |features| doubles, the same bounded-driver pattern
+    as the IVF codebook — while assignment stays a pure column
+    expression over the full data.
+
+    Exactness note: with integer-valued DOUBLE features, every sum /
+    mean / squared distance is exact IEEE arithmetic independent of
+    partition order (integer-valued additions below 2^53 never round),
+    so another engine replaying the same iterations reproduces the
+    assignments bit-for-bit — see the kmeans_lloyd driver oracle.
+    """
+    pts = df.select(
+        F.col(id_col), *[F.col(c).cast("double").alias(c) for c in feature_cols]
+    )
+    if init_ids is None:
+        init_ids = [
+            r[0] for r in
+            pts.select(id_col).orderBy(id_col).limit(k).collect()
+        ]
+    init = {
+        r[id_col]: [r[c] for c in feature_cols]
+        for r in pts.filter(F.col(id_col).isin(list(init_ids))).collect()
+    }
+    centers = [init[i] for i in sorted(init)]
+
+    def assign(centers_now):
+        dists = [
+            sum(
+                (F.col(c) - F.lit(ctr[j])) * (F.col(c) - F.lit(ctr[j]))
+                for j, c in enumerate(feature_cols)
+            )
+            for ctr in centers_now
+        ]
+        cluster = F.lit(len(centers_now) - 1)
+        for i in range(len(centers_now) - 2, -1, -1):
+            cond = None
+            for j in range(i + 1, len(centers_now)):
+                c = dists[i] <= dists[j]
+                cond = c if cond is None else (cond & c)
+            cluster = F.when(cond, F.lit(i)).otherwise(cluster)
+        return pts.withColumn("cluster", cluster)
+
+    for _ in range(iters):
+        assigned = assign(centers)
+        rows = {
+            r["cluster"]: [r[f"__m_{c}"] for c in feature_cols]
+            for r in assigned.groupBy("cluster").agg(
+                *[F.avg(c).alias(f"__m_{c}") for c in feature_cols]
+            ).collect()
+        }
+        centers = [rows.get(i, centers[i]) for i in range(k)]
+    return assign(centers).select(id_col, "cluster")

@@ -128,3 +128,37 @@ def test_pca_features_auto_components(spark):
     assert [c for c in out2.columns if c.startswith("pca_")] == [
         "pca_component_1", "pca_component_2",
     ]
+
+
+def test_lloyd_kmeans_hand_checked(spark):
+    """Two tight integer clusters + one far point with k=2: all near
+    points join cluster 0/1 correctly and iteration moves the centers."""
+    from data_pipeline_framework_spark.operators.ml_features import (
+        lloyd_kmeans,
+    )
+
+    rows = [(0, 0.0, 0.0), (1, 100.0, 100.0), (2, 1.0, 0.0), (3, 0.0, 1.0),
+            (4, 99.0, 100.0), (5, 100.0, 99.0), (6, 2.0, 2.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r["id"]: r["cluster"]
+           for r in lloyd_kmeans(df, "id", ["x", "y"], k=2, iters=3,
+                                 init_ids=[0, 1]).collect()}
+    assert {out[0], out[2], out[3], out[6]} == {0}
+    assert {out[1], out[4], out[5]} == {1}
+
+
+def test_lloyd_kmeans_empty_cluster_keeps_center(spark):
+    """An init center far from every point empties immediately; the
+    cluster must keep its previous center instead of crashing."""
+    from data_pipeline_framework_spark.operators.ml_features import (
+        lloyd_kmeans,
+    )
+
+    rows = [(0, 0.0), (1, 1.0), (2, 2.0), (3, 1000.0)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    # init on ids 0 and 3: point 3 is alone; then re-init on 0,1 where
+    # cluster 1's members all sit nearer cluster 0 after one step
+    out = lloyd_kmeans(df, "id", ["x"], k=2, iters=5, init_ids=[0, 1])
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got[3] != got[0]  # far point separates
+    assert len(set(got.values())) == 2
