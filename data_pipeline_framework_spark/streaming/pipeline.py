@@ -274,6 +274,44 @@ def dedup_stream(
     )
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi join bounded by an event-time range — the state
+    Spark must hold is capped by the watermark + the `max_delay` band, so
+    a forever-running join never grows without bound (unbounded
+    stream-stream joins are rejected by Spark for exactly this reason).
+
+    Semantics: left row matches right rows with equal `on` keys whose
+    event time lies in [left_ts - max_delay, left_ts]. Outer variants
+    need BOTH watermarks (nulls emit once the watermark passes); Spark
+    enforces that, we just pass them through. The reference processed
+    streams record-at-a-time and had no stream joins at all; batch twins
+    of the same predicate verify results in tests."""
+    l = _watermarked(left, left_ts, watermark)
+    r = _watermarked(right, right_ts, watermark)
+    cond = None
+    for k in on:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    band = (
+        (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    out = l.join(r, cond & band, how)
+    # drop the duplicated right-side key columns (USING-style output)
+    for k in on:
+        out = out.drop(r[k])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # sinks
 

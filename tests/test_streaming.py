@@ -321,3 +321,46 @@ def test_idempotent_batch_sink_through_stream(spark, events, stream_dir, monkeyp
     n = conn.execute("SELECT count(*) FROM ev").fetchone()[0]
     assert n == events.count()
     conn.close()
+
+
+def test_stream_stream_join_matches_batch(spark, events, stream_dir):
+    """Stream-stream banded equi join vs the identical batch predicate:
+    purchases join clicks by user within a lookback band. availableNow
+    processes everything in order, so inner-join results must match the
+    batch twin exactly."""
+    purchases_b = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("value").alias("p_val"),
+    )
+    clicks_b = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    batch = purchases_b.join(
+        clicks_b,
+        (purchases_b.user_id == clicks_b.user_id)
+        & (clicks_b.c_ts >= purchases_b.p_ts - F.expr("INTERVAL 10 minutes"))
+        & (clicks_b.c_ts <= purchases_b.p_ts),
+        "inner",
+    ).drop(clicks_b.user_id)
+    want = sorted(
+        (r["user_id"], r["p_ts"], r["c_ts"]) for r in batch.collect()
+    )
+
+    sdf = ST.read_stream_files(
+        spark, str(stream_dir / "in"), schema=events.schema
+    )
+    purchases = sdf.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_val")
+    )
+    clicks = sdf.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = ST.join_streams(
+        purchases, clicks, on=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        max_delay="10 minutes", watermark="1 minute",
+    )
+    got_df = _run_to_memory(spark, joined, "ssj", stream_dir)
+    got = sorted(
+        (r["user_id"], r["p_ts"], r["c_ts"]) for r in got_df.collect()
+    )
+    assert got == want and len(got) > 0
