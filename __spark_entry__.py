@@ -693,6 +693,25 @@ def tfidf_doc_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_psi_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distribution-drift monitor: PSI of l_extendedprice between early
+    and late ship dates over fixed literal bins — two single-pass aggs,
+    no quantile estimation."""
+    from data_pipeline_framework_spark.functions.profiling import psi_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < F.lit("1998-01-01"))
+    b = li.filter(F.col("l_shipdate") >= F.lit("1998-01-01"))
+    edges = [20000.0, 40000.0, 60000.0, 80000.0]
+    out = psi_drift(a, b, "l_extendedprice", edges)
+    return out.select(
+        "bin",
+        _r(F.col("frac_a"), 6).alias("frac_a"),
+        _r(F.col("frac_b"), 6).alias("frac_b"),
+        _r(F.col("psi_term"), 6).alias("psi_term"),
+    )
+
+
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic Lloyd k-means, FULLY oracle-checked — the iterative-
     ML differential MLlib's KMeans can't give (implementation-ordered).
@@ -2365,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "gopher_repetition": gopher_repetition,
         "kmeans_lloyd": kmeans_lloyd,
+        "drift_psi_prices": drift_psi_prices,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shard_packing": token_shard_packing,
         "unigram_logprob_scores": unigram_logprob_scores,
@@ -3330,6 +3350,40 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN w USING (doc_id)
         """,
         "kmeans_lloyd": _kmeans_oracle(),
+        "drift_psi_prices": """
+            WITH binned AS (
+                SELECT (CASE WHEN l_extendedprice > 20000.0 THEN 1 ELSE 0 END
+                      + CASE WHEN l_extendedprice > 40000.0 THEN 1 ELSE 0 END
+                      + CASE WHEN l_extendedprice > 60000.0 THEN 1 ELSE 0 END
+                      + CASE WHEN l_extendedprice > 80000.0 THEN 1 ELSE 0 END)
+                       AS bin,
+                       l_shipdate < TIMESTAMP '1998-01-01' AS early
+                FROM lineitem
+            ),
+            fa AS (
+                SELECT b.bin, coalesce(n.c, 0) / t.n AS frac_a
+                FROM (SELECT unnest(range(0, 5)) AS bin) b
+                CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) n FROM binned
+                            WHERE early) t
+                LEFT JOIN (SELECT bin, CAST(count(*) AS DOUBLE) c FROM binned
+                           WHERE early GROUP BY bin) n ON b.bin = n.bin
+            ),
+            fb AS (
+                SELECT b.bin, coalesce(n.c, 0) / t.n AS frac_b
+                FROM (SELECT unnest(range(0, 5)) AS bin) b
+                CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) n FROM binned
+                            WHERE NOT early) t
+                LEFT JOIN (SELECT bin, CAST(count(*) AS DOUBLE) c FROM binned
+                           WHERE NOT early GROUP BY bin) n ON b.bin = n.bin
+            )
+            SELECT CAST(fa.bin AS INTEGER) AS bin,
+                   FLOOR(frac_a * 1e6 + 0.5) / 1e6 AS frac_a,
+                   FLOOR(frac_b * 1e6 + 0.5) / 1e6 AS frac_b,
+                   FLOOR((frac_a - frac_b)
+                         * ln((frac_a + 1e-6) / (frac_b + 1e-6))
+                         * 1e6 + 0.5) / 1e6 AS psi_term
+            FROM fa JOIN fb ON fa.bin = fb.bin
+        """,
         "stratified_sample_docs": """
             SELECT doc_id, source FROM documents
             WHERE (CAST(('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)),

@@ -86,6 +86,7 @@ HEADLINE = [
     "q16_supplier_counts",
     "q19_disjunctive_revenue",
     "kmeans_lloyd",
+    "drift_psi_prices",
 ]
 
 

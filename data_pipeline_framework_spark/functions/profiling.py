@@ -866,3 +866,55 @@ def top_values(
         .orderBy(F.desc("count"), F.asc(column))
         .limit(k)
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    edges: list[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a column —
+    the standard distribution-drift monitor (PSI < 0.1 stable, > 0.25
+    drifted). `edges` are FIXED literal bin boundaries (len(edges)+1
+    bins including the two open ends): fixed edges keep runs comparable
+    over time and make the whole computation two single-pass aggregates
+    with no quantile estimation in the hot path.
+
+    Output: one row per bin with both fractions and the PSI term
+    (fa - fb) * ln((fa+eps)/(fb+eps)); sum the terms for the index.
+    Each side is ONE agg pass (conditional counts per bin); bins with no
+    data on either side contribute ~0 via the epsilon smoothing.
+    """
+    def bucket(col: Column) -> Column:
+        b = F.lit(0)
+        for e in edges:
+            b = b + F.when(col > F.lit(float(e)), 1).otherwise(0)
+        return b
+
+    def fractions(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(column)
+        aggs = [
+            F.sum(F.when(bucket(c) == i, 1).otherwise(0)).alias(f"__b{i}")
+            for i in range(len(edges) + 1)
+        ] + [F.count(c).alias("__n")]
+        # ONE agg pass; the 1-row result explodes into per-bin rows
+        # (a union of selects over the agg would re-run it per bin)
+        row = df.agg(*aggs)
+        bins = F.array(*[
+            F.struct(
+                F.lit(i).alias("bin"),
+                (F.col(f"__b{i}") / F.col("__n")).alias(f"frac_{side}"),
+            )
+            for i in range(len(edges) + 1)
+        ])
+        return row.select(F.explode(bins).alias("__x")).select("__x.*")
+
+    fa = fractions(df_a, "a")
+    fb = fractions(df_b, "b")
+    j = fa.join(fb, "bin")
+    term = (F.col("frac_a") - F.col("frac_b")) * F.log(
+        (F.col("frac_a") + eps) / (F.col("frac_b") + eps)
+    )
+    return j.select("bin", "frac_a", "frac_b", term.alias("psi_term"))

@@ -145,3 +145,17 @@ def test_pack_shards_hand_checked(spark):
     # offsets 0,600,1200,1800,2400 -> shards 0,0,1,1,2
     assert [out[i]["shard"] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 1, 2]
     assert out[5]["token_offset"] == 2400
+
+
+def test_psi_drift_zero_and_shifted(spark):
+    from data_pipeline_framework_spark.functions.profiling import psi_drift
+
+    a = spark.range(0, 1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = psi_drift(a, a, "v", edges=[25.0, 50.0, 75.0]).collect()
+    assert sum(r["psi_term"] for r in same) == pytest.approx(0.0, abs=1e-12)
+    assert len(same) == 4
+    # shift the second snapshot up by 50: mass moves across the edges
+    b = spark.range(0, 1000).selectExpr("CAST(id % 100 + 50 AS DOUBLE) AS v")
+    drift = psi_drift(a, b, "v", edges=[25.0, 50.0, 75.0]).collect()
+    psi = sum(r["psi_term"] for r in drift)
+    assert psi > 0.25  # the standard "drifted" threshold
