@@ -712,6 +712,25 @@ def drift_psi_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_psi_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """categorical drift: PSI over order-priority shares, early vs late
+    orders; full-outer category join so one-sided categories count."""
+    from data_pipeline_framework_spark.functions.profiling import (
+        psi_drift_categorical,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    b = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    out = psi_drift_categorical(a, b, "o_orderpriority")
+    return out.select(
+        "category",
+        _r(F.col("frac_a"), 6).alias("frac_a"),
+        _r(F.col("frac_b"), 6).alias("frac_b"),
+        _r(F.col("psi_term"), 6).alias("psi_term"),
+    )
+
+
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic Lloyd k-means, FULLY oracle-checked — the iterative-
     ML differential MLlib's KMeans can't give (implementation-ordered).
@@ -2385,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": gopher_repetition,
         "kmeans_lloyd": kmeans_lloyd,
         "drift_psi_prices": drift_psi_prices,
+        "drift_psi_priorities": drift_psi_priorities,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shard_packing": token_shard_packing,
         "unigram_logprob_scores": unigram_logprob_scores,
@@ -3350,6 +3370,30 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN w USING (doc_id)
         """,
         "kmeans_lloyd": _kmeans_oracle(),
+        "drift_psi_priorities": """
+            WITH fa AS (
+                SELECT o_orderpriority AS category,
+                       count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)
+                           AS frac_a
+                FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY o_orderpriority
+            ),
+            fb AS (
+                SELECT o_orderpriority AS category,
+                       count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)
+                           AS frac_b
+                FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                GROUP BY o_orderpriority
+            )
+            SELECT category,
+                   FLOOR(coalesce(frac_a, 0.0) * 1e6 + 0.5) / 1e6 AS frac_a,
+                   FLOOR(coalesce(frac_b, 0.0) * 1e6 + 0.5) / 1e6 AS frac_b,
+                   FLOOR((coalesce(frac_a, 0.0) - coalesce(frac_b, 0.0))
+                         * ln((coalesce(frac_a, 0.0) + 1e-6)
+                              / (coalesce(frac_b, 0.0) + 1e-6))
+                         * 1e6 + 0.5) / 1e6 AS psi_term
+            FROM fa FULL OUTER JOIN fb USING (category)
+        """,
         "drift_psi_prices": """
             WITH binned AS (
                 SELECT (CASE WHEN l_extendedprice > 20000.0 THEN 1 ELSE 0 END

@@ -87,6 +87,7 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "kmeans_lloyd",
     "drift_psi_prices",
+    "drift_psi_priorities",
 ]
 
 

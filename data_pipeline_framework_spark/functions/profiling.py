@@ -918,3 +918,32 @@ def psi_drift(
         (F.col("frac_a") + eps) / (F.col("frac_b") + eps)
     )
     return j.select("bin", "frac_a", "frac_b", term.alias("psi_term"))
+
+
+def psi_drift_categorical(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI over a categorical column: per-category fractions from one
+    groupBy per snapshot, full-outer joined so categories present on only
+    one side still contribute (epsilon-smoothed). Same reading as
+    psi_drift: sum(psi_term) > 0.25 flags drift."""
+    def fractions(df: DataFrame, side: str) -> DataFrame:
+        counts = df.groupBy(F.col(column).alias("category")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        total = counts.agg(F.sum("__c").alias("__n"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "category", (F.col("__c") / F.col("__n")).alias(f"frac_{side}")
+        )
+
+    j = fractions(df_a, "a").join(fractions(df_b, "b"), "category", "full_outer")
+    fa = F.coalesce(F.col("frac_a"), F.lit(0.0))
+    fb = F.coalesce(F.col("frac_b"), F.lit(0.0))
+    term = (fa - fb) * F.log((fa + eps) / (fb + eps))
+    return j.select(
+        "category", fa.alias("frac_a"), fb.alias("frac_b"),
+        term.alias("psi_term"),
+    )

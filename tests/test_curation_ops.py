@@ -159,3 +159,18 @@ def test_psi_drift_zero_and_shifted(spark):
     drift = psi_drift(a, b, "v", edges=[25.0, 50.0, 75.0]).collect()
     psi = sum(r["psi_term"] for r in drift)
     assert psi > 0.25  # the standard "drifted" threshold
+
+
+def test_psi_drift_categorical_one_sided_category(spark):
+    from data_pipeline_framework_spark.functions.profiling import (
+        psi_drift_categorical,
+    )
+
+    a = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "c string")
+    b = spark.createDataFrame([("x",)] * 50 + [("z",)] * 50, "c string")
+    out = {r["category"]: r for r in
+           psi_drift_categorical(a, b, "c").collect()}
+    assert set(out) == {"x", "y", "z"}
+    assert out["y"]["frac_b"] == 0.0 and out["z"]["frac_a"] == 0.0
+    assert out["y"]["psi_term"] > 0 and out["z"]["psi_term"] > 0
+    assert out["x"]["psi_term"] == pytest.approx(0.0, abs=1e-12)
