@@ -26,8 +26,53 @@ TABLES = (
 )
 
 
+# Runtime-settable confs every query needs regardless of who built the
+# SparkSession. The driver's correctness harness passes a VANILLA session
+# (round-1 lesson: it lacked nanosAsLong and 12 events queries died at scan
+# time), so each registered callable pins these itself instead of assuming
+# `get_spark()` defaults. All four are documented runtime-settable SQL confs.
+_SESSION_PINS = {
+    # TIMESTAMP(NANOS) parquet -> long (readers.read_parquet converts).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark 4 defaults ANSI on; the engine's DSL has permissive-cast
+    # semantics (dirty-string casts -> NULL, not error) matching DuckDB's
+    # TRY_CAST-style oracles where used.
+    "spark.sql.ansi.enabled": "false",
+    # DuckDB is UTC-naive; pin Spark's session zone so hour()/date_trunc()
+    # agree even if the host JVM zone ever differs.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for toPandas()/pandas-UDF exchange (perf only, not semantics).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # A vanilla session defaults to 200 shuffle partitions; AQE coalesces
+    # most of that away but NOT under cached plans (persisted intermediates
+    # keep their partitioning), so correctness-gate runs at tiny SF pay
+    # 200 tasks per cached shuffle. 32 matches the harness core budget;
+    # perf-only, results identical. Cluster callers never go through these
+    # pins (they're applied by the driver-facing query wrappers only).
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    for k, v in _SESSION_PINS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # never let a conf refusal mask the query itself
+    return spark
+
+
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_prep(spark), sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_table(spark, sf_dir, name)
+    return read_table(_prep(spark), sf_dir, name)
 
 
 def _r(col, k: int = 4):
@@ -2366,6 +2411,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _pinned(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "select_transform": select_transform,

@@ -378,15 +378,17 @@ def average_ranks(
 
 
 def profile_columns(
-    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+    df: DataFrame, columns: list[str] | None = None, exact: bool = False
 ) -> DataFrame:
     """Numeric column profile, long format (column, metric, value).
 
     Metrics per column: count, n_null, n_distinct, min, max, sum, mean,
     stddev, q25, median, q75, n_zero, n_negative
-    (reference data_profiler.py:116-153 stats set, exact instead of
-    100K-row sampled). ``exact=False`` swaps n_distinct to an HLL sketch
-    folded into scan 1, dropping the dedicated distinct scan.
+    (reference data_profiler.py:116-153 stats set). Default n_distinct is
+    an HLL sketch folded into scan 1 (one fewer pass — the right default
+    at corpus scale, matching the reference's own sampling spirit,
+    schema_inference.py:17); ``exact=True`` adds a dedicated exact
+    count_distinct agg as a third bounded pass.
     """
     cols = _numeric_columns(df, columns)
     probs = (0.25, 0.5, 0.75)

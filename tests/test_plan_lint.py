@@ -39,6 +39,7 @@ _BNL_OK = {
     "quality_report",
     "schema_inference_orders",
     "schema_constraints_orders",
+    "drift_psi_priorities",  # per-side broadcast 1-row category totals
 }
 
 # queries whose operators legitimately run vectorized Python

@@ -88,9 +88,17 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from data_pipeline_framework_spark import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="check", master="local[8]", shuffle_partitions=8)
+    # Deliberately VANILLA session — replicates the driver's correctness
+    # harness (which does NOT use get_spark()), so any session-default
+    # assumption in a query fails here first. Only the master is set.
+    spark = (
+        SparkSession.builder.appName("check")
+        .master("local[8]")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     con = duckdb.connect()
