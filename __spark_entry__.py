@@ -941,6 +941,44 @@ def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style eval-set decontamination: per corpus doc, the count and
+    fraction of its word 8-grams that also occur in the (broadcast) eval
+    slice. One groupBy(doc) on the corpus side; eval grams semi-join in
+    map-side."""
+    from data_pipeline_framework_spark.functions.decontamination import (
+        contamination_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    evalset = docs.filter(F.col("doc_id") < 100)
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    out = contamination_stats(corpus, evalset, n=8)
+    return out.select(
+        "doc_id", "n_grams", "dirty_grams",
+        _r(F.col("contamination_frac"), 6).alias("contamination_frac"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-source quota: keep the 10 longest docs per source (hash+id
+    tie-break), via the skew-proof two-stage top-k (salted local
+    row_number bounds any hot key's final sort to cap*salts rows)."""
+    from data_pipeline_framework_spark.functions.sampling import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = cap_per_key(
+        docs, "source", cap=10, id_col="doc_id",
+        order_col=F.col("n_chars").desc(),
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy(
+        "source", "doc_id"
+    )
+
+
 def text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import text as TX
 
@@ -2456,6 +2494,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_priorities": drift_psi_priorities,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shard_packing": token_shard_packing,
+        "benchmark_decontamination": benchmark_decontamination,
+        "domain_quota_cap": domain_quota_cap,
         "unigram_logprob_scores": unigram_logprob_scores,
         "pii_redaction": pii_redaction,
         "language_scores": language_scores,
@@ -3501,6 +3541,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, token_offset,
                    CAST(floor(token_offset / 2000) AS BIGINT) AS shard
             FROM o
+        """,
+        "benchmark_decontamination": f"""
+            WITH w AS (
+                SELECT doc_id, {_DD_TOKS} AS ws FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                       ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                       ws[i+6] || ' ' || ws[i+7] AS gram
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i)
+            ),
+            gh AS (
+                SELECT doc_id, {_DD_HASH.format(x='gram')} AS h FROM g
+            ),
+            ev AS (SELECT DISTINCT h FROM gh WHERE doc_id < 100),
+            agg AS (
+                SELECT c.doc_id,
+                       count(*) AS n_grams,
+                       sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)
+                           AS dirty_grams
+                FROM (SELECT doc_id, h FROM gh WHERE doc_id >= 100) c
+                LEFT JOIN ev ON c.h = ev.h
+                GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(a.dirty_grams, 0) AS BIGINT) AS dirty_grams,
+                   FLOOR((CASE WHEN coalesce(a.n_grams, 0) > 0
+                          THEN coalesce(a.dirty_grams, 0) / a.n_grams
+                          ELSE 0.0 END) * 1e6 + 0.5) / 1e6
+                       AS contamination_frac,
+                   CASE WHEN coalesce(a.dirty_grams, 0) > 0 THEN 1 ELSE 0 END
+                       AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
+            LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "domain_quota_cap": """
+            WITH r AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC,
+                                    CAST(('0x' || substr(md5('quota' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 13))
+                                        AS BIGINT) % 1000000 ASC,
+                                    doc_id ASC) AS rk
+                FROM documents
+            )
+            SELECT doc_id, source, n_chars
+            FROM r WHERE rk <= 10 ORDER BY source, doc_id
         """,
         "unigram_logprob_scores": f"""
             WITH tok AS (

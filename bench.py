@@ -30,6 +30,7 @@ _WIDE = {
     "tfidf_doc_mass", "neardup_clusters", "media_image_features",
     "gopher_repetition", "unigram_logprob_scores", "pii_redaction",
     "stratified_sample_docs", "token_shard_packing", "kmeans_lloyd",
+    "benchmark_decontamination", "domain_quota_cap",
 }
 
 HEADLINE = [
@@ -88,6 +89,8 @@ HEADLINE = [
     "kmeans_lloyd",
     "drift_psi_prices",
     "drift_psi_priorities",
+    "benchmark_decontamination",
+    "domain_quota_cap",
 ]
 
 

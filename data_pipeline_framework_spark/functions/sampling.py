@@ -63,6 +63,53 @@ def stratified_hash_sample(
     return df.filter(_bucket(id_col, seed) < threshold)
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    cap: int,
+    id_col: str,
+    order_col: str | Column | None = None,
+    seed: str = "quota",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep at most `cap` rows per key — the per-domain/source quota of
+    corpus curation (capping an over-represented crawl domain so it
+    can't dominate the token mix).
+
+    Selection is deterministic: the `cap` smallest (order, hash, id)
+    rows per key survive, where `order` is `order_col` if given (e.g. a
+    quality score to keep the BEST rows) and the tie-break is always the
+    portable hash(seed||id) — reruns, repartitions, and the DuckDB
+    oracle all pick identical rows.
+
+    Skew-proof two-stage top-k: a single row_number window per key would
+    sort an entire hot domain (10^9 rows for one key = one giant
+    partition) — instead stage 1 partitions by (key, hash-salt) and
+    keeps `cap` rows per salt locally, bounding stage 2's input to
+    cap * salt_buckets rows per key regardless of skew. Both stages are
+    exact, so the composition equals the single-window result.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    tie = _bucket(id_col, seed)
+    order = (
+        [F.col(order_col) if isinstance(order_col, str) else order_col]
+        if order_col is not None else []
+    ) + [tie.asc(), F.col(id_col).asc()]
+    salt = F.pmod(hash52(F.concat(F.lit("salt"), F.col(id_col).cast("string"))),
+                  F.lit(salt_buckets))
+    w1 = Window.partitionBy(*keys, salt).orderBy(*order)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= cap)
+        .withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk1", "__rk")
+    )
+
+
 def pack_shards(
     df: DataFrame,
     order_col: str,
