@@ -1629,19 +1629,33 @@ def text_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib tf-idf per-term columns (vocabulary non-SQL — weak check)."""
+    """MLlib CountVectorizer+IDF tf-idf, melted to long (doc_id, term,
+    tfidf) so the DuckDB oracle can derive the top-8 vocabulary from the
+    data (no hardcoded terms) and check every value: tf(doc,t) *
+    ln((m+1)/(df+1)), MLlib's IDF formula. The top-8 count boundary in
+    this corpus is strict (933 vs 928 at sf0.01), so the vocab SET is
+    deterministic even though MLlib's tie order isn't."""
     from data_pipeline_framework_spark.operators.ml_features import (
         create_text_features,
     )
 
-    docs = _t(spark, sf_dir, "documents").limit(500)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     out = create_text_features(
         docs.select("doc_id", "text"), ["text"], method="tfidf", max_features=8
     )
-    cols = sorted(c for c in out.columns if c.startswith("text_tfidf_"))
-    return out.select(
-        "doc_id", *[_r(F.col(c), 4).alias(c) for c in cols]
-    ).orderBy("doc_id")
+    terms = sorted(
+        c[len("text_tfidf_"):] for c in out.columns
+        if c.startswith("text_tfidf_")
+    )
+    stack = ", ".join(f"'{t}', `text_tfidf_{t}`" for t in terms)
+    return (
+        out.select(
+            "doc_id",
+            F.expr(f"stack({len(terms)}, {stack}) AS (term, tfidf)"),
+        )
+        .select("doc_id", "term", _r(F.col("tfidf"), 4).alias("tfidf"))
+        .orderBy("doc_id", "term")
+    )
 
 
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2629,6 +2643,99 @@ def _minhash_cte_body() -> str:
                       JOIN d y ON cand.idb = y.doc_id
         )"""
     return body
+
+
+def _mllib_english_stopwords() -> list[str]:
+    """MLlib's english stopword list, read from the installed pyspark
+    mllib jar resource (no JVM needed) — guarantees the oracle filters
+    with EXACTLY the list StopWordsRemover uses."""
+    import glob
+    import os
+    import zipfile
+
+    import pyspark
+
+    jar = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "spark-mllib_*")
+    )[0]
+    with zipfile.ZipFile(jar) as z:
+        return z.read(
+            "org/apache/spark/ml/feature/stopwords/english.txt"
+        ).decode().split()
+
+
+def _tfidf_oracle() -> str:
+    """DuckDB replay of tfidf_vectors: RegexTokenizer(\\W+, lowercase) ->
+    StopWordsRemover(english) -> top-8 terms by corpus count ->
+    tf * ln((m+1)/(df+1)) (MLlib IDF), long format with explicit zeros."""
+    sw = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in _mllib_english_stopwords()
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\W+'),
+                       t -> t <> '' AND NOT list_contains([{sw}], t))) AS t
+            FROM documents WHERE doc_id < 500
+        ),
+        cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT 8),
+        docs AS (
+            SELECT DISTINCT doc_id FROM documents WHERE doc_id < 500
+        ),
+        tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+        dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+        m AS (SELECT count(*) AS m FROM docs)
+        SELECT d.doc_id, v.t AS term,
+               FLOOR(coalesce(tf.tf, 0) * ln((m.m + 1) / (dfreq.df + 1))
+                     * 1e4 + 0.5) / 1e4 AS tfidf
+        FROM docs d CROSS JOIN vocab v CROSS JOIN m
+        JOIN dfreq ON dfreq.t = v.t
+        LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.t = v.t
+        ORDER BY d.doc_id, term
+    """
+
+
+def _pca_oracle() -> str:
+    """Independent-implementation oracle for pca_projection: numpy
+    (eigh of the sample-scaled covariance) derives the projection
+    coefficients, embedded as literals; the SQL applies them per row.
+    MLlib computes the same decomposition via exact SVD, so values agree
+    bitwise at the 3-decimal rounding; the query's abs() removes the
+    eigenvector sign ambiguity. Literals come from the sf0.01 tables the
+    driver's correctness gate runs against (same spirit as the k-means
+    oracle's embedded seed literals)."""
+    import duckdb as _dd
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    con = _dd.connect()
+    X = con.sql(
+        f"SELECT {', '.join(cols)} "
+        "FROM '/root/testdata/sf0.01/lineitem.parquet'"
+    ).df().to_numpy(dtype=float)
+    con.close()
+    mean = X.mean(axis=0)
+    std = X.std(axis=0, ddof=1)
+    Z = (X - mean) / std
+    w, v = np.linalg.eigh(np.cov(Z, rowvar=False, ddof=1))
+    order = np.argsort(w)[::-1]
+    v = v[:, order]
+
+    def proj(k: int) -> str:
+        coef = v[:, k] / std
+        const = -float(np.dot(v[:, k], mean / std))
+        terms = " + ".join(
+            f"({coef[j]!r}) * {cols[j]}" for j in range(len(cols))
+        )
+        return f"FLOOR(ABS(({const!r}) + {terms}) * 1e3 + 0.5) / 1e3"
+
+    return f"""
+        SELECT l_orderkey, l_linenumber,
+               {proj(0)} AS abs_pc1,
+               {proj(1)} AS abs_pc2
+        FROM lineitem
+    """
 
 
 def _minhash_oracle() -> str:
@@ -3672,6 +3779,8 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY fp HAVING COUNT(*) > 1
         """,
         "minhash_neardup": _minhash_oracle(),
+        "tfidf_vectors": _tfidf_oracle(),
+        "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),
         "corpus_curation": _curation_oracle(),
         "ann_cosine_topk": """
