@@ -109,6 +109,73 @@ def contamination_stats(
     )
 
 
+def contamination_stats_stream(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+):
+    """Streaming twin of contamination_stats: works on a readStream
+    DataFrame (or batch), stateless per row, so no watermark/state-store
+    is involved — incoming docs get flagged in the micro-batch they
+    arrive in.
+
+    The batch shape (explode grams -> join -> groupBy(doc)) would need
+    unbounded streaming state; instead the bounded eval hash set (eval
+    benchmarks are MBs by definition) is collected ONCE from the static
+    side and broadcast, and each doc's grams are checked inside an
+    Arrow-batched mapInPandas — the sanctioned vectorized escape hatch.
+    Python-side hashing replicates functions.text.hash52 (md5 13-hex
+    prefix) bit-for-bit, asserted against the batch op in
+    tests/test_decontamination.py.
+    """
+    import hashlib
+
+    spark = docs.sparkSession
+    hashes = frozenset(
+        r["__h"] for r in eval_gram_hashes(eval_df, eval_text_col, n).collect()
+    )
+    bc = spark.sparkContext.broadcast(hashes)
+
+    import pandas as pd  # noqa: PLC0415 - executor-side dependency
+
+    def _h52(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:13], 16)
+
+    def flag(batches):
+        ev = bc.value
+        for pdf in batches:
+            out_rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (text or "").lower().split() if w]
+                grams = max(len(words) - n + 1, 0)
+                dirty = sum(
+                    1
+                    for i in range(grams)
+                    if _h52(" ".join(words[i:i + n])) in ev
+                )
+                out_rows.append((did, grams, dirty))
+            out = pd.DataFrame(
+                out_rows, columns=[id_col, "n_grams", "dirty_grams"]
+            )
+            out["contamination_frac"] = (
+                out["dirty_grams"] / out["n_grams"].where(out["n_grams"] > 0)
+            ).fillna(0.0)
+            out["contaminated"] = out["dirty_grams"] > 0
+            yield out
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.mapInPandas(
+        flag,
+        schema=(
+            f"{id_col} {id_type}, n_grams long, dirty_grams long, "
+            "contamination_frac double, contaminated boolean"
+        ),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -56,6 +56,46 @@ def test_decontaminate_drops_only_contaminated(spark):
     assert kept.columns == ["doc_id", "text"]
 
 
+def test_stream_twin_matches_batch_on_real_docs(spark, tmp_path):
+    """contamination_stats_stream over an actual readStream must produce
+    the same per-doc stats as the batch op (python md5 == hash52)."""
+    from data_pipeline_framework_spark.functions.decontamination import (
+        contamination_stats,
+        contamination_stats_stream,
+    )
+    from data_pipeline_framework_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    evalset = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    want = {
+        (r["doc_id"], r["n_grams"], r["dirty_grams"], r["contaminated"])
+        for r in contamination_stats(corpus, evalset, n=5).collect()
+    }
+    d = tmp_path / "docs_in"
+    corpus.write.mode("overwrite").parquet(str(d))
+    sdf = (
+        spark.readStream.schema(corpus.schema).parquet(str(d))
+    )
+    out = contamination_stats_stream(sdf, evalset, n=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decontam_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["n_grams"], r["dirty_grams"], r["contaminated"])
+        for r in spark.table("decontam_stream").collect()
+    }
+    assert got == want
+    assert any(r[3] for r in got), "stream flagged at least one real hit"
+
+
 def test_cap_per_key_matches_single_window(spark):
     # skewed: key 'hot' has 200 rows, 'cold' has 3; cap 5
     rows = [(i, "hot" if i < 200 else "cold", float(i % 17)) for i in range(203)]
