@@ -1093,6 +1093,22 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
 
 
+def duplicate_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-lite: per doc, the fraction of its 10-token windows
+    that appear verbatim in at least one OTHER document (within-doc
+    repeats excluded). One hash-key shuffle, no pair formation."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = duplicate_span_stats(docs, "doc_id", "text", n=10)
+    return out.select(
+        "doc_id", "n_windows", "dup_windows",
+        _r(F.col("dup_frac"), 6).alias("dup_frac"),
+    ).orderBy("doc_id")
+
+
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact n-gram-Jaccard near-dups via inverted shingle index at 0.5."""
     from data_pipeline_framework_spark.functions import dedup as DD
@@ -2510,6 +2526,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shard_packing": token_shard_packing,
         "benchmark_decontamination": benchmark_decontamination,
         "domain_quota_cap": domain_quota_cap,
+        "duplicate_span_flags": duplicate_span_flags,
         "unigram_logprob_scores": unigram_logprob_scores,
         "pii_redaction": pii_redaction,
         "language_scores": language_scores,
@@ -3683,6 +3700,41 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(a.dirty_grams, 0) > 0 THEN 1 ELSE 0 END
                        AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
+            LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "duplicate_span_flags": f"""
+            WITH w AS (
+                SELECT doc_id, {_DD_TOKS} AS ws FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                       ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                       ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8] || ' ' ||
+                       ws[i+9] AS gram
+                FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 8)) AS i)
+            ),
+            pd AS (
+                SELECT doc_id, {_DD_HASH.format(x='gram')} AS h,
+                       count(*) AS occ
+                FROM g GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT h, count(*) AS docs FROM pd GROUP BY h),
+            agg AS (
+                SELECT pd.doc_id,
+                       sum(occ) AS n_windows,
+                       sum(CASE WHEN docs > 1 THEN occ ELSE 0 END)
+                           AS dup_windows
+                FROM pd JOIN dfreq USING (h) GROUP BY pd.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(coalesce(a.dup_windows, 0) AS BIGINT) AS dup_windows,
+                   FLOOR((CASE WHEN coalesce(a.n_windows, 0) > 0
+                          THEN coalesce(a.dup_windows, 0) / a.n_windows
+                          ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS dup_frac
+            FROM (SELECT doc_id FROM documents) d
             LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
         """,

@@ -31,6 +31,7 @@ _WIDE = {
     "gopher_repetition", "unigram_logprob_scores", "pii_redaction",
     "stratified_sample_docs", "token_shard_packing", "kmeans_lloyd",
     "benchmark_decontamination", "domain_quota_cap",
+    "duplicate_span_flags",
 }
 
 HEADLINE = [
@@ -91,6 +92,7 @@ HEADLINE = [
     "drift_psi_priorities",
     "benchmark_decontamination",
     "domain_quota_cap",
+    "duplicate_span_flags",
 ]
 
 

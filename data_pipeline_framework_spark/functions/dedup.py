@@ -527,3 +527,67 @@ def connected_components(
     return labels.groupBy("u").agg(F.min("v").alias("component")).select(
         F.col("u").alias("node"), "component"
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """Cross-document duplicate-span fraction — the distributed
+    approximation of ExactSubstr dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": drop/flag verbatim
+    spans repeated across the corpus). A doc's length-n token windows
+    are hashed; a window is *duplicated* when the same hash occurs in
+    ANY other document (within-doc repeats don't count — those are
+    repetition_stats' job).
+
+    Output per doc: ``n_windows``, ``dup_windows`` (count occurring
+    elsewhere), ``dup_frac``. Docs shorter than n tokens report 0s.
+
+    Scale shape: windows never leave their 52-bit hashes; the global
+    per-hash doc-count is ONE groupBy on the hash key with map-side
+    partial aggregation (two-level: (doc, hash) first, so a doc's
+    internal repeats collapse before the global shuffle). No pairs are
+    formed — cost is linear in corpus tokens, the known-heavy-but-flat
+    shuffle every ExactSubstr-style pass pays.
+    """
+    from .text import _gram_stream, hash52, tokens
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("__w")).select(
+        id_col, "__w", F.size("__w").alias("n_words")
+    )
+    win = _gram_stream(base, id_col, n).select(
+        id_col, hash52(F.col("__gram")).alias("__h")
+    )
+    # (doc, hash) occurrence counts: collapses within-doc repeats so the
+    # global doc-frequency agg below shuffles one row per (doc, hash)
+    per_doc = win.groupBy(id_col, "__h").agg(
+        F.count(F.lit(1)).alias("__occ")
+    ).persist()
+    docfreq = per_doc.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__docs")
+    )
+    flagged = per_doc.join(docfreq, "__h").groupBy(id_col).agg(
+        F.sum("__occ").alias("n_windows"),
+        F.sum(F.when(F.col("__docs") > 1, F.col("__occ")).otherwise(0)).alias(
+            "dup_windows"
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("dup_windows"), F.lit(0)).alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("dup_windows") / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -96,6 +96,35 @@ def test_stream_twin_matches_batch_on_real_docs(spark, tmp_path):
     assert any(r[3] for r in got), "stream flagged at least one real hit"
 
 
+def test_duplicate_span_stats_cross_doc_only(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        duplicate_span_stats,
+    )
+
+    rows = [
+        # docs 1 and 2 share the window "a b c"; doc 1 also repeats it
+        # INTERNALLY — internal repeats count toward n_windows and both
+        # occurrences are dup (the span exists elsewhere)
+        (1, "a b c x a b c"),
+        (2, "z a b c z"),
+        # doc 3: internal repeat only, nothing shared -> dup 0
+        (3, "q r s q r s"),
+        # doc 4: too short for a 3-window
+        (4, "t u"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(df, "doc_id", "text", n=3).collect()
+    }
+    assert out[1]["n_windows"] == 5 and out[1]["dup_windows"] == 2
+    assert out[2]["n_windows"] == 3 and out[2]["dup_windows"] == 1
+    assert out[3]["n_windows"] == 4 and out[3]["dup_windows"] == 0, (
+        "within-doc repetition alone is not cross-doc duplication"
+    )
+    assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0
+
+
 def test_cap_per_key_matches_single_window(spark):
     # skewed: key 'hot' has 200 rows, 'cold' has 3; cap 5
     rows = [(i, "hot" if i < 200 else "cold", float(i % 17)) for i in range(203)]
