@@ -1674,26 +1674,79 @@ def tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_CENTERS = [
+    [10.0, 20000.0, 2.0],
+    [25.0, 40000.0, 5.0],
+    [40.0, 60000.0, 8.0],
+    [15.0, 80000.0, 3.0],
+]
+
+
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """seeded KMeans cluster features (iterative MLlib — weak check)."""
+    """clustering features via pretrained centroids (the scale path: fit
+    on a sample, assign the full table as a pure argmin expression) —
+    fully oracle-checked. Features are integer-quantized so the argmin
+    is exact IEEE arithmetic in both engines."""
     from data_pipeline_framework_spark.operators.ml_features import (
         create_clustering_features,
     )
 
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_quantity", "l_extendedprice", "l_discount"
+        F.col("l_quantity").cast("double").alias("q"),
+        F.floor("l_extendedprice").cast("double").alias("ep"),
+        F.floor(F.col("l_discount") * 100).cast("double").alias("disc"),
     )
     out = create_clustering_features(
-        li, ["l_quantity", "l_extendedprice", "l_discount"],
-        n_clusters=4, include_distances=True,
+        li, ["q", "ep", "disc"], include_distances=True,
+        centers=_KMEANS_CENTERS,
     )
     return (
         out.groupBy("cluster_label")
         .agg(F.count(F.lit(1)).alias("n"),
              _r(F.avg("min_cluster_distance"), 4).alias("avg_center_dist"))
         .orderBy(F.desc("n"), "cluster_label")
-        .select("n", "avg_center_dist")
+        .select(F.col("cluster_label").cast("long").alias("cluster_label"),
+                "n", "avg_center_dist")
     )
+
+
+def _kmeans_sizes_oracle() -> str:
+    """DuckDB twin of kmeans_cluster_sizes: same quantized features, same
+    literal centers, same argmin tie-break (lowest cluster id)."""
+    dnames = []
+    dexprs = []
+    for i, ctr in enumerate(_KMEANS_CENTERS):
+        dnames.append(f"d{i}")
+        dexprs.append(
+            f"((q - {ctr[0]}) * (q - {ctr[0]})"
+            f" + (ep - {ctr[1]}) * (ep - {ctr[1]})"
+            f" + (disc - {ctr[2]}) * (disc - {ctr[2]})) AS d{i}"
+        )
+    k = len(_KMEANS_CENTERS)
+    whens = []
+    for i in range(k - 1):
+        cond = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k))
+        whens.append(f"WHEN {cond} THEN {i}")
+    case = "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
+    least = "LEAST(" + ", ".join(dnames) + ")"
+    return f"""
+        WITH pts AS (
+            SELECT CAST(l_quantity AS DOUBLE) AS q,
+                   CAST(FLOOR(l_extendedprice) AS DOUBLE) AS ep,
+                   CAST(FLOOR(l_discount * 100) AS DOUBLE) AS disc
+            FROM lineitem
+        ), dd AS (
+            SELECT {', '.join(dexprs)} FROM pts
+        ), scored AS (
+            SELECT {case} AS cluster_label, {least} AS mind FROM dd
+        )
+        SELECT CAST(cluster_label AS BIGINT) AS cluster_label,
+               COUNT(*) AS n,
+               ROUND(AVG(SQRT(mind)), 4) AS avg_center_dist
+        FROM scored
+        GROUP BY cluster_label
+        ORDER BY n DESC, cluster_label
+    """
 
 
 def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3583,6 +3636,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN w USING (doc_id)
         """,
         "kmeans_lloyd": _kmeans_oracle(),
+        "kmeans_cluster_sizes": _kmeans_sizes_oracle(),
         "drift_psi_priorities": """
             WITH fa AS (
                 SELECT o_orderpriority AS category,
@@ -4315,9 +4369,6 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
             ORDER BY count DESC, o_orderpriority LIMIT 3
         """,
-        # tfidf_vectors / kmeans_cluster_sizes / pca_projection are
-        # intentionally oracle-less: MLlib vocabulary order, iterative
-        # cluster fitting, and eigenbasis signs are not SQL-expressible.
         "text_feature_stats": """
             WITH t AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
             SELECT doc_id,

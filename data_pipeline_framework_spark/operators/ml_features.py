@@ -174,13 +174,54 @@ def create_clustering_features(
     n_clusters: int = 5,
     algorithm: str = "kmeans",
     include_distances: bool = True,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """KMeans cluster label + center distances, or grid-DBSCAN labels
-    (reference :450-511; DBSCAN params eps=0.5 / min_samples=5 at :498)."""
+    (reference :450-511; DBSCAN params eps=0.5 / min_samples=5 at :498).
+
+    ``centers``: pretrained centroids in RAW feature space. When given,
+    no MLlib fit and no scaling run — assignment is a pure argmin column
+    expression (ties -> lowest cluster id) and distances are codegen
+    arithmetic. This is the 100 TB path: fit on a bounded sample (or via
+    lloyd_kmeans), assign the full table without an iterative job; it is
+    also deterministic, so a cross-engine oracle can replay it."""
     if algorithm == "dbscan":
         return _grid_dbscan(df, feature_cols)
     if algorithm != "kmeans":
         raise ValueError(f"unknown clustering algorithm: {algorithm!r}")
+
+    if centers is not None:
+        work = df
+        for c in feature_cols:
+            work = work.withColumn(
+                c, F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+            )
+        sq = [
+            sum(
+                (F.col(c) - F.lit(float(ctr[j]))) ** 2
+                for j, c in enumerate(feature_cols)
+            )
+            for ctr in centers
+        ]
+        label = F.lit(len(centers) - 1)
+        for i in range(len(centers) - 2, -1, -1):
+            cond = None
+            for j in range(i + 1, len(centers)):
+                cmp_ = sq[i] <= sq[j]
+                cond = cmp_ if cond is None else (cond & cmp_)
+            label = F.when(cond, F.lit(i)).otherwise(label)
+        work = work.withColumn("cluster_label", label)
+        if include_distances:
+            work = work.select(
+                "*",
+                *[F.sqrt(sq[i]).alias(f"distance_to_cluster_{i}")
+                  for i in range(len(centers))],
+            ).withColumn(
+                "min_cluster_distance",
+                F.least(*[F.col(f"distance_to_cluster_{i}")
+                          for i in range(len(centers))]),
+            )
+        return work
 
     work = _assemble_scaled(df, feature_cols)
     km = KMeans(k=n_clusters, seed=SEED, featuresCol="__scaled",

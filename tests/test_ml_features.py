@@ -86,6 +86,28 @@ def test_clustering_features(spark):
             min(r["distance_to_cluster_0"], r["distance_to_cluster_1"])
         )
 
+def test_clustering_features_pretrained_centers(spark):
+    # fixed centers in raw space: no fit, no scaling, argmin assignment
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 10.0), (3, 5.0, 5.0), (4, None, 1.0)],
+        ["id", "x", "y"],
+    )
+    out = create_clustering_features(
+        df, ["x", "y"], centers=[[0.0, 0.0], [10.0, 10.0]]
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["cluster_label"] == 0
+    assert got[2]["cluster_label"] == 1
+    # equidistant point ties to the LOWEST cluster id
+    assert got[3]["cluster_label"] == 0
+    # nulls fill to 0.0 before distance math
+    assert got[4]["cluster_label"] == 0
+    assert got[1]["min_cluster_distance"] == pytest.approx(0.0)
+    assert got[2]["distance_to_cluster_0"] == pytest.approx(200.0 ** 0.5)
+    # no MLlib stage ran: plan is pure projection (no scaler/fit columns)
+    assert "__scaled" not in out.columns and "__features" not in out.columns
+
+
 def test_grid_dbscan_blobs_and_noise(spark):
     # two tight blobs of 30 + isolated noise points; grid-DBSCAN on scaled
     # features must find exactly two clusters and flag the noise with -1
