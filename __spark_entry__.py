@@ -882,6 +882,34 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed linear classifier over documents: token ->
+    md5 bucket -> literal weight, margin = bias + mean weight, sigmoid
+    score. Explode + one doc-id shuffle; lookup is element_at on a
+    64-literal array (codegen, no join)."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = TX.classifier_weights(64, seed=13)
+    out = TX.hashed_classifier_score(docs, "doc_id", "text", w, bias=0.1)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _r(F.col("margin"), 6).alias("margin"),
+        _r(F.col("prob"), 6).alias("prob"),
+    )
+
+
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """long-document -> training-context chunking: 32-token windows at
+    stride 24, fully narrow (sequence/explode/slice expressions — zero
+    shuffles at any scale)."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.chunk_documents(docs, "doc_id", "text", window=32, stride=24)
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub before a corpus ships: count+replace email/SSN/phone in
     one codegen projection. The testdata carries no PII-shaped text, so
@@ -1749,6 +1777,70 @@ def _kmeans_sizes_oracle() -> str:
     """
 
 
+def _classifier_oracle() -> str:
+    """DuckDB twin of classifier_quality_scores: same md5 bucket hash,
+    same literal weights (regenerated from the same deterministic
+    formula), same left-join empty-doc handling."""
+    from data_pipeline_framework_spark.functions.text import (
+        classifier_weights,
+    )
+
+    w = classifier_weights(64, seed=13)
+    vals = ", ".join(f"({i}, {wi!r})" for i, wi in enumerate(w))
+    h = "CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT)"
+    return f"""
+        WITH wts(bkt, wt) AS (VALUES {vals}),
+        tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS t
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt) AS sw
+            FROM (SELECT doc_id, {h} % 64 AS bkt FROM tok) b
+            JOIN wts USING (bkt)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               FLOOR((0.1 + COALESCE(a.sw / a.n_tokens, 0.0)) * 1e6 + 0.5)
+                   / 1e6 AS margin,
+               FLOOR(1.0 / (1.0 + exp(-(0.1 + COALESCE(a.sw / a.n_tokens,
+                                                       0.0))))
+                     * 1e6 + 0.5) / 1e6 AS prob
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+_CHUNKS_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+    ),
+    c AS (
+        SELECT doc_id, tk,
+               unnest(range(0, CASE WHEN n <= 32 THEN 1
+                                    ELSE CAST(CEIL((n - 32) / 24.0)
+                                              AS BIGINT) + 1 END)) AS cid
+        FROM n
+    )
+    SELECT doc_id,
+           CAST(cid AS BIGINT) AS chunk_id,
+           CAST(len(tk[cid * 24 + 1 : cid * 24 + 32]) AS BIGINT)
+               AS n_tokens,
+           array_to_string(tk[cid * 24 + 1 : cid * 24 + 32], ' ')
+               AS chunk_text
+    FROM c
+"""
+
+
 def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scaled PCA projection, auto component count (weak check)."""
     from data_pipeline_framework_spark.operators.ml_features import (
@@ -2581,6 +2673,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota_cap": domain_quota_cap,
         "duplicate_span_flags": duplicate_span_flags,
         "unigram_logprob_scores": unigram_logprob_scores,
+        "classifier_quality_scores": classifier_quality_scores,
+        "document_chunks": document_chunks,
         "pii_redaction": pii_redaction,
         "language_scores": language_scores,
         "doc_fingerprints": doc_fingerprints,
@@ -3820,6 +3914,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tok JOIN cnt USING (t) CROSS JOIN tot
             GROUP BY doc_id
         """,
+        "classifier_quality_scores": _classifier_oracle(),
+        "document_chunks": _CHUNKS_ORACLE,
         "pii_redaction": """
             WITH base AS (
                 SELECT c_custkey,

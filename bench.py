@@ -93,6 +93,9 @@ HEADLINE = [
     "benchmark_decontamination",
     "domain_quota_cap",
     "duplicate_span_flags",
+    # round-3 additions
+    "classifier_quality_scores",
+    "document_chunks",
 ]
 
 

@@ -336,3 +336,110 @@ def unigram_logprob(
         F.avg("__lp").alias("avg_logprob"),
         F.min("__lp").alias("min_logprob"),
     )
+
+
+def classifier_weights(n_buckets: int = 64, seed: int = 13) -> list[float]:
+    """Deterministic pseudo-trained weight vector in [-1, 1] (Knuth
+    multiplicative mixing) — stands in for a trained linear model's
+    weights in tests and driver queries; real use passes trained
+    weights straight into hashed_classifier_score."""
+    return [
+        (((i + seed) * 2654435761) % 2000001) / 1000000.0 - 1.0
+        for i in range(n_buckets)
+    ]
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    out_col: str = "prob",
+) -> DataFrame:
+    """fastText-style linear document classifier over hashed
+    bag-of-words features: each token hashes into one of len(weights)
+    buckets, the document margin is bias + mean bucket weight, and the
+    score is its sigmoid. This is the standard cheap quality-classifier
+    shape (cf. fastText quality filters in CCNet/RefinedWeb pipelines);
+    weights come from any offline trainer.
+
+    Scale shape: explode -> map-side partial sum -> one shuffle on the
+    doc id; the bucket->weight lookup is element_at on a literal array
+    (codegen, no join, no UDF). Documents with zero tokens keep their
+    row via the left join and score sigmoid(bias).
+
+    Output: df columns + n_tokens, margin, {out_col}.
+    """
+    nb = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    )
+    scored = toks.select(
+        id_col,
+        F.element_at(warr, (hash52(F.col("__t")) % nb + 1).cast("int"))
+        .alias("__w"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__w").alias("__sw"),
+    )
+    out = df.join(agg, on=id_col, how="left")
+    margin = F.lit(float(bias)) + F.coalesce(
+        F.col("__sw") / F.col("n_tokens"), F.lit(0.0)
+    )
+    return (
+        out.withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+        .withColumn("margin", margin)
+        .withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))))
+        .drop("__sw")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard long-document -> training-context step (window tokens per
+    chunk, stride tokens between chunk starts; the final chunk is
+    whatever remains and may be shorter).
+
+    Entirely narrow: tokenization, chunk counting, and slicing are
+    column expressions (sequence + explode + slice), so chunking never
+    shuffles — each 100 TB input partition streams to output chunks in
+    place. Tokens keep original case; zero-token documents emit no
+    chunks.
+
+    Output: id, chunk_id (0-based), n_tokens, chunk_text.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    base = df.select(F.col(id_col), toks.alias("__tk"))
+    n = F.size("__tk")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(window)) / F.lit(float(stride))) + 1
+    )
+    out = (
+        base.filter(n > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(
+            "__chunk",
+            F.slice(
+                F.col("__tk"),
+                (F.col("chunk_id") * stride + 1).cast("int"),
+                window,
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )

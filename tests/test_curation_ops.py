@@ -174,3 +174,65 @@ def test_psi_drift_categorical_one_sided_category(spark):
     assert out["y"]["frac_b"] == 0.0 and out["z"]["frac_a"] == 0.0
     assert out["y"]["psi_term"] > 0 and out["z"]["psi_term"] > 0
     assert out["x"]["psi_term"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_hashed_classifier_score_hand_checked(spark):
+    from data_pipeline_framework_spark.functions.text import (
+        hashed_classifier_score,
+    )
+
+    # two buckets: every token lands in bucket hash52(t) % 2
+    df = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hashed_classifier_score(
+            df, "doc_id", "text", weights=[1.0, -1.0], bias=0.5
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1["n_tokens"] == 3
+    # margin = 0.5 + mean of three +-1 weights -> in {-0.5, 0.5+1/3, 1.5, ...}
+    assert abs(r1["margin"] - 0.5) <= 1.0 + 1e-9
+    assert r1["prob"] == pytest.approx(1 / (1 + math.exp(-r1["margin"])))
+    # empty and null docs keep their row with margin == bias
+    for d in (2, 3):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["margin"] == pytest.approx(0.5)
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from data_pipeline_framework_spark.functions.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", window=4, stride=3)
+    rows = sorted(
+        [(r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+         for r in out.collect()]
+    )
+    # doc 1: ceil((10-4)/3)+1 = 3 chunks at starts 0,3,6 -> last is 4 long
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2]
+    assert d1[0][3] == "t0 t1 t2 t3"
+    assert d1[1][3] == "t3 t4 t5 t6"
+    assert d1[2][3] == "t6 t7 t8 t9"
+    # short doc: one chunk, shorter than the window
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, 2, "a b")]
+    # empty/null docs emit nothing
+    assert not [r for r in rows if r[0] in (3, 4)]
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from data_pipeline_framework_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = chunk_documents(df, "doc_id", "text", 2, 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
