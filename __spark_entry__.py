@@ -882,6 +882,121 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan: writes part hive-partitioned by brand through
+    sinks.write_orc, reads it back through sources.read_orc (glob +
+    partition discovery + `_source_file` provenance), and checks content
+    against the parquet oracle — proving the columnar sibling format
+    end-to-end including partition-column reconstruction."""
+    import os
+    import tempfile
+
+    from data_pipeline_framework_spark.sinks import writers as W
+    from data_pipeline_framework_spark.sources import readers as R
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tmp = os.path.join(tempfile.gettempdir(), f"dpfs_orc_part_{tag}")
+    W.write_orc(part, tmp, mode="replace", partition_by=["p_brand"])
+    back = R.read_orc(spark, tmp, source_file_column=True)
+    return back.filter(F.col("_source_file").isNotNull()).select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+
+
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two lineitem dimensions —
+    the multi-dim data-skipping layout. Key construction is pure
+    shift/mask codegen; the query buckets keys and proves both
+    dimensions stay bounded within each bucket (the locality property
+    row-group pruning relies on)."""
+    from data_pipeline_framework_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("q1"),
+        (F.col("l_suppkey") % 256).alias("q2"),
+    )
+    key = zorder_key(["q1", "q2"], bits=8)
+    return (
+        li.withColumn("z", key)
+        .groupBy((F.col("z") / 4096).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("q1").alias("q1_min"), F.max("q1").alias("q1_max"),
+            F.min("q2").alias("q2_min"), F.max("q2").alias("q2_max"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of zorder_locality: the same Morton interleave as
+    explicit shift/mask SQL arithmetic."""
+    terms = []
+    for i, c in enumerate(("q1", "q2")):
+        for b in range(8):
+            terms.append(f"((({c} >> {b}) & 1) << {b * 2 + i})")
+    z = " + ".join(terms)
+    return f"""
+        WITH q AS (
+            SELECT l_partkey % 256 AS q1, l_suppkey % 256 AS q2
+            FROM lineitem
+        ), z AS (
+            SELECT q1, q2, {z} AS z FROM q
+        )
+        SELECT CAST(FLOOR(z / 4096.0) AS BIGINT) AS zbucket,
+               COUNT(*) AS n,
+               MIN(q1) AS q1_min, MAX(q1) AS q1_max,
+               MIN(q2) AS q2_min, MAX(q2) AS q2_max
+        FROM z GROUP BY 1
+    """
+
+
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """symmetric max-abs int8 embedding quantization (4x storage shrink
+    before indexing): per-vector scale + codes + reconstruction-error
+    bound, all narrow array expressions (zero shuffles). Codes use the
+    floor round-half-up trick so both engines match bit-for-bit."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = quantize_embeddings(emb)
+    return out.select("vec_id", "q", "scale", "max_abs_err")
+
+
+_QUANTIZE_ORACLE = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS ma
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, v, ma,
+               CASE WHEN ma = 0
+                    THEN list_transform(v, x -> CAST(0 AS INTEGER))
+                    ELSE list_transform(
+                        v, x -> CAST(FLOOR(x * 127.0 / ma + 0.5)
+                                     AS INTEGER))
+               END AS q,
+               CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127.0 END AS scale
+        FROM m
+    )
+    SELECT vec_id, q, scale,
+           list_max(list_transform(
+               range(1, len(v) + 1),
+               i -> abs(v[i] - q[i] * scale))) AS max_abs_err
+    FROM q
+"""
+
+
 def classifier_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped hashed linear classifier over documents: token ->
     md5 bucket -> literal weight, margin = bias + mean weight, sigmoid
@@ -2675,6 +2790,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_scores": unigram_logprob_scores,
         "classifier_quality_scores": classifier_quality_scores,
         "document_chunks": document_chunks,
+        "embedding_quantization": embedding_quantization,
+        "zorder_locality": zorder_locality,
+        "orc_scan_roundtrip": orc_scan_roundtrip,
         "pii_redaction": pii_redaction,
         "language_scores": language_scores,
         "doc_fingerprints": doc_fingerprints,
@@ -3916,6 +4034,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "classifier_quality_scores": _classifier_oracle(),
         "document_chunks": _CHUNKS_ORACLE,
+        "embedding_quantization": _QUANTIZE_ORACLE,
+        "zorder_locality": _zorder_oracle(),
+        "orc_scan_roundtrip": """
+            SELECT p_partkey, p_brand, p_retailprice FROM part
+        """,
         "pii_redaction": """
             WITH base AS (
                 SELECT c_custkey,

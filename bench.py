@@ -96,6 +96,8 @@ HEADLINE = [
     # round-3 additions
     "classifier_quality_scores",
     "document_chunks",
+    "embedding_quantization",
+    "zorder_locality",
 ]
 
 

@@ -415,3 +415,53 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "q",
+) -> DataFrame:
+    """Symmetric max-abs int8 quantization — the standard 4x storage
+    shrink for embedding tables before they ship to an index (per-vector
+    scale, codes in [-127, 127]).
+
+    code_i = floor(x_i * 127 / max|x| + 0.5) (round-half-up via the
+    floor trick, so every engine computing the same IEEE ops reproduces
+    the codes bit-for-bit); dequantized value = code_i * scale with
+    scale = max|x| / 127. All-zero vectors get scale 0 and zero codes.
+
+    Entirely narrow — per-row array expressions, no shuffle, no UDF.
+    Output: df columns + {out_col} (array<int>), scale (double),
+    max_abs_err (double, reconstruction error bound check).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.withColumn("__v", v)
+    ma = F.array_max(F.transform(F.col("__v"), F.abs))
+    base = base.withColumn("__ma", ma)
+    zero = F.col("__ma") == 0
+    codes = F.when(
+        zero, F.transform(F.col("__v"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x * 127.0 / F.col("__ma") + 0.5).cast("int"),
+        )
+    )
+    scale = F.when(zero, F.lit(0.0)).otherwise(F.col("__ma") / 127.0)
+    out = (
+        base.withColumn(out_col, codes)
+        .withColumn("scale", scale)
+        .withColumn(
+            "max_abs_err",
+            F.array_max(
+                F.zip_with(
+                    F.col("__v"),
+                    F.col(out_col),
+                    lambda a, c: F.abs(a - c.cast("double") * F.col("scale")),
+                )
+            ),
+        )
+    )
+    return out.drop("__v", "__ma")

@@ -68,6 +68,20 @@ def write_json(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(_mode(mode)).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    compression: str = "zlib",
+) -> None:
+    """ORC sink — same partition-layout contract as write_parquet."""
+    w = df.write.mode(_mode(mode)).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -89,6 +89,21 @@ def read_parquet(
     return _with_source_file(df, source_file_column)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str | list[str],
+    source_file_column: bool = False,
+    **options,
+) -> DataFrame:
+    """ORC scan (columnar sibling of read_parquet — same glob, predicate
+    pushdown, and `_source_file` provenance semantics; Spark's native
+    ORC reader is vectorized and stats-pruning like the parquet one)."""
+    df = spark.read.options(**options).orc(
+        *(path if isinstance(path, list) else [path])
+    )
+    return _with_source_file(df, source_file_column)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the benchmark tables, normalizing nanos timestamps."""
     return read_parquet(

@@ -1,0 +1,72 @@
+"""int8 embedding quantization + ORC source/sink round-trips."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_framework_spark.functions.similarity import (
+    quantize_embeddings,
+)
+from data_pipeline_framework_spark.sinks.writers import write_orc
+from data_pipeline_framework_spark.sources.readers import read_orc
+
+
+def test_quantize_embeddings_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert got[1]["q"] == [64, -127, 32]
+    assert got[1]["scale"] == pytest.approx(1.0 / 127.0)
+    # reconstruction error bounded by scale/2
+    assert got[1]["max_abs_err"] <= got[1]["scale"] / 2 + 1e-12
+    # all-zero vector: zero codes, zero scale, zero error
+    assert got[2]["q"] == [0, 0, 0]
+    assert got[2]["scale"] == 0.0 and got[2]["max_abs_err"] == 0.0
+    # max element maps exactly to 127
+    assert got[3]["q"] == [127] and got[3]["max_abs_err"] == 0.0
+
+
+def test_quantize_embeddings_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    plan = quantize_embeddings(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+        "k long, grp string, v double",
+    )
+    path = os.path.join(str(tmp_path), "orc")
+    write_orc(df, path, mode="replace", partition_by=["grp"])
+    # hive layout on disk
+    assert any(d.startswith("grp=") for d in os.listdir(path))
+    back = read_orc(spark, path, source_file_column=True)
+    rows = sorted(
+        (r["k"], r["grp"], r["v"]) for r in back.collect()
+    )
+    assert rows == [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)]
+    assert back.filter(F.col("_source_file").isNull()).count() == 0
+
+
+def test_orc_partition_pruning(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("p")
+    )
+    path = os.path.join(str(tmp_path), "orc2")
+    write_orc(df, path, mode="replace", partition_by=["p"])
+    plan = (
+        read_orc(spark, path).filter(F.col("p") == 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # partition filter must prune at scan time, not post-filter
+    assert "PartitionFilters: [" in plan and "(p" in plan
