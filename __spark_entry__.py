@@ -882,6 +882,137 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_PROBE_TOKENS = [
+    "the", "and", "of", "to", "a", "data", "model", "in", "for",
+    "zzz_absent_token", "qqq_absent_token",
+]
+
+
+def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count-min sketch over the corpus token stream (4 x 512 counters —
+    bounded state whatever the vocabulary size), probed for a fixed key
+    list and compared against exact counts. The md5 bucket hash makes
+    the whole sketch deterministic, so the oracle replays it exactly;
+    CMS guarantees estimate >= exact."""
+    from data_pipeline_framework_spark.functions import sketches as SK
+    from data_pipeline_framework_spark.functions import text as TX
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens("text")).alias("token")
+    )
+    table = SK.count_min_table(toks, "token", depth=4, width=512)
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBE_TOKENS], "token string"
+    )
+    est = SK.cms_lookup(table, probes, "token", depth=4, width=512)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "token", "left")
+        .select(
+            "token",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            F.coalesce("exact_count", F.lit(0)).cast("long")
+            .alias("exact_count"),
+        )
+    )
+
+
+def _cms_oracle() -> str:
+    """DuckDB twin of cms_token_frequencies: same md5 bucket hash per
+    sketch row, same 4x512 table, same min-over-rows lookup."""
+    h = "CAST(('0x' || substr(md5({x}), 1, 13)) AS BIGINT)"
+    row_parts = []
+    for r in range(4):
+        hx = h.format(x="'cm" + str(r) + ":' || t")
+        row_parts.append(
+            f"SELECT t, {r} AS r, {hx} % 512 AS bucket FROM tok"
+        )
+    rows = " UNION ALL ".join(row_parts)
+    probe_parts = []
+    for t in _CMS_PROBE_TOKENS:
+        for r in range(4):
+            hx = h.format(x="'cm" + str(r) + ":" + t + "'")
+            probe_parts.append(
+                f"SELECT '{t}' AS token, {r} AS r, {hx} % 512 AS bucket"
+            )
+    probe_rows = " UNION ALL ".join(probe_parts)
+    return f"""
+        WITH tok AS (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '\\s+'),
+                t -> t <> '')) AS t
+            FROM documents
+        ),
+        probes_all AS ({rows}),
+        cms AS (
+            SELECT r, bucket, COUNT(*) AS cnt
+            FROM probes_all GROUP BY r, bucket
+        ),
+        key_probes AS ({probe_rows}),
+        est AS (
+            SELECT k.token, MIN(COALESCE(c.cnt, 0)) AS cms_estimate
+            FROM key_probes k
+            LEFT JOIN cms c ON k.r = c.r AND k.bucket = c.bucket
+            GROUP BY k.token
+        ),
+        exact AS (SELECT t AS token, COUNT(*) AS exact_count
+                  FROM tok GROUP BY t)
+        SELECT e.token,
+               CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+               CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count
+        FROM est e LEFT JOIN exact x USING (token)
+    """
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat-and-chunk sequence packing: the corpus laid end-to-end in
+    doc_id order, cut into 32-token contexts; boundary-crossing docs
+    contribute a piece to each context they touch. Cumsum window + a
+    narrow scatter (sequence/explode/slice)."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        pack_contexts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_contexts(docs, "doc_id", "text", context_len=32)
+
+
+_PACK_CONTEXTS_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    n AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+    s AS (
+        SELECT doc_id, tk, n,
+               (SUM(n) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n) AS strt
+        FROM n
+    ),
+    e AS (
+        SELECT doc_id, tk, n, strt,
+               unnest(range(CAST(FLOOR(strt / 32.0) AS BIGINT),
+                            CAST(FLOOR((strt + n - 1) / 32.0) AS BIGINT)
+                            + 1)) AS cid
+        FROM s
+    ),
+    b AS (
+        SELECT doc_id, tk, strt, cid,
+               GREATEST(cid * 32 - strt, 0) AS lo,
+               LEAST((cid + 1) * 32 - strt, n) AS hi
+        FROM e
+    )
+    SELECT CAST(cid AS BIGINT) AS context_id,
+           doc_id,
+           CAST(GREATEST(strt - cid * 32, 0) AS BIGINT) AS ctx_offset,
+           CAST(hi - lo AS BIGINT) AS n_tokens,
+           array_to_string(tk[lo + 1 : hi], ' ') AS piece_text
+    FROM b
+"""
+
+
 def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + scan: writes part hive-partitioned by brand through
     sinks.write_orc, reads it back through sources.read_orc (glob +
@@ -2793,6 +2924,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantization": embedding_quantization,
         "zorder_locality": zorder_locality,
         "orc_scan_roundtrip": orc_scan_roundtrip,
+        "sequence_packing": sequence_packing,
+        "cms_token_frequencies": cms_token_frequencies,
         "pii_redaction": pii_redaction,
         "language_scores": language_scores,
         "doc_fingerprints": doc_fingerprints,
@@ -4039,6 +4172,8 @@ def oracle_sql() -> dict[str, str]:
         "orc_scan_roundtrip": """
             SELECT p_partkey, p_brand, p_retailprice FROM part
         """,
+        "sequence_packing": _PACK_CONTEXTS_ORACLE,
+        "cms_token_frequencies": _cms_oracle(),
         "pii_redaction": """
             WITH base AS (
                 SELECT c_custkey,

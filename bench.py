@@ -98,6 +98,8 @@ HEADLINE = [
     "document_chunks",
     "embedding_quantization",
     "zorder_locality",
+    "sequence_packing",
+    "cms_token_frequencies",
 ]
 
 

@@ -137,3 +137,66 @@ def pack_shards(
     return df.withColumn("token_offset", offset).withColumn(
         out_col, F.floor(F.col("token_offset") / budget).cast("long")
     )
+
+
+def pack_contexts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    context_len: int = 2048,
+    order_col: str | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in a deterministic order into one global token stream, which is cut
+    into fixed ``context_len`` training contexts; a document whose span
+    crosses a boundary contributes a piece to each context it touches
+    (the standard packing used to fill transformer context windows
+    without padding).
+
+    Offsets come from a cumulative token sum over ``order_col`` (default
+    the id). A global ORDER BY window funnels through one partition —
+    fine below ~10M docs; at corpus scale pass ``partition_col`` (e.g. a
+    shard id from pack_shards) so packing runs per shard in parallel and
+    context ids are per-partition. The scatter step (which contexts a
+    doc touches, which token slice lands in each) is pure
+    sequence/explode/slice expressions — narrow, no extra shuffle.
+
+    Output: [partition_col,] context_id, {id_col}, ctx_offset (where the
+    piece starts inside the context), n_tokens, piece_text. Zero-token
+    documents emit nothing.
+    """
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    L = int(context_len)
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    keep = ([partition_col] if partition_col else [])
+    base = df.select(
+        *keep, F.col(id_col), toks.alias("__tk")
+    ).withColumn("__n", F.size("__tk")).filter(F.col("__n") > 0)
+    w = Window.orderBy(order_col or id_col)
+    if partition_col:
+        w = Window.partitionBy(partition_col).orderBy(order_col or id_col)
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = base.withColumn(
+        "__start", (F.sum("__n").over(w) - F.col("__n")).cast("long")
+    )
+    first_ctx = F.floor(F.col("__start") / L)
+    last_ctx = F.floor((F.col("__start") + F.col("__n") - 1) / L)
+    out = base.withColumn(
+        "context_id", F.explode(F.sequence(first_ctx, last_ctx))
+    )
+    lo = F.greatest(F.col("context_id") * L - F.col("__start"), F.lit(0))
+    hi = F.least(
+        (F.col("context_id") + 1) * L - F.col("__start"), F.col("__n")
+    )
+    piece = F.slice(F.col("__tk"), (lo + 1).cast("int"), (hi - lo).cast("int"))
+    return out.select(
+        *keep,
+        F.col("context_id").cast("long").alias("context_id"),
+        id_col,
+        F.greatest(F.col("__start") - F.col("context_id") * L, F.lit(0))
+        .cast("long").alias("ctx_offset"),
+        (hi - lo).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("piece_text"),
+    )

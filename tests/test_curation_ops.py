@@ -236,3 +236,53 @@ def test_chunk_documents_no_shuffle(spark):
     plan = chunk_documents(df, "doc_id", "text", 2, 2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_contexts_hand_checked(spark):
+    from data_pipeline_framework_spark.functions.sampling import (
+        pack_contexts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["context_id"], r["doc_id"], r["ctx_offset"], r["n_tokens"],
+         r["piece_text"])
+        for r in pack_contexts(df, "doc_id", "text", context_len=4).collect()
+    )
+    # stream a b c | d e f g | h -> contexts [a b c d] [e f g h]
+    assert rows == [
+        (0, 1, 0, 3, "a b c"),
+        (0, 2, 3, 1, "d"),
+        (1, 2, 0, 3, "e f g"),
+        (1, 3, 3, 1, "h"),
+    ]
+    # every context except the tail is exactly full
+    per_ctx = {}
+    for cid, _, _, n, _ in rows:
+        per_ctx[cid] = per_ctx.get(cid, 0) + n
+    assert per_ctx == {0: 4, 1: 4}
+
+
+def test_pack_contexts_partitioned_runs_parallel(spark):
+    from data_pipeline_framework_spark.functions.sampling import (
+        pack_contexts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s0", "a b"), (2, "s0", "c d"), (3, "s1", "e f g")],
+        "doc_id long, shard string, text string",
+    )
+    out = pack_contexts(
+        df, "doc_id", "text", context_len=4, partition_col="shard"
+    )
+    rows = {(r["shard"], r["context_id"], r["doc_id"]): r["piece_text"]
+            for r in out.collect()}
+    # context ids restart per shard; no cross-shard packing
+    assert rows[("s0", 0, 1)] == "a b" and rows[("s0", 0, 2)] == "c d"
+    assert rows[("s1", 0, 3)] == "e f g"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partitioned window: hashpartitioning exchange, not a single-partition
+    assert "SinglePartition".lower() not in plan.lower()

@@ -1,0 +1,82 @@
+"""Count-min sketch: never-underestimate guarantee, linearity (merge),
+bounded table size, broadcast lookup plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_framework_spark.functions.sketches import (
+    cms_lookup,
+    count_min_table,
+)
+
+
+def _freqs(spark, pairs):
+    rows = [(k,) for k, n in pairs for _ in range(n)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide(spark):
+    data = [("a", 50), ("b", 20), ("c", 5), ("d", 1)]
+    df = _freqs(spark, data)
+    table = count_min_table(df, "k", depth=4, width=1024)
+    keys = spark.createDataFrame([(k,) for k, _ in data] + [("nope",)],
+                                 "k string")
+    est = {r["k"]: r["cms_estimate"]
+           for r in cms_lookup(table, keys, "k", 4, 1024).collect()}
+    for k, n in data:
+        assert est[k] >= n            # CMS guarantee
+        assert est[k] == n            # wide sketch, 4 keys: no collisions
+    assert est["nope"] == 0
+
+
+def test_cms_collisions_only_inflate(spark):
+    # width 2 forces collisions: estimates must still be >= truth
+    data = [("a", 10), ("b", 7), ("c", 3)]
+    df = _freqs(spark, data)
+    table = count_min_table(df, "k", depth=3, width=2)
+    keys = spark.createDataFrame([(k,) for k, _ in data], "k string")
+    est = {r["k"]: r["cms_estimate"]
+           for r in cms_lookup(table, keys, "k", 3, 2).collect()}
+    for k, n in data:
+        assert est[k] >= n
+    assert sum(est.values()) >= sum(n for _, n in data)
+
+
+def test_cms_table_bounded_and_mergeable(spark):
+    df1 = _freqs(spark, [("a", 30), ("b", 10)])
+    df2 = _freqs(spark, [("a", 5), ("c", 8)])
+    t1 = count_min_table(df1, "k", depth=4, width=64)
+    t2 = count_min_table(df2, "k", depth=4, width=64)
+    assert t1.count() <= 4 * 64
+    # CMS is linear: union + re-agg == sketch of the union
+    merged = (
+        t1.unionByName(t2)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = count_min_table(
+        df1.unionByName(df2), "k", depth=4, width=64
+    )
+    a = {(r["sketch_row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["sketch_row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert a == b
+
+
+def test_cms_weighted_counts(spark):
+    df = spark.createDataFrame([("a", 3), ("a", 4), ("b", 2)],
+                               "k string, w long")
+    table = count_min_table(df, "k", depth=4, width=256, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    est = {r["k"]: r["cms_estimate"]
+           for r in cms_lookup(table, keys, "k", 4, 256).collect()}
+    assert est["a"] == 7 and est["b"] == 2
+
+
+def test_cms_lookup_broadcasts_table(spark):
+    df = _freqs(spark, [("a", 3)])
+    table = count_min_table(df, "k", depth=2, width=16)
+    keys = spark.createDataFrame([("a",)], "k string")
+    plan = cms_lookup(table, keys, "k", 2, 16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
