@@ -888,6 +888,83 @@ _CMS_PROBE_TOKENS = [
 ]
 
 
+def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic train/val/test hash split (80/10/10) — pure
+    projection, no shuffle; docs never migrate between splits as the
+    corpus grows. Aggregated per-split counts + char mass."""
+    from data_pipeline_framework_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """data-mixture resampling: per-source keep rates computed from one
+    bounded totals aggregate so surviving char mass follows the target
+    50/30/20 mix over three sources; the filter itself is a pushed-down
+    deterministic hash predicate (no corpus shuffle)."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return mixture_sample(
+        docs, "doc_id", "source", "n_chars",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )
+
+
+_SPLIT_BUCKET = (
+    "CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 13))"
+    " AS BIGINT) % 1000000"
+)
+
+_SPLIT_ORACLE = f"""
+    WITH b AS (
+        SELECT n_chars, {_SPLIT_BUCKET} AS bkt FROM documents
+    )
+    SELECT CASE WHEN bkt < 800000 THEN 'train'
+                WHEN bkt < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM b GROUP BY 1
+"""
+
+_MIX_BUCKET = (
+    "CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 13))"
+    " AS BIGINT) % 1000000"
+)
+
+_MIXTURE_ORACLE = f"""
+    WITH tot AS (
+        SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total
+        FROM documents GROUP BY source
+    ),
+    w(source, wt) AS (VALUES
+        ('src0', CAST(0.5 AS DOUBLE)),
+        ('src1', CAST(0.3 AS DOUBLE)),
+        ('src2', CAST(0.2 AS DOUBLE))),
+    t AS (SELECT MIN(total / wt) AS tmax FROM tot JOIN w USING (source)),
+    r AS (
+        SELECT source,
+               CAST(FLOOR(((wt * tmax) / total) * 1000000) AS BIGINT) AS thr
+        FROM tot JOIN w USING (source) CROSS JOIN t
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN r USING (source)
+    WHERE {_MIX_BUCKET} < r.thr
+"""
+
+
 def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count-min sketch over the corpus token stream (4 x 512 counters —
     bounded state whatever the vocabulary size), probed for a fixed key
@@ -2926,6 +3003,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_scan_roundtrip": orc_scan_roundtrip,
         "sequence_packing": sequence_packing,
         "cms_token_frequencies": cms_token_frequencies,
+        "corpus_split_stats": corpus_split_stats,
+        "mixture_sample_docs": mixture_sample_docs,
         "pii_redaction": pii_redaction,
         "language_scores": language_scores,
         "doc_fingerprints": doc_fingerprints,
@@ -4174,6 +4253,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sequence_packing": _PACK_CONTEXTS_ORACLE,
         "cms_token_frequencies": _cms_oracle(),
+        "corpus_split_stats": _SPLIT_ORACLE,
+        "mixture_sample_docs": _MIXTURE_ORACLE,
         "pii_redaction": """
             WITH base AS (
                 SELECT c_custkey,

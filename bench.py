@@ -100,6 +100,7 @@ HEADLINE = [
     "zorder_locality",
     "sequence_packing",
     "cms_token_frequencies",
+    "mixture_sample_docs",
 ]
 
 

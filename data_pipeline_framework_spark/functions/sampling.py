@@ -200,3 +200,94 @@ def pack_contexts(
         (hi - lo).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("piece_text"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test labeling: the id's hash bucket falls
+    into consecutive [0,1e6) intervals sized by `fractions` (insertion
+    order). Fractions must sum to 1 (+-1e-9). Pure projection — no
+    shuffle, stable across runs/partitionings/engines, and a document
+    can never migrate between splits when the corpus grows (its bucket
+    depends only on its id)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = _bucket(id_col, seed)
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = bucket < int(acc * _BUCKETS)
+        expr = (
+            F.when(cond, F.lit(name)) if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def mixture_rates(
+    totals: dict[str, int],
+    target_weights: dict[str, float],
+    budget_tokens: int | None = None,
+) -> dict[str, float]:
+    """Per-source keep rates that make the sampled token mass follow
+    `target_weights` (renormalized). Without a budget the mix is scaled
+    to the largest total achievable by pure downsampling (the source
+    that runs out first caps it — no upsampling); a budget shrinks it
+    further. Driver-side arithmetic over one bounded aggregate
+    (#sources rows)."""
+    wsum = float(sum(target_weights.values()))
+    if wsum <= 0:
+        raise ValueError("target weights must sum to a positive value")
+    w = {s: v / wsum for s, v in target_weights.items() if v > 0}
+    missing = [s for s in w if totals.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(f"no tokens for weighted sources: {missing}")
+    t_max = min(totals[s] / w[s] for s in w)
+    if budget_tokens is not None:
+        t_max = min(t_max, float(budget_tokens))
+    return {s: w[s] * t_max / totals[s] for s in w}
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_col: str,
+    target_weights: dict[str, float],
+    budget_tokens: int | None = None,
+    seed: str = "mix",
+) -> DataFrame:
+    """Data-mixture resampling: downsample each source so the surviving
+    token mass matches `target_weights` (e.g. web 50% / books 30% /
+    code 20%), the core mixing step of training-corpus assembly.
+
+    One bounded aggregate collects per-source token totals (#sources
+    rows — the same bounded-driver pattern as the IVF codebook), rates
+    come from mixture_rates, and the filter is the deterministic hash
+    threshold of stratified_hash_sample — a pure pushed-down predicate,
+    zero extra shuffles over the corpus itself. Sources without a
+    weight are dropped."""
+    totals = {
+        r[0]: int(r[1])
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("long")))
+        .collect()
+    }
+    rates = mixture_rates(totals, target_weights, budget_tokens)
+    bucket = _bucket(id_col, seed)
+    threshold: Column = F.lit(0)
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(source_col) == value, F.lit(int(rate * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

@@ -286,3 +286,71 @@ def test_pack_contexts_partitioned_runs_parallel(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # partitioned window: hashpartitioning exchange, not a single-partition
     assert "SinglePartition".lower() not in plan.lower()
+
+
+def test_hash_split_fractions_and_stability(spark):
+    from data_pipeline_framework_spark.functions.sampling import hash_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.03
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.02
+    assert abs(counts["test"] / 10_000 - 0.1) < 0.02
+    # growing the corpus never moves an existing doc's split
+    bigger = hash_split(
+        spark.range(20_000).withColumnRenamed("id", "doc_id"),
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in bigger.collect()}
+    assert all(b[k] == v for k, v in a.items())
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 0.8, "val": 0.1})
+
+
+def test_mixture_rates_math():
+    from data_pipeline_framework_spark.functions.sampling import (
+        mixture_rates,
+    )
+
+    totals = {"web": 1000, "books": 100, "code": 100}
+    # books is the binding source: t_max = 100/0.3
+    r = mixture_rates(totals, {"web": 0.5, "books": 0.3, "code": 0.2})
+    assert r["books"] == pytest.approx(1.0)
+    assert r["web"] == pytest.approx(0.5 * (100 / 0.3) / 1000)
+    assert r["code"] == pytest.approx(0.2 * (100 / 0.3) / 100)
+    # budget shrinks everything proportionally
+    rb = mixture_rates(totals, {"web": 0.5, "books": 0.3, "code": 0.2},
+                       budget_tokens=100)
+    assert rb["books"] == pytest.approx(0.3 * 100 / 100)
+    with pytest.raises(ValueError):
+        mixture_rates({"web": 0}, {"web": 1.0})
+
+
+def test_mixture_sample_hits_target_mix(spark):
+    from data_pipeline_framework_spark.functions.sampling import (
+        mixture_sample,
+    )
+
+    rows = (
+        [(i, "web", 10) for i in range(6000)]
+        + [(10_000 + i, "books", 10) for i in range(1000)]
+        + [(20_000 + i, "code", 10) for i in range(3000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok long")
+    out = mixture_sample(
+        df, "doc_id", "source", "tok",
+        {"web": 0.5, "books": 0.25, "code": 0.25},
+    )
+    got = {r["source"]: r["t"] for r in
+           out.groupBy("source").agg(F.sum("tok").alias("t")).collect()}
+    total = sum(got.values())
+    # books binds (1000 docs / weight .25): realized mix ~ target
+    assert abs(got["web"] / total - 0.5) < 0.05
+    assert abs(got["books"] / total - 0.25) < 0.05
+    assert abs(got["code"] / total - 0.25) < 0.05
+    # unweighted sources are dropped entirely
+    out2 = mixture_sample(df, "doc_id", "source", "tok", {"web": 1.0})
+    assert out2.filter(F.col("source") != "web").count() == 0
