@@ -2652,6 +2652,201 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table in the testdata, so the
+    part-supplier link and supply cost derive from lineitem:
+    supplycost = min unit price ever charged): for size-15 parts and
+    EUROPE suppliers, the supplier(s) achieving the minimum supply cost
+    per part — the correlated-min subquery replayed as a window over
+    the joined result. Dims broadcast; the only wide shuffle is the
+    (part,supp) pre-aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+        .alias("supplycost")
+    )
+    j = (
+        ps.join(F.broadcast(part.filter(F.col("p_size") == 15)),
+                ps.l_partkey == F.col("p_partkey"))
+        .join(supp, ps.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("__mn", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("__mn"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of ASIA-customer PROMO-part revenue
+    per order year — conditional-sum ratio over a 6-way join, all dims
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_regionkey").alias("c_rk"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")),
+            li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("c_rk") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    out = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)
+              .otherwise(F.lit(0.0))).alias("__n"),
+        F.sum(rev).alias("__d"),
+    )
+    return out.select(
+        "o_year", _r(F.col("__n") / F.col("__d"), 6).alias("mkt_share")
+    ).orderBy("o_year")
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem stands in for partsupp): per-part
+    revenue from NATION_1 suppliers, keeping parts above 2x the mean
+    part value (scale-free, so non-vacuous at any SF) — the
+    HAVING-vs-global-scalar pattern as one broadcast of a 1-row
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l_partkey"), rev.alias("__rev"))
+    )
+    val = base.groupBy("l_partkey").agg(F.sum("__rev").alias("__value"))
+    total = val.agg(F.avg("__value").alias("__mean"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") > F.col("__mean") * 2.0)
+        .select(F.col("l_partkey").alias("p_partkey"),
+                _r(F.col("__value"), 2).alias("value"))
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode/commitdate in the testdata:
+    lateness = shipped >90 days after order, classes keyed by
+    l_returnflag): per class, counts of high- vs low-priority orders
+    among late lines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested-IN chain replayed as aggregation + semi
+    joins): NATION_2 suppliers who shipped over 100 units of SMALL-type
+    parts during 1996."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01"))
+        .join(F.broadcast(part.filter(F.col("p_type") == "SMALL")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    return (
+        shipped.join(supp, shipped.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", _r(F.col("qty"), 2).alias("qty"))
+        .orderBy("s_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no receipt/commit dates: late = shipped >60
+    days after order): NATION_0 suppliers who were the SOLE late
+    supplier on a multi-supplier order. The classic
+    EXISTS/NOT-EXISTS double self-join replayed as one per-(order,supp)
+    aggregation + one per-order aggregation — two shuffles total
+    instead of three lineitem self-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    ls = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+    )
+    cand = (
+        ls.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)
+                & (F.col("is_late") == 1))
+    )
+    return (
+        cand.join(supp, cand.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_0")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(50)
+    )
+
+
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (no partsupp in the testdata, so profit =
     discounted revenue): profit by supplier nation and order year for
@@ -3069,6 +3264,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": salted_join_revenue,
         "q13_customer_distribution": q13_customer_distribution,
         "q9_product_profit": q9_product_profit,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q8_market_share": q8_market_share,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_priority": q12_late_priority,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "q16_supplier_counts": q16_supplier_counts,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q15_top_supplier": q15_top_supplier,
@@ -5132,6 +5333,124 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%bolt%'
             GROUP BY 1, 2
+        """,
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(l_extendedprice / l_quantity) AS supplycost
+                FROM lineitem GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+                       ps.supplycost
+                FROM ps
+                JOIN part p ON ps.l_partkey = p.p_partkey
+                           AND p.p_size = 15
+                JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                             AND r.r_name = 'EUROPE'
+            ),
+            m AS (
+                SELECT *, MIN(supplycost) OVER (PARTITION BY p_partkey)
+                       AS mn
+                FROM j
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, supplycost
+            FROM m WHERE supplycost = mn
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   FLOOR(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / SUM(l_extendedprice * (1 - l_discount))
+                         * 1e6 + 0.5) / 1e6 AS mkt_share
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+                         AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE o_orderdate >= '1996-01-01'
+              AND o_orderdate < '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q11_important_parts": """
+            WITH val AS (
+                SELECT l_partkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                           AND n_name = 'NATION_1'
+                GROUP BY 1
+            ),
+            tot AS (SELECT AVG(value) AS mean FROM val)
+            SELECT l_partkey AS p_partkey,
+                   FLOOR(value * 1e2 + 0.5) / 1e2 AS value
+            FROM val CROSS JOIN tot
+            WHERE value > mean * 2.0
+            ORDER BY 2 DESC, 1
+        """,
+        "q12_late_priority": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q20_excess_shippers": """
+            WITH shipped AS (
+                SELECT l_suppkey, SUM(l_quantity) AS qty
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+                WHERE l_shipdate >= '1996-01-01'
+                  AND l_shipdate < '1997-01-01'
+                GROUP BY 1
+                HAVING SUM(l_quantity) > 100
+            )
+            SELECT s_name, FLOOR(qty * 1e2 + 0.5) / 1e2 AS qty
+            FROM shipped
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+                       AND n_name = 'NATION_2'
+            ORDER BY s_name
+        """,
+        "q21_waiting_suppliers": """
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_shipdate >
+                                o_orderdate + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS is_late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            per_order AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp,
+                       SUM(is_late) AS n_late
+                FROM ls GROUP BY 1
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM ls
+            JOIN per_order USING (l_orderkey)
+            JOIN supplier ON ls.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+                       AND n_name = 'NATION_0'
+            WHERE n_supp > 1 AND n_late = 1 AND is_late = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 50
         """,
         "q16_supplier_counts": """
             SELECT p_brand, p_type, p_size,

@@ -101,6 +101,12 @@ HEADLINE = [
     "sequence_packing",
     "cms_token_frequencies",
     "mixture_sample_docs",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_parts",
+    "q12_late_priority",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
 ]
 
 

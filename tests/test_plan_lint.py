@@ -40,6 +40,7 @@ _BNL_OK = {
     "schema_inference_orders",
     "schema_constraints_orders",
     "drift_psi_priorities",  # per-side broadcast 1-row category totals
+    "q11_important_parts",   # broadcast 1-row mean for the HAVING scalar
 }
 
 # queries whose operators legitimately run vectorized Python
