@@ -1205,6 +1205,49 @@ _QUANTIZE_ORACLE = """
 """
 
 
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-doc mean conditional bigram log-prob under the corpus's own
+    add-0.5-smoothed bigram LM — the word-order-aware fluency filter
+    (KenLM-perplexity shape, corpus as its own model)."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.bigram_logprob(docs, "doc_id", "text", alpha=0.5)
+    return out.select(
+        "doc_id", "n_bigrams",
+        _r(F.col("avg_logprob"), 4).alias("avg_logprob"),
+        _r(F.col("min_logprob"), 4).alias("min_logprob"),
+    )
+
+
+_BIGRAM_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    n AS (SELECT doc_id, tk, len(tk) AS n FROM tok WHERE len(tk) >= 2),
+    b AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id, tk, unnest(range(1, n)) AS i FROM n)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT t) AS v
+          FROM (SELECT unnest([w1, w2]) AS t FROM c2)),
+    s AS (
+        SELECT doc_id, ln((c2 + 0.5) / (c1 + 0.5 * v)) AS lp
+        FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(AVG(lp) * 1e4 + 0.5) / 1e4 AS avg_logprob,
+           FLOOR(MIN(lp) * 1e4 + 0.5) / 1e4 AS min_logprob
+    FROM s GROUP BY doc_id
+"""
+
+
 def classifier_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped hashed linear classifier over documents: token ->
     md5 bucket -> literal weight, margin = bias + mean weight, sigmoid
@@ -3192,6 +3235,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_flags": duplicate_span_flags,
         "unigram_logprob_scores": unigram_logprob_scores,
         "classifier_quality_scores": classifier_quality_scores,
+        "bigram_logprob_scores": bigram_logprob_scores,
         "document_chunks": document_chunks,
         "embedding_quantization": embedding_quantization,
         "zorder_locality": zorder_locality,
@@ -4446,6 +4490,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "classifier_quality_scores": _classifier_oracle(),
+        "bigram_logprob_scores": _BIGRAM_ORACLE,
         "document_chunks": _CHUNKS_ORACLE,
         "embedding_quantization": _QUANTIZE_ORACLE,
         "zorder_locality": _zorder_oracle(),

@@ -101,6 +101,7 @@ HEADLINE = [
     "sequence_packing",
     "cms_token_frequencies",
     "mixture_sample_docs",
+    "bigram_logprob_scores",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q11_important_parts",

@@ -443,3 +443,68 @@ def chunk_documents(
         F.size("__chunk").cast("long").alias("n_tokens"),
         F.array_join("__chunk", " ").alias("chunk_text"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-document mean conditional bigram log-probability under the
+    corpus's own add-alpha-smoothed bigram LM — the KenLM-perplexity
+    quality filter with the corpus as its own model (the bigram
+    upgrade of unigram_logprob: word order now matters, so shuffled or
+    templated text scores low even when its vocabulary is ordinary).
+
+    log P(w2|w1) = ln((c(w1,w2) + alpha) / (c(w1) + alpha * V)),
+    V = unigram vocabulary size.
+
+    Shape: one narrow zip makes the bigram stream, bigram and unigram
+    counts are two groupBy passes over it, scoring joins them back on
+    (w1,w2) and w1, and V rides along as a broadcast 1-row aggregate —
+    the same bounded pattern as tfidf/unigram_logprob; no driver
+    action, no UDF.
+
+    Output: id, n_bigrams, avg_logprob, min_logprob. Documents with
+    fewer than 2 tokens emit nothing (no bigram evidence).
+    """
+    tk = tokens(text_col)
+    base = df.select(F.col(id_col), tk.alias("__tk")).withColumn(
+        "__n", F.size("__tk")
+    ).filter(F.col("__n") >= 2)
+    # the bigram stream feeds three consumers (bigram counts, unigram
+    # counts, scoring) — persist it so tokenization+zip runs once, the
+    # same pattern as the minhash candidate pipeline
+    bg = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("__tk", 1, F.col("__n") - 1).alias("w1"),
+                F.slice("__tk", 2, F.col("__n") - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select(
+        id_col, F.col("b.w1").alias("__w1"), F.col("b.w2").alias("__w2")
+    ).persist()
+    c2 = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c2"))
+    # unigram counts and the vocabulary both roll up from the (much
+    # smaller) bigram table rather than re-scanning the stream:
+    # sum_w2 c(w1,w2) == c(w1), and in a >=2-token doc every token
+    # occurs as some bigram's w1 or w2, so distinct(w1 ∪ w2) == V
+    c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
+    vocab = c2.select(
+        F.explode(F.array("__w1", "__w2")).alias("__t")
+    ).agg(F.countDistinct("__t").alias("__v"))
+    scored = (
+        bg.join(c2, ["__w1", "__w2"])
+        .join(c1, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            F.log((F.col("__c2") + F.lit(float(alpha)))
+                  / (F.col("__c1") + F.lit(float(alpha)) * F.col("__v"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("__lp").alias("avg_logprob"),
+        F.min("__lp").alias("min_logprob"),
+    )

@@ -354,3 +354,25 @@ def test_mixture_sample_hits_target_mix(spark):
     # unweighted sources are dropped entirely
     out2 = mixture_sample(df, "doc_id", "source", "tok", {"web": 1.0})
     assert out2.filter(F.col("source") != "web").count() == 0
+
+
+def test_bigram_logprob_hand_checked(spark):
+    from data_pipeline_framework_spark.functions.text import bigram_logprob
+
+    # corpus: "a b a b" and "a b"; V = 2; alpha = 0.5
+    # bigrams: (a,b) x3, (b,a) x1 -> c(a,b)=3, c(b,a)=1, c1(a)=3, c1(b)=1
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in bigram_logprob(df, "doc_id", "text", alpha=0.5).collect()}
+    lp_ab = math.log((3 + 0.5) / (3 + 0.5 * 2))
+    lp_ba = math.log((1 + 0.5) / (1 + 0.5 * 2))
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx((2 * lp_ab + lp_ba) / 3)
+    assert out[1]["min_logprob"] == pytest.approx(min(lp_ab, lp_ba))
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logprob"] == pytest.approx(lp_ab)
+    # single-token docs emit nothing (no bigram evidence)
+    assert 3 not in out
