@@ -162,13 +162,13 @@ def minhash_signatures(
     return d.select(id_col, *minhash_signature_cols())
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """Docs sharing any LSH band -> distinct unordered candidate pairs.
-    Band key = concat of the band's minhash values. The self-join is
-    per-bucket (equi-join on band id+key), never all-pairs."""
+def band_keys(sig: DataFrame, id_col: str) -> DataFrame:
+    """LSH band table from a signature frame: (id, band, key) with
+    key = concat of the band's minhash values. Shared by the batch
+    candidate self-join and the streaming signature store."""
     k = len(MINHASH_PARAMS)
     rows = k // LSH_BANDS
-    bands = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(*[
@@ -182,6 +182,13 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Docs sharing any LSH band -> distinct unordered candidate pairs.
+    Band key = concat of the band's minhash values. The self-join is
+    per-bucket (equi-join on band id+key), never all-pairs."""
+    bands = band_keys(sig, id_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

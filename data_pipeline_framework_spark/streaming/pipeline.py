@@ -415,3 +415,92 @@ def idempotent_batch_sink(
             conn.close()
 
     return sink
+
+
+def neardup_filter_batch_fn(
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    out_path: str,
+    n: int = 3,
+):
+    """Streaming near-duplicate filtering against a persistent MinHash
+    signature store — the continuous-crawl twin of the batch
+    MinHash+LSH pipeline (functions/dedup.py): every micro-batch is
+    checked against ALL previously admitted documents, not just this
+    run's state.
+
+    Returns a foreachBatch callable. Per batch: (1) shingle+minhash the
+    batch docs and explode their LSH band keys, (2) equi-join those
+    keys against the parquet signature store (never all-pairs — a doc
+    is a near-dup candidate iff it shares a full band with an admitted
+    doc, standard LSH semantics; exact-Jaccard verification happens
+    offline on the flagged subset if needed), (3) also flag docs whose
+    band collides with a LOWER-id doc of the same batch (first-wins
+    within a batch), (4) append batch rows + `is_dup` to `out_path`
+    and the admitted docs' band keys to the store.
+
+    Store appends are idempotent-on-read: keys are
+    (id, band, key)-unique per doc, and a replayed batch re-admits the
+    same ids, so readers dedup with dropDuplicates — the same
+    at-least-once + dedup-on-read contract as any append-only log.
+    State lives in parquet, partition-parallel and unbounded (no
+    driver/state-store memory), and survives across runs and engines.
+    """
+    from data_pipeline_framework_spark.functions.dedup import (
+        band_keys,
+        minhash_signatures,
+    )
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select(id_col, text_col).persist()
+        sig = minhash_signatures(docs, id_col, text_col, n)
+        bands = band_keys(sig, id_col).persist()
+
+        try:
+            store = spark.read.parquet(store_path).dropDuplicates(
+                [id_col, "band", "key"]
+            )
+        except Exception:  # first batch: no store yet
+            store = None
+
+        dup_vs_store = None
+        if store is not None:
+            dup_vs_store = (
+                bands.join(
+                    store.withColumnRenamed(id_col, "__prev"),
+                    ["band", "key"],
+                )
+                .select(id_col)
+                .distinct()
+            )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        dup_in_batch = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"a.{id_col}").alias(id_col))
+            .distinct()
+        )
+        dups = (
+            dup_in_batch if dup_vs_store is None
+            else dup_in_batch.unionByName(dup_vs_store).distinct()
+        )
+        flagged = docs.join(
+            dups.withColumn("__dup", F.lit(True)), id_col, "left"
+        ).withColumn(
+            "is_dup", F.coalesce("__dup", F.lit(False))
+        ).drop("__dup")
+        flagged.withColumn("batch_id", F.lit(int(batch_id))) \
+            .write.mode("append").parquet(out_path)
+        admitted = flagged.filter(~F.col("is_dup")).select(id_col)
+        bands.join(admitted, id_col).write.mode("append").parquet(store_path)
+        bands.unpersist()
+        docs.unpersist()
+
+    return run_batch

@@ -364,3 +364,64 @@ def test_stream_stream_join_matches_batch(spark, events, stream_dir):
         (r["user_id"], r["p_ts"], r["c_ts"]) for r in got_df.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_neardup_filter_stream_against_store(spark, tmp_path):
+    """streaming MinHash near-dup vs a persistent signature store: a doc
+    arriving in a later batch that near-duplicates an admitted doc is
+    flagged; unrelated docs pass; within-batch later-id dups are
+    flagged; flagged docs contribute nothing to the store."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    variant = base.replace("tonight", "today")   # near-dup of base
+    other = ("completely different content about spark engines and "
+             "distributed columnar query processing at large scale")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other), (3, base + " extra")],  # 3 near-dups 1
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, variant), (11, "yet another unrelated short text piece "
+                             "with its own private vocabulary words")],
+        "doc_id long, text string",
+    )
+    in_dir = tmp_path / "in"
+    b1.coalesce(1).write.mode("append").parquet(str(in_dir))
+    b2.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    fn = ST.neardup_filter_batch_fn("doc_id", "text", store, out)
+    sdf = ST.read_stream_files(
+        spark, str(in_dir), schema=b1.schema, max_files_per_trigger=1,
+    )
+    q = (
+        sdf.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["is_dup"]
+           for r in spark.read.parquet(out).collect()}
+    assert got[1] is False and got[2] is False
+    assert got[3] is True            # within-batch near-dup of 1
+    assert got[10] is True           # cross-batch near-dup via the store
+    assert got[11] is False
+    admitted = {r["doc_id"]
+                for r in spark.read.parquet(store)
+                .select("doc_id").distinct().collect()}
+    assert admitted == {1, 2, 11}    # dups never enter the store
+
+    # replaying with the same checkpoint adds nothing (availableNow
+    # re-run sees no new files)
+    n_out = spark.read.parquet(out).count()
+    q2 = (
+        sdf.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_out
