@@ -1439,6 +1439,54 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-duplicate pairs that CROSS train/val/test boundaries — the
+    contamination-by-duplication QA check run before a split ships
+    (a test doc near-duplicating a train doc silently inflates eval).
+    Composes the verified MinHash pipeline with the deterministic hash
+    split; both stages replay exactly in the oracle."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+    from data_pipeline_framework_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+    sp = hash_split(
+        docs.select("doc_id"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"),
+                   F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"),
+                   F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b",
+                _r(F.col("jaccard"), 4).alias("jaccard"))
+    )
+
+
+def _split_leakage_oracle() -> str:
+    return f"""
+        WITH {_minhash_cte_body()},
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN bkt < 800000 THEN 'train'
+                        WHEN bkt < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, {_SPLIT_BUCKET} AS bkt FROM documents)
+        )
+        SELECT ida AS id_a, idb AS id_b,
+               sa.split AS split_a, sb.split AS split_b,
+               FLOOR(j * 1e4 + 0.5) / 1e4 AS jaccard
+        FROM verified
+        JOIN sp sa ON ida = sa.doc_id
+        JOIN sp sb ON idb = sb.doc_id
+        WHERE j >= 0.7 AND sa.split <> sb.split
+    """
+
+
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """end-to-end training-corpus filter: keep docs that are (1) English
     by marker-stopword argmax, (2) quality >= 0.68, (3) the canonical
@@ -3249,6 +3297,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "dedup_exact_groups": dedup_exact_groups,
         "minhash_neardup": minhash_neardup,
+        "split_leakage_pairs": split_leakage_pairs,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -4566,6 +4615,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY fp HAVING COUNT(*) > 1
         """,
         "minhash_neardup": _minhash_oracle(),
+        "split_leakage_pairs": _split_leakage_oracle(),
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),
