@@ -566,6 +566,88 @@ def _op_repartition(params: Mapping, ctx) -> OpFn:
     return fn
 
 
+def _op_hash_sample(params: Mapping, ctx) -> OpFn:
+    """Deterministic hash sampling (partitioning-independent, unlike the
+    RNG `sample` op) — `{"type": "hash_sample", "id_column": c,
+    "rate": 0.1, "seed": "s0"}`."""
+    from ..functions.sampling import hash_sample
+
+    idc = params["id_column"]
+    rate = float(params["rate"])
+    seed = str(params.get("seed", "s0"))
+    return lambda df: hash_sample(df, idc, rate, seed)
+
+
+def _op_hash_split(params: Mapping, ctx) -> OpFn:
+    """Train/val/test labeling — `{"type": "hash_split", "id_column": c,
+    "fractions": {"train": .8, "val": .1, "test": .1}}`."""
+    from ..functions.sampling import hash_split
+
+    idc = params["id_column"]
+    fractions = {k: float(v) for k, v in params["fractions"].items()}
+    seed = str(params.get("seed", "split"))
+    out = params.get("output_column", "split")
+    return lambda df: hash_split(df, idc, fractions, seed, out)
+
+
+def _op_mixture_sample(params: Mapping, ctx) -> OpFn:
+    """Data-mixture resampling to target source proportions —
+    `{"type": "mixture_sample", "id_column": c, "source_column": s,
+    "token_column": t, "weights": {...}, "budget_tokens": N?}`."""
+    from ..functions.sampling import mixture_sample
+
+    idc = params["id_column"]
+    src = params["source_column"]
+    tok = params["token_column"]
+    weights = {k: float(v) for k, v in params["weights"].items()}
+    budget = params.get("budget_tokens")
+    seed = str(params.get("seed", "mix"))
+    return lambda df: mixture_sample(
+        df, idc, src, tok, weights,
+        int(budget) if budget is not None else None, seed,
+    )
+
+
+def _op_chunk(params: Mapping, ctx) -> OpFn:
+    """Sliding-window document chunking — `{"type": "chunk",
+    "id_column": c, "text_column": t, "window": 64, "stride": 48}`."""
+    from ..functions.text import chunk_documents
+
+    idc = params["id_column"]
+    txt = params["text_column"]
+    window = int(params.get("window", 64))
+    stride = int(params.get("stride", window))
+    return lambda df: chunk_documents(df, idc, txt, window, stride)
+
+
+def _op_zorder(params: Mapping, ctx) -> OpFn:
+    """Z-order layout clustering before a write — `{"type": "zorder",
+    "columns": [{"column": c, "min": 0, "max": 100}, ...],
+    "bits": 8, "partitions": N?}`."""
+    from ..operators.layout import cluster_by_zorder
+
+    specs = [
+        (c["column"], float(c["min"]), float(c["max"]))
+        for c in params["columns"]
+    ]
+    bits = int(params.get("bits", 8))
+    num = params.get("partitions")
+    return lambda df: cluster_by_zorder(
+        df, specs, bits, int(num) if num is not None else None
+    )
+
+
+def _op_quantize_embeddings(params: Mapping, ctx) -> OpFn:
+    """int8 embedding quantization — `{"type": "quantize_embeddings",
+    "id_column": c, "vector_column": v}`."""
+    from ..functions.similarity import quantize_embeddings
+
+    idc = params.get("id_column", "vec_id")
+    vec = params.get("vector_column", "embedding")
+    out = params.get("output_column", "q")
+    return lambda df: quantize_embeddings(df, idc, vec, out)
+
+
 OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "select": _op_select,
     "filter": _op_filter,
@@ -585,6 +667,12 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "limit": _op_limit,
     "sample": _op_sample,
     "repartition": _op_repartition,
+    "hash_sample": _op_hash_sample,
+    "hash_split": _op_hash_split,
+    "mixture_sample": _op_mixture_sample,
+    "chunk": _op_chunk,
+    "zorder": _op_zorder,
+    "quantize_embeddings": _op_quantize_embeddings,
 }
 
 

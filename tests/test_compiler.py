@@ -293,3 +293,45 @@ def test_aggregate_describe_fallback(spark):
     assert rows["count"]["v"] == "3"
     assert float(rows["mean"]["v"]) == 20.0
     assert float(rows["max"]["v"]) == 30.0
+
+
+def test_curation_ops_in_config_pipeline(spark):
+    """the round-3 curation operators drive from YAML-shaped op lists."""
+    from data_pipeline_framework_spark.plans.compiler import compile_ops
+
+    df = spark.createDataFrame(
+        [(i, "src%d" % (i % 2), "w%d x y z" % i, 4) for i in range(200)],
+        "doc_id long, source string, text string, toks long",
+    )
+    fn = compile_ops([
+        {"type": "hash_split", "id_column": "doc_id",
+         "fractions": {"train": 0.9, "test": 0.1}},
+        {"type": "hash_sample", "id_column": "doc_id", "rate": 0.5},
+    ])
+    out = fn(df)
+    assert set(out.columns) == set(df.columns) | {"split"}
+    n = out.count()
+    assert 0 < n < 200  # sampled
+    assert set(r["split"] for r in out.select("split").distinct().collect()) \
+        <= {"train", "test"}
+
+    chunked = compile_ops([
+        {"type": "chunk", "id_column": "doc_id", "text_column": "text",
+         "window": 2, "stride": 2},
+    ])(df)
+    assert chunked.columns == ["doc_id", "chunk_id", "n_tokens", "chunk_text"]
+    assert chunked.count() == 400  # 4 tokens / window 2 -> 2 chunks each
+
+    mixed = compile_ops([
+        {"type": "mixture_sample", "id_column": "doc_id",
+         "source_column": "source", "token_column": "toks",
+         "weights": {"src0": 0.5, "src1": 0.5}},
+    ])(df)
+    assert mixed.count() > 0
+
+    z = compile_ops([
+        {"type": "zorder", "bits": 4, "partitions": 2,
+         "columns": [{"column": "doc_id", "min": 0, "max": 200},
+                     {"column": "toks", "min": 0, "max": 10}]},
+    ])(df)
+    assert z.count() == 200 and set(z.columns) == set(df.columns)
