@@ -80,3 +80,35 @@ def test_cms_lookup_broadcasts_table(spark):
     plan = cms_lookup(table, keys, "k", 2, 16)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_hll_sketch_merge_equals_direct_and_accuracy(spark):
+    from data_pipeline_framework_spark.functions.sketches import (
+        hll_distinct_table,
+        hll_estimate,
+        hll_merge,
+    )
+
+    # two "days" of (source, user) events with overlapping users
+    d1 = spark.range(5000).select(
+        (F.col("id") % 2).cast("string").alias("src"),
+        (F.col("id") % 3000).alias("user"),
+    )
+    d2 = spark.range(5000, 12000).select(
+        (F.col("id") % 2).cast("string").alias("src"),
+        (F.col("id") % 4000).alias("user"),
+    )
+    t1 = hll_distinct_table(d1, "src", "user")
+    t2 = hll_distinct_table(d2, "src", "user")
+    merged = hll_estimate(hll_merge([t1, t2], "src"))
+    direct = hll_estimate(hll_distinct_table(d1.unionByName(d2), "src", "user"))
+    m = {r["src"]: r["distinct_estimate"] for r in merged.collect()}
+    d = {r["src"]: r["distinct_estimate"] for r in direct.collect()}
+    # sketches are linear: merged union == sketch of the union, exactly
+    assert m == d
+    # and estimates land within ~3 standard errors of exact
+    exact = {r["src"]: r["n"] for r in
+             d1.unionByName(d2).groupBy("src")
+             .agg(F.countDistinct("user").alias("n")).collect()}
+    for k in exact:
+        assert abs(m[k] - exact[k]) / exact[k] < 0.05
