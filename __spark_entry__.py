@@ -1439,6 +1439,72 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixed-iteration PageRank over the supplier->customer trade graph
+    (the link-authority ranking used to prioritize crawl domains, here
+    on the testdata's trade edges). 4 deterministic rounds, dangling
+    mass redistributed in-plan; top 50 by rounded rank."""
+    from data_pipeline_framework_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("o_custkey") + 1000000).cast("long").alias("dst"),
+    )
+    pr = pagerank(edges, iters=4)
+    out = pr.select("id", _r(F.col("rank"), 8).alias("rank"))
+    return out.orderBy(F.desc("rank"), "id").limit(50)
+
+
+def _pagerank_oracle(iters: int = 4, d: float = 0.85) -> str:
+    """DuckDB twin of pagerank_trade_graph: the same rounds as chained
+    CTEs — same init, same dangling redistribution, same damping."""
+    ctes = ["""edges AS (
+                SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                       CAST(o_custkey + 1000000 AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )""",
+            """nodes AS (
+                SELECT src AS id FROM edges
+                UNION SELECT dst FROM edges
+            )""",
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+            "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+            """r0 AS (SELECT id, 1.0 / n AS rank
+                      FROM nodes CROSS JOIN nn)"""]
+    for t in range(1, iters + 1):
+        p = f"r{t - 1}"
+        ctes.append(f"""c{t} AS (
+                SELECT e.dst AS id, SUM(r.rank / dg.deg) AS s
+                FROM edges e
+                JOIN {p} r ON e.src = r.id
+                JOIN deg dg ON e.src = dg.src
+                GROUP BY e.dst
+            )""")
+        ctes.append(f"""g{t} AS (
+                SELECT COALESCE(SUM(rank), 0.0) AS dm
+                FROM {p} r LEFT JOIN deg dg ON r.id = dg.src
+                WHERE dg.src IS NULL
+            )""")
+        ctes.append(f"""r{t} AS (
+                SELECT nodes.id,
+                       {1.0 - d} / nn.n
+                       + {d} * (COALESCE(c.s, 0.0) + g.dm / nn.n) AS rank
+                FROM nodes
+                CROSS JOIN nn CROSS JOIN g{t} g
+                LEFT JOIN c{t} c USING (id)
+            )""")
+    return (
+        "WITH " + ",\n            ".join(ctes) + f"""
+        SELECT id, FLOOR(rank * 1e8 + 0.5) / 1e8 AS rank
+        FROM r{iters}
+        ORDER BY 2 DESC, 1 LIMIT 50
+    """)
+
+
 def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """near-duplicate pairs that CROSS train/val/test boundaries — the
     contamination-by-duplication QA check run before a split ships
@@ -3298,6 +3364,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": dedup_exact_groups,
         "minhash_neardup": minhash_neardup,
         "split_leakage_pairs": split_leakage_pairs,
+        "pagerank_trade_graph": pagerank_trade_graph,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -4616,6 +4683,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_neardup": _minhash_oracle(),
         "split_leakage_pairs": _split_leakage_oracle(),
+        "pagerank_trade_graph": _pagerank_oracle(),
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),

@@ -41,6 +41,8 @@ _BNL_OK = {
     "schema_constraints_orders",
     "drift_psi_priorities",  # per-side broadcast 1-row category totals
     "q11_important_parts",   # broadcast 1-row mean for the HAVING scalar
+    "pagerank_trade_graph",  # per-round broadcast 1-row N + dangling mass
+    "bigram_logprob_scores",  # broadcast 1-row vocabulary size
 }
 
 # queries whose operators legitimately run vectorized Python
