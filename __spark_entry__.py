@@ -1439,6 +1439,48 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 8 dims with seeded literal gaussians —
+    dimensionality reduction with zero driver-side fitting (PCA's
+    scale-path sibling); a pure narrow codegen projection."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = random_projection(emb, out_dim=8, seed=7, dim=64)
+    rounded = F.transform(
+        F.col("proj"), lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6
+    )
+    return out.select("vec_id", rounded.alias("proj"))
+
+
+def _random_projection_oracle(out_dim: int = 8, seed: int = 7,
+                              dim: int = 64) -> str:
+    from data_pipeline_framework_spark.functions.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    comps = ",\n               ".join(
+        "FLOOR(list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in plane)
+        + f"]) * {scale!r} * 1e6 + 0.5) / 1e6"
+        for plane in planes
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )
+        SELECT vec_id,
+               [{comps}] AS proj
+        FROM v
+    """
+
+
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fixed-iteration PageRank over the supplier->customer trade graph
     (the link-authority ranking used to prioritize crawl domains, here
@@ -3365,6 +3407,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": minhash_neardup,
         "split_leakage_pairs": split_leakage_pairs,
         "pagerank_trade_graph": pagerank_trade_graph,
+        "random_projection_embeddings": random_projection_embeddings,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -4684,6 +4727,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_oracle(),
         "split_leakage_pairs": _split_leakage_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
+        "random_projection_embeddings": _random_projection_oracle(),
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),

@@ -465,3 +465,37 @@ def quantize_embeddings(
         )
     )
     return out.drop("__v", "__ma")
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: y = R v / sqrt(out_dim)
+    with a seeded gaussian matrix compiled to literals — dimensionality
+    reduction with ZERO driver-side fitting (contrast create_pca_features,
+    which trains on data): pairwise distances are preserved in
+    expectation, and the projection of a 100 TB embedding table is a
+    narrow codegen projection with no job before it.
+
+    Pass ``dim`` (input width) to keep plan construction fully lazy;
+    without it a bounded one-row probe reads the width."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    v = F.col("__v")
+    out = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
+    comps = [
+        (
+            _dot(v, F.array(*[F.lit(float(x)) for x in plane]))
+            * F.lit(scale)
+        )
+        for plane in planes
+    ]
+    return out.withColumn(out_col, F.array(*comps)).drop("__v")

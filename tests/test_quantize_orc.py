@@ -70,3 +70,45 @@ def test_orc_partition_pruning(spark, tmp_path):
     )
     # partition filter must prune at scan time, not post-filter
     assert "PartitionFilters: [" in plan and "(p" in plan
+
+
+def test_random_projection_preserves_distances(spark):
+    import math
+    import random as pyrandom
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        random_projection,
+    )
+
+    rng = pyrandom.Random(3)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["proj"]
+           for r in random_projection(df, out_dim=16, dim=64).collect()}
+    orig = dict(vecs)
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    # JL: projected distances track original distances within a loose
+    # factor at k=16 (ratios concentrate around 1)
+    ratios = []
+    for i in range(0, 40, 7):
+        for j in range(i + 1, 40, 7):
+            ratios.append(d(out[i], out[j]) / d(orig[i], orig[j]))
+    avg = sum(ratios) / len(ratios)
+    assert 0.7 < avg < 1.3
+    assert all(0.3 < r < 1.9 for r in ratios)
+
+
+def test_random_projection_no_shuffle_no_fit(spark):
+    from data_pipeline_framework_spark.functions.similarity import (
+        random_projection,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    out = random_projection(df, out_dim=4, dim=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow projection, zero jobs before it
