@@ -1439,6 +1439,62 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """blocked fuzzy join (entity resolution): customer names with a
+    key-derived mid-string character drop are re-linked to their clean
+    rows via suffix-6 blocking + levenshtein<=1 verify — no cross join
+    at any key distribution. The perturbation, blocks and distance all
+    replay exactly in DuckDB."""
+    from data_pipeline_framework_spark.operators.linkage import (
+        block_key_suffix,
+        fuzzy_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # drop one char at position (c_custkey % 3 + 10) — inside the
+    # zero-run, so the suffix-6 block key survives the edit
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.expr("substring(c_name, 1, cast(c_custkey % 3 + 9 as int))"),
+            F.expr("substring(c_name, cast(c_custkey % 3 + 11 as int), 100)"),
+        ).alias("dirty_name"),
+    )
+    out = fuzzy_join(
+        dirty, cust, "dirty_name", "c_name", max_distance=1,
+        blocks=[(block_key_suffix("dirty_name", 6),
+                 block_key_suffix("c_name", 6))],
+    )
+    return out.select(
+        "dirty_id", F.col("c_custkey").alias("matched_id"),
+        F.col("edit_distance").cast("long").alias("edit_distance"),
+    )
+
+
+_FUZZY_ORACLE = """
+    WITH dirty AS (
+        SELECT c_custkey AS dirty_id,
+               substring(c_name, 1, CAST(c_custkey % 3 + 9 AS INTEGER))
+               || substring(c_name, CAST(c_custkey % 3 + 11 AS INTEGER), 100)
+               AS dirty_name
+        FROM customer
+    ),
+    cand AS (
+        SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
+        FROM dirty d
+        JOIN customer c
+          ON right(lower(trim(d.dirty_name)), 6)
+             = right(lower(trim(c.c_name)), 6)
+    )
+    SELECT dirty_id, c_custkey AS matched_id,
+           CAST(levenshtein(lower(trim(dirty_name)),
+                            lower(trim(c_name))) AS BIGINT)
+               AS edit_distance
+    FROM cand
+    WHERE levenshtein(lower(trim(dirty_name)), lower(trim(c_name))) <= 1
+"""
+
+
 def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64 -> 8 dims with seeded literal gaussians —
     dimensionality reduction with zero driver-side fitting (PCA's
@@ -3408,6 +3464,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_pairs": split_leakage_pairs,
         "pagerank_trade_graph": pagerank_trade_graph,
         "random_projection_embeddings": random_projection_embeddings,
+        "fuzzy_name_matches": fuzzy_name_matches,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -4728,6 +4785,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_pairs": _split_leakage_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "random_projection_embeddings": _random_projection_oracle(),
+        "fuzzy_name_matches": _FUZZY_ORACLE,
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),
