@@ -1439,6 +1439,35 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key-distribution diagnosis before a join/agg: top-10 hottest
+    order keys in lineitem with row share and the salt bucket count
+    bounding each partition to ~2000 rows — the detect step feeding
+    salted_join / two_stage_agg."""
+    from data_pipeline_framework_spark.operators.skew import diagnose_skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = diagnose_skew(li, "l_suppkey", top_k=10, rows_per_task=50)
+    return out.select(
+        "l_suppkey", "cnt", _r(F.col("share"), 8).alias("share"),
+        "salt_buckets",
+    )
+
+
+_SKEW_ORACLE = """
+    WITH counts AS (
+        SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM counts)
+    SELECT l_suppkey, cnt,
+           FLOOR(cnt / CAST(total AS DOUBLE) * 1e8 + 0.5) / 1e8 AS share,
+           CAST(GREATEST(CEIL(cnt / CAST(50 AS DOUBLE)), 1) AS BIGINT)
+               AS salt_buckets
+    FROM counts CROSS JOIN tot
+    ORDER BY cnt DESC, l_suppkey LIMIT 10
+"""
+
+
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """blocked fuzzy join (entity resolution): customer names with a
     key-derived mid-string character drop are re-linked to their clean
@@ -3465,6 +3494,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_trade_graph": pagerank_trade_graph,
         "random_projection_embeddings": random_projection_embeddings,
         "fuzzy_name_matches": fuzzy_name_matches,
+        "skew_diagnosis": skew_diagnosis,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -4786,6 +4816,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trade_graph": _pagerank_oracle(),
         "random_projection_embeddings": _random_projection_oracle(),
         "fuzzy_name_matches": _FUZZY_ORACLE,
+        "skew_diagnosis": _SKEW_ORACLE,
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),

@@ -108,6 +108,10 @@ HEADLINE = [
     "q12_late_priority",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "fuzzy_name_matches",
+    "random_projection_embeddings",
+    "skew_diagnosis",
+    "corpus_split_stats",
 ]
 
 

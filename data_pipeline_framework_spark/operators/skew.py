@@ -109,3 +109,39 @@ def two_stage_agg(
         else:
             outputs.append(F.col(f"__m_{col}_{f}").alias(f"{col}_{f}"))
     return merged.select(*keys, *outputs)
+
+
+def diagnose_skew(
+    df: DataFrame,
+    key: str | list[str],
+    top_k: int = 10,
+    rows_per_task: int = 2_000_000,
+) -> DataFrame:
+    """Key-distribution diagnosis BEFORE a join/agg on `key`: the top-k
+    hottest keys with their row share and the salt bucket count that
+    would bound each salted partition to ~rows_per_task rows — the
+    detect step whose mitigate steps are salted_join / two_stage_agg.
+
+    One groupBy + a broadcast 1-row total; share and salt are plain
+    arithmetic. At 100 TB run it on a hash_sample and scale
+    rows_per_task accordingly.
+
+    Output: key cols, cnt, share, salt_buckets (1 = no salting needed).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "cnt",
+            (F.col("cnt") / F.col("__total")).alias("share"),
+            F.greatest(
+                F.ceil(F.col("cnt") / F.lit(int(rows_per_task))),
+                F.lit(1),
+            ).cast("long").alias("salt_buckets"),
+        )
+        .orderBy(F.desc("cnt"), *keys)
+        .limit(top_k)
+    )

@@ -1,0 +1,102 @@
+"""Plan auditor: the engine's scale-killer checks as a product surface.
+
+The test suite lints every registered driver query for plans that
+won't survive a 100x scale-up (tests/test_plan_lint.py); this module
+exposes the same rules to users so ANY pipeline can be audited before
+it ships — `audit_plan(df)` for findings, `assert_scalable(df)` as a
+CI gate. Rules are string checks over the physical plan, which is
+exactly what a human reviewer greps `.explain()` output for.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+__all__ = ["Finding", "audit_plan", "assert_scalable"]
+
+
+@dataclass(frozen=True)
+class Finding:
+    rule: str
+    severity: str  # "fatal" | "warn"
+    detail: str
+
+
+def _plan_str(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit_plan(df: DataFrame, plan: str | None = None) -> list[Finding]:
+    """Inspect a DataFrame's physical plan for shapes that stop scaling:
+
+    - cartesian-product: O(n*m) row explosion; no key distribution
+      survives it.
+    - broadcast-nested-loop: non-equi join fallback — fine ONLY for a
+      broadcast 1-row scalar; fatal when the broadcast side can grow.
+    - row-python-udf: BatchEvalPython ships rows to Python one at a
+      time; 10-100x slower than Arrow-batched pandas UDFs.
+    - single-partition-window: a window/sort with no PARTITION BY
+      funnels every row through one task.
+    - vectorized-python: ArrowEvalPython / MapInPandas /
+      FlatMapGroupsInPandas — the sanctioned escape hatch, but worth a
+      warn so hot relational paths don't silently pick it up.
+    """
+    p = plan if plan is not None else _plan_str(df)
+    found: list[Finding] = []
+    if "CartesianProduct" in p:
+        found.append(Finding(
+            "cartesian-product", "fatal",
+            "CartesianProduct in plan: O(n*m) join with no equi keys",
+        ))
+    if "BroadcastNestedLoopJoin" in p:
+        found.append(Finding(
+            "broadcast-nested-loop", "warn",
+            "BroadcastNestedLoopJoin: acceptable only for broadcast "
+            "1-row scalars; fatal if the broadcast side grows with data",
+        ))
+    if "BatchEvalPython" in p:
+        found.append(Finding(
+            "row-python-udf", "fatal",
+            "row-at-a-time Python UDF (BatchEvalPython): use built-in "
+            "functions or an Arrow-batched pandas UDF",
+        ))
+    low = p.lower()
+    if "window" in low and "singlepartition" in low:
+        found.append(Finding(
+            "single-partition-window", "warn",
+            "window/sort over SinglePartition: every row funnels "
+            "through one task; add PARTITION BY or pre-bucket",
+        ))
+    for marker in ("ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        if marker in p:
+            found.append(Finding(
+                "vectorized-python", "warn",
+                f"{marker}: Arrow-batched Python stage — sanctioned "
+                "escape hatch, keep it off hot relational paths",
+            ))
+            break
+    return found
+
+
+def assert_scalable(
+    df: DataFrame,
+    allow: set[str] | None = None,
+    warn_ok: bool = True,
+) -> None:
+    """Raise AssertionError when the plan carries scale-killers.
+    `allow` skips named rules (e.g. {"broadcast-nested-loop"} for a
+    deliberate 1-row scalar); `warn_ok=False` also fails on warns."""
+    allow = allow or set()
+    bad = [
+        f for f in audit_plan(df)
+        if f.rule not in allow
+        and (f.severity == "fatal" or not warn_ok)
+    ]
+    if bad:
+        raise AssertionError(
+            "plan fails scale audit:\n"
+            + "\n".join(f"- [{f.severity}] {f.rule}: {f.detail}" for f in bad)
+        )

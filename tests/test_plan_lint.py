@@ -43,6 +43,7 @@ _BNL_OK = {
     "q11_important_parts",   # broadcast 1-row mean for the HAVING scalar
     "pagerank_trade_graph",  # per-round broadcast 1-row N + dangling mass
     "bigram_logprob_scores",  # broadcast 1-row vocabulary size
+    "skew_diagnosis",         # broadcast 1-row total for the share ratio
 }
 
 # queries whose operators legitimately run vectorized Python
@@ -94,3 +95,42 @@ def test_no_scale_killers_in_any_registered_query(spark, sf_dir):
                 f"{name}: vectorized Python outside the sanctioned list"
             )
     assert not failures, "\n".join(failures)
+
+
+def test_advisor_flags_and_clears(spark):
+    """the product-facing audit_plan/assert_scalable mirror this lint."""
+    from data_pipeline_framework_spark.plans.advisor import (
+        assert_scalable,
+        audit_plan,
+    )
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    a = spark.range(10).withColumnRenamed("id", "x")
+    b = spark.range(10).withColumnRenamed("id", "y")
+
+    clean = a.join(b, a.x == b.y)
+    assert audit_plan(clean) == []
+    assert_scalable(clean)
+
+    cart = a.crossJoin(b)
+    rules = {f.rule for f in audit_plan(cart)}
+    assert "cartesian-product" in rules or "broadcast-nested-loop" in rules
+    with _pytest.raises(AssertionError):
+        assert_scalable(cart, warn_ok=False)
+
+    gw = a.withColumn("r", F.row_number().over(Window.orderBy("x")))
+    rules = {f.rule for f in audit_plan(gw)}
+    assert "single-partition-window" in rules
+    with _pytest.raises(AssertionError):
+        assert_scalable(gw, warn_ok=False)
+    assert_scalable(gw)  # warns pass by default
+
+    py = a.withColumn(
+        "u", F.udf(lambda v: v + 1, "long")(F.col("x"))
+    )
+    assert {f.rule for f in audit_plan(py)} >= {"row-python-udf"}
+    with _pytest.raises(AssertionError):
+        assert_scalable(py)

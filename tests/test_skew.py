@@ -94,3 +94,16 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_diagnose_skew_hot_key_and_salt(spark):
+    from data_pipeline_framework_spark.operators.skew import diagnose_skew
+
+    rows = [(1, "hot") for _ in range(900)] + [(i, "k%d" % i)
+                                               for i in range(2, 102)]
+    df = spark.createDataFrame(rows, "v long, key string")
+    out = diagnose_skew(df, "key", top_k=3, rows_per_task=100).collect()
+    assert out[0]["key"] == "hot" and out[0]["cnt"] == 900
+    assert out[0]["share"] == pytest.approx(900 / 1000)
+    assert out[0]["salt_buckets"] == 9     # ceil(900/100)
+    assert all(r["salt_buckets"] == 1 for r in out[1:])
