@@ -1439,6 +1439,35 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis exponential keys over the portable id hash):
+    100 documents drawn with probability proportional to length — the
+    keep-the-best-K-with-randomness knob of corpus assembly."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(docs, "doc_id", "n_chars", k=100)
+
+
+_WSAMPLE_ORACLE = """
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((CAST(('0x' || substr(md5('wsamp'
+                        || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                   % 1000000 + 0.5) / 1000000.0)
+               / CAST(n_chars AS DOUBLE) AS wkey
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100
+"""
+
+
 def skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """key-distribution diagnosis before a join/agg: top-10 hottest
     order keys in lineitem with row share and the salt bucket count
@@ -3495,6 +3524,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection_embeddings": random_projection_embeddings,
         "fuzzy_name_matches": fuzzy_name_matches,
         "skew_diagnosis": skew_diagnosis,
+        "weighted_sample_docs": weighted_sample_docs,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -4817,6 +4847,7 @@ def oracle_sql() -> dict[str, str]:
         "random_projection_embeddings": _random_projection_oracle(),
         "fuzzy_name_matches": _FUZZY_ORACLE,
         "skew_diagnosis": _SKEW_ORACLE,
+        "weighted_sample_docs": _WSAMPLE_ORACLE,
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),

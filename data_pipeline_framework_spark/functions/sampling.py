@@ -291,3 +291,35 @@ def mixture_sample(
             F.col(source_col) == value, F.lit(int(rate * _BUCKETS))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis): each row gets key = ln(u) / w with u derived
+    from the portable id hash (u in (0,1)), and the k largest keys win —
+    inclusion probability proportional to weight, reproducible across
+    runs/partitionings/engines. The classic use: keep the best-K
+    documents where `weight_col` is a quality score, with randomness so
+    the tail isn't a hard cutoff.
+
+    Plan: a projection + global top-k (TakeOrderedAndProject — per-
+    partition heaps then a driver merge of k rows, no full sort).
+    Rows with weight <= 0 are excluded.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (_bucket(id_col, seed) + 0.5) / float(_BUCKETS)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"), F.col(id_col))
+        .limit(int(k))
+        .drop("__wkey")
+    )

@@ -376,3 +376,41 @@ def test_bigram_logprob_hand_checked(spark):
     assert out[2]["avg_logprob"] == pytest.approx(lp_ab)
     # single-token docs emit nothing (no bigram evidence)
     assert 3 not in out
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from data_pipeline_framework_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    # heavy rows weight 20, light rows weight 1: heavies dominate the draw
+    rows = [(i, 20.0) for i in range(200)] + [(1000 + i, 1.0)
+                                              for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, "doc_id", "w", k=100)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert len(ids) == 100
+    heavy = sum(1 for i in ids if i < 1000)
+    assert heavy > 75  # prob ~ w: heavies should take most slots
+    # deterministic across repartitionings
+    ids2 = {r["doc_id"]
+            for r in weighted_sample(df.repartition(13), "doc_id", "w",
+                                     k=100).collect()}
+    assert ids == ids2
+    # non-positive weights are excluded
+    df2 = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)],
+                                "doc_id long, w double")
+    assert [r["doc_id"] for r in
+            weighted_sample(df2, "doc_id", "w", k=5).collect()] == [3]
+
+
+def test_weighted_sample_topk_plan(spark):
+    from data_pipeline_framework_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, w double")
+    plan = weighted_sample(df, "doc_id", "w", 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # global top-k, not a full sort: TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in plan
