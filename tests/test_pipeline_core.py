@@ -265,3 +265,23 @@ def test_five_concurrent_pipelines(spark, sf_dir, tmp_path):
     # the five custkey-residue slices partition the table exactly
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     assert total == orders.count()
+
+
+def test_corpus_curation_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
+    """the shipped examples/corpus_curation.yaml runs end-to-end: split ->
+    train filter -> mixture resample -> chunk -> parquet shards."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "corpus_out")
+    monkeypatch.setenv("CORPUS_INPUT", f"{sf_dir}/documents.parquet")
+    monkeypatch.setenv("CORPUS_OUT", out)
+    result = Pipeline.from_yaml("examples/corpus_curation.yaml", spark).run()
+    assert result.status == "success", result.error
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {
+        "doc_id", "chunk_id", "n_tokens", "chunk_text"
+    }
+    assert back.count() == result.rows_written > 0
+    # chunks never exceed the window
+    assert back.agg(F.max("n_tokens")).first()[0] <= 64
+    assert result.validation[0]["status"] == "PASS"
