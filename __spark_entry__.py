@@ -1439,6 +1439,68 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact top-k cosine over int8-quantized vectors (the search half
+    of embedding_quantization): per-vector scales cancel inside the
+    cosine, so scoring is integer-code arithmetic — bit-identical
+    across engines — on a 4x smaller scan."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        quantized_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = quantized_cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id",
+        _r(F.col("qcosine"), 6).alias("qcosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_QANN_ORACLE = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS ma
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id,
+               CASE WHEN ma = 0
+                    THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                    ELSE list_transform(
+                        v, x -> FLOOR(x * 127.0 / ma + 0.5))
+               END AS qv
+        FROM m
+    ),
+    qs AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 5),
+    scored AS (
+        SELECT qs.query_id, q.vec_id,
+               list_dot_product(qs.qqv, q.qv)
+               / (sqrt(list_dot_product(qs.qqv, qs.qqv))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS qcosine
+        FROM q CROSS JOIN qs
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, qcosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qcosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id,
+           FLOOR(qcosine * 1e6 + 0.5) / 1e6 AS qcosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic weighted sampling without replacement
     (Efraimidis-Spirakis exponential keys over the portable id hash):
@@ -3525,6 +3587,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_matches": fuzzy_name_matches,
         "skew_diagnosis": skew_diagnosis,
         "weighted_sample_docs": weighted_sample_docs,
+        "ann_quantized_topk": ann_quantized_topk,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -4848,6 +4911,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_name_matches": _FUZZY_ORACLE,
         "skew_diagnosis": _SKEW_ORACLE,
         "weighted_sample_docs": _WSAMPLE_ORACLE,
+        "ann_quantized_topk": _QANN_ORACLE,
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),

@@ -499,3 +499,49 @@ def random_projection(
         for plane in planes
     ]
     return out.withColumn(out_col, F.array(*comps)).drop("__v")
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine over int8-QUANTIZED vectors — the search
+    half of quantize_embeddings: both sides quantize (4x smaller scan),
+    and because per-vector scales cancel inside the cosine, similarity
+    is integer-code arithmetic end-to-end (sums bounded by
+    dim * 127^2 — exact in doubles, so another engine reproduces every
+    score bit-for-bit before rounding).
+
+    Same plan shape as cosine_topk: broadcast query side, per-query
+    rank window, id tie-break.
+    """
+    cq = quantize_embeddings(corpus, id_col, vec_col, out_col="__q")
+    qq = quantize_embeddings(queries, query_id_col, vec_col, out_col="__q")
+    c = cq.select(
+        F.col(id_col),
+        F.transform("__q", lambda x: x.cast("double")).alias("__cv"),
+    )
+    q = qq.select(
+        F.col(query_id_col),
+        F.transform("__q", lambda x: x.cast("double")).alias("__qv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.try_divide(
+            _dot(F.col("__qv"), F.col("__cv")),
+            _norm(F.col("__qv")) * _norm(F.col("__cv")),
+        ).alias("qcosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qcosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "qcosine", "rank")
+    )

@@ -112,3 +112,27 @@ def test_random_projection_no_shuffle_no_fit(spark):
     out = random_projection(df, out_dim=4, dim=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow projection, zero jobs before it
+
+
+def test_quantized_topk_recall_vs_full_precision(spark):
+    import random as pyrandom
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    rng = pyrandom.Random(11)
+    corpus = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [rng.gauss(0, 1) for _ in range(32)])],
+        "query_id long, embedding array<double>",
+    )
+    full = {r["vec_id"] for r in cosine_topk(corpus, queries, k=10).collect()}
+    quant = {r["vec_id"]
+             for r in quantized_cosine_topk(corpus, queries, k=10).collect()}
+    # int8 quantization preserves most of the top-10 neighborhood
+    assert len(full & quant) >= 8
