@@ -648,6 +648,26 @@ def _op_quantize_embeddings(params: Mapping, ctx) -> OpFn:
     return lambda df: quantize_embeddings(df, idc, vec, out)
 
 
+def _op_checkpoint(params: Mapping, ctx) -> OpFn:
+    """Materialization barrier inside a long op list —
+    `{"type": "checkpoint"}` truncates lineage via localCheckpoint
+    (cluster-memory/disk), `{"type": "checkpoint", "path": p}` writes
+    parquet and re-reads it (durable across job restarts; the pattern
+    iterative flows use so round N+1 plans don't replay rounds 1..N).
+    The only op in the DSL that breaks the single-lazy-plan rule — by
+    design, and only where the config asks for it."""
+    path = params.get("path")
+    eager = bool(params.get("eager", False))
+
+    def fn(df: DataFrame) -> DataFrame:
+        if path:
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        return df.localCheckpoint(eager=eager)
+
+    return fn
+
+
 OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "select": _op_select,
     "filter": _op_filter,
@@ -673,6 +693,7 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "chunk": _op_chunk,
     "zorder": _op_zorder,
     "quantize_embeddings": _op_quantize_embeddings,
+    "checkpoint": _op_checkpoint,
 }
 
 

@@ -504,3 +504,43 @@ def neardup_filter_batch_fn(
         docs.unpersist()
 
     return run_batch
+
+
+def quota_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    cap: int,
+) -> DataFrame:
+    """Per-key admission quota across micro-batches: pass through the
+    first `cap` records seen for each key, drop everything after — the
+    crawl-intake throttle (per-domain/source caps) as a custom stateful
+    operator; the batch twin is functions/sampling.py:cap_per_key.
+
+    State per key is one counter in the Spark state store (partitioned
+    by key, RocksDB-spillable — unbounded key cardinality scales out,
+    no driver state). Admission is arrival-order within the stream,
+    exactly the semantics a live intake wants (batch cap_per_key is the
+    deterministic re-run twin).
+    """
+    import pandas as pd  # noqa: F401  (worker-side dependency)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    out_schema = df.schema
+
+    def admit(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if seen >= cap:
+                break
+            take = min(cap - seen, len(pdf))
+            if take > 0:
+                yield pdf.head(take)
+                seen += take
+        state.update((seen,))
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        admit, out_schema, "seen long", "append",
+        GroupStateTimeout.NoTimeout,
+    )

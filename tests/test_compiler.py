@@ -335,3 +335,29 @@ def test_curation_ops_in_config_pipeline(spark):
                      {"column": "toks", "min": 0, "max": 10}]},
     ])(df)
     assert z.count() == 200 and set(z.columns) == set(df.columns)
+
+
+def test_checkpoint_op_truncates_lineage(spark, tmp_path):
+    from data_pipeline_framework_spark.plans.compiler import compile_ops
+
+    df = spark.range(100).withColumnRenamed("id", "x")
+    # durable path variant: materializes parquet and re-reads
+    p = str(tmp_path / "ckpt")
+    out = compile_ops([
+        {"type": "filter", "condition": "x > 10"},
+        {"type": "checkpoint", "path": p},
+        {"type": "filter", "condition": "x < 50"},
+    ])(df)
+    assert out.count() == 39
+    import os
+    assert any(f.endswith(".parquet") for f in os.listdir(p))
+    # downstream plan reads from the checkpoint, not the original range
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ckpt" in plan and "Range" not in plan
+
+    # local (non-durable) variant also cuts the plan back to a scan
+    out2 = compile_ops([
+        {"type": "checkpoint"},
+        {"type": "filter", "condition": "x % 2 = 0"},
+    ])(df)
+    assert out2.count() == 50

@@ -425,3 +425,24 @@ def test_neardup_filter_stream_against_store(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_out
+
+
+def test_quota_stream_caps_per_key(spark, events, stream_dir):
+    """stateful per-key admission quota: at most `cap` records per
+    user_id survive across all micro-batches."""
+    schema = events.schema
+    sdf = ST.read_stream_files(
+        spark, str(stream_dir / "in"), schema=schema,
+        max_files_per_trigger=1,
+    )
+    capped = ST.quota_stream(sdf, ["user_id"], cap=3)
+    got = _run_to_memory(spark, capped, "t_quota", stream_dir)
+    per_user = {r["user_id"]: r["n"] for r in
+                got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    truth = {r["user_id"]: r["n"] for r in
+             events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert per_user.keys() == truth.keys()
+    for u, n in truth.items():
+        assert per_user[u] == min(3, n), u
