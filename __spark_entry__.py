@@ -1439,6 +1439,60 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def cdc_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """content-defined chunking: boundaries where the rolling 4-token
+    hash hits 0 mod 24, so chunk identity survives insertions (the
+    rsync/CDC trick on token streams — what makes chunk-level dedup
+    work across corpus versions). Keyed windows + one (doc,chunk) agg."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.cdc_chunks(docs, "doc_id", "text", target_len=24, window=4)
+
+
+_CDC_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+              FROM toks)
+    ),
+    hashed AS (
+        SELECT doc_id, pos, tok,
+               CAST(('0x' || substr(md5(lower(tok)), 1, 13)) AS BIGINT)
+                   % 2147483648 AS h
+        FROM pos
+    ),
+    rolled AS (
+        SELECT doc_id, pos, tok,
+               SUM(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   AS rh
+        FROM hashed
+    ),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN pos > 0 AND rh % 24 = 0 THEN 1 ELSE 0 END AS b
+        FROM rolled
+    ),
+    chunked AS (
+        SELECT doc_id, pos, tok,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS chunk_id
+        FROM flagged
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+    FROM chunked GROUP BY doc_id, chunk_id
+"""
+
+
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact top-k cosine over int8-quantized vectors (the search half
     of embedding_quantization): per-vector scales cancel inside the
@@ -3588,6 +3642,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_diagnosis": skew_diagnosis,
         "weighted_sample_docs": weighted_sample_docs,
         "ann_quantized_topk": ann_quantized_topk,
+        "cdc_document_chunks": cdc_document_chunks,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -4912,6 +4967,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_diagnosis": _SKEW_ORACLE,
         "weighted_sample_docs": _WSAMPLE_ORACLE,
         "ann_quantized_topk": _QANN_ORACLE,
+        "cdc_document_chunks": _CDC_ORACLE,
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),

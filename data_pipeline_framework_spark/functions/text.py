@@ -508,3 +508,68 @@ def bigram_logprob(
         F.avg("__lp").alias("avg_logprob"),
         F.min("__lp").alias("min_logprob"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_len: int = 32,
+    window: int = 4,
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall where a rolling
+    hash of the last `window` tokens hits 0 mod `target_len`, so chunk
+    edges are determined by CONTENT, not position — insert a paragraph
+    at the top of a document and every downstream chunk keeps its
+    identity (fixed-stride chunking shifts them all), which is what
+    makes chunk-level dedup/caching work across corpus versions
+    (the rsync/CDC trick applied to token streams). Average chunk
+    length ~= target_len.
+
+    Shape: posexplode -> two windows keyed on the doc id (rolling hash,
+    running boundary count) -> one (doc, chunk) aggregation with an
+    ordered rebuild. All shuffles are keyed by doc id; no UDFs.
+
+    Output: id, chunk_id (0-based), n_tokens, chunk_text.
+    """
+    if target_len <= 1 or window <= 0:
+        raise ValueError("target_len must be > 1 and window > 0")
+    from pyspark.sql.window import Window as W
+
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    base = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    h = F.pmod(hash52(F.lower(F.col("tok"))), F.lit(2 ** 31))
+    wroll = (
+        W.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    rolled = base.withColumn("__rh", F.sum(h).over(wroll))
+    boundary = (
+        (F.col("pos") > 0)
+        & (F.pmod(F.col("__rh"), F.lit(target_len)) == 0)
+    ).cast("int")
+    wcum = (
+        W.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    chunked = rolled.withColumn(
+        "chunk_id", F.sum(boundary).over(wcum).cast("long")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(id_col, "chunk_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                "chunk_text")
+    )

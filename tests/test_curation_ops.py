@@ -414,3 +414,28 @@ def test_weighted_sample_topk_plan(spark):
         .executedPlan().toString()
     # global top-k, not a full sort: TakeOrderedAndProject
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_chunks_shift_invariance_and_coverage(spark):
+    from data_pipeline_framework_spark.functions.text import cdc_chunks
+
+    text = " ".join("tok%d" % ((i * 31) % 97) for i in range(300))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = cdc_chunks(df, "doc_id", "text", target_len=16)
+    rows = out.collect()
+    # chunks tile the doc exactly: token counts sum to the input length
+    assert sum(r["n_tokens"] for r in rows) == 300
+    # reconstruction: concatenating chunks in order rebuilds the doc
+    joined = " ".join(
+        r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_id"])
+    )
+    assert joined == text
+    # content-defined: prepending tokens preserves most chunk identities
+    df2 = spark.createDataFrame(
+        [(1, "AAA BBB CCC " + text)], "doc_id long, text string"
+    )
+    out2 = {r["chunk_text"]
+            for r in cdc_chunks(df2, "doc_id", "text", target_len=16)
+            .collect()}
+    out1 = {r["chunk_text"] for r in rows}
+    assert len(out1 & out2) >= len(out1) - 2  # only the head chunk differs
