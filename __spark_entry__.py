@@ -1439,6 +1439,64 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus-version audit: added/removed/changed/unchanged counts
+    between two snapshots by content fingerprint (one full-outer join).
+    The 'new' snapshot derives in-plan: every 17th doc removed, every
+    13th edited, every 19th cloned under a new id — so the oracle can
+    rebuild it exactly."""
+    from data_pipeline_framework_spark.functions.dedup import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(F.col("doc_id") % 17 != 0)
+    edited = kept.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    new = edited.unionByName(added)
+    out = snapshot_diff(docs, new, "doc_id", "text")
+    return (
+        out.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+_FP_SQL = (
+    "CAST(('0x' || substr(md5(array_to_string("
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),"
+    " ' ')), 1, 13)) AS BIGINT)"
+)
+
+_SNAPDIFF_ORACLE = f"""
+    WITH newsnap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 19 = 0
+    ),
+    fo AS (SELECT doc_id, {_FP_SQL} AS ofp FROM documents),
+    fn AS (SELECT doc_id, {_FP_SQL} AS nfp FROM newsnap),
+    j AS (
+        SELECT COALESCE(fo.doc_id, fn.doc_id) AS doc_id, ofp, nfp
+        FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id
+    )
+    SELECT CASE WHEN ofp IS NULL THEN 'added'
+                WHEN nfp IS NULL THEN 'removed'
+                WHEN ofp <> nfp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n
+    FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 def cdc_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """content-defined chunking: boundaries where the rolling 4-token
     hash hits 0 mod 24, so chunk identity survives insertions (the
@@ -3643,6 +3701,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "ann_quantized_topk": ann_quantized_topk,
         "cdc_document_chunks": cdc_document_chunks,
+        "corpus_snapshot_diff": corpus_snapshot_diff,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -4968,6 +5027,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": _WSAMPLE_ORACLE,
         "ann_quantized_topk": _QANN_ORACLE,
         "cdc_document_chunks": _CDC_ORACLE,
+        "corpus_snapshot_diff": _SNAPDIFF_ORACLE,
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),

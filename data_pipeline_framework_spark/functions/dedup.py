@@ -598,3 +598,40 @@ def duplicate_span_stats(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus-version diff by content fingerprint: classify every doc id
+    as added / removed / changed / unchanged between two snapshots —
+    the audit that gates an incremental re-train (only `added`+`changed`
+    need re-processing; cf. sinks/maintenance.py merge_parquet for the
+    apply side). One full-outer join on the id; fingerprints are the
+    52-bit normalized-content hashes of exact_duplicates.
+
+    Output: id, status, old_fingerprint, new_fingerprint.
+    """
+    from .text import fingerprint
+
+    fo = fingerprint(old.select(id_col, text_col), text_col).select(
+        id_col, F.col("fingerprint").alias("old_fingerprint")
+    )
+    fn = fingerprint(new.select(id_col, text_col), text_col).select(
+        id_col, F.col("fingerprint").alias("new_fingerprint")
+    )
+    j = fo.join(fn, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), "added")
+        .when(F.col("new_fingerprint").isNull(), "removed")
+        .when(F.col("old_fingerprint") != F.col("new_fingerprint"),
+              "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        id_col, status.alias("status"),
+        "old_fingerprint", "new_fingerprint",
+    )

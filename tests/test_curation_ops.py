@@ -439,3 +439,22 @@ def test_cdc_chunks_shift_invariance_and_coverage(spark):
             .collect()}
     out1 = {r["chunk_text"] for r in rows}
     assert len(out1 & out2) >= len(out1) - 2  # only the head chunk differs
+
+
+def test_snapshot_diff_classification(spark):
+    from data_pipeline_framework_spark.functions.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish"),
+         (4, "Same   TEXT")],  # normalization: ws/case-insensitive fp
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (5, "brand new"),
+         (4, "same text")],   # same fingerprint as old despite formatting
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added"}
