@@ -112,6 +112,10 @@ HEADLINE = [
     "random_projection_embeddings",
     "skew_diagnosis",
     "corpus_split_stats",
+    "weighted_sample_docs",
+    "ann_quantized_topk",
+    "cdc_document_chunks",
+    "corpus_snapshot_diff",
 ]
 
 
