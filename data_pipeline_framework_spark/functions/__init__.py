@@ -1,0 +1,48 @@
+"""Corpus-scale function library: dedup, similarity, text analysis,
+sampling, sketches, profiling, decontamination."""
+
+from .dedup import (  # noqa: F401
+    connected_components,
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    snapshot_diff,
+)
+from .sampling import (  # noqa: F401
+    cap_per_key,
+    hash_sample,
+    hash_split,
+    mixture_sample,
+    pack_contexts,
+    pack_shards,
+    stratified_hash_sample,
+    weighted_sample,
+)
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+    quantize_embeddings,
+    quantized_cosine_topk,
+    random_projection,
+)
+from .sketches import (  # noqa: F401
+    cms_lookup,
+    count_min_table,
+    hll_distinct_table,
+    hll_estimate,
+    hll_merge,
+)
+from .text import (  # noqa: F401
+    bigram_logprob,
+    cdc_chunks,
+    chunk_documents,
+    fingerprint,
+    hashed_classifier_score,
+    language_id,
+    quality_score,
+    text_stats,
+    unigram_logprob,
+)
