@@ -52,6 +52,28 @@ def cmd_run(args) -> int:
     return 0 if result.status == "success" else 1
 
 
+def cmd_audit(args) -> int:
+    """Compile a pipeline YAML and report plan scale-audit findings
+    WITHOUT executing it — load + ops build the lazy plan, the advisor
+    greps the physical plan for scale-killers."""
+    from .core import Pipeline
+    from .plans.advisor import audit_plan
+
+    spark = _get_spark()
+    pipeline = Pipeline.from_yaml(args.config, spark)
+    df = pipeline.process(pipeline.load(args.input))
+    findings = audit_plan(df)
+    print(json.dumps({
+        "pipeline": pipeline.config.name,
+        "findings": [
+            {"rule": f.rule, "severity": f.severity, "detail": f.detail}
+            for f in findings
+        ],
+        "ok": not any(f.severity == "fatal" for f in findings),
+    }))
+    return 0 if not any(f.severity == "fatal" for f in findings) else 1
+
+
 def cmd_queue_add(args) -> int:
     from .core.queue import QueueManager
 
@@ -140,6 +162,13 @@ def build_parser() -> argparse.ArgumentParser:
     sch = sub.add_parser("schema", help="schema inference report")
     sch.add_argument("path")
     sch.set_defaults(fn=cmd_schema)
+
+    aud = sub.add_parser(
+        "audit", help="plan scale-audit of a pipeline YAML (no execution)"
+    )
+    aud.add_argument("config")
+    aud.add_argument("--input", default=None)
+    aud.set_defaults(fn=cmd_audit)
     return p
 
 

@@ -131,3 +131,25 @@ def test_next_item_lost_race_retries(tmp_path):
     item = q.next_item()
     assert item is not None and item.id == second
     thief.close()
+
+
+def test_cli_audit_reports_findings(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    import yaml as _yaml
+
+    from data_pipeline_framework_spark.cli import main as cli_main
+
+    doc = {
+        "name": "audit_me",
+        "source": {"type": "parquet"},
+        "input": {"path": f"{sf_dir}/nation.parquet"},
+        "processing": {"operations": [
+            {"type": "filter", "condition": "n_regionkey >= 0"},
+        ]},
+    }
+    p = tmp_path / "a.yaml"
+    p.write_text(_yaml.safe_dump(doc))
+    rc = cli_main(["audit", str(p)])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] is True and out["findings"] == []
