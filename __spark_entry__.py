@@ -1439,6 +1439,124 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-source dataset card: doc count, char mass, mean quality,
+    English share, exact-dup rate — the one-look corpus health
+    dashboard, composed from the language/quality/fingerprint operator
+    families in a single grouped plan."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    lang = TX.language_id(docs, "text").select("doc_id", "lang_pred")
+    qual = TX.quality_score(docs, "text").select("doc_id", "quality")
+    fp = TX.fingerprint(docs.select("doc_id", "text"), "text")
+    dup = fp.withColumn(
+        "is_dup",
+        (F.col("doc_id") != F.min("doc_id").over(
+            Window.partitionBy("fingerprint"))).cast("int"),
+    ).select("doc_id", "is_dup")
+    j = (
+        docs.join(lang, "doc_id").join(qual, "doc_id").join(dup, "doc_id")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            _r(F.avg("quality"), 6).alias("mean_quality"),
+            _r(F.avg((F.col("lang_pred") == "en").cast("int")), 6)
+            .alias("en_share"),
+            _r(F.avg("is_dup"), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _corpus_report_oracle() -> str:
+    from data_pipeline_framework_spark.functions.text import LANG_MARKERS
+
+    marker_sql = {
+        lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_exprs = ",\n                   ".join(
+        f"CASE WHEN len(w) > 0 THEN"
+        f" len(list_filter(w, t -> list_contains({marker_sql[lang]}, t)))"
+        f" / len(w) END AS {lang}_score"
+        for lang in LANG_MARKERS
+    )
+    pred_branches = "\n                        ".join(
+        f"WHEN {lang}_score = best THEN '{lang}'"
+        for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, source, text, {_DD_TOKS} AS w,
+                   length(text) AS nc
+            FROM documents
+        ),
+        fp AS (SELECT doc_id, {_DD_FP} AS f FROM t),
+        dup AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY f)
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM fp
+        ),
+        ls AS (SELECT doc_id, {score_exprs} FROM t),
+        lp AS (
+            SELECT doc_id,
+                   CASE WHEN best IS NULL OR NOT best > 0 THEN 'unknown'
+                        {pred_branches}
+                   END AS lang_pred
+            FROM (
+                SELECT *, greatest(en_score, de_score, fr_score, es_score)
+                       AS best
+                FROM ls
+            )
+        ),
+        qs AS (
+            SELECT doc_id,
+                   0.3 * LEAST(n_words / 100.0, 1.0)
+                 + 0.2 * (CASE WHEN awl BETWEEN 3.0 AND 10.0
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.2 * LEAST(stop * 3, 1.0)
+                 + 0.3 * GREATEST(0.0, 1.0 - punct * 4 - digit * 2) AS q
+            FROM (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       CASE WHEN len(w) > 0 THEN
+                           list_sum(list_transform(w, t -> length(t)))
+                           / len(w)
+                       END AS awl,
+                       CASE WHEN nc > 0 THEN
+                           (nc - length(regexp_replace(text,
+                                '[^\\w\\s]', '', 'g'))) / nc END AS punct,
+                       CASE WHEN nc > 0 THEN
+                           (nc - length(regexp_replace(text,
+                                '[0-9]', '', 'g'))) / nc END AS digit,
+                       CASE WHEN len(w) > 0 THEN
+                           len(list_filter(w, t -> list_contains(
+                               {_stopword_list_sql()}, t)))
+                           / len(w) END AS stop
+                FROM t
+            )
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(nc) AS BIGINT) AS total_chars,
+               FLOOR(AVG(q) * 1e6 + 0.5) / 1e6 AS mean_quality,
+               FLOOR(AVG(CASE WHEN lang_pred = 'en' THEN 1.0 ELSE 0.0 END)
+                     * 1e6 + 0.5) / 1e6 AS en_share,
+               FLOOR(AVG(CAST(is_dup AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS dup_rate
+        FROM t
+        JOIN dup USING (doc_id)
+        JOIN lp USING (doc_id)
+        JOIN qs USING (doc_id)
+        GROUP BY source ORDER BY source
+    """
+
+
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus-version audit: added/removed/changed/unchanged counts
     between two snapshots by content fingerprint (one full-outer join).
@@ -3702,6 +3820,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": ann_quantized_topk,
         "cdc_document_chunks": cdc_document_chunks,
         "corpus_snapshot_diff": corpus_snapshot_diff,
+        "corpus_report": corpus_report,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -5028,6 +5147,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized_topk": _QANN_ORACLE,
         "cdc_document_chunks": _CDC_ORACLE,
         "corpus_snapshot_diff": _SNAPDIFF_ORACLE,
+        "corpus_report": _corpus_report_oracle(),
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),
