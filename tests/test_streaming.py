@@ -446,3 +446,57 @@ def test_quota_stream_caps_per_key(spark, events, stream_dir):
     assert per_user.keys() == truth.keys()
     for u, n in truth.items():
         assert per_user[u] == min(3, n), u
+
+
+def test_quality_scoring_composes_with_streaming_windows(spark, tmp_path):
+    """corpus quality scoring is a pure projection, so it runs unchanged
+    on a stream: score docs on arrival, aggregate mean quality per
+    tumbling window — the live corpus-health monitor."""
+    import datetime as dt
+
+    rows = [
+        (i,
+         dt.datetime(2024, 1, 1, 0, i % 40),
+         ("the quick brown fox jumps over the lazy dog and keeps "
+          "running onward through fields of green grass today") if i % 2
+         else "@@@@ #### 1234 5678 @@@@ ####")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    in_dir = str(tmp_path / "docs_in")
+    df.write.mode("overwrite").parquet(in_dir)
+
+    from data_pipeline_framework_spark.functions.text import quality_score
+
+    sdf = ST.read_stream_files(spark, in_dir, schema=df.schema)
+    scored = quality_score(sdf, "text").select("doc_id", "ts", "quality")
+    agg = (
+        scored.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "20 minutes"))
+        .agg(F.avg("quality").alias("mean_q"),
+             F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "mean_q", "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("t_quality")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_quality").collect()
+    # append mode emits watermark-closed windows; verify against batch
+    want = (
+        quality_score(df, "text")
+        .groupBy(F.window("ts", "20 minutes"))
+        .agg(F.avg("quality").alias("mean_q"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "mean_q", "n")
+    )
+    wmap = {r["ws"]: (round(r["mean_q"], 9), r["n"]) for r in want.collect()}
+    assert got, "no closed windows emitted"
+    for r in got:
+        assert wmap[r["ws"]] == (round(r["mean_q"], 9), r["n"])
+    # good and junk docs must separate: overall mean sits strictly between
+    qs = {r["doc_id"]: r["quality"]
+          for r in quality_score(df, "text").select("doc_id", "quality")
+          .collect()}
+    assert min(qs[i] for i in qs if i % 2) > max(qs[i] for i in qs if not i % 2)
