@@ -1172,7 +1172,13 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = quantize_embeddings(emb)
-    return out.select("vec_id", "q", "scale", "max_abs_err")
+    # codes ship as an int CSV: integer formatting is engine-identical,
+    # and scalar columns keep the harness's value hash array-free
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("q")).alias("q_csv"),
+        "scale", "max_abs_err",
+    )
 
 
 _QUANTIZE_ORACLE = """
@@ -1197,7 +1203,9 @@ _QUANTIZE_ORACLE = """
                CASE WHEN ma = 0 THEN 0.0 ELSE ma / 127.0 END AS scale
         FROM m
     )
-    SELECT vec_id, q, scale,
+    SELECT vec_id,
+           array_to_string(q, ',') AS q_csv,
+           scale,
            list_max(list_transform(
                range(1, len(v) + 1),
                i -> abs(v[i] - q[i] * scale))) AS max_abs_err
@@ -1855,10 +1863,14 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = random_projection(emb, out_dim=8, seed=7, dim=64)
-    rounded = F.transform(
-        F.col("proj"), lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6
+    # one scalar column per projected dim (array-free for the harness)
+    return out.select(
+        "vec_id",
+        *[
+            _r(F.element_at("proj", i + 1), 6).alias(f"p{i}")
+            for i in range(8)
+        ],
     )
-    return out.select("vec_id", rounded.alias("proj"))
 
 
 def _random_projection_oracle(out_dim: int = 8, seed: int = 7,
@@ -1872,8 +1884,8 @@ def _random_projection_oracle(out_dim: int = 8, seed: int = 7,
     comps = ",\n               ".join(
         "FLOOR(list_dot_product(v, ["
         + ", ".join(repr(float(x)) for x in plane)
-        + f"]) * {scale!r} * 1e6 + 0.5) / 1e6"
-        for plane in planes
+        + f"]) * {scale!r} * 1e6 + 0.5) / 1e6 AS p{i}"
+        for i, plane in enumerate(planes)
     )
     return f"""
         WITH v AS (
@@ -1882,7 +1894,7 @@ def _random_projection_oracle(out_dim: int = 8, seed: int = 7,
             FROM embeddings
         )
         SELECT vec_id,
-               [{comps}] AS proj
+               {comps}
         FROM v
     """
 
