@@ -1718,13 +1718,18 @@ _QANN_ORACLE = """
                END AS qv
         FROM m
     ),
-    qs AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 5),
+    qnz AS (
+        SELECT vec_id, qv FROM q
+        WHERE list_max(list_transform(qv, x -> abs(x))) > 0
+    ),
+    qs AS (SELECT vec_id AS query_id, qv AS qqv
+           FROM qnz WHERE vec_id < 5),
     scored AS (
         SELECT qs.query_id, q.vec_id,
                list_dot_product(qs.qqv, q.qv)
                / (sqrt(list_dot_product(qs.qqv, qs.qqv))
                   * sqrt(list_dot_product(q.qv, q.qv))) AS qcosine
-        FROM q CROSS JOIN qs
+        FROM qnz q CROSS JOIN qs
     ),
     ranked AS (
         SELECT query_id, vec_id, qcosine,

@@ -521,14 +521,16 @@ def quantized_cosine_topk(
     """
     cq = quantize_embeddings(corpus, id_col, vec_col, out_col="__q")
     qq = quantize_embeddings(queries, query_id_col, vec_col, out_col="__q")
+    # zero vectors have no direction: drop them on both sides rather
+    # than ranking NULL cosines (engines disagree on NULL sort order)
     c = cq.select(
         F.col(id_col),
         F.transform("__q", lambda x: x.cast("double")).alias("__cv"),
-    )
+    ).filter(F.array_max(F.transform("__cv", F.abs)) > 0)
     q = qq.select(
         F.col(query_id_col),
         F.transform("__q", lambda x: x.cast("double")).alias("__qv"),
-    )
+    ).filter(F.array_max(F.transform("__qv", F.abs)) > 0)
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
