@@ -1447,6 +1447,41 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-doc novelty: fraction of the doc's distinct trigram shingles
+    occurring in no other document — boilerplate/copy detection cheap
+    enough for every doc (no candidate generation)."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.ngram_novelty(docs, "doc_id", "text", n=3)
+    return out.select(
+        "doc_id", "n_grams", "novel_grams",
+        _r(F.col("novelty"), 6).alias("novelty"),
+    )
+
+
+def _novelty_oracle() -> str:
+    # deferred: _DD_TOKS/_DD_SHINGLES are defined later in the module
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {_DD_TOKS} AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({_DD_SHINGLES}) AS g FROM t
+    ),
+    dfreq AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_grams,
+           FLOOR(SUM(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END) / COUNT(*)
+                 * 1e6 + 0.5) / 1e6 AS novelty
+    FROM sh JOIN dfreq USING (g)
+    GROUP BY doc_id
+"""
+
+
 def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-source dataset card: doc count, char mass, mean quality,
     English share, exact-dup rate — the one-look corpus health
@@ -3838,6 +3873,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_document_chunks": cdc_document_chunks,
         "corpus_snapshot_diff": corpus_snapshot_diff,
         "corpus_report": corpus_report,
+        "ngram_novelty_scores": ngram_novelty_scores,
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
@@ -5165,6 +5201,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_document_chunks": _CDC_ORACLE,
         "corpus_snapshot_diff": _SNAPDIFF_ORACLE,
         "corpus_report": _corpus_report_oracle(),
+        "ngram_novelty_scores": _novelty_oracle(),
         "tfidf_vectors": _tfidf_oracle(),
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),

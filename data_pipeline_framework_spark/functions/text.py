@@ -573,3 +573,36 @@ def cdc_chunks(
                 F.col("n_tokens").cast("long").alias("n_tokens"),
                 "chunk_text")
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's distinct word
+    n-gram shingles that occur in NO other document — high novelty
+    marks genuinely fresh text, low novelty marks boilerplate and
+    near-copies (the corpus-level complement of pairwise near-dup:
+    cheap enough to score every doc, no candidate generation).
+
+    Shape: the dedup pipeline's shingle machinery -> explode -> one
+    document-frequency agg on the gram hash -> join back -> per-doc
+    agg. Same two shuffle keys as tfidf_doc_stats.
+
+    Output: id, n_grams, novel_grams, novelty.
+    """
+    from .dedup import shingled_docs
+
+    sh = shingled_docs(df.select(id_col, text_col), id_col, text_col, n)
+    grams = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
+    dfreq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(dfreq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty", F.col("novel_grams") / F.col("n_grams")
+        )
+    )

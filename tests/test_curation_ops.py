@@ -458,3 +458,18 @@ def test_snapshot_diff_classification(spark):
            for r in snapshot_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "unchanged", 5: "added"}
+
+
+def test_ngram_novelty_hand_checked(spark):
+    from data_pipeline_framework_spark.functions.text import ngram_novelty
+
+    # docs 1+2 are identical (all shared trigrams); doc 3 is unique
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r
+           for r in ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    assert got[1]["n_grams"] == 3 and got[1]["novelty"] == 0.0
+    assert got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0 and got[3]["novel_grams"] == 3
