@@ -346,3 +346,88 @@ def test_asof_join_matches_duckdb(spark, lrows, rrows, direction):
     ).df()
     con.close()
     assert _canon(got) == _canon(want)
+
+
+# ---- chunking / packing vs pure-Python references -------------------------
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "zz"]),
+        min_size=0, max_size=40,
+    ).map(" ".join),
+    min_size=1, max_size=6,
+)
+_win_stride = st.tuples(st.integers(2, 8), st.integers(1, 8))
+
+
+def _py_chunks(text: str, window: int, stride: int):
+    toks = [t for t in text.split() if t]
+    if not toks:
+        return []
+    n = len(toks)
+    n_chunks = 1 if n <= window else -((n - window) // -stride) + 1
+    out = []
+    for c in range(n_chunks):
+        piece = toks[c * stride:c * stride + window]
+        out.append((c, len(piece), " ".join(piece)))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_doc_texts, ws=_win_stride)
+def test_chunk_documents_matches_python_reference(spark, texts, ws):
+    from data_pipeline_framework_spark.functions.text import chunk_documents
+
+    window, stride = ws
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, "doc_id", "text", window, stride)
+        .collect()
+    )
+    want = sorted(
+        (i, c, n, t)
+        for i, text in enumerate(texts)
+        for c, n, t in _py_chunks(text, window, stride)
+    )
+    assert got == want
+
+
+def _py_pack(texts: list[str], L: int):
+    out = []
+    start = 0
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            continue
+        n = len(toks)
+        for ctx in range(start // L, (start + n - 1) // L + 1):
+            lo = max(ctx * L - start, 0)
+            hi = min((ctx + 1) * L - start, n)
+            out.append((ctx, i, max(start - ctx * L, 0), hi - lo,
+                        " ".join(toks[lo:hi])))
+        start += n
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_doc_texts, L=st.integers(2, 16))
+def test_pack_contexts_matches_python_reference(spark, texts, L):
+    from data_pipeline_framework_spark.functions.sampling import (
+        pack_contexts,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["context_id"], r["doc_id"], r["ctx_offset"], r["n_tokens"],
+         r["piece_text"])
+        for r in pack_contexts(df, "doc_id", "text", context_len=L)
+        .collect()
+    )
+    assert got == sorted(_py_pack(texts, L))
