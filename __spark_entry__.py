@@ -1658,6 +1658,107 @@ _SNAPDIFF_ORACLE = f"""
 """
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """product-quantization ANN (Jegou-style ADC): the corpus scans as
+    m=8 3-bit codes (64x smaller than float32) and each query reads its
+    precomputed subspace distance tables — approximate L2 top-10 with
+    seeded codebooks, bit-identical across engines."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_codebooks(64, m=8, k=8, seed=5)
+    out = pq_topk(emb, queries, books, k=10)
+    return out.select(
+        "query_id", "vec_id",
+        _r(F.col("approx_dist"), 6).alias("approx_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _pq_oracle(m: int = 8, k: int = 8, dim: int = 64, seed: int = 5) -> str:
+    """DuckDB twin of ann_pq_topk: same codebooks, same argmin encode,
+    same ADC sum — generated with identical left-assoc term order so
+    every double matches bit-for-bit."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(dim, m, k, seed)
+    sub = dim // m
+
+    def dist(vexpr: str, j: int, cent: list[float]) -> str:
+        return " + ".join(
+            f"({vexpr}[{j * sub + d + 1}] - {float(c)!r})"
+            f" * ({vexpr}[{j * sub + d + 1}] - {float(c)!r})"
+            for d, c in enumerate(cent)
+        )
+
+    dcols = ",\n               ".join(
+        f"({dist('v', j, cent)}) AS d_{j}_{t}"
+        for j, book in enumerate(books)
+        for t, cent in enumerate(book)
+    )
+    codes = []
+    for j in range(m):
+        whens = []
+        for i in range(k - 1):
+            cond = " AND ".join(
+                f"d_{j}_{i} <= d_{j}_{t}" for t in range(i + 1, k)
+            )
+            whens.append(f"WHEN {cond} THEN {i}")
+        codes.append(
+            "CASE " + " ".join(whens) + f" ELSE {k - 1} END AS code_{j}"
+        )
+    code_cols = ",\n               ".join(codes)
+    terms = []
+    for j, book in enumerate(books):
+        branches = " ".join(
+            f"WHEN {t} THEN ({dist('qs.qv', j, cent)})"
+            for t, cent in enumerate(book)
+        )
+        terms.append(f"(CASE enc.code_{j} {branches} END)")
+    approx = " + ".join(terms)
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        dists AS (
+            SELECT vec_id, v,
+               {dcols}
+            FROM v
+        ),
+        enc AS (
+            SELECT vec_id,
+               {code_cols}
+            FROM dists
+        ),
+        qs AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 3),
+        scored AS (
+            SELECT qs.query_id, enc.vec_id,
+                   {approx} AS approx_dist
+            FROM enc CROSS JOIN qs
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, approx_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dist, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id,
+               FLOOR(approx_dist * 1e6 + 0.5) / 1e6 AS approx_dist,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10
+    """
+
+
 def cdc_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """content-defined chunking: boundaries where the rolling 4-token
     hash hits 0 mod 24, so chunk identity survives insertions (the
@@ -3871,6 +3972,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "ann_quantized_topk": ann_quantized_topk,
         "cdc_document_chunks": cdc_document_chunks,
+        "ann_pq_topk": ann_pq_topk,
         "corpus_snapshot_diff": corpus_snapshot_diff,
         "corpus_report": corpus_report,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -5199,6 +5301,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": _WSAMPLE_ORACLE,
         "ann_quantized_topk": _QANN_ORACLE,
         "cdc_document_chunks": _CDC_ORACLE,
+        "ann_pq_topk": _pq_oracle(),
         "corpus_snapshot_diff": _SNAPDIFF_ORACLE,
         "corpus_report": _corpus_report_oracle(),
         "ngram_novelty_scores": _novelty_oracle(),
