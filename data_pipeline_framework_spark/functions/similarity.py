@@ -660,3 +660,30 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "approx_dist", "rank")
     )
+
+
+def train_pq_codebooks(
+    sample: list[list[float]],
+    m: int = 8,
+    k: int = 8,
+    seed: int = 5,
+    n_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on a bounded driver-side sample (the FAISS
+    recipe: ~O(256*k) vectors suffice): per-subspace seeded k-means via
+    the same _kmeans_numpy kernel as the IVF index. Returns the same
+    shape pq_encode/pq_topk consume, so swapping data-independent
+    codebooks for trained ones is a parameter change — recall
+    improvement is measured in tests/test_quantize_orc.py."""
+    if not sample:
+        raise ValueError("empty training sample")
+    dim = len(sample[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        subvecs = [v[j * sub:(j + 1) * sub] for v in sample]
+        centers = _kmeans_numpy(subvecs, k, seed + j, n_iter)
+        books.append([[float(x) for x in c] for c in centers])
+    return books

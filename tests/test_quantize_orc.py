@@ -173,3 +173,44 @@ def test_pq_topk_approximates_exact_l2(spark):
     enc = pq_encode(corpus, books)
     codes = enc.select("pq_code").first()[0]
     assert len(codes) == 4 and all(0 <= c < 8 for c in codes)
+
+
+def test_trained_pq_codebooks_beat_fixed(spark):
+    import random as pyrandom
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        pq_codebooks,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = pyrandom.Random(33)
+    # off-center data: fixed zero-mean codebooks quantize it terribly,
+    # trained codebooks move to the data (observed 3 -> 10 overlap)
+    rows = [
+        (i, [5.0 + rng.gauss(0, 1) for _ in range(16)])
+        for i in range(250)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        rows[:1], "query_id long, embedding array<double>"
+    )
+    q = rows[0][1]
+    exact = sorted(
+        rows, key=lambda r: sum((a - b) ** 2 for a, b in zip(r[1], q))
+    )
+    top_exact = {r[0] for r in exact[:25]}
+
+    def overlap(books):
+        got = {r["vec_id"]
+               for r in pq_topk(corpus, queries, books, k=25).collect()}
+        return len(got & top_exact)
+
+    fixed = overlap(pq_codebooks(16, m=4, k=8, seed=5))
+    trained = overlap(
+        train_pq_codebooks([r[1] for r in rows[:200]], m=4, k=8, seed=5)
+    )
+    assert trained > fixed
+    assert trained >= 8
