@@ -45,6 +45,7 @@ _BNL_OK = {
     "bigram_logprob_scores",  # broadcast 1-row vocabulary size
     "skew_diagnosis",         # broadcast 1-row total for the share ratio
     "ann_quantized_topk",     # broadcast query side, small by construction
+    "ann_pq_topk",            # broadcast query side, small by construction
 }
 
 # queries whose operators legitimately run vectorized Python
