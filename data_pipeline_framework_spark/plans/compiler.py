@@ -648,6 +648,31 @@ def _op_quantize_embeddings(params: Mapping, ctx) -> OpFn:
     return lambda df: quantize_embeddings(df, idc, vec, out)
 
 
+def _op_cap_per_key(params: Mapping, ctx) -> OpFn:
+    """Per-key row quota (skew-proof two-stage top-k) —
+    `{"type": "cap_per_key", "keys": [...], "cap": N, "id_column": c,
+    "order_column": c?}`."""
+    from ..functions.sampling import cap_per_key
+
+    keys = _listify(params["keys"])
+    cap = int(params["cap"])
+    idc = params["id_column"]
+    order = params.get("order_column")
+    return lambda df: cap_per_key(df, keys, cap, idc, order)
+
+
+def _op_weighted_sample(params: Mapping, ctx) -> OpFn:
+    """Deterministic weighted top-k sample —
+    `{"type": "weighted_sample", "id_column": c, "weight_column": w,
+    "k": N}`."""
+    from ..functions.sampling import weighted_sample
+
+    return lambda df: weighted_sample(
+        df, params["id_column"], params["weight_column"],
+        int(params["k"]), str(params.get("seed", "wsamp")),
+    )
+
+
 def _op_checkpoint(params: Mapping, ctx) -> OpFn:
     """Materialization barrier inside a long op list —
     `{"type": "checkpoint"}` truncates lineage via localCheckpoint
@@ -694,6 +719,8 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "zorder": _op_zorder,
     "quantize_embeddings": _op_quantize_embeddings,
     "checkpoint": _op_checkpoint,
+    "cap_per_key": _op_cap_per_key,
+    "weighted_sample": _op_weighted_sample,
 }
 
 

@@ -361,3 +361,26 @@ def test_checkpoint_op_truncates_lineage(spark, tmp_path):
         {"type": "filter", "condition": "x % 2 = 0"},
     ])(df)
     assert out2.count() == 50
+
+
+def test_cap_and_weighted_sample_ops(spark):
+    from data_pipeline_framework_spark.plans.compiler import compile_ops
+
+    df = spark.createDataFrame(
+        [(i, "dom%d" % (i % 3), float(1 + i % 5)) for i in range(90)],
+        "doc_id long, domain string, w double",
+    )
+    capped = compile_ops([
+        {"type": "cap_per_key", "keys": ["domain"], "cap": 7,
+         "id_column": "doc_id"},
+    ])(df)
+    per = {r["domain"]: r["n"] for r in
+           capped.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    assert all(n == 7 for n in per.values())
+
+    sampled = compile_ops([
+        {"type": "weighted_sample", "id_column": "doc_id",
+         "weight_column": "w", "k": 20},
+    ])(df)
+    assert sampled.count() == 20

@@ -112,3 +112,56 @@ def test_hll_sketch_merge_equals_direct_and_accuracy(spark):
              .agg(F.countDistinct("user").alias("n")).collect()}
     for k in exact:
         assert abs(m[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_count_min_composes_with_streaming_windows(spark, tmp_path):
+    """the CMS build is explode + groupBy agg, so it runs per event-time
+    window on a stream — bounded sketch state per window, replay matches
+    the batch sketch of the same window exactly."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, (i * 7) % 50),
+         ["tok%d" % (i % 5), "tok%d" % ((i * 3) % 5)][i % 2])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, tok string")
+    in_dir = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(in_dir)
+
+    from data_pipeline_framework_spark.functions.sketches import cms_bucket
+
+    def windowed_cms(src):
+        probes = src.select(
+            "ts",
+            F.explode(F.array(*[
+                F.struct(F.lit(r).alias("sketch_row"),
+                         cms_bucket("tok", r, 64).alias("bucket"))
+                for r in range(3)
+            ])).alias("p"),
+        ).select("ts", "p.sketch_row", "p.bucket")
+        return probes.groupBy(
+            F.window("ts", "20 minutes"), "sketch_row", "bucket"
+        ).agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.col("window.start").alias("ws"), "sketch_row", "bucket", "cnt"
+        )
+
+    sdf = (
+        spark.readStream.schema(df.schema).parquet(in_dir)
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        windowed_cms(sdf).writeStream.format("memory")
+        .queryName("t_cms_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["ws"], r["sketch_row"], r["bucket"]): r["cnt"]
+           for r in spark.table("t_cms_stream").collect()}
+    assert got, "no closed windows emitted"
+    want = {(r["ws"], r["sketch_row"], r["bucket"]): r["cnt"]
+            for r in windowed_cms(df).collect()}
+    # every emitted (window, cell) matches the batch sketch exactly
+    for key, cnt in got.items():
+        assert want[key] == cnt
