@@ -24,9 +24,13 @@ from .similarity import (  # noqa: F401
     embedding_neardup_pairs,
     ivf_topk,
     lsh_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
     quantize_embeddings,
     quantized_cosine_topk,
     random_projection,
+    train_pq_codebooks,
 )
 from .sketches import (  # noqa: F401
     cms_lookup,
@@ -37,6 +41,7 @@ from .sketches import (  # noqa: F401
 )
 from .text import (  # noqa: F401
     bigram_logprob,
+    ngram_novelty,
     cdc_chunks,
     chunk_documents,
     fingerprint,
