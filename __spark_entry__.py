@@ -1963,6 +1963,7 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         dirty, cust, "dirty_name", "c_name", max_distance=1,
         blocks=[(block_key_suffix("dirty_name", 6),
                  block_key_suffix("c_name", 6))],
+        left_id="dirty_id", right_id="c_custkey",
     )
     return out.select(
         "dirty_id", F.col("c_custkey").alias("matched_id"),

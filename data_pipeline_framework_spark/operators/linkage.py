@@ -45,6 +45,8 @@ def fuzzy_join(
     max_distance: int = 1,
     blocks: list[tuple[Column, Column]] | None = None,
     out_col: str = "edit_distance",
+    left_id: str | None = None,
+    right_id: str | None = None,
 ) -> DataFrame:
     """Blocked fuzzy inner join: candidate pairs share at least one
     block key; pairs with levenshtein(left_col, right_col) <=
@@ -82,10 +84,19 @@ def fuzzy_join(
 
     lk = keyed(left, [le for le, _ in blocks])
     rk = keyed(right, [re for _, re in blocks])
+    # a pair matching on several block keys appears once: dedup on the
+    # row identities when given (cheap narrow keys), else on the full
+    # row — pass left_id/right_id at scale so the dedup shuffle hashes
+    # two ids instead of wide string payloads
+    dedup_keys = (
+        [left_id, right_id]
+        if left_id and right_id
+        else list(left.columns) + list(right.columns)
+    )
     cand = (
         lk.join(rk, ["__blk", "__key"])
         .drop("__blk", "__key")
-        .dropDuplicates(list(left.columns) + list(right.columns))
+        .dropDuplicates(dedup_keys)
     )
     dist = F.levenshtein(_norm(F.col(left_col)), _norm(F.col(right_col)))
     return cand.withColumn(out_col, dist).filter(
