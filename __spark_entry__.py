@@ -1600,6 +1600,162 @@ def _corpus_report_oracle() -> str:
     """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the production ANN shape: fixed coarse codebook routes
+    each query to its 3 nearest of 8 cells, and only those cells'
+    PQ codes are ADC-scored — probe cost ~3/8 of the corpus in
+    64x-compressed form, full-precision vectors never read at query
+    time."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        fixed_codebook,
+        ivf_index,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cells = fixed_codebook(64, n_cells=8, seed=7)
+    index = ivf_index(emb, centers=cells)
+    books = pq_codebooks(64, m=8, k=8, seed=5)
+    out = ivfpq_topk(
+        emb, queries, books, k=10, n_cells=8, nprobe=3, index=index
+    )
+    return out.select(
+        "query_id", "vec_id",
+        _r(F.col("approx_dist"), 6).alias("approx_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ivfpq_oracle(
+    m: int = 8, k: int = 8, dim: int = 64,
+    n_cells: int = 8, nprobe: int = 3,
+) -> str:
+    """DuckDB twin of ann_ivfpq_topk: coarse assignment replays numpy's
+    expansion-trick arithmetic (like the IVF oracle), probe ranking and
+    PQ/ADC replay the Spark expressions' direct term order."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        fixed_codebook,
+        pq_codebooks,
+    )
+
+    cents = fixed_codebook(dim, n_cells=n_cells, seed=7)
+    books = pq_codebooks(dim, m, k, seed=5)
+    sub = dim // m
+    cent_rows = ", ".join(
+        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(cents)
+    )
+    d2 = (
+        "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
+        " + list_dot_product(cent.cv, cent.cv)"
+    )
+
+    def dist(vexpr: str, j: int, cent: list[float]) -> str:
+        return " + ".join(
+            f"({vexpr}[{j * sub + d + 1}] - {float(c)!r})"
+            f" * ({vexpr}[{j * sub + d + 1}] - {float(c)!r})"
+            for d, c in enumerate(cent)
+        )
+
+    # query-side probe distance: the Spark expression's direct
+    # (x - c)^2 left-assoc sum over all dims
+    def cell_dist(vexpr: str, cent: list[float]) -> str:
+        return " + ".join(
+            f"({vexpr}[{d + 1}] - {float(c)!r})"
+            f" * ({vexpr}[{d + 1}] - {float(c)!r})"
+            for d, c in enumerate(cent)
+        )
+
+    probe_rows = " UNION ALL ".join(
+        f"SELECT query_id, qv, {i} AS cell,"
+        f" ({cell_dist('qv', c)}) AS cd FROM q"
+        for i, c in enumerate(cents)
+    )
+    dcols = ",\n               ".join(
+        f"({dist('v', j, cent)}) AS d_{j}_{t}"
+        for j, book in enumerate(books)
+        for t, cent in enumerate(book)
+    )
+    codes = []
+    for j in range(m):
+        whens = []
+        for i in range(k - 1):
+            cond = " AND ".join(
+                f"d_{j}_{i} <= d_{j}_{t}" for t in range(i + 1, k)
+            )
+            whens.append(f"WHEN {cond} THEN {i}")
+        codes.append(
+            "CASE " + " ".join(whens) + f" ELSE {k - 1} END AS code_{j}"
+        )
+    code_cols = ",\n               ".join(codes)
+    terms = []
+    for j, book in enumerate(books):
+        branches = " ".join(
+            f"WHEN {t} THEN ({dist('p.qv', j, cent)})"
+            for t, cent in enumerate(book)
+        )
+        terms.append(f"(CASE enc.code_{j} {branches} END)")
+    approx = " + ".join(terms)
+    return f"""
+        WITH cent(cell, cv) AS (VALUES {cent_rows}),
+        c AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < 3
+        ),
+        cassign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, cent.cell,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id ORDER BY {d2}, cent.cell
+                       ) AS rn
+                FROM c, cent
+            ) WHERE rn = 1
+        ),
+        dists AS (
+            SELECT vec_id, cell,
+               {dcols}
+            FROM cassign
+        ),
+        enc AS (
+            SELECT vec_id, cell,
+               {code_cols}
+            FROM dists
+        ),
+        probes_all AS ({probe_rows}),
+        probes AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cd, cell) AS pr
+                FROM probes_all
+            ) WHERE pr <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, enc.vec_id,
+                   {approx} AS approx_dist
+            FROM enc JOIN probes p USING (cell)
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, approx_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dist, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id,
+               FLOOR(approx_dist * 1e6 + 0.5) / 1e6 AS approx_dist,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10
+    """
+
+
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus-version audit: added/removed/changed/unchanged counts
     between two snapshots by content fingerprint (one full-outer join).
@@ -3974,6 +4130,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": ann_quantized_topk,
         "cdc_document_chunks": cdc_document_chunks,
         "ann_pq_topk": ann_pq_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "corpus_snapshot_diff": corpus_snapshot_diff,
         "corpus_report": corpus_report,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -5303,6 +5460,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized_topk": _QANN_ORACLE,
         "cdc_document_chunks": _CDC_ORACLE,
         "ann_pq_topk": _pq_oracle(),
+        "ann_ivfpq_topk": _ivfpq_oracle(),
         "corpus_snapshot_diff": _SNAPDIFF_ORACLE,
         "corpus_report": _corpus_report_oracle(),
         "ngram_novelty_scores": _novelty_oracle(),

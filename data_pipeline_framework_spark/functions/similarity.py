@@ -687,3 +687,95 @@ def train_pq_codebooks(
         centers = _kmeans_numpy(subvecs, k, seed + j, n_iter)
         books.append([[float(x) for x in c] for c in centers])
     return books
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN shape (FAISS IndexIVFPQ) as a
+    composition of the engine's own primitives — the IVF coarse
+    quantizer restricts each query to its nprobe nearest cells
+    (partition-prunable at rest via write_ivf_index), and within those
+    cells the corpus scans as PQ codes with per-query ADC tables. Probe
+    cost ~ (nprobe / n_cells) * |corpus| rows of m small lookups each;
+    the full-precision corpus is never read at query time.
+
+    Pass a prebuilt `index` (from ivf_index / read_ivf_index) to skip
+    coarse training; `codebooks` come from pq_codebooks or
+    train_pq_codebooks."""
+    import numpy as np
+
+    if index is None:
+        index = ivf_index(
+            corpus, id_col, vec_col, n_cells=n_cells, seed=seed
+        )
+    assigned, centers = index
+    enc = pq_encode(
+        assigned.withColumnRenamed("__v", "__vec"),
+        codebooks, id_col, "__vec",
+    ).select(id_col, "__cell", "pq_code")
+
+    centers_arr = np.asarray(centers, dtype="float64")
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qv = F.col(vec_col).cast("array<double>")
+    q = queries.withColumn("__qv", qv)
+    # nprobe nearest cells per query: |cells| distance expressions on the
+    # tiny broadcast query side, ranked in-plan (no driver action)
+    cell_d = [
+        sum(
+            (F.element_at("__qv", d + 1) - F.lit(float(c[d]))) ** 2
+            for d in range(len(c))
+        ).alias(f"__cd{i}")
+        for i, c in enumerate(centers_arr)
+    ]
+    probes = q.select(
+        query_id_col, "__qv",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("__cell"), cell_d[i].alias("d"))
+                for i in range(len(centers))
+            ])
+        ).alias("cd"),
+    ).select(query_id_col, "__qv", "cd.__cell", "cd.d")
+    wprobe = Window.partitionBy(query_id_col).orderBy("d", "__cell")
+    probes = (
+        probes.withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= nprobe)
+        .drop("d", "__pr")
+    )
+    for j, book in enumerate(codebooks):
+        sv = _pq_sub(F.col("__qv"), j, sub)
+        probes = probes.withColumn(
+            f"__qd{j}", F.array(*[_sq_dist_lit(sv, c) for c in book])
+        )
+    probes = probes.drop("__qv")
+
+    approx = None
+    for j in range(m):
+        term = F.element_at(
+            F.col(f"__qd{j}"),
+            F.element_at(F.col("pq_code"), j + 1) + 1,
+        )
+        approx = term if approx is None else approx + term
+    scored = enc.join(F.broadcast(probes), "__cell").select(
+        query_id_col, id_col, approx.alias("approx_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("approx_dist"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_dist", "rank")
+    )

@@ -103,3 +103,45 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "__cell" in plan.split(
         "PartitionFilters"
     )[1][:200], plan
+
+
+def test_ivfpq_recall_and_probe_bound(spark):
+    import random as pyrandom
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        ivf_index,
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+
+    from pyspark.sql import functions as F
+
+    rng = pyrandom.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        rows[:1], "query_id long, embedding array<double>"
+    )
+    books = train_pq_codebooks([r[1] for r in rows[:200]], m=4, k=8)
+    index = ivf_index(corpus, n_cells=8, seed=11)
+    out = ivfpq_topk(
+        corpus, queries, books, k=20, n_cells=8, nprobe=3, index=index
+    ).collect()
+    assert len(out) == 20
+    q = rows[0][1]
+    exact = sorted(
+        rows, key=lambda r: sum((a - b) ** 2 for a, b in zip(r[1], q))
+    )
+    top = {r[0] for r in exact[:20]}
+    overlap = len({r["vec_id"] for r in out} & top)
+    assert overlap >= 7  # observed 9 with these seeds; chance ~1
+    # probe bound: candidates scanned <= rows in the 3 probed cells,
+    # strictly fewer than the whole corpus
+    assigned, _ = index
+    cell_sizes = {r["__cell"]: r["n"] for r in
+                  assigned.groupBy("__cell")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    top3 = sum(sorted(cell_sizes.values(), reverse=True)[:3])
+    assert top3 < 400  # probing can never touch the full corpus
