@@ -59,6 +59,7 @@ _ARROW_OK = {
     "tfidf_vectors",
     "changepoints",
     "ann_ivf_topk",   # Arrow-batched cell assignment
+    "ann_ivfpq_topk",  # Arrow-batched cell assignment (IVF coarse stage)
     "ewm_smoothing",  # sequential recurrence, applyInPandas per series
 }
 
