@@ -54,14 +54,27 @@ def cmd_run(args) -> int:
 
 def cmd_audit(args) -> int:
     """Compile a pipeline YAML and report plan scale-audit findings
-    WITHOUT executing it — load + ops build the lazy plan, the advisor
-    greps the physical plan for scale-killers."""
+    without writing any output. Side-effecting ops (`checkpoint` with a
+    path) are stripped before compiling so the audit never mutates
+    storage; ops that derive literals from bounded aggregates
+    (e.g. mixture_sample's per-source totals) still run those bounded
+    jobs — that is plan construction, not pipeline execution."""
     from .core import Pipeline
     from .plans.advisor import audit_plan
+    from .plans.compiler import compile_ops
 
     spark = _get_spark()
     pipeline = Pipeline.from_yaml(args.config, spark)
-    df = pipeline.process(pipeline.load(args.input))
+    safe_ops = [
+        op for op in pipeline.config.operations
+        if op.get("type") != "checkpoint"
+    ]
+    def resolve(name: str):
+        if name in pipeline.tables:
+            return pipeline.tables[name]
+        return spark.table(name)
+
+    df = compile_ops(safe_ops, resolve)(pipeline.load(args.input))
     findings = audit_plan(df)
     print(json.dumps({
         "pipeline": pipeline.config.name,

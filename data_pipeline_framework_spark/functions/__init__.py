@@ -23,6 +23,7 @@ from .similarity import (  # noqa: F401
     cosine_topk,
     embedding_neardup_pairs,
     ivf_topk,
+    ivfpq_topk,
     lsh_topk,
     pq_codebooks,
     pq_encode,

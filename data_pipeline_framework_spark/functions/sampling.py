@@ -170,13 +170,16 @@ def pack_contexts(
         raise ValueError("context_len must be positive")
     L = int(context_len)
     toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
-    keep = ([partition_col] if partition_col else [])
+    keep = [partition_col] if partition_col else []
+    # the ordering column must survive the projection for the window
+    order_by = order_col or id_col
+    extra = [order_by] if order_by not in (id_col, *keep) else []
     base = df.select(
-        *keep, F.col(id_col), toks.alias("__tk")
+        *keep, *extra, F.col(id_col), toks.alias("__tk")
     ).withColumn("__n", F.size("__tk")).filter(F.col("__n") > 0)
-    w = Window.orderBy(order_col or id_col)
+    w = Window.orderBy(order_by)
     if partition_col:
-        w = Window.partitionBy(partition_col).orderBy(order_col or id_col)
+        w = Window.partitionBy(partition_col).orderBy(order_by)
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base = base.withColumn(
         "__start", (F.sum("__n").over(w) - F.col("__n")).cast("long")

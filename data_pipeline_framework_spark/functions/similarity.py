@@ -486,7 +486,13 @@ def random_projection(
     Pass ``dim`` (input width) to keep plan construction fully lazy;
     without it a bounded one-row probe reads the width."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "cannot infer embedding width from an empty DataFrame; "
+                "pass dim= explicitly"
+            )
+        dim = len(probe[0])
     planes = hyperplanes(dim, out_dim, seed)
     scale = 1.0 / (out_dim ** 0.5)
     v = F.col("__v")

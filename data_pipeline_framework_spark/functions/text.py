@@ -446,7 +446,8 @@ def chunk_documents(
 
 
 def bigram_logprob(
-    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Per-document mean conditional bigram log-probability under the
     corpus's own add-alpha-smoothed bigram LM — the KenLM-perplexity
@@ -483,7 +484,11 @@ def bigram_logprob(
         ).alias("b"),
     ).select(
         id_col, F.col("b.w1").alias("__w1"), F.col("b.w2").alias("__w2")
-    ).persist()
+    )
+    if cache:
+        # caller-releasable via cache=False when scoring many corpora in
+        # one session (same contract as minhash_dedup_pairs)
+        bg = bg.persist()
     c2 = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c2"))
     # unigram counts and the vocabulary both roll up from the (much
     # smaller) bigram table rather than re-scanning the stream:

@@ -467,11 +467,15 @@ def neardup_filter_batch_fn(
 
         dup_vs_store = None
         if store is not None:
+            # exclude same-id matches: a replayed batch re-encounters its
+            # own appended bands and must re-admit, not self-flag (the
+            # at-least-once + dedup-on-read contract)
             dup_vs_store = (
                 bands.join(
                     store.withColumnRenamed(id_col, "__prev"),
                     ["band", "key"],
                 )
+                .filter(F.col("__prev") != F.col(id_col))
                 .select(id_col)
                 .distinct()
             )

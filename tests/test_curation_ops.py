@@ -473,3 +473,22 @@ def test_ngram_novelty_hand_checked(spark):
     assert got[1]["n_grams"] == 3 and got[1]["novelty"] == 0.0
     assert got[2]["novelty"] == 0.0
     assert got[3]["novelty"] == 1.0 and got[3]["novel_grams"] == 3
+
+
+def test_pack_contexts_respects_order_col(spark):
+    from data_pipeline_framework_spark.functions.sampling import (
+        pack_contexts,
+    )
+
+    # stream order comes from ts, not doc_id
+    df = spark.createDataFrame(
+        [(2, 10, "a b"), (1, 20, "c d")],
+        "doc_id long, ts long, text string",
+    )
+    rows = sorted(
+        (r["context_id"], r["ctx_offset"], r["doc_id"], r["piece_text"])
+        for r in pack_contexts(
+            df, "doc_id", "text", context_len=4, order_col="ts"
+        ).collect()
+    )
+    assert rows == [(0, 0, 2, "a b"), (0, 2, 1, "c d")]

@@ -214,3 +214,19 @@ def test_trained_pq_codebooks_beat_fixed(spark):
     )
     assert trained > fixed
     assert trained >= 8
+
+
+def test_random_projection_empty_input_clear_error(spark):
+    import pytest as _pytest
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        random_projection,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="pass dim"):
+        random_projection(empty)
+    # with dim given, empty in -> empty out, no probe
+    assert random_projection(empty, dim=8, out_dim=2).count() == 0

@@ -153,3 +153,29 @@ def test_cli_audit_reports_findings(spark, sf_dir, tmp_path, capsys):
     rc = cli_main(["audit", str(p)])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["ok"] is True and out["findings"] == []
+
+
+def test_cli_audit_strips_checkpoint_writes(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+    import os as _os
+
+    import yaml as _yaml
+
+    from data_pipeline_framework_spark.cli import main as cli_main
+
+    ckpt = str(tmp_path / "must_not_exist")
+    doc = {
+        "name": "audit_no_write",
+        "source": {"type": "parquet"},
+        "input": {"path": f"{sf_dir}/nation.parquet"},
+        "processing": {"operations": [
+            {"type": "filter", "condition": "n_regionkey >= 0"},
+            {"type": "checkpoint", "path": ckpt},
+        ]},
+    }
+    p = tmp_path / "a.yaml"
+    p.write_text(_yaml.safe_dump(doc))
+    rc = cli_main(["audit", str(p)])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] is True
+    assert not _os.path.exists(ckpt)  # the audit never wrote storage

@@ -500,3 +500,25 @@ def test_quality_scoring_composes_with_streaming_windows(spark, tmp_path):
           for r in quality_score(df, "text").select("doc_id", "quality")
           .collect()}
     assert min(qs[i] for i in qs if i % 2) > max(qs[i] for i in qs if not i % 2)
+
+
+def test_neardup_replayed_batch_readmits_itself(spark, tmp_path):
+    """at-least-once contract: re-running the SAME batch against a store
+    that already holds its bands must re-admit its docs, not self-flag
+    them as duplicates."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs far "
+             "away into the deep green forest tonight")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    fn = ST.neardup_filter_batch_fn("doc_id", "text", store, out)
+    fn(df, 0)          # first delivery: admitted, bands stored
+    fn(df, 0)          # crash-replay of the same batch
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    assert all(r["is_dup"] is False for r in rows)  # never self-flagged
+    # dedup-on-read resolves to ONE admitted doc with a single verdict
+    resolved = spark.read.parquet(out).dropDuplicates(["doc_id"]).collect()
+    assert len(resolved) == 1 and resolved[0]["is_dup"] is False
