@@ -2217,26 +2217,65 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("rank"), "id").limit(50)
 
 
-def _pagerank_oracle(iters: int = 4, d: float = 0.85) -> str:
-    """DuckDB twin of pagerank_trade_graph: the same rounds as chained
-    CTEs — same init, same dangling redistribution, same damping."""
-    ctes = ["""edges AS (
+def pagerank_weighted_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flow-weighted PageRank: parallel supplier->customer edges carry
+    shipped quantity, so authority follows trade VOLUME rather than
+    link existence (integer-valued weights keep every round exact)."""
+    from data_pipeline_framework_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("o_custkey") + 1000000).cast("long").alias("dst"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    pr = pagerank(edges, iters=4, weight_col="qty")
+    out = pr.select("id", _r(F.col("rank"), 8).alias("rank"))
+    return out.orderBy(F.desc("rank"), "id").limit(50)
+
+
+def _pagerank_oracle(iters: int = 4, d: float = 0.85,
+                     weighted: bool = False) -> str:
+    """DuckDB twin of pagerank_trade_graph / pagerank_weighted_trade:
+    the same rounds as chained CTEs — same init, same dangling
+    redistribution, same damping; weighted mode aggregates parallel
+    edges by quantity and carries rank * w / out_strength."""
+    if weighted:
+        edges_cte = """edges AS (
+                SELECT CAST(l_suppkey AS BIGINT) AS src,
+                       CAST(o_custkey + 1000000 AS BIGINT) AS dst,
+                       SUM(CAST(l_quantity AS DOUBLE)) AS w
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            )"""
+        deg_cte = "deg AS (SELECT src, SUM(w) AS deg FROM edges GROUP BY src)"
+        contrib = "SUM((r.rank * e.w) / dg.deg)"
+    else:
+        edges_cte = """edges AS (
                 SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
                        CAST(o_custkey + 1000000 AS BIGINT) AS dst
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            )""",
+            )"""
+        deg_cte = "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)"
+        contrib = "SUM(r.rank / dg.deg)"
+    ctes = [edges_cte,
             """nodes AS (
                 SELECT src AS id FROM edges
                 UNION SELECT dst FROM edges
             )""",
             "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
-            "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+            deg_cte,
             """r0 AS (SELECT id, 1.0 / n AS rank
                       FROM nodes CROSS JOIN nn)"""]
     for t in range(1, iters + 1):
         p = f"r{t - 1}"
         ctes.append(f"""c{t} AS (
-                SELECT e.dst AS id, SUM(r.rank / dg.deg) AS s
+                SELECT e.dst AS id, {contrib} AS s
                 FROM edges e
                 JOIN {p} r ON e.src = r.id
                 JOIN deg dg ON e.src = dg.src
@@ -3079,24 +3118,58 @@ _CHUNKS_ORACLE = """
 """
 
 
-def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """scaled PCA projection, auto component count (weak check)."""
-    from data_pipeline_framework_spark.operators.ml_features import (
-        create_pca_features,
-    )
+_PCA_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
+
+def _pca_basis() -> list[tuple[float, list[float]]]:
+    """Offline-fit PCA basis (numpy eigh of the scaled covariance of the
+    sf0.01 reference sample), shared verbatim by the Spark query and the
+    oracle — the fit-on-sample / apply-at-scale pattern, which also
+    makes the query SF-agnostic (MLlib's own PCA fit stays covered by
+    tests/test_ml_features.py)."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    X = con.sql(
+        f"SELECT {', '.join(_PCA_COLS)} "
+        "FROM '/root/testdata/sf0.01/lineitem.parquet'"
+    ).df().to_numpy(dtype=float)
+    con.close()
+    mean = X.mean(axis=0)
+    std = X.std(axis=0, ddof=1)
+    Z = (X - mean) / std
+    w, v = np.linalg.eigh(np.cov(Z, rowvar=False, ddof=1))
+    order = np.argsort(w)[::-1]
+    v = v[:, order]
+    out = []
+    for k in range(2):
+        coef = [float(c) for c in (v[:, k] / std)]
+        const = -float(np.dot(v[:, k], mean / std))
+        out.append((const, coef))
+    return out
+
+
+def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply an offline-fit scaled-PCA basis per row (pure codegen
+    projection; abs() removes the eigenvector sign ambiguity). The
+    basis literals are shared with the oracle, so the check is exact at
+    any SF; MLlib's own PCA fit is pytest-covered."""
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_orderkey", "l_linenumber", *_PCA_COLS
     )
-    out = create_pca_features(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        n_components=2,
-    )
-    return out.select(
+    basis = _pca_basis()
+
+    def proj(k: int):
+        const, coef = basis[k]
+        expr = F.lit(const)
+        for j, c in enumerate(_PCA_COLS):
+            expr = expr + F.lit(coef[j]) * F.col(c)
+        return _r(F.abs(expr), 3)
+
+    return li.select(
         "l_orderkey", "l_linenumber",
-        _r(F.abs(F.col("pca_component_1")), 3).alias("abs_pc1"),
-        _r(F.abs(F.col("pca_component_2")), 3).alias("abs_pc2"),
+        proj(0).alias("abs_pc1"),
+        proj(1).alias("abs_pc2"),
     )
 
 
@@ -4123,6 +4196,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": minhash_neardup,
         "split_leakage_pairs": split_leakage_pairs,
         "pagerank_trade_graph": pagerank_trade_graph,
+        "pagerank_weighted_trade": pagerank_weighted_trade,
         "random_projection_embeddings": random_projection_embeddings,
         "fuzzy_name_matches": fuzzy_name_matches,
         "skew_diagnosis": skew_diagnosis,
@@ -4322,35 +4396,15 @@ def _tfidf_oracle() -> str:
 
 
 def _pca_oracle() -> str:
-    """Independent-implementation oracle for pca_projection: numpy
-    (eigh of the sample-scaled covariance) derives the projection
-    coefficients, embedded as literals; the SQL applies them per row.
-    MLlib computes the same decomposition via exact SVD, so values agree
-    bitwise at the 3-decimal rounding; the query's abs() removes the
-    eigenvector sign ambiguity. Literals come from the sf0.01 tables the
-    driver's correctness gate runs against (same spirit as the k-means
-    oracle's embedded seed literals)."""
-    import duckdb as _dd
-
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    con = _dd.connect()
-    X = con.sql(
-        f"SELECT {', '.join(cols)} "
-        "FROM '/root/testdata/sf0.01/lineitem.parquet'"
-    ).df().to_numpy(dtype=float)
-    con.close()
-    mean = X.mean(axis=0)
-    std = X.std(axis=0, ddof=1)
-    Z = (X - mean) / std
-    w, v = np.linalg.eigh(np.cov(Z, rowvar=False, ddof=1))
-    order = np.argsort(w)[::-1]
-    v = v[:, order]
+    """DuckDB twin of pca_projection: the SAME offline-fit basis
+    literals (_pca_basis) applied with the same left-assoc term order,
+    so the projection matches bit-for-bit at any SF."""
+    basis = _pca_basis()
 
     def proj(k: int) -> str:
-        coef = v[:, k] / std
-        const = -float(np.dot(v[:, k], mean / std))
+        const, coef = basis[k]
         terms = " + ".join(
-            f"({coef[j]!r}) * {cols[j]}" for j in range(len(cols))
+            f"({coef[j]!r}) * {_PCA_COLS[j]}" for j in range(len(_PCA_COLS))
         )
         return f"FLOOR(ABS(({const!r}) + {terms}) * 1e3 + 0.5) / 1e3"
 
@@ -5453,6 +5507,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_oracle(),
         "split_leakage_pairs": _split_leakage_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
+        "pagerank_weighted_trade": _pagerank_oracle(weighted=True),
         "random_projection_embeddings": _random_projection_oracle(),
         "fuzzy_name_matches": _FUZZY_ORACLE,
         "skew_diagnosis": _SKEW_ORACLE,

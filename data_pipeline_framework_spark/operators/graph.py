@@ -28,12 +28,18 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     cache: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Fixed-iteration PageRank on a directed edge list (duplicate edges
-    count once; self-loops allowed). Dangling-node mass is redistributed
-    uniformly each round, so total rank stays 1.
+    """Fixed-iteration PageRank on a directed edge list (self-loops
+    allowed). Unweighted (default): duplicate edges count once and each
+    out-edge carries rank/out_degree. With ``weight_col``, parallel
+    edges aggregate by weight sum and each edge carries
+    rank * w / out_strength — flow-proportional authority (e.g. trade
+    volume, link counts). Dangling-node mass is redistributed uniformly
+    each round, so total rank stays 1.
 
-    r_{t+1}(v) = (1-d)/N + d * (sum_{u->v} r_t(u)/deg(u) + dangling_t/N)
+    r_{t+1}(v) = (1-d)/N + d * (sum_{u->v} r_t(u)*w(u,v)/s(u)
+                                + dangling_t/N)
 
     Per iteration: one join of edges with current ranks + one groupBy on
     dst (the only wide shuffles, both keyed on node id), plus two
@@ -44,9 +50,14 @@ def pagerank(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
-    e = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d")
-    ).distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d")
+        ).distinct().withColumn("__w", F.lit(1.0))
+    else:
+        e = edges.groupBy(
+            F.col(src).alias("__s"), F.col(dst).alias("__d")
+        ).agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
     if cache:
         e = e.persist()
     nodes = (
@@ -57,7 +68,7 @@ def pagerank(
     if cache:
         nodes = nodes.persist()
     ncount = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = e.groupBy("__s").agg(F.sum("__w").alias("__deg"))
     if cache:
         deg = deg.persist()
 
@@ -72,7 +83,8 @@ def pagerank(
             e.join(ranks, e.__s == ranks.id)
             .join(deg, "__s")
             .groupBy("__d")
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+            .agg(F.sum(F.col("rank") * F.col("__w") / F.col("__deg"))
+                 .alias("__in"))
             .withColumnRenamed("__d", "id")
         )
         dangling = (

@@ -56,3 +56,33 @@ def test_pagerank_duplicate_edges_count_once(spark):
         [("a", "b"), ("b", "a")], "src string, dst string"
     )
     assert _ranks(pagerank(e1, iters=2)) == _ranks(pagerank(e2, iters=2))
+
+
+def test_weighted_pagerank_follows_flow(spark):
+    # b receives 9x the weight of c from a: rank(b) > rank(c); the
+    # unweighted graph treats them identically
+    e = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0),
+         ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got_w = _ranks(pagerank(e, iters=3, weight_col="w"))
+    assert got_w["b"] > got_w["c"]
+    got_u = _ranks(pagerank(e, iters=3))
+    assert got_u["b"] == pytest.approx(got_u["c"])
+    # both conserve total mass
+    assert sum(got_w.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_pagerank_parallel_edges_aggregate(spark):
+    # two (a,b,2.0) edges == one (a,b,4.0) edge
+    e1 = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "b", 2.0), ("a", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    e2 = spark.createDataFrame(
+        [("a", "b", 4.0), ("a", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    assert _ranks(pagerank(e1, iters=2, weight_col="w")) == \
+        _ranks(pagerank(e2, iters=2, weight_col="w"))
