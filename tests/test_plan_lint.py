@@ -42,6 +42,7 @@ _BNL_OK = {
     "drift_psi_priorities",  # per-side broadcast 1-row category totals
     "q11_important_parts",   # broadcast 1-row mean for the HAVING scalar
     "pagerank_trade_graph",  # per-round broadcast 1-row N + dangling mass
+    "pagerank_weighted_trade",  # same per-round 1-row scalars
     "bigram_logprob_scores",  # broadcast 1-row vocabulary size
     "skew_diagnosis",         # broadcast 1-row total for the share ratio
     "ann_quantized_topk",     # broadcast query side, small by construction
