@@ -285,3 +285,24 @@ def test_corpus_curation_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
     # chunks never exceed the window
     assert back.agg(F.max("n_tokens")).first()[0] <= 64
     assert result.validation[0]["status"] == "PASS"
+
+
+def test_layout_optimize_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
+    """the shipped examples/layout_optimize.yaml runs end-to-end:
+    quota -> durable checkpoint -> zorder clustering -> parquet."""
+    import os as _os
+
+    out = str(tmp_path / "lo_out")
+    ckpt = str(tmp_path / "lo_ckpt")
+    monkeypatch.setenv("LAYOUT_INPUT", f"{sf_dir}/lineitem.parquet")
+    monkeypatch.setenv("LAYOUT_OUT", out)
+    monkeypatch.setenv("LAYOUT_CKPT", ckpt)
+    result = Pipeline.from_yaml("examples/layout_optimize.yaml", spark).run()
+    assert result.status == "success", result.error
+    assert _os.path.exists(ckpt)          # durable checkpoint materialized
+    back = spark.read.parquet(out)
+    assert back.count() == result.rows_written > 0
+    # quota respected
+    from pyspark.sql import functions as F
+    mx = back.groupBy("l_suppkey").count().agg(F.max("count")).first()[0]
+    assert mx <= 500
