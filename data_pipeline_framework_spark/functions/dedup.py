@@ -291,15 +291,30 @@ def ngram_candidate_pairs(
     inv = shingled.select(id_col, F.explode("__sh").alias("h"))
     if max_df is not None:
         if isinstance(max_df, float) and max_df <= 1.0:
-            cut = max(int(max_df * shingled.count()), min_df_cut)
+            # corpus size as a broadcast 1-row aggregate fused into the
+            # same action as the shingle-df aggregation — no dedicated
+            # driver-side count() job; floor(max_df*n) matches the old
+            # int() truncation exactly for the positive operands here
+            ndocs = shingled.agg(F.count(F.lit(1)).alias("__nd"))
+            cut_expr = F.greatest(
+                F.floor(F.lit(float(max_df)) * F.col("__nd")),
+                F.lit(min_df_cut),
+            ).cast("long")
+            hot = (
+                inv.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .crossJoin(F.broadcast(ndocs))
+                .filter(F.col("__df") > cut_expr)
+                .select("h")
+            )
         else:
             cut = int(max_df)
-        hot = (
-            inv.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > cut)
-            .select("h")
-        )
+            hot = (
+                inv.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > cut)
+                .select("h")
+            )
         # hot shingles are few by construction: broadcast anti-join
         inv = inv.join(F.broadcast(hot), "h", "left_anti")
     inv = inv.persist()

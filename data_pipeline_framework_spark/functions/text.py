@@ -437,7 +437,9 @@ def chunk_documents(
             ),
         )
     )
-    return out.select(
+    # stride > window (gapped sampling) can place the last chunk start
+    # past the end of short documents — drop the empty slice it yields.
+    return out.filter(F.size("__chunk") > 0).select(
         id_col,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.size("__chunk").cast("long").alias("n_tokens"),

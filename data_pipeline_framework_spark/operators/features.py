@@ -122,6 +122,7 @@ def create_categorical_features(
     encoding: str = "frequency",
     top_n: int | None = None,
     one_hot_values: list[str] | None = None,
+    max_categories: int = 256,
 ) -> DataFrame:
     """frequency / label / onehot encoding with optional top-N 'other'
     bucketing (reference feature_engineering.py:227-296).
@@ -172,9 +173,23 @@ def create_categorical_features(
         ).select(*cols, f"{column}_label")
     if encoding == "onehot":
         if one_hot_values is None:
-            one_hot_values = sorted(
-                r[0] for r in df.select(column).distinct().collect()
-            )
+            # Bounded discovery: collect at most max_categories+1 distinct
+            # values so a high-cardinality column raises instead of OOMing
+            # the driver and exploding the output schema. Pass
+            # one_hot_values (or top_n bucketing) explicitly to override.
+            discovered = [
+                r[0]
+                for r in df.select(column).distinct()
+                .filter(c.isNotNull()).limit(max_categories + 1).collect()
+            ]
+            if len(discovered) > max_categories:
+                raise ValueError(
+                    f"onehot encoding of {column!r} found more than "
+                    f"{max_categories} distinct values; pass "
+                    "one_hot_values explicitly, use top_n bucketing, or "
+                    "raise max_categories"
+                )
+            one_hot_values = sorted(discovered)
         return df.withColumns(
             {
                 f"{column}_{v}": (c == v).cast("int")

@@ -76,9 +76,14 @@ def pagerank(
         "id", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     d = float(damping)
+    prev = None
     for _ in range(iters):
         if cache:
             ranks = ranks.persist()
+            ranks.count()  # materialize this round so the previous one
+            if prev is not None:  # can be released immediately
+                prev.unpersist()
+            prev = ranks
         contrib = (
             e.join(ranks, e.__s == ranks.id)
             .join(deg, "__s")
@@ -106,4 +111,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    if cache:
+        # Materialize the final round, then release every intermediate —
+        # a call leaves exactly one persisted DataFrame (the result; the
+        # caller may unpersist it) instead of pinning iters+3.
+        ranks = ranks.persist()
+        ranks.count()
+        for h in (prev, e, nodes, deg):
+            if h is not None and h is not ranks:
+                h.unpersist()
     return ranks

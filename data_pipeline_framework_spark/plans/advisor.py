@@ -10,6 +10,7 @@ exactly what a human reviewer greps `.explain()` output for.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -62,13 +63,22 @@ def audit_plan(df: DataFrame, plan: str | None = None) -> list[Finding]:
             "row-at-a-time Python UDF (BatchEvalPython): use built-in "
             "functions or an Arrow-batched pandas UDF",
         ))
-    low = p.lower()
-    if "window" in low and "singlepartition" in low:
-        found.append(Finding(
-            "single-partition-window", "warn",
-            "window/sort over SinglePartition: every row funnels "
-            "through one task; add PARTITION BY or pre-bucket",
-        ))
+    # A window/sort funnels through one task only when the Exchange
+    # SinglePartition feeds a Sort/Window directly (parent within the
+    # plan tree) — NOT merely because both a keyed Window and a bounded
+    # 1-row global aggregate (which also prints Exchange SinglePartition)
+    # appear somewhere in the same plan.
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            parents = " ".join(lines[max(0, i - 2):i])
+            if re.search(r"\b(Window|Sort)\b", parents):
+                found.append(Finding(
+                    "single-partition-window", "warn",
+                    "window/sort over SinglePartition: every row funnels "
+                    "through one task; add PARTITION BY or pre-bucket",
+                ))
+                break
     for marker in ("ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         if marker in p:

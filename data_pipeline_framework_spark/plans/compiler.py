@@ -616,7 +616,7 @@ def _op_chunk(params: Mapping, ctx) -> OpFn:
     idc = params["id_column"]
     txt = params["text_column"]
     window = int(params.get("window", 64))
-    stride = int(params.get("stride", window))
+    stride = int(params.get("stride", 48))
     return lambda df: chunk_documents(df, idc, txt, window, stride)
 
 

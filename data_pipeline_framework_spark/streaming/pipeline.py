@@ -458,11 +458,19 @@ def neardup_filter_batch_fn(
         sig = minhash_signatures(docs, id_col, text_col, n)
         bands = band_keys(sig, id_col).persist()
 
-        try:
+        # Probe existence explicitly: only a genuinely-missing store means
+        # "first batch". Transient IO/permission errors or a corrupt store
+        # must propagate so the micro-batch retries instead of silently
+        # admitting everything un-deduplicated.
+        jvm = spark._jvm
+        jsc = spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = hpath.getFileSystem(jsc)
+        if fs.exists(hpath):
             store = spark.read.parquet(store_path).dropDuplicates(
                 [id_col, "band", "key"]
             )
-        except Exception:  # first batch: no store yet
+        else:  # first batch: no store yet
             store = None
 
         dup_vs_store = None

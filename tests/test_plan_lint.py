@@ -47,6 +47,7 @@ _BNL_OK = {
     "skew_diagnosis",         # broadcast 1-row total for the share ratio
     "ann_quantized_topk",     # broadcast query side, small by construction
     "ann_pq_topk",            # broadcast query side, small by construction
+    "ngram_jaccard_neardup",  # broadcast 1-row corpus count for the df-cut
 }
 
 # queries whose operators legitimately run vectorized Python
@@ -138,3 +139,14 @@ def test_advisor_flags_and_clears(spark):
     assert {f.rule for f in audit_plan(py)} >= {"row-python-udf"}
     with _pytest.raises(AssertionError):
         assert_scalable(py)
+
+    # a correctly KEYED window combined with a bounded 1-row global
+    # aggregate (Exchange SinglePartition feeding HashAggregate — the
+    # standard scalar pattern) must NOT trip the single-partition rule
+    keyed = a.withColumn("grp", F.col("x") % 2).withColumn(
+        "r", F.row_number().over(Window.partitionBy("grp").orderBy("x"))
+    )
+    total = keyed.agg(F.sum("x").alias("t"))
+    combined = keyed.crossJoin(F.broadcast(total))
+    rules = {f.rule for f in audit_plan(combined)}
+    assert "single-partition-window" not in rules
