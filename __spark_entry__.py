@@ -1343,6 +1343,37 @@ def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """learned-BPE token counts per document: the packaged ranked-merge
+    table applied as a chain of JVM string replaces (no UDF, no shuffle —
+    one narrow projection over the corpus scan). Real-token budgets are
+    what training pipelines size context fills with; whitespace counts
+    are off by the subword factor."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        bpe_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_token_count(docs, "text").select("doc_id", "n_bpe_tokens")
+
+
+def bpe_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixed-token-budget training shards measured in LEARNED BPE tokens:
+    bpe_token_count (narrow chained-replace encode) feeds the cumsum
+    pack_shards cut — the pipeline a context-fill budget actually needs."""
+    from data_pipeline_framework_spark.functions.sampling import pack_shards
+    from data_pipeline_framework_spark.functions.tokenize import (
+        bpe_token_count,
+    )
+
+    docs = bpe_token_count(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select("doc_id", "n_bpe_tokens")
+    return pack_shards(docs, "doc_id", "n_bpe_tokens", budget=4000).select(
+        "doc_id", "n_bpe_tokens", "token_offset", "shard"
+    )
+
+
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style eval-set decontamination: per corpus doc, the count and
     fraction of its word 8-grams that also occur in the (broadcast) eval
@@ -4175,6 +4206,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_priorities": drift_psi_priorities,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shard_packing": token_shard_packing,
+        "bpe_token_counts": bpe_token_counts,
+        "bpe_shard_packing": bpe_shard_packing,
         "benchmark_decontamination": benchmark_decontamination,
         "domain_quota_cap": domain_quota_cap,
         "duplicate_span_flags": duplicate_span_flags,
@@ -4292,6 +4325,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DD_TOKS = (
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 )
+
+
+def _bpe_stream_sql() -> str:
+    """DuckDB twin of the packaged ranked-merge BPE encode: the merges
+    table replayed as the SAME chain of replace() calls Spark runs."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        bpe_stream_sql,
+    )
+
+    return bpe_stream_sql("text")
 _DD_HASH = "CAST(('0x' || substr(md5({x}), 1, 13)) AS BIGINT)"
 _DD_SHINGLES = f"""
     list_distinct(list_transform(
@@ -5326,6 +5369,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, token_offset,
                    CAST(floor(token_offset / 2000) AS BIGINT) AS shard
+            FROM o
+        """,
+        "bpe_token_counts": f"""
+            WITH s AS (
+                SELECT doc_id, {_bpe_stream_sql()} AS st FROM documents
+            )
+            SELECT doc_id,
+                   CAST(coalesce(length(st) - length(replace(st, '(', '')),
+                                 0) AS BIGINT) AS n_bpe_tokens
+            FROM s
+        """,
+        "bpe_shard_packing": f"""
+            WITH s AS (
+                SELECT doc_id, {_bpe_stream_sql()} AS st FROM documents
+            ),
+            t AS (
+                SELECT doc_id,
+                       CAST(coalesce(length(st) -
+                                     length(replace(st, '(', '')), 0)
+                            AS BIGINT) AS n_bpe_tokens
+                FROM s
+            ),
+            o AS (
+                SELECT doc_id, n_bpe_tokens,
+                       CAST(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_bpe_tokens
+                            AS BIGINT) AS token_offset
+                FROM t
+            )
+            SELECT doc_id, n_bpe_tokens, token_offset,
+                   CAST(floor(token_offset / 4000) AS BIGINT) AS shard
             FROM o
         """,
         "benchmark_decontamination": f"""

@@ -31,7 +31,7 @@ _WIDE = {
     "gopher_repetition", "unigram_logprob_scores", "pii_redaction",
     "stratified_sample_docs", "token_shard_packing", "kmeans_lloyd",
     "benchmark_decontamination", "domain_quota_cap",
-    "duplicate_span_flags",
+    "duplicate_span_flags", "bpe_token_counts", "bpe_shard_packing",
 }
 
 HEADLINE = [
@@ -116,6 +116,9 @@ HEADLINE = [
     "ann_quantized_topk",
     "cdc_document_chunks",
     "corpus_snapshot_diff",
+    # round-4 additions
+    "bpe_token_counts",
+    "bpe_shard_packing",
 ]
 
 

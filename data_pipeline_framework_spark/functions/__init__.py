@@ -40,6 +40,14 @@ from .sketches import (  # noqa: F401
     hll_estimate,
     hll_merge,
 )
+from .tokenize import (  # noqa: F401
+    BPETokenizer,
+    PandasTokenizer,
+    WhitespaceTokenizer,
+    bpe_token_count,
+    bpe_tokenize,
+    train_bpe_merges,
+)
 from .text import (  # noqa: F401
     bigram_logprob,
     ngram_novelty,

@@ -146,6 +146,7 @@ def pack_contexts(
     context_len: int = 2048,
     order_col: str | None = None,
     partition_col: str | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid end-to-end
     in a deterministic order into one global token stream, which is cut
@@ -165,11 +166,21 @@ def pack_contexts(
     Output: [partition_col,] context_id, {id_col}, ctx_offset (where the
     piece starts inside the context), n_tokens, piece_text. Zero-token
     documents emit nothing.
+
+    `tokenizer`: any object with `tokens_expr(col) -> Column`
+    (functions.tokenize.BPETokenizer / PandasTokenizer) — contexts are
+    then measured and cut in REAL tokens, not whitespace words, so a
+    context_len budget matches what a trained model's window holds.
+    piece_text joins the tokenizer's tokens with spaces (token stream,
+    not the original surface text).
     """
     if context_len <= 0:
         raise ValueError("context_len must be positive")
     L = int(context_len)
-    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    if tokenizer is not None:
+        toks = tokenizer.tokens_expr(F.col(text_col))
+    else:
+        toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
     keep = [partition_col] if partition_col else []
     # the ordering column must survive the projection for the window
     order_by = order_col or id_col

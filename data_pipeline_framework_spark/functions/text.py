@@ -94,8 +94,19 @@ def text_stats(df: DataFrame, text_col: str) -> DataFrame:
     }).drop("__toks")
 
 
-def token_count(df: DataFrame, text_col: str, out_col: str = "n_tokens") -> DataFrame:
-    """BPE-ish token count (pre-tokenizer regex, not a learned vocab)."""
+def token_count(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "n_tokens",
+    tokenizer=None,
+) -> DataFrame:
+    """Token count. Default: pre-tokenizer regex (runs of letters/digits,
+    single punctuation — not a learned vocab). Pass `tokenizer=` (any
+    object with a `count_expr(col) -> Column`, e.g.
+    functions.tokenize.BPETokenizer for a learned vocab or
+    PandasTokenizer wrapping tiktoken/HF) to budget in real tokens."""
+    if tokenizer is not None:
+        return df.withColumn(out_col, tokenizer.count_expr(text_col))
     return df.withColumn(out_col, F.size(bpe_tokens(text_col)))
 
 

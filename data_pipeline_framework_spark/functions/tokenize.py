@@ -1,0 +1,339 @@
+"""Pluggable tokenization: learned-BPE token counting and encoding as
+pure JVM column expressions.
+
+Why this exists: every token-budget surface in the engine (token
+counting, shard packing, context packing — `functions/sampling.py`)
+defaulted to whitespace tokens, which over/under-estimates real BPE
+budgets by ~1.3-1.5x. This module adds a LEARNED byte-pair-encoding
+tokenizer whose encode step is a chain of plain string `replace`
+expressions — no UDFs, no Python in the hot path, and an exact
+DuckDB-replayable SQL twin (`bpe_count_sql` / `bpe_tokens_sql`) so the
+oracle gate can value-check it.
+
+Tokenizer spec ("ranked-merge BPE", fully deterministic):
+
+1. normalize: lowercase, collapse any run of chars outside [a-z0-9] to
+   a single space, trim.
+2. pre-tokenize: words are the space-separated runs; merges never
+   cross a word boundary.
+3. symbol stream: each word's characters, written as "(c)(c)(c)" —
+   the parenthesis wrapping makes "adjacent whole tokens" a plain
+   substring pattern, so merge application is string replace.
+4. encode: for each learned merge (a, b) in rank order, ONE global
+   leftmost-nonoverlapping replace of "(a)(b)" with "(ab)". This
+   single-pass-per-merge discipline is applied identically at train
+   and encode time, which makes the encoding well-defined without a
+   priority queue — and replayable in any engine with `replace()`.
+5. token count = number of '(' left in the stream.
+
+Training (`train_bpe_merges`) is the classic frequency-greedy BPE loop
+over a BOUNDED sample collected to the driver (tokenizer training on a
+sample is standard practice; the cap keeps the driver safe at 100 TB).
+Ties break deterministically (count desc, then pair lexicographic).
+
+The generalization source for the surface is the reference's
+whitespace/regex token counting (reference
+transformations/feature_engineering.py:141-225); the learned-vocab
+upgrade is the scale-path addition the training-data brief calls for.
+
+External tokenizers (tiktoken / HuggingFace) plug in through
+`PandasTokenizer`, an Arrow-batched pandas-UDF wrapper — import-gated,
+no SQL twin (the oracle gate records those queries rows-only).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Callable, Iterable
+from importlib import resources as _importlib_resources
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "BPETokenizer",
+    "PandasTokenizer",
+    "WhitespaceTokenizer",
+    "bpe_count_sql",
+    "bpe_token_count",
+    "bpe_tokenize",
+    "default_merges",
+    "load_merges",
+    "save_merges",
+    "train_bpe_merges",
+]
+
+_NORM_RE = "[^a-z0-9]+"
+_WRAP_RE = "([a-z0-9])"
+
+
+def _normalize(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), _NORM_RE, " "))
+
+
+def _wrap(col: Column) -> Column:
+    return F.regexp_replace(col, _WRAP_RE, "($1)")
+
+
+def _apply_merges(col: Column, merges: list[tuple[str, str]]) -> Column:
+    for a, b in merges:
+        col = F.replace(col, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+    return col
+
+
+def _stream(text_col: Column, merges: list[tuple[str, str]]) -> Column:
+    return _apply_merges(_wrap(_normalize(text_col)), merges)
+
+
+class BPETokenizer:
+    """Learned ranked-merge BPE over a merges table (list of (a, b)).
+
+    `count_expr` / `tokens_expr` are pure column expressions (chained
+    `replace`); `count_sql` / `tokens_sql` emit the DuckDB twin for the
+    same column so oracle queries can replay the exact encoding.
+    """
+
+    def __init__(self, merges: list[tuple[str, str]] | None = None):
+        self.merges = list(merges) if merges is not None else default_merges()
+        for a, b in self.merges:
+            if not a or not b or "(" in a + b or ")" in a + b:
+                raise ValueError(f"invalid merge pair: {(a, b)!r}")
+
+    def count_expr(self, col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        s = _stream(c, self.merges)
+        n = F.length(s) - F.length(F.replace(s, F.lit("("), F.lit("")))
+        return F.coalesce(n, F.lit(0)).cast("long")
+
+    def tokens_expr(self, col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        s = F.replace(_stream(c, self.merges), F.lit(" "), F.lit(""))
+        inner = F.regexp_replace(s, r"^\(|\)$", "")
+        arr = F.split(inner, r"\)\(")
+        return F.when(
+            s.isNull() | (F.length(s) == 0), F.array().cast("array<string>")
+        ).otherwise(arr)
+
+    # ---- SQL twins (DuckDB dialect) ----
+
+    def _stream_sql(self, col_sql: str) -> str:
+        s = (
+            f"regexp_replace(trim(regexp_replace(lower({col_sql}), "
+            f"'{_NORM_RE}', ' ', 'g')), '{_WRAP_RE}', '(\\1)', 'g')"
+        )
+        for a, b in self.merges:
+            s = f"replace({s}, '({a})({b})', '({a}{b})')"
+        return s
+
+    def count_sql(self, col_sql: str) -> str:
+        s = self._stream_sql(col_sql)
+        return (
+            f"CAST(coalesce(length({s}) - "
+            f"length(replace({s}, '(', '')), 0) AS BIGINT)"
+        )
+
+
+class WhitespaceTokenizer:
+    """The engine's historical default: whitespace tokens."""
+
+    def count_expr(self, col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        return F.size(F.array_remove(F.split(c, r"\s+"), "")).cast("long")
+
+    def tokens_expr(self, col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        return F.array_remove(F.split(c, r"\s+"), "")
+
+    def count_sql(self, col_sql: str) -> str:
+        return (
+            "CAST(len(list_filter(string_split_regex("
+            f"{col_sql}, '\\s+'), x -> x <> '')) AS BIGINT)"
+        )
+
+
+class PandasTokenizer:
+    """Arrow-batched external tokenizer hook (tiktoken / HuggingFace /
+    sentencepiece). `encode` maps one string to a list of token ids or
+    strings and runs inside a pandas UDF, one Arrow batch at a time —
+    the sanctioned vectorized escape hatch, never row-at-a-time Python.
+
+    The encoder object must be importable on executors (construct it
+    lazily inside `encode` or pass a module-level function). No SQL
+    twin: queries built on it are rows-only at the oracle gate.
+    """
+
+    def __init__(self, encode: Callable[[str], list]):
+        self._encode = encode
+
+    def count_expr(self, col: Column | str) -> Column:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        enc = self._encode
+
+        def _count(s):
+            return s.map(lambda t: len(enc(t)) if t is not None else 0)
+
+        # concrete annotations: `from __future__ import annotations` would
+        # stringify inline hints and break pandas_udf's signature probe
+        _count.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        c = F.col(col) if isinstance(col, str) else col
+        return pandas_udf(_count, "long")(c)
+
+    def tokens_expr(self, col: Column | str) -> Column:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        enc = self._encode
+
+        def _toks(s):
+            return s.map(
+                lambda t: [str(x) for x in enc(t)] if t is not None else []
+            )
+
+        _toks.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        c = F.col(col) if isinstance(col, str) else col
+        return pandas_udf(_toks, "array<string>")(c)
+
+
+# ---------------------------------------------------------------- training
+
+
+def _merge_once(sym: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 96,
+    max_train_docs: int = 10_000,
+    order_col: str | None = None,
+) -> list[tuple[str, str]]:
+    """Frequency-greedy BPE training on a BOUNDED, deterministic sample
+    (orderBy(order_col).limit(max_train_docs) — a TakeOrdered, so the
+    sample and therefore the merges are stable across partitionings).
+    Driver memory is bounded by the sample's word-frequency table, not
+    the corpus. Ties break (count desc, pair asc)."""
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    sample = df.select(F.col(text_col).alias("__t"))
+    if order_col is not None:
+        sample = df.select(
+            F.col(order_col).alias("__o"), F.col(text_col).alias("__t")
+        ).orderBy("__o")
+    rows = sample.select(
+        _normalize(F.col("__t")).alias("__n")
+    ).limit(max_train_docs).collect()
+
+    words: Counter[str] = Counter()
+    for r in rows:
+        if r["__n"]:
+            words.update(r["__n"].split(" "))
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w): c for w, c in words.items() if w
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        nxt: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            m = _merge_once(sym, *best)
+            nxt[m] = nxt.get(m, 0) + c
+        vocab = nxt
+    return merges
+
+
+def save_merges(merges: Iterable[tuple[str, str]], path: str) -> None:
+    with open(path, "w", encoding="utf-8") as fh:
+        for a, b in merges:
+            fh.write(f"{a} {b}\n")
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, b = line.split(" ")
+            out.append((a, b))
+    return out
+
+
+def default_merges() -> list[tuple[str, str]]:
+    """The packaged merges table (trained once on the sf0.001 documents
+    sample by tools/train_bpe.py and committed as a resource)."""
+    ref = _importlib_resources.files(
+        "data_pipeline_framework_spark.resources"
+    ).joinpath("bpe_merges.txt")
+    out: list[tuple[str, str]] = []
+    for line in ref.read_text(encoding="utf-8").splitlines():
+        if not line or line.startswith("#"):
+            continue
+        a, b = line.split(" ")
+        out.append((a, b))
+    return out
+
+
+# ------------------------------------------------------------ DataFrame API
+
+
+def bpe_token_count(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Per-row learned-BPE token count as a single projection — the
+    chained-replace encode runs inside the JVM, so a 100 TB corpus scan
+    adds no Python stage and no shuffle."""
+    tok = BPETokenizer(merges)
+    return df.withColumn(out_col, tok.count_expr(text_col))
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Per-row learned-BPE token array (same encode as bpe_token_count)."""
+    tok = BPETokenizer(merges)
+    return df.withColumn(out_col, tok.tokens_expr(text_col))
+
+
+def bpe_count_sql(
+    col_sql: str, merges: list[tuple[str, str]] | None = None
+) -> str:
+    """DuckDB SQL expression computing the SAME count as
+    BPETokenizer.count_expr — used by oracle_sql() twins."""
+    return BPETokenizer(merges).count_sql(col_sql)
+
+
+def bpe_stream_sql(
+    col_sql: str, merges: list[tuple[str, str]] | None = None
+) -> str:
+    """DuckDB SQL expression for the merged '(tok)(tok)' stream — bind it
+    once in a CTE and count with
+    length(st) - length(replace(st, '(', ''))."""
+    return BPETokenizer(merges)._stream_sql(col_sql)

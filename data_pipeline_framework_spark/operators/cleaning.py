@@ -130,61 +130,97 @@ def clean_dataset(
       validate_emails    (column, strategy)
       drop_rows_where    (condition)
 
-    Audit counting design: each step costs at most one extra count()
-    action on the incoming frame (row deltas); value-level change counts
-    are computed only for the ops where a row diff cannot express them
-    (phones/emails), as one agg comparing old vs new column.
+    Audit counting design: SINGLE-ACTION. Every row count and
+    value-change count is threaded through the plan as an `Observation`
+    (CollectMetrics) at the right point in the chain, and ONE terminal
+    count() materializes them all — a k-step audited clean scans the
+    input once, not ~k times (the quadratic re-scan the per-step
+    count() shape costs at 100 TB). The returned DataFrame is the lazy
+    cleaned plan; persist it if you will act on it more than once.
     """
-    results: list[CleaningResult] = []
-    for step in config:
+    from pyspark.sql import Observation
+
+    if not config:
+        return df, []
+
+    _ROWS = F.count(F.lit(1)).alias("rows")
+    obs_points: list[tuple[Observation, ...]] = []
+
+    obs_in = Observation("clean_in")
+    df = df.observe(obs_in, _ROWS)
+
+    step_meta: list[tuple[str, str | None, Observation, str | None]] = []
+    for i, step in enumerate(config):
         op = step.get("operation")
-        rows_before = df.count()
-        changed = 0
+        changed_metric = None  # alias of the changed metric, if any
         if op == "remove_duplicates":
             df = remove_duplicates(
                 df, subset=step.get("subset"), keep=step.get("keep", "any"),
                 order_by=step.get("order_by"),
             )
-            rows_after = df.count()
             column = ",".join(step.get("subset") or [])
+            obs = Observation(f"clean_{i}")
+            df = df.observe(obs, _ROWS)
         elif op == "fix_missing":
             df = fix_missing_values(df, step["strategies"])
-            rows_after = df.count()
             column = ",".join(step["strategies"])
+            obs = Observation(f"clean_{i}")
+            df = df.observe(obs, _ROWS)
         elif op == "standardize_phones":
             column = step["column"]
-            # compare old vs new in one frame (no join)
+            # compare old vs new in one frame (no join); the metric
+            # binds before __old is projected away
             tagged = standardize_phone_numbers(
                 df.withColumn("__old", F.col(column)), column
             )
-            changed = tagged.filter(
-                ~F.col(column).eqNullSafe(F.col("__old"))
-            ).count()
+            obs = Observation(f"clean_{i}")
+            changed_metric = "changed"
+            tagged = tagged.observe(
+                obs, _ROWS,
+                F.sum(
+                    (~F.col(column).eqNullSafe(F.col("__old"))).cast("long")
+                ).alias("changed"),
+            )
             df = tagged.drop("__old")
-            rows_after = rows_before
         elif op == "validate_emails":
             column = step["column"]
+            strategy = step.get("strategy", "flag")
             tagged = validate_emails(
                 df.withColumn("__old", F.col(column)), column,
-                strategy=step.get("strategy", "flag"),
+                strategy=strategy,
             )
-            rows_after = tagged.count()
-            if step.get("strategy", "flag") == "flag":
-                changed = tagged.filter(~F.col(f"{column}_valid")).count()
+            obs = Observation(f"clean_{i}")
+            changed_metric = "changed"
+            if strategy == "flag":
+                chg = F.sum((~F.col(f"{column}_valid")).cast("long"))
             else:
-                changed = tagged.filter(
-                    ~F.col(column).eqNullSafe(F.col("__old"))
-                ).count()
+                chg = F.sum(
+                    (~F.col(column).eqNullSafe(F.col("__old"))).cast("long")
+                )
+            tagged = tagged.observe(obs, _ROWS, chg.alias("changed"))
             df = tagged.drop("__old")
         elif op == "drop_rows_where":
             column = None
             df = df.filter(f"NOT ({step['condition']})")
-            rows_after = df.count()
+            obs = Observation(f"clean_{i}")
+            df = df.observe(obs, _ROWS)
         else:
             raise ValueError(f"unknown cleaning operation: {op!r}")
+        step_meta.append((op, column, obs, changed_metric))
+
+    # ONE action materializes every observation along the chain
+    df.count()
+
+    results: list[CleaningResult] = []
+    prev_rows = obs_in.get["rows"]
+    for op, column, obs, changed_metric in step_meta:
+        got = obs.get
+        rows_after = got["rows"]
+        changed = got.get(changed_metric) or 0 if changed_metric else 0
         results.append(CleaningResult(
-            op, column, rows_before, rows_after, changed
+            op, column, prev_rows, rows_after, int(changed)
         ))
+        prev_rows = rows_after
     return df, results
 
 

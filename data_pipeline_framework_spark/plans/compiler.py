@@ -620,6 +620,37 @@ def _op_chunk(params: Mapping, ctx) -> OpFn:
     return lambda df: chunk_documents(df, idc, txt, window, stride)
 
 
+def _op_token_count(params: Mapping, ctx) -> OpFn:
+    """Token counting — `{"type": "token_count", "text_column": t,
+    "output_column": "n_tokens", "tokenizer": "regex"|"whitespace"|"bpe",
+    "merges_path": p?}`. "bpe" uses the packaged learned merges table
+    (or `merges_path`) applied as JVM chained replaces; "regex" is the
+    letters/digits/punct pre-tokenizer; "whitespace" plain words."""
+    from ..functions.text import token_count
+    from ..functions.tokenize import (
+        BPETokenizer,
+        WhitespaceTokenizer,
+        load_merges,
+    )
+
+    txt = params["text_column"]
+    out = params.get("output_column", "n_tokens")
+    kind = params.get("tokenizer", "regex")
+    if kind == "bpe":
+        merges = (
+            load_merges(params["merges_path"])
+            if params.get("merges_path") else None
+        )
+        tok = BPETokenizer(merges)
+    elif kind == "whitespace":
+        tok = WhitespaceTokenizer()
+    elif kind == "regex":
+        tok = None
+    else:
+        raise ValueError(f"unsupported tokenizer: {kind!r}")
+    return lambda df: token_count(df, txt, out_col=out, tokenizer=tok)
+
+
 def _op_zorder(params: Mapping, ctx) -> OpFn:
     """Z-order layout clustering before a write — `{"type": "zorder",
     "columns": [{"column": c, "min": 0, "max": 100}, ...],
@@ -716,6 +747,7 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "hash_split": _op_hash_split,
     "mixture_sample": _op_mixture_sample,
     "chunk": _op_chunk,
+    "token_count": _op_token_count,
     "zorder": _op_zorder,
     "quantize_embeddings": _op_quantize_embeddings,
     "checkpoint": _op_checkpoint,

@@ -280,6 +280,41 @@ def test_clean_dataset_audit(spark):
     assert audit[0].as_dict()["operation"] == "remove_duplicates"
 
 
+def test_clean_dataset_audit_is_single_action(spark):
+    """The audit threads Observations through ONE terminal action: a
+    k-step config must cost well under 1 Spark job per step (the old
+    per-step count() shape re-scanned the cumulative plan ~2x/step)."""
+    from data_pipeline_framework_spark.operators.cleaning import clean_dataset
+
+    df = spark.createDataFrame(
+        [(i % 50, f"555-123-{4000 + i:04d}", f"u{i}@x.com")
+         for i in range(200)],
+        "id int, phone string, email string",
+    )
+    config = [
+        {"operation": "remove_duplicates", "subset": ["id"],
+         "keep": "first", "order_by": ["email"]},
+        {"operation": "standardize_phones", "column": "phone"},
+        {"operation": "validate_emails", "column": "email",
+         "strategy": "flag"},
+    ]
+    sc = spark.sparkContext
+    group = "clean_single_action_test"
+    sc.setJobGroup(group, "audit job-count check")
+    try:
+        cleaned, audit = clean_dataset(df, config)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs) <= len(config), (
+        f"{len(jobs)} jobs for {len(config)} audited steps"
+    )
+    assert [a.operation for a in audit] == [c["operation"] for c in config]
+    assert audit[0].rows_before == 200 and audit[0].rows_after == 50
+    assert audit[1].values_changed == 50  # every phone reformats
+    assert audit[2].values_changed == 0   # all emails valid
+
+
 def test_aggregate_describe_fallback(spark):
     """aggregate with neither group_by nor aggregations -> summary stats
     (reference pandas_processor.py:176-177, spark_processor.py:182-183)."""

@@ -171,7 +171,11 @@ def test_ngram_dfcut_is_broadcast_anti_join(spark):
     out = ngram_jaccard_pairs(docs, "doc_id", "text", max_df=0.2)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
-    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "CartesianProduct" not in plan
+    # the only NestedLoop allowed is the broadcast 1-row corpus-count
+    # scalar (__nd) fused into the df-cut threshold
+    bnl = [ln for ln in plan.splitlines() if "NestedLoop" in ln]
+    assert all("__nd" in ln for ln in bnl), plan
 
 
 def test_asof_join_is_one_window_pass_no_join(spark, sf_dir):

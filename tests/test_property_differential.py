@@ -369,7 +369,8 @@ def _py_chunks(text: str, window: int, stride: int):
     out = []
     for c in range(n_chunks):
         piece = toks[c * stride:c * stride + window]
-        out.append((c, len(piece), " ".join(piece)))
+        if piece:  # stride > window can step past short docs: no empty chunk
+            out.append((c, len(piece), " ".join(piece)))
     return out
 
 

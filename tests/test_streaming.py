@@ -323,6 +323,111 @@ def test_idempotent_batch_sink_through_stream(spark, events, stream_dir, monkeyp
     conn.close()
 
 
+def test_idempotent_sink_converges_under_induced_failures(
+    spark, events, stream_dir, monkeypatch
+):
+    """Exactly-once under crashes in BOTH failure windows: (a) writer
+    dies after the staging write but before the merge; (b) the merge
+    transaction itself fails at commit (merge + marker rolled back).
+    Retrying the same batch_id must converge to exactly-once — no lost
+    batch, no duplicate rows, marker present exactly once."""
+    import sqlite3
+
+    from data_pipeline_framework_spark.sinks import writers
+
+    db = str(stream_dir / "sink3.db")
+    conn = sqlite3.connect(db, check_same_thread=False)
+    conn.execute(
+        "CREATE TABLE agg3 (user_id INTEGER PRIMARY KEY, total REAL)"
+    )
+    conn.commit()
+
+    crash = {"staging": 1}  # fail the first staging write, then heal
+
+    def fake_write_jdbc(df, url, table, mode="append", properties=None,
+                        batch_size=10_000, num_partitions=None):
+        rows = [tuple(r) for r in df.collect()]
+        conn.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.execute(
+            f"CREATE TABLE {table} "
+            f"({', '.join(c + ' BLOB' for c in df.columns)})"
+        )
+        conn.executemany(
+            f"INSERT INTO {table} VALUES "
+            f"({', '.join('?' for _ in df.columns)})",
+            rows,
+        )
+        conn.commit()
+        if crash["staging"]:
+            crash["staging"] -= 1
+            raise RuntimeError("induced crash after staging write")
+
+    monkeypatch.setattr(writers, "write_jdbc", fake_write_jdbc)
+
+    class FlakyCommit:
+        """Shared test connection; commit() raises once when armed."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.fail_commits = 0
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def commit(self):
+            if self.fail_commits:
+                self.fail_commits -= 1
+                self._inner.rollback()
+                raise RuntimeError("induced commit failure")
+            self._inner.commit()
+
+        def close(self):
+            self._inner.rollback()  # a real close would drop the open txn
+
+    flaky = FlakyCommit(conn)
+    sink = ST.idempotent_batch_sink(
+        "agg3", ["user_id"], connection_factory=lambda: flaky,
+        query_id="q3",
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "user_id int, total double"
+    )
+    # window (a): staging write crashes -> whole batch call fails
+    with pytest.raises(RuntimeError, match="staging"):
+        sink(b0, 0)
+    assert conn.execute("SELECT count(*) FROM agg3").fetchone()[0] == 0
+    # retry of the SAME batch_id converges
+    sink(b0, 0)
+    assert dict(
+        conn.execute("SELECT user_id, total FROM agg3")
+    ) == {1: 10.0, 2: 20.0}
+
+    # window (b): merge txn fails at commit -> merge AND marker roll back
+    b1 = spark.createDataFrame(
+        [(2, 25.0), (3, 30.0)], "user_id int, total double"
+    )
+    flaky.fail_commits = 1
+    with pytest.raises(RuntimeError, match="commit"):
+        sink(b1, 1)
+    got = dict(conn.execute("SELECT user_id, total FROM agg3"))
+    assert got == {1: 10.0, 2: 20.0}  # nothing half-applied
+    marks = conn.execute(
+        "SELECT batch_id FROM stream_commits WHERE query_id='q3'"
+    ).fetchall()
+    assert marks == [(0,)]
+    # retry converges; replaying both batches afterwards changes nothing
+    sink(b1, 1)
+    sink(b0, 0)
+    sink(b1, 1)
+    got = dict(conn.execute("SELECT user_id, total FROM agg3"))
+    assert got == {1: 10.0, 2: 25.0, 3: 30.0}
+    marks = conn.execute(
+        "SELECT batch_id FROM stream_commits WHERE query_id='q3' ORDER BY 1"
+    ).fetchall()
+    assert marks == [(0,), (1,)]
+
+
 def test_stream_stream_join_matches_batch(spark, events, stream_dir):
     """Stream-stream banded equi join vs the identical batch predicate:
     purchases join clicks by user within a lookback band. availableNow

@@ -1,0 +1,220 @@
+"""Learned-BPE tokenizer: encode spec equivalence (Spark expressions vs
+a pure-Python reference vs the DuckDB SQL twin), training determinism,
+and the packing property the whole surface exists for — token budgets
+never overflow when contexts are cut in real tokens."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_framework_spark.functions.sampling import pack_contexts
+from data_pipeline_framework_spark.functions.text import token_count
+from data_pipeline_framework_spark.functions.tokenize import (
+    BPETokenizer,
+    PandasTokenizer,
+    WhitespaceTokenizer,
+    bpe_count_sql,
+    bpe_token_count,
+    bpe_tokenize,
+    default_merges,
+    load_merges,
+    save_merges,
+    train_bpe_merges,
+)
+
+MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("s", "s")]
+
+
+def py_encode(text: str, merges) -> list[str]:
+    """Reference implementation of the ranked-merge spec: normalize,
+    wrap chars, one global leftmost-nonoverlapping replace per merge."""
+    if text is None:
+        return []
+    t = re.sub("[^a-z0-9]+", " ", text.lower()).strip()
+    s = re.sub("([a-z0-9])", r"(\1)", t)
+    for a, b in merges:
+        s = s.replace(f"({a})({b})", f"({a}{b})")
+    s = s.replace(" ", "")
+    return [x for x in s[1:-1].split(")(")] if s else []
+
+
+TRICKY = [
+    "The THEME and the sand!",          # case folding, merge-in-word
+    "ssssss",                            # self-overlapping merge (s,s)
+    "a  b\t\nc--d",                      # whitespace/punct runs
+    "123 and then some th",              # digits, short words
+    "",                                  # empty
+    "   ",                               # whitespace only
+    "þorn ünïcode",                      # non-ascii folds to separators
+]
+
+
+def test_encode_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY)], ["id", "text"]
+    )
+    tok = BPETokenizer(MERGES)
+    got = {
+        r["id"]: (r["toks"], r["n"])
+        for r in df.select(
+            "id",
+            tok.tokens_expr("text").alias("toks"),
+            tok.count_expr("text").alias("n"),
+        ).collect()
+    }
+    for i, t in enumerate(TRICKY):
+        want = py_encode(t, MERGES)
+        assert got[i][0] == want, (t, got[i][0], want)
+        assert got[i][1] == len(want)
+
+
+def test_encode_handles_null(spark):
+    df = spark.createDataFrame([(1, None)], "id int, text string")
+    tok = BPETokenizer(MERGES)
+    row = df.select(
+        tok.count_expr("text").alias("n"), tok.tokens_expr("text").alias("t")
+    ).collect()[0]
+    assert row["n"] == 0 and row["t"] == []
+
+
+def test_count_sql_twin_matches_spark(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY)], ["id", "text"]
+    )
+    tok = BPETokenizer(MERGES)
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", tok.count_expr("text").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    sql = bpe_count_sql("t.txt", MERGES)
+    for i, t in enumerate(TRICKY):
+        n = con.execute(
+            f"select {sql} from (select ?::VARCHAR as txt) t", [t]
+        ).fetchone()[0]
+        assert n == got[i], (t, n, got[i])
+
+
+def test_packaged_merges_are_nontrivial(spark, sf_dir):
+    """The committed merges table must produce SUBWORD granularity on
+    the corpus it was trained for (not collapse to whitespace counts)."""
+    from data_pipeline_framework_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bpe_token_count(docs, "text").withColumn(
+        "n_ws", F.size(F.array_remove(F.split("text", r"\s+"), ""))
+    )
+    agg = out.agg(
+        F.sum("n_bpe_tokens").alias("bpe"), F.sum("n_ws").alias("ws"),
+        F.sum((F.col("n_bpe_tokens") < F.col("n_ws")).cast("int")).alias("bad"),
+    ).collect()[0]
+    assert agg["bad"] == 0          # BPE can never undercut word count
+    assert agg["bpe"] > agg["ws"]   # and actually splits subwords here
+
+
+def test_training_deterministic_and_prefix_stable(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the theory of the thing", "then the sand and the sea",
+             "toss the thread through", "thin threads thin the throng"] * 5
+        )],
+        ["id", "text"],
+    )
+    m20 = train_bpe_merges(df, "text", n_merges=20, order_col="id")
+    m20b = train_bpe_merges(df, "text", n_merges=20, order_col="id")
+    m8 = train_bpe_merges(df, "text", n_merges=8, order_col="id")
+    assert m20 == m20b
+    assert m20[:8] == m8            # greedy training is prefix-stable
+    assert all(len(a) and len(b) for a, b in m20)
+
+
+def test_merges_roundtrip(tmp_path):
+    p = str(tmp_path / "m.txt")
+    save_merges(MERGES, p)
+    assert load_merges(p) == MERGES
+    assert len(default_merges()) >= 32
+
+
+def test_invalid_merges_rejected():
+    with pytest.raises(ValueError):
+        BPETokenizer([("a", "")])
+    with pytest.raises(ValueError):
+        BPETokenizer([("(", "b")])
+
+
+def test_token_count_tokenizer_hook(spark):
+    df = spark.createDataFrame([(1, "the sand and the sea")], ["id", "text"])
+    out = token_count(df, "text", tokenizer=BPETokenizer(MERGES))
+    assert out.collect()[0]["n_tokens"] == len(
+        py_encode("the sand and the sea", MERGES)
+    )
+    ws = token_count(df, "text", tokenizer=WhitespaceTokenizer())
+    assert ws.collect()[0]["n_tokens"] == 5
+
+
+def test_pandas_tokenizer_hook(spark):
+    # stand-in for tiktoken/HF: a trivial splitter running as a pandas UDF
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "id int, text string"
+    )
+    tok = PandasTokenizer(lambda t: t.split())
+    rows = {
+        r["id"]: (r["n"], r["toks"])
+        for r in df.select(
+            "id",
+            tok.count_expr("text").alias("n"),
+            tok.tokens_expr("text").alias("toks"),
+        ).collect()
+    }
+    assert rows[1] == (3, ["a", "b", "c"])
+    assert rows[2] == (0, [])
+
+
+def test_pack_contexts_bpe_budget_never_overflows(spark, sf_dir):
+    """THE packing property: with a real tokenizer measuring the stream,
+    every context holds exactly context_len tokens except the final one,
+    and no context ever exceeds the budget."""
+    from data_pipeline_framework_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    L = 96
+    tok = BPETokenizer()
+    packed = pack_contexts(
+        docs, "doc_id", "text", context_len=L, tokenizer=tok
+    )
+    fills = (
+        packed.groupBy("context_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .collect()
+    )
+    by_ctx = {r["context_id"]: r["fill"] for r in fills}
+    last = max(by_ctx)
+    assert all(f == L for c, f in by_ctx.items() if c != last)
+    assert 0 < by_ctx[last] <= L
+    # total across contexts == total corpus BPE tokens (nothing dropped)
+    total = bpe_token_count(docs, "text").agg(
+        F.sum("n_bpe_tokens")
+    ).collect()[0][0]
+    assert sum(by_ctx.values()) == total
+    # pieces re-joined per context reconstruct the token stream lengths
+    bad = packed.filter(
+        F.size(F.split("piece_text", " ")) != F.col("n_tokens")
+    ).count()
+    assert bad == 0
+
+
+def test_bpe_tokenize_roundtrips_count(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY) if t.strip()], ["id", "text"]
+    )
+    out = bpe_tokenize(df, "text", MERGES).withColumn(
+        "n", F.size("bpe_tokens")
+    )
+    cnt = bpe_token_count(df, "text", MERGES)
+    a = {r["id"]: r["n"] for r in out.collect()}
+    b = {r["id"]: r["n_bpe_tokens"] for r in cnt.collect()}
+    assert a == b

@@ -1,0 +1,114 @@
+"""Scale-stress bench: the headline queries at sf0.1 AND the 10x
+synthetic sf1 (tools/make_scale_data.py), with per-query scaling
+exponents — the measured version of the "would this survive 100x?"
+argument the plan lint makes statically.
+
+exponent = log(t_big / t_small) / log(10): 1.0 = perfectly linear,
+< 1 = fixed overhead amortizing away, > 1 = super-linear (a shuffle,
+skew, or candidate-explosion problem). Queries with sub-second small-SF
+times are overhead-dominated and their exponents read low; the flag
+threshold only fires on queries that are slow enough to measure.
+
+Usage:  python tools/make_scale_data.py          # once
+        python tools/bench_scale.py [out.json]
+Env: SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_sf1),
+     SPARK_GRAFT_SF_DIR (small side, default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (repo-root bench.py: HEADLINE + _WIDE)
+
+# exponent gate: anything >= this on a measurable query is a scaling bug
+MAX_EXPONENT = 1.2
+# only gate queries whose small-SF time is above this (else overhead noise)
+MIN_MEASURABLE_SEC = 0.35
+
+
+def _run(spark, qs, names, sf_dir, runs=2):
+    timings = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            if name in bench._WIDE:
+                df.count()
+            else:
+                df.collect()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        timings[name] = round(best, 3)
+    return timings
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_r03.json"
+    small = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    big = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_sf1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    factor = float(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+
+    import __spark_entry__ as entrymod
+    from data_pipeline_framework_spark import get_spark
+
+    spark = get_spark(
+        app_name="bench-scale", master=f"local[{cpus}]",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "8",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "100",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    names = [n for n in bench.HEADLINE if n in qs]
+    qs[names[0]](spark, small).count()  # warm JVM/footers
+
+    t_small = _run(spark, qs, names, small)
+    t_big = _run(spark, qs, names, big)
+
+    per_query = {}
+    flagged = []
+    for n in names:
+        a, b = t_small[n], t_big[n]
+        exp = round(math.log(max(b, 1e-3) / max(a, 1e-3)) / math.log(factor), 3)
+        per_query[n] = {"t_small": a, "t_big": b, "exponent": exp}
+        if a >= MIN_MEASURABLE_SEC and exp > MAX_EXPONENT:
+            flagged.append(n)
+
+    result = {
+        "metric": "scale_stress",
+        "factor": factor,
+        "small_dir": small,
+        "big_dir": big,
+        "total_small_sec": round(sum(t_small.values()), 3),
+        "total_big_sec": round(sum(t_big.values()), 3),
+        "total_exponent": round(
+            math.log(sum(t_big.values()) / sum(t_small.values()))
+            / math.log(factor), 3),
+        "max_exponent_gate": MAX_EXPONENT,
+        "flagged_superlinear": flagged,
+        "queries": per_query,
+    }
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({k: result[k] for k in (
+        "total_small_sec", "total_big_sec", "total_exponent",
+        "flagged_superlinear")}))
+
+
+if __name__ == "__main__":
+    main()

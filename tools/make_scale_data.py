@@ -1,0 +1,91 @@
+"""Materialize a 10x scale-stress dataset from sf0.1 (synthetic "sf1").
+
+The driver container only ships sf0.001/0.01/0.1; the 100x scaling story
+needs a measured point, so this replicates every fact table K times with
+consistent key offsets (orderkey shifts match between orders and
+lineitem, custkey between customer and orders, etc. — join fan-outs stay
+exactly TPC-H-shaped instead of multiplying). Dimension-style tables
+(region, nation) stay fixed, like TPC-H. Document text gets a per-copy
+salt token and embeddings a per-copy epsilon so the copies are near- but
+not exact duplicates (near-dup workloads see realistic candidates, not a
+degenerate 45-pairs-per-doc explosion of identical rows).
+
+Usage: python tools/make_scale_data.py [out_dir] [K]
+Default: /tmp/spark_graft_sf1, K=10. Pure DuckDB; ~170 MB output.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+# per-table key shifts: column -> stride (max_key+1 at sf0.1)
+SHIFTS: dict[str, dict[str, int]] = {
+    "customer": {"c_custkey": 15_000},
+    "orders": {"o_orderkey": 150_000, "o_custkey": 15_000},
+    "lineitem": {"l_orderkey": 150_000, "l_partkey": 20_000,
+                 "l_suppkey": 1_000},
+    "part": {"p_partkey": 20_000},
+    "supplier": {"s_suppkey": 1_000},
+    "events": {"event_id": 100_000, "user_id": 1_500},
+    "documents": {"doc_id": 5_000},
+    "embeddings": {"vec_id": 2_000},
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in COPY_AS_IS:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    for t, shifts in SHIFTS.items():
+        cols = [
+            r[0] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        sel = []
+        for c in cols:
+            if c in shifts:
+                sel.append(f"{c} + i * {shifts[c]} AS {c}")
+            elif t == "documents" and c == "text":
+                # near- (not exact-) duplicate copies
+                sel.append(
+                    "CASE WHEN i = 0 THEN text "
+                    "ELSE text || ' copysalt' || i END AS text"
+                )
+            elif t == "embeddings" and c == "embedding":
+                sel.append(
+                    "list_transform(embedding, "
+                    "x -> x + CAST(i AS FLOAT) * 0.001) AS embedding"
+                )
+            else:
+                sel.append(c)
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} "
+            f"FROM read_parquet('{SRC}/{t}.parquet'), "
+            f"(SELECT unnest(range({k})) AS i) "
+            f"ORDER BY {list(shifts)[0]}) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+    print(f"wrote {out} (K={k})")
+
+
+if __name__ == "__main__":
+    main()
