@@ -1357,6 +1357,31 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(docs, "text").select("doc_id", "n_bpe_tokens")
 
 
+def bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus vocabulary usage in LEARNED BPE tokens: explode the encode
+    stream, count occurrences and document frequency per token, top 50
+    by count (ties by token). Exercises the token-array path (tokens
+    themselves, not just counts) end-to-end against the SQL twin."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        BPETokenizer,
+    )
+
+    tok = BPETokenizer()
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exploded = docs.select(
+        "doc_id", F.explode(tok.tokens_expr("text")).alias("token")
+    )
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(50)
+    )
+
+
 def bpe_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fixed-token-budget training shards measured in LEARNED BPE tokens:
     bpe_token_count (narrow chained-replace encode) feeds the cumsum
@@ -3411,6 +3436,42 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG pipeline round-trip with the library-free baseline codec
+    (operators/jpeg.py): each embedding's first component quantizes to a
+    gray level, is encoded as a REAL baseline JPEG (FDCT + Huffman), and
+    decoded back inside the distributed image_stats kernel. Constant
+    8x8 blocks survive quantize->DCT->dequantize EXACTLY at quality=100,
+    so the oracle predicts the decoded mean from the floats alone —
+    matching proves the whole marker/Huffman/DCT loop, distributed."""
+    from data_pipeline_framework_spark.operators.jpeg import encode_jpeg
+    from data_pipeline_framework_spark.operators.multimodal import (
+        image_stats,
+    )
+
+    @F.pandas_udf("binary")
+    def pack(s: pd.Series) -> pd.Series:
+        def go(v):
+            lvl = int(np.clip(
+                np.floor((float(v[0]) + 1.0) * 127.5), 0, 255
+            ))
+            return encode_jpeg(
+                np.full((8, 8), lvl, dtype=np.uint8), quality=100
+            )
+
+        return s.map(go)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    blobs = emb.select(
+        "vec_id", pack("embedding").alias("content"),
+        F.lit("jpeg").alias("format"),
+    )
+    return image_stats(blobs).select(
+        "vec_id", "height", "width", "channels",
+        _r(F.col("mean_intensity"), 6).alias("mean_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of / range joins (operators/joins.py)
 
@@ -4208,6 +4269,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shard_packing": token_shard_packing,
         "bpe_token_counts": bpe_token_counts,
         "bpe_shard_packing": bpe_shard_packing,
+        "bpe_vocab_usage": bpe_vocab_usage,
         "benchmark_decontamination": benchmark_decontamination,
         "domain_quota_cap": domain_quota_cap,
         "duplicate_span_flags": duplicate_span_flags,
@@ -4287,6 +4349,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "savgol_smooth": savgol_smooth,
         "media_waveform_features": media_waveform_features,
         "media_image_features": media_image_features,
+        "media_jpeg_roundtrip": media_jpeg_roundtrip,
         "asof_join_events": asof_join_events,
         "range_join_acctbal": range_join_acctbal,
         "mode_imputation": mode_imputation,
@@ -5403,6 +5466,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(token_offset / 4000) AS BIGINT) AS shard
             FROM o
         """,
+        "bpe_vocab_usage": f"""
+            WITH s AS (
+                SELECT doc_id, replace({_bpe_stream_sql()}, ' ', '') AS st
+                FROM documents
+            ),
+            tk AS (
+                SELECT doc_id, unnest(string_split(
+                    substr(st, 2, length(st) - 2), ')(' )) AS token
+                FROM s WHERE length(st) > 0
+            )
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM tk
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 50
+        """,
         "benchmark_decontamination": f"""
             WITH w AS (
                 SELECT doc_id, {_DD_TOKS} AS ws FROM documents
@@ -6255,6 +6336,16 @@ def oracle_sql() -> dict[str, str]:
                          x -> least(greatest(FLOOR((CAST(x AS DOUBLE) + 1.0)
                                     * 127.5), 0), 255)))
                          * 1e6 + 0.5) / 1e6 AS mean_q
+            FROM embeddings
+        """,
+        "media_jpeg_roundtrip": """
+            SELECT vec_id,
+                   CAST(8 AS INTEGER) AS height,
+                   CAST(8 AS INTEGER) AS width,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST(least(greatest(FLOOR((CAST(embedding[1] AS DOUBLE)
+                                              + 1.0) * 127.5), 0), 255)
+                        AS DOUBLE) AS mean_q
             FROM embeddings
         """,
         "asof_join_events": """

@@ -32,6 +32,7 @@ _WIDE = {
     "stratified_sample_docs", "token_shard_packing", "kmeans_lloyd",
     "benchmark_decontamination", "domain_quota_cap",
     "duplicate_span_flags", "bpe_token_counts", "bpe_shard_packing",
+    "media_jpeg_roundtrip",
 }
 
 HEADLINE = [
@@ -119,6 +120,8 @@ HEADLINE = [
     # round-4 additions
     "bpe_token_counts",
     "bpe_shard_packing",
+    "bpe_vocab_usage",
+    "media_jpeg_roundtrip",
 ]
 
 

@@ -414,6 +414,7 @@ def chunk_documents(
     text_col: str,
     window: int = 64,
     stride: int = 48,
+    tokenizer=None,
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the
     standard long-document -> training-context step (window tokens per
@@ -426,11 +427,19 @@ def chunk_documents(
     place. Tokens keep original case; zero-token documents emit no
     chunks.
 
+    `tokenizer`: any object with `tokens_expr(col) -> Column`
+    (functions.tokenize.BPETokenizer / PandasTokenizer) — windows are
+    then measured and cut in real tokens; chunk_text joins the
+    tokenizer's tokens with spaces (token stream, not surface text).
+
     Output: id, chunk_id (0-based), n_tokens, chunk_text.
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
-    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    if tokenizer is not None:
+        toks = tokenizer.tokens_expr(F.col(text_col))
+    else:
+        toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
     base = df.select(F.col(id_col), toks.alias("__tk"))
     n = F.size("__tk")
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(

@@ -65,6 +65,7 @@ __all__ = [
 
 _NORM_RE = "[^a-z0-9]+"
 _WRAP_RE = "([a-z0-9])"
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 
 def _normalize(col: Column) -> Column:
@@ -113,6 +114,34 @@ class BPETokenizer:
         return F.when(
             s.isNull() | (F.length(s) == 0), F.array().cast("array<string>")
         ).otherwise(arr)
+
+    def vocab(self) -> dict[str, int]:
+        """token -> id. Ids are stable for a fixed merges table: the
+        base alphabet [a-z0-9] takes 0..35, then one id per merge
+        product in rank order. Every encodable token is in the vocab
+        (merges only ever produce concatenations of base chars)."""
+        out = {c: i for i, c in enumerate(_ALPHABET)}
+        nxt = len(out)
+        for a, b in self.merges:
+            prod = a + b
+            if prod not in out:
+                out[prod] = nxt
+                nxt += 1
+        return out
+
+    def ids_expr(self, col: Column | str) -> Column:
+        """Encode to int token ids: tokens_expr mapped through the vocab
+        as a literal map — stays a narrow JVM projection."""
+        v = self.vocab()
+        m = F.create_map(
+            *[x for t, i in v.items() for x in (F.lit(t), F.lit(i))]
+        )
+        return F.transform(
+            self.tokens_expr(col),
+            lambda t: F.coalesce(
+                F.element_at(m, t), F.lit(-1)
+            ).cast("int"),
+        )
 
     # ---- SQL twins (DuckDB dialect) ----
 

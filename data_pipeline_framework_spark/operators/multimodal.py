@@ -11,10 +11,10 @@ Design:
     modificationTime, content), glob + pathGlobFilter pushdown.
   * decode: REAL, library-free, for npy (numpy container), PNG (stdlib
     zlib + spec filter reconstruction), BMP (uncompressed 8/24/32-bit),
-    PPM/PGM (binary netpbm), and PCM WAV (stdlib wave). Only JPEG — whose
-    DCT entropy coding genuinely needs a codec library — is gated behind
-    a Pillow import-try and raises NotImplementedError in this container;
-    its Spark-side plumbing is identical to the native formats.
+    PPM/PGM (binary netpbm), PCM WAV (stdlib wave), and baseline JPEG
+    (operators/jpeg.py: pure-numpy Huffman + IDCT decoder and a 4:4:4
+    encoder; Pillow is preferred when installed and covers progressive
+    JPEGs, which the native decoder rejects with NotImplementedError).
   * image ops: byte_stats (content-level), image_stats / resize
     (average-pool) on decoded arrays, video frame sampling, audio
     rms / zero-crossing features.
@@ -97,16 +97,16 @@ def _decode(blob: bytes, fmt: str) -> np.ndarray:
     if fmt in ("ppm", "pgm"):
         return decode_ppm(blob)
     if fmt in ("jpeg", "jpg"):
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "JPEG decode requires Pillow, which is not installed in this "
-                "container; PNG/BMP/PPM/WAV/npy decode natively"
-            ) from exc
-        from PIL import Image
+        try:  # Pillow decodes every JPEG flavor when present
+            from PIL import Image
 
-        return np.asarray(Image.open(io.BytesIO(blob)))
+            return np.asarray(Image.open(io.BytesIO(blob)))
+        except ImportError:
+            # library-free baseline-sequential decoder (operators/jpeg.py);
+            # progressive/arithmetic JPEGs raise NotImplementedError there
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(blob)
     if fmt == "wav":
         return decode_wav(blob)
     raise ValueError(f"unknown media format: {fmt!r}")

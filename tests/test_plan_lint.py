@@ -54,6 +54,7 @@ _BNL_OK = {
 _ARROW_OK = {
     "media_waveform_features",
     "media_image_features",
+    "media_jpeg_roundtrip",
     "seasonal_decomposition",
     "savgol_smooth",
     "kmeans_cluster_sizes",

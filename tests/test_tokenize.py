@@ -207,6 +207,42 @@ def test_pack_contexts_bpe_budget_never_overflows(spark, sf_dir):
     assert bad == 0
 
 
+def test_vocab_and_ids_roundtrip(spark):
+    tok = BPETokenizer(MERGES)
+    v = tok.vocab()
+    # base alphabet fixed, merge products appended in rank order
+    assert v["a"] == 0 and v["9"] == 35
+    assert v["th"] == 36 and v["the"] == 37 and v["ss"] == 40
+    df = spark.createDataFrame(
+        [(1, "the sand!"), (2, ""), (3, None)], "id int, text string"
+    )
+    rows = {
+        r["id"]: r["ids"]
+        for r in df.select("id", tok.ids_expr("text").alias("ids")).collect()
+    }
+    inv = {i: t for t, i in v.items()}
+    assert [inv[i] for i in rows[1]] == py_encode("the sand!", MERGES)
+    assert all(i >= 0 for i in rows[1])  # nothing out-of-vocab
+    assert rows[2] == [] and rows[3] == []
+
+
+def test_chunk_documents_with_tokenizer(spark):
+    """chunks cut in learned-token units: windows tile the BPE stream."""
+    from data_pipeline_framework_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "the sand and the sea and the theme")], ["id", "text"]
+    )
+    tok = BPETokenizer(MERGES)
+    stream = py_encode("the sand and the sea and the theme", MERGES)
+    rows = chunk_documents(
+        df, "id", "text", window=5, stride=5, tokenizer=tok
+    ).orderBy("chunk_id").collect()
+    rebuilt = [t for r in rows for t in r["chunk_text"].split(" ")]
+    assert rebuilt == stream
+    assert all(r["n_tokens"] <= 5 for r in rows)
+
+
 def test_bpe_tokenize_roundtrips_count(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TRICKY) if t.strip()], ["id", "text"]

@@ -60,6 +60,21 @@ def main() -> None:
         for c in cols:
             if c in shifts:
                 sel.append(f"{c} + i * {shifts[c]} AS {c}")
+            elif t == "customer" and c == "c_name":
+                # entity names must track the shifted key, or every name
+                # appears K times and fuzzy/entity workloads see a fake
+                # K^2 match explosion
+                sel.append(
+                    "'Customer#' || lpad(CAST(c_custkey + i * "
+                    f"{SHIFTS['customer']['c_custkey']} AS VARCHAR), 9, '0')"
+                    " AS c_name"
+                )
+            elif t == "supplier" and c == "s_name":
+                sel.append(
+                    "'Supplier#' || lpad(CAST(s_suppkey + i * "
+                    f"{SHIFTS['supplier']['s_suppkey']} AS VARCHAR), 9, '0')"
+                    " AS s_name"
+                )
             elif t == "documents" and c == "text":
                 # near- (not exact-) duplicate copies
                 sel.append(
