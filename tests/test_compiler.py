@@ -315,6 +315,36 @@ def test_clean_dataset_audit_is_single_action(spark):
     assert audit[2].values_changed == 0   # all emails valid
 
 
+def test_token_count_op_tokenizers(spark, tmp_path):
+    """the token_count op dispatches regex/whitespace/bpe tokenizers and
+    honors an explicit merges_path."""
+    from data_pipeline_framework_spark import apply_ops
+
+    df = spark.createDataFrame([(1, "the sand and the sea")], ["id", "text"])
+    for kind, expect in (("regex", 5), ("whitespace", 5)):
+        out = apply_ops(df, [{
+            "type": "token_count", "text_column": "text",
+            "tokenizer": kind, "output_column": "n",
+        }])
+        assert out.collect()[0]["n"] == expect
+    bpe = apply_ops(df, [{
+        "type": "token_count", "text_column": "text", "tokenizer": "bpe",
+        "output_column": "n",
+    }])
+    assert bpe.collect()[0]["n"] >= 5  # packaged merges: subword counts
+    p = tmp_path / "m.txt"
+    p.write_text("t h\nth e\n")
+    custom = apply_ops(df, [{
+        "type": "token_count", "text_column": "text", "tokenizer": "bpe",
+        "merges_path": str(p), "output_column": "n",
+    }])
+    # 'the'->1 token twice, sand/and/sea stay chars: 1+4+3+1+3 = 12
+    assert custom.collect()[0]["n"] == 12
+    with pytest.raises(ValueError, match="unsupported tokenizer"):
+        apply_ops(df, [{"type": "token_count", "text_column": "text",
+                        "tokenizer": "nope"}])
+
+
 def test_aggregate_describe_fallback(spark):
     """aggregate with neither group_by nor aggregations -> summary stats
     (reference pandas_processor.py:176-177, spark_processor.py:182-183)."""

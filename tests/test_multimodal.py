@@ -93,15 +93,26 @@ def test_audio_features(spark):
 
 
 def test_unsupported_format_raises(spark, media_dir):
+    # npy bytes mislabeled as jpeg: the baseline JPEG decoder rejects
+    # them (no SOI marker) instead of decoding garbage
     df = MM.with_media_metadata(
         MM.read_binary_files(spark, media_dir, glob="img_0.npy"),
         "image", "jpeg",  # wrong format on purpose
     )
     with pytest.raises(Exception) as exc_info:
         MM.image_stats(df).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+    msg = str(exc_info.value)
+    assert "SOI" in msg or "NotImplementedError" in msg or isinstance(
+        exc_info.value, (NotImplementedError, ValueError)
     )
+    # a genuinely unknown format still raises the dispatch error
+    df2 = MM.with_media_metadata(
+        MM.read_binary_files(spark, media_dir, glob="img_0.npy"),
+        "image", "tiff",
+    )
+    with pytest.raises(Exception) as exc2:
+        MM.image_stats(df2).collect()
+    assert "unknown media format" in str(exc2.value)
 
 
 def test_wav_decode_stdlib_end_to_end(spark):

@@ -279,11 +279,16 @@ def test_corpus_curation_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
     assert result.status == "success", result.error
     back = spark.read.parquet(out)
     assert set(back.columns) == {
-        "doc_id", "chunk_id", "n_tokens", "chunk_text"
+        "doc_id", "chunk_id", "n_tokens", "chunk_text", "n_bpe_tokens"
     }
     assert back.count() == result.rows_written > 0
     # chunks never exceed the window
     assert back.agg(F.max("n_tokens")).first()[0] <= 64
+    # every chunk got a learned-BPE budget, and subwords mean it is
+    # never below the whitespace token count
+    assert back.filter(
+        F.col("n_bpe_tokens") < F.col("n_tokens")
+    ).count() == 0
     assert result.validation[0]["status"] == "PASS"
 
 
