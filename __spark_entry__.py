@@ -4212,6 +4212,97 @@ def correlations_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("col_a", "col_b", _r(F.col("corr"), 4).alias("corr"))
 
 
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (operators/rollup.py): events
+    arrive as two slices; each slice's algebraic partial state is built
+    independently, merged (state(A ∪ B) == merge(state(A), state(B))),
+    and finalized. The oracle is the direct one-shot GROUP BY — proving
+    the incremental path is indistinguishable from a full recompute,
+    which is the property that lets a 100 TB corpus keep its dashboard
+    aggregates fresh per-slice instead of rescanning history (the
+    reference recomputes every run, processors/pandas_processor.py:199)."""
+    from data_pipeline_framework_spark.operators.rollup import (
+        finalize_rollup, merge_rollup_state, rollup_state,
+    )
+
+    metrics = {"value": ["sum", "avg", "min", "max"], "user_id": ["count"]}
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = merge_rollup_state(
+        rollup_state(a, ["event_type"], metrics),
+        rollup_state(b, ["event_type"], metrics),
+        ["event_type"], metrics,
+    )
+    out = finalize_rollup(merged, metrics)
+    return out.select(
+        "event_type",
+        F.col("__rows").alias("n_rows"),
+        F.round("value_sum", 2).alias("value_sum"),
+        _r(F.col("value_avg"), 4).alias("value_avg"),
+        "value_min",
+        "value_max",
+        "user_id_count",
+    )
+
+
+def rollup_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram state (operators/rollup.py histograms=):
+    fixed-range bin counts built per slice, merged element-wise (exact —
+    integer adds), then finalized to deterministic bin-midpoint p50/p90
+    estimates. The oracle replays the identical binning + cumulative
+    threshold in SQL, so the approximate quantile is value-checked, not
+    just sanity-checked. The bounds come from one bounded 2-value scalar
+    collect (min/max), the only driver round-trip."""
+    from data_pipeline_framework_spark.operators.rollup import (
+        finalize_rollup, merge_rollup_state, rollup_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    hist = {"value": {"lo": lo, "hi": hi, "bins": 50,
+                      "quantiles": [0.5, 0.9]}}
+    m: dict = {"value": ["count"]}
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = merge_rollup_state(
+        rollup_state(a, ["event_type"], m, histograms=hist),
+        rollup_state(b, ["event_type"], m, histograms=hist),
+        ["event_type"], m, histograms=hist,
+    )
+    out = finalize_rollup(merged, m, histograms=hist)
+    return out.select(
+        "event_type",
+        F.col("value_count").alias("n"),
+        _r(F.col("value_p50"), 6).alias("value_p50"),
+        _r(F.col("value_p90"), 6).alias("value_p90"),
+    )
+
+
+def heavy_hitters_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state Misra-Gries heavy hitters
+    (functions/heavy_hitters.py): per-partition mapInPandas summaries
+    (state capped at `capacity` counters, zero shuffle) -> one groupBy
+    over <= capacity*partitions rows -> deterministic top-10. With
+    capacity above the distinct-supplier count the summary is provably
+    EXACT (err=0, no compaction fires at sf<=0.1), so the oracle is the
+    plain count/top-k — checking the whole distributed-summary machinery
+    end to end; the approximation regime's sandwich bound
+    (cnt <= true <= cnt+err) is property-tested in
+    tests/test_heavy_hitters.py."""
+    from data_pipeline_framework_spark.functions.heavy_hitters import (
+        heavy_hitters, top_k,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    hh = heavy_hitters(li, "l_suppkey", capacity=2048)
+    return top_k(hh, "l_suppkey", 10).select(
+        "rank", "l_suppkey", "cnt", "err"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -4381,6 +4472,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_json_props": parse_json_props,
         "fillna_mean": fillna_mean,
         "correlations_spearman": correlations_spearman,
+        "incremental_rollup": incremental_rollup,
+        "rollup_histogram_quantiles": rollup_histogram_quantiles,
+        "heavy_hitters_suppliers": heavy_hitters_suppliers,
     }
 
 
@@ -6781,5 +6875,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_extendedprice', 'l_discount',
                    FLOOR(corr(r_price, r_disc) * 1e4 + 0.5) / 1e4
             FROM rk
+        """,
+        "incremental_rollup": """
+            SELECT event_type,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(value), 2) AS value_sum,
+                   FLOOR(SUM(value) / COUNT(value) * 1e4 + 0.5) / 1e4
+                       AS value_avg,
+                   MIN(value) AS value_min,
+                   MAX(value) AS value_max,
+                   COUNT(user_id) AS user_id_count
+            FROM events
+            GROUP BY event_type
+        """,
+        # identical fixed-range binning + cumulative-threshold midpoint:
+        # width/lo/hi are the same IEEE doubles on both engines, so the
+        # estimates match to the rounded precision.
+        "rollup_histogram_quantiles": """
+            WITH b AS (
+                SELECT MIN(value) AS lo, MAX(value) AS hi,
+                       (MAX(value) - MIN(value)) / 50 AS w
+                FROM events
+            ),
+            binned AS (
+                SELECT event_type,
+                       LEAST(49, GREATEST(0, CAST(FLOOR(
+                           (value - b.lo) / b.w) AS INT))) AS bin
+                FROM events, b
+            ),
+            counts AS (
+                SELECT event_type, bin, COUNT(*) AS c
+                FROM binned GROUP BY event_type, bin
+            ),
+            cum AS (
+                SELECT event_type, bin, c,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY bin)
+                           AS cum,
+                       SUM(c) OVER (PARTITION BY event_type) AS tot
+                FROM counts
+            ),
+            idx AS (
+                SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n,
+                       MIN(CASE WHEN cum >= GREATEST(
+                           1, CAST(CEIL(tot * 0.5) AS BIGINT))
+                           THEN bin END) AS i50,
+                       MIN(CASE WHEN cum >= GREATEST(
+                           1, CAST(CEIL(tot * 0.9) AS BIGINT))
+                           THEN bin END) AS i90
+                FROM cum GROUP BY event_type
+            )
+            SELECT event_type,
+                   n,
+                   FLOOR((b.lo + (i50 + 0.5) * b.w) * 1e6 + 0.5) / 1e6
+                       AS value_p50,
+                   FLOOR((b.lo + (i90 + 0.5) * b.w) * 1e6 + 0.5) / 1e6
+                       AS value_p90
+            FROM idx, b
+        """,
+        "heavy_hitters_suppliers": """
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY COUNT(*) DESC, l_suppkey ASC
+                   ) AS INT) AS rank,
+                   l_suppkey,
+                   COUNT(*) AS cnt,
+                   CAST(0 AS BIGINT) AS err
+            FROM lineitem
+            GROUP BY l_suppkey
+            ORDER BY cnt DESC, l_suppkey ASC
+            LIMIT 10
         """,
     }

@@ -122,6 +122,9 @@ HEADLINE = [
     "bpe_shard_packing",
     "bpe_vocab_usage",
     "media_jpeg_roundtrip",
+    "incremental_rollup",
+    "rollup_histogram_quantiles",
+    "heavy_hitters_suppliers",
 ]
 
 

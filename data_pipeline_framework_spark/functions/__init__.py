@@ -33,6 +33,11 @@ from .similarity import (  # noqa: F401
     random_projection,
     train_pq_codebooks,
 )
+from .heavy_hitters import (  # noqa: F401
+    heavy_hitters,
+    merge_heavy_hitters,
+    top_k,
+)
 from .sketches import (  # noqa: F401
     cms_lookup,
     count_min_table,

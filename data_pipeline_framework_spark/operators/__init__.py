@@ -5,6 +5,9 @@ from .graph import pagerank  # noqa: F401
 from .joins import asof_join, range_join  # noqa: F401
 from .layout import cluster_by_zorder, quantize_uniform, zorder_key  # noqa: F401
 from .linkage import fuzzy_join  # noqa: F401
+from .rollup import (  # noqa: F401
+    finalize_rollup, merge_rollup_state, rollup_state, update_rollup,
+)
 from .skew import diagnose_skew, salted_join, two_stage_agg  # noqa: F401
 from .window_ops import WINDOW_FUNCTIONS, apply_window_function  # noqa: F401
 

@@ -417,6 +417,40 @@ def idempotent_batch_sink(
     return sink
 
 
+def rollup_batch_fn(
+    state_path: str,
+    keys: list[str],
+    metrics: dict[str, list[str]],
+    lg_k: int = 12,
+    histograms: dict | None = None,
+) -> Callable:
+    """Continuous-aggregate maintenance over a stream: each micro-batch
+    folds into the persisted algebraic rollup state
+    (operators/rollup.update_rollup) instead of re-aggregating history —
+    the streaming twin of the reference's full-recompute `aggregate`
+    (processors/pandas_processor.py:199), kept fresh per batch at
+    |delta| + |keys| cost.
+
+    Exactly-once under replay: the micro-batch id is passed as the
+    rollup commit id, which travels inside the atomically-swapped state
+    dir — a re-delivered batch (crash between sink and checkpoint
+    commit) is detected and skipped, so no slice is ever double-counted.
+
+    Usage:
+        write_stream(df, foreach_batch=rollup_batch_fn(...),
+                     checkpoint=...)
+    """
+    from ..operators.rollup import update_rollup
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_rollup(
+            batch_df.sparkSession, batch_df, state_path, keys, metrics,
+            lg_k=lg_k, histograms=histograms, commit_id=int(batch_id),
+        )
+
+    return run_batch
+
+
 def neardup_filter_batch_fn(
     id_col: str,
     text_col: str,

@@ -48,6 +48,7 @@ _BNL_OK = {
     "ann_quantized_topk",     # broadcast query side, small by construction
     "ann_pq_topk",            # broadcast query side, small by construction
     "ngram_jaccard_neardup",  # broadcast 1-row corpus count for the df-cut
+    "heavy_hitters_suppliers",  # broadcast 1-row error-budget sentinel
 }
 
 # queries whose operators legitimately run vectorized Python
@@ -64,6 +65,7 @@ _ARROW_OK = {
     "ann_ivf_topk",   # Arrow-batched cell assignment
     "ann_ivfpq_topk",  # Arrow-batched cell assignment (IVF coarse stage)
     "ewm_smoothing",  # sequential recurrence, applyInPandas per series
+    "heavy_hitters_suppliers",  # bounded per-partition MG summaries
 }
 
 

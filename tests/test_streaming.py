@@ -532,6 +532,72 @@ def test_neardup_filter_stream_against_store(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_out
 
 
+def test_rollup_stream_maintains_continuous_aggregate(
+    spark, events, stream_dir, tmp_path
+):
+    """Micro-batches fold into the persisted algebraic rollup state;
+    the finalized rollup equals the one-shot batch aggregate, and a
+    checkpointed availableNow replay adds nothing (commit markers make
+    re-delivered batches no-ops)."""
+    from data_pipeline_framework_spark.operators.rollup import (
+        finalize_rollup, rollup_state,
+    )
+
+    metrics = {"value": ["sum", "min", "max"], "event_id": ["count"]}
+    state = str(tmp_path / "rollup_state")
+
+    def run():
+        sdf = ST.read_stream_files(
+            spark, str(stream_dir / "in"), schema=events.schema,
+            max_files_per_trigger=1,
+        )
+        q = ST.write_stream(
+            sdf.select("event_id", "event_type", "value"),
+            foreach_batch=ST.rollup_batch_fn(
+                state, ["event_type"], metrics,
+            ),
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        r["event_type"]: r.asDict()
+        for r in finalize_rollup(
+            spark.read.parquet(state), metrics
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r.asDict()
+        for r in finalize_rollup(
+            rollup_state(
+                events.select("event_id", "event_type", "value"),
+                ["event_type"], metrics,
+            ), metrics,
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k]["event_id_count"] == want[k]["event_id_count"]
+        assert got[k]["value_min"] == want[k]["value_min"]
+        assert got[k]["value_max"] == want[k]["value_max"]
+        assert got[k]["value_sum"] == pytest.approx(
+            want[k]["value_sum"], rel=1e-9
+        )
+    # replay from the same checkpoint: availableNow finds nothing new,
+    # and even if a batch were re-delivered the commit marker skips it
+    run()
+    again = {
+        r["event_type"]: r.asDict()
+        for r in finalize_rollup(
+            spark.read.parquet(state), metrics
+        ).collect()
+    }
+    for k in want:
+        assert again[k]["event_id_count"] == want[k]["event_id_count"]
+
+
 def test_quota_stream_caps_per_key(spark, events, stream_dir):
     """stateful per-key admission quota: at most `cap` records per
     user_id survive across all micro-batches."""
