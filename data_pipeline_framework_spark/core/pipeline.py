@@ -55,6 +55,7 @@ class Pipeline:
         spark: SparkSession,
         tables: dict[str, DataFrame] | None = None,
         lineage=None,
+        event_bus=None,
     ):
         if isinstance(config, dict):
             config = load_config(data=config)
@@ -62,6 +63,7 @@ class Pipeline:
         self.spark = spark
         self.tables = tables or {}
         self.lineage = lineage  # governance.LineageTracker or None
+        self.event_bus = event_bus  # architecture.EventBus or None
         self._joined_tables: list[str] = [
             op.get("right") for op in config.operations
             if op.get("type") == "join" and isinstance(op.get("right"), str)
@@ -162,7 +164,57 @@ class Pipeline:
 
     # -- full run -----------------------------------------------------------
 
+    def _publish(self, event_type_name: str, payload: dict) -> None:
+        """Best-effort lifecycle event to the optional bus — operational
+        hooks must never fail the pipeline itself."""
+        if self.event_bus is None:
+            return
+        try:
+            from ..architecture.event_bus import DomainEvent, EventType
+
+            self.event_bus.publish(DomainEvent(
+                event_type=EventType[event_type_name],
+                aggregate_id=self.config.name,
+                payload=payload,
+            ))
+        except Exception:
+            pass
+
     def run(
+        self,
+        input_source: str | None = None,
+        input_df: DataFrame | None = None,
+        dry_run: bool = False,
+    ) -> PipelineResult:
+        """Execute the lifecycle; publishes PIPELINE_STARTED /
+        PIPELINE_COMPLETED / PIPELINE_FAILED (+ DATA_VALIDATED when
+        validation ran) on the optional event bus (reference publishes
+        the same lifecycle events through its orchestrator,
+        architecture/event_bus.py:62-93)."""
+        self._publish("PIPELINE_STARTED", {
+            "input": input_source or self.config.input.get("path"),
+            "dry_run": dry_run,
+        })
+        result = self._run(input_source, input_df, dry_run)
+        if result.validation:
+            self._publish("DATA_VALIDATED", {
+                "passed": result.status != "validation_failed",
+                "rules": len(result.validation),
+            })
+        if result.status == "success":
+            self._publish("PIPELINE_COMPLETED", {
+                "duration_sec": result.duration_sec,
+                "rows_written": result.rows_written,
+            })
+        else:
+            self._publish("PIPELINE_FAILED", {
+                "status": result.status,
+                "error": result.error,
+                "duration_sec": result.duration_sec,
+            })
+        return result
+
+    def _run(
         self,
         input_source: str | None = None,
         input_df: DataFrame | None = None,
