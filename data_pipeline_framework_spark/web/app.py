@@ -70,6 +70,8 @@ class PipelineServer:
         alert_manager: AlertManager | None = None,
         health: HealthChecker | None = None,
         api_key: str | None = None,
+        security=None,
+        event_bus=None,
     ):
         self.spark = spark
         self.config_dir = Path(config_dir)
@@ -79,6 +81,12 @@ class PipelineServer:
         self.alerts = alert_manager or AlertManager(self.collector)
         self.health = health or self._default_health(spark)
         self.api_key = api_key
+        # security.SecurityManager: per-user keys/tokens + RBAC instead
+        # of the single shared api_key (reference security/auth.py)
+        self.security = security
+        # architecture.EventBus: executions publish lifecycle events and
+        # /api/events exposes the recent log
+        self.event_bus = event_bus
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -107,11 +115,26 @@ class PipelineServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _authed(self) -> bool:
+            def _authed(self):
+                """(ok, user): static-key mode yields user None; a
+                SecurityManager resolves X-API-Key or Bearer tokens to
+                a User whose permissions gate each route."""
+                if server.security is not None:
+                    key = self.headers.get("X-API-Key")
+                    if key:
+                        return (
+                            (u := server.security.verify_api_key(key))
+                            is not None, u,
+                        )
+                    authz = self.headers.get("Authorization", "")
+                    if authz.startswith("Bearer "):
+                        u = server.security.verify_token(authz[7:])
+                        return u is not None, u
+                    return False, None
                 if server.api_key is None:
-                    return True
+                    return True, None
                 supplied = self.headers.get("X-API-Key", "")
-                return hmac.compare_digest(supplied, server.api_key)
+                return hmac.compare_digest(supplied, server.api_key), None
 
             def _body(self) -> dict:
                 n = int(self.headers.get("Content-Length") or 0)
@@ -120,13 +143,17 @@ class PipelineServer:
                 return json.loads(self.rfile.read(n) or b"{}")
 
             def _route(self, method: str):
-                if not self._authed():
-                    return self._send(401, {"error": "invalid API key"})
+                ok, user = self._authed()
+                if not ok:
+                    return self._send(401, {"error": "unauthorized"})
                 try:
                     handled = server._dispatch(
                         method, self.path.split("?", 1)[0],
                         self.path, self._body if method == "POST" else dict,
+                        user=user,
                     )
+                except PermissionError as e:
+                    return self._send(403, {"error": str(e)})
                 except json.JSONDecodeError:
                     return self._send(400, {"error": "invalid JSON body"})
                 except Exception as e:
@@ -160,16 +187,37 @@ class PipelineServer:
 
     # -- routing ------------------------------------------------------
 
-    def _dispatch(self, method, path, raw_path, body_fn):
+    def _require(self, user, permission_name: str) -> None:
+        """RBAC gate, active only with a SecurityManager: raises
+        PermissionError (-> 403) when the resolved user lacks the
+        permission (admin implies all)."""
+        if self.security is None:
+            return
+        from ..security.auth import Permission
+
+        perm = Permission[permission_name]
+        if user is None or not user.has_permission(perm):
+            raise PermissionError(f"permission {perm.value} required")
+
+    def _dispatch(self, method, path, raw_path, body_fn, user=None):
         if method == "GET" and path == "/api/health":
             return 200, self.health.run_checks()
+        if method == "GET" and path == "/api/events":
+            self._require(user, "VIEW_METRICS")
+            if self.event_bus is None:
+                return 200, {"events": []}
+            return 200, {"events": [
+                e.to_dict() for e in self.event_bus.store.all_events()[-50:]
+            ]}
         if method == "GET" and path == "/api/metrics":
+            self._require(user, "VIEW_METRICS")
             fmt = "prometheus" if "format=prometheus" in raw_path else "json"
             exported = self.collector.export_metrics(fmt)
             if fmt == "json":
                 return 200, {"metrics": json.loads(exported)}
             return 200, {"metrics": exported, "format": "prometheus"}
         if method == "GET" and path == "/api/alerts":
+            self._require(user, "VIEW_METRICS")
             self.alerts.check_alerts()
             return 200, {
                 "active_alerts": [
@@ -181,8 +229,10 @@ class PipelineServer:
                 ],
             }
         if method == "GET" and path == "/api/pipelines":
+            self._require(user, "READ_DATA")
             return 200, {"pipelines": self._list()}
         if method == "POST" and path == "/api/pipelines":
+            self._require(user, "MANAGE_PIPELINES")
             return self._create(body_fn())
         m = re.match(r"^/api/pipelines/([^/]+)$", path)
         if m:
@@ -191,6 +241,7 @@ class PipelineServer:
                 return 400, {"error": "invalid pipeline name"}
             cfg = self.config_dir / f"{name}.yaml"
             if method == "GET":
+                self._require(user, "READ_DATA")
                 if not cfg.exists():
                     return 404, {"error": f"pipeline not found: {name}"}
                 return 200, {
@@ -198,6 +249,7 @@ class PipelineServer:
                     "config": yaml.safe_load(cfg.read_text()),
                 }
             if method == "DELETE":
+                self._require(user, "MANAGE_PIPELINES")
                 if not cfg.exists():
                     return 404, {"error": f"pipeline not found: {name}"}
                 cfg.unlink()
@@ -208,6 +260,7 @@ class PipelineServer:
             name = m.group(1)
             if not _NAME_RE.match(name):
                 return 400, {"error": "invalid pipeline name"}
+            self._require(user, "EXECUTE_PIPELINE")
             return self._execute(name, body_fn())
         return None
 
@@ -257,8 +310,9 @@ class PipelineServer:
         self.collector.record_counter("pipeline_executions_total", tags=tags)
         t0 = time.time()
         try:
-            result = Pipeline.from_yaml(
-                cfg, self.spark, tables=self.tables
+            result = Pipeline(
+                yaml.safe_load(cfg.read_text()), self.spark,
+                tables=self.tables, event_bus=self.event_bus,
             ).run(input_source=body.get("input_file"))
         except Exception as e:
             self.collector.record_counter("pipeline_failure_total", tags=tags)

@@ -156,3 +156,59 @@ def test_api_key_gating(spark, tmp_path):
         assert code == 200
     finally:
         srv.shutdown()
+
+
+def test_rbac_and_event_bus_integration(spark, tmp_path):
+    from data_pipeline_framework_spark.architecture import EventBus
+    from data_pipeline_framework_spark.security import Role, SecurityManager
+
+    sm = SecurityManager(secret="web-test")
+    sm.create_user("viewer", "v@e.com", "longenough", roles=[Role.VIEWER])
+    sm.create_user("eng", "e@e.com", "longenough", roles=[Role.ENGINEER])
+    viewer_token = sm.authenticate_user("viewer", "longenough")
+    eng_key = sm.create_api_key("eng", "ci")
+    bus = EventBus()
+    srv = PipelineServer(
+        spark, str(tmp_path / "configs"), security=sm, event_bus=bus,
+    )
+    port = srv.start()
+    try:
+        # no credentials at all -> 401
+        code, _ = _req(port, "/api/pipelines")
+        assert code == 401
+        # bearer token resolves the viewer
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/pipelines")
+        req.add_header("Authorization", f"Bearer {viewer_token}")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+        # viewer lacks MANAGE_PIPELINES -> 403 on create
+        body = json.dumps(_config(tmp_path, "rbac_pipe")).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/pipelines", data=body,
+            method="POST")
+        req.add_header("Authorization", f"Bearer {viewer_token}")
+        req.add_header("Content-Type", "application/json")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+            assert "manage_pipelines" in json.load(e)["error"]
+        # engineer API key: create + execute allowed
+        code, out = _req(port, "/api/pipelines", "POST",
+                         _config(tmp_path, "rbac_pipe"), key=eng_key)
+        assert code == 200, out
+        code, out = _req(port, "/api/pipelines/rbac_pipe/execute",
+                         "POST", {}, key=eng_key)
+        assert code == 200 and out["status"] == "success"
+        # lifecycle events landed on the bus and are exposed over HTTP
+        code, out = _req(port, "/api/events", key=eng_key)
+        assert code == 200
+        types = [e["event_type"] for e in out["events"]]
+        assert types == ["pipeline_started", "pipeline_completed"]
+        # forged key -> 401
+        code, _ = _req(port, "/api/pipelines", key="dpf_forged")
+        assert code == 401
+    finally:
+        srv.shutdown()
