@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 
 def _get_spark():
@@ -85,6 +86,27 @@ def cmd_audit(args) -> int:
         "ok": not any(f.severity == "fatal" for f in findings),
     }))
     return 0 if not any(f.severity == "fatal" for f in findings) else 1
+
+
+def cmd_serve(args) -> int:
+    """Serve the HTTP control plane until interrupted (reference
+    web/app.py's uvicorn entry, without the FastAPI stack)."""
+    from .web import PipelineServer
+
+    spark = _get_spark()
+    server = PipelineServer(
+        spark, args.config_dir, api_key=args.api_key,
+    )
+    port = server.start(host=args.host, port=args.port)
+    print(json.dumps({"serving": f"http://{args.host}:{port}",
+                      "config_dir": args.config_dir}))
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        server.shutdown()
 
 
 def cmd_queue_add(args) -> int:
@@ -182,6 +204,16 @@ def build_parser() -> argparse.ArgumentParser:
     aud.add_argument("config")
     aud.add_argument("--input", default=None)
     aud.set_defaults(fn=cmd_audit)
+
+    srv = sub.add_parser(
+        "serve", help="HTTP control plane (pipeline CRUD + execute)"
+    )
+    srv.add_argument("--config-dir", default="config/pipelines")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8080)
+    srv.add_argument("--api-key", default=None,
+                     help="require X-API-Key on every request")
+    srv.set_defaults(fn=cmd_serve)
     return p
 
 
