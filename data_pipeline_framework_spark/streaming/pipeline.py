@@ -451,6 +451,65 @@ def rollup_batch_fn(
     return run_batch
 
 
+def heavy_hitters_batch_fn(
+    state_path: str,
+    key_col: str,
+    capacity: int = 1024,
+    group_cols: list[str] | None = None,
+) -> Callable:
+    """Continuous bounded-state top-k over a stream: each micro-batch's
+    Misra-Gries summary (functions/heavy_hitters.py) merges into the
+    persisted summary — "top domains in the crawl, so far, forever"
+    in O(capacity) state instead of an unbounded exact count table.
+
+    Replay-safe the same way as rollup_batch_fn: the batch id rides
+    inside the atomically-swapped state dir as a commit marker, so a
+    re-delivered batch merges nothing twice. The merged summary keeps
+    the MG sandwich guarantee (cnt <= true <= cnt + err) across every
+    batch ever folded in.
+    """
+    from ..functions.heavy_hitters import heavy_hitters, merge_heavy_hitters
+    from ..operators.rollup import _read_commit, _write_commit
+
+    groups = list(group_cols or [])
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = path.getFileSystem(conf)
+        tmp = state_path.rstrip("/") + "__swap"
+        old = state_path.rstrip("/") + "__old"
+        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+        old_path = jvm.org.apache.hadoop.fs.Path(old)
+        if not fs.exists(path):
+            if fs.exists(tmp_path) and _read_commit(fs, jvm, tmp) is not None:
+                fs.rename(tmp_path, path)
+            elif fs.exists(old_path):
+                fs.rename(old_path, path)
+        if fs.exists(old_path):
+            fs.delete(old_path, True)
+        if fs.exists(path):
+            last = _read_commit(fs, jvm, state_path)
+            if last is not None and last >= int(batch_id):
+                return  # replayed batch: already folded in
+        summary = heavy_hitters(batch_df, key_col, capacity, groups)
+        if fs.exists(path):
+            summary = merge_heavy_hitters(
+                spark.read.parquet(state_path), summary,
+                key_col, capacity, groups,
+            )
+        summary.write.mode("overwrite").parquet(tmp)
+        _write_commit(fs, jvm, tmp, int(batch_id))
+        if fs.exists(path):
+            fs.rename(path, old_path)
+        fs.rename(tmp_path, path)
+        fs.delete(old_path, True)
+
+    return run_batch
+
+
 def neardup_filter_batch_fn(
     id_col: str,
     text_col: str,

@@ -598,6 +598,52 @@ def test_rollup_stream_maintains_continuous_aggregate(
         assert again[k]["event_id_count"] == want[k]["event_id_count"]
 
 
+def test_heavy_hitters_stream_bounded_topk(
+    spark, events, stream_dir, tmp_path
+):
+    """Micro-batch MG summaries merge into a persisted bounded summary;
+    with capacity above the key space the result is EXACTLY the batch
+    count table, and a checkpointed replay folds nothing twice."""
+    from data_pipeline_framework_spark.functions.heavy_hitters import top_k
+
+    state = str(tmp_path / "hh_state")
+    distinct = events.select("user_id").distinct().count()
+    cap = distinct + 16
+
+    def run():
+        sdf = ST.read_stream_files(
+            spark, str(stream_dir / "in"), schema=events.schema,
+            max_files_per_trigger=1,
+        )
+        q = ST.write_stream(
+            sdf.select("user_id"),
+            foreach_batch=ST.heavy_hitters_batch_fn(
+                state, "user_id", capacity=cap,
+            ),
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    summary = spark.read.parquet(state)
+    got = {r["user_id"]: (r["cnt"], r["err"]) for r in summary.collect()}
+    want = {r["user_id"]: r["count"] for r in
+            events.groupBy("user_id").count().collect()}
+    assert got.keys() == want.keys()
+    assert all(got[k] == (want[k], 0) for k in want)  # exact regime
+    # deterministic top-5 equals the exact answer
+    top = [(r["user_id"], r["cnt"]) for r in
+           top_k(summary, "user_id", 5).orderBy("rank").collect()]
+    exact_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert top == exact_top
+    # replay: same checkpoint discovers nothing new; state unchanged
+    run()
+    again = {r["user_id"]: (r["cnt"], r["err"]) for r in
+             spark.read.parquet(state).collect()}
+    assert again == got
+
+
 def test_quota_stream_caps_per_key(spark, events, stream_dir):
     """stateful per-key admission quota: at most `cap` records per
     user_id survive across all micro-batches."""
