@@ -4303,6 +4303,25 @@ def heavy_hitters_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitters_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Misra-Gries: per-l_returnflag supplier summaries with the
+    per-group capacity cap and error budget. Capacity above the supplier
+    keyspace -> exact per group (err=0), so the oracle is the windowed
+    top-5 per flag; the compaction regime's per-group bounds are
+    property-tested in tests/test_heavy_hitters.py."""
+    from data_pipeline_framework_spark.functions.heavy_hitters import (
+        heavy_hitters, top_k,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_suppkey")
+    hh = heavy_hitters(
+        li, "l_suppkey", capacity=2048, group_cols=["l_returnflag"]
+    )
+    return top_k(hh, "l_suppkey", 5, group_cols=["l_returnflag"]).select(
+        "l_returnflag", "rank", "l_suppkey", "cnt", "err"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -4475,6 +4494,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": incremental_rollup,
         "rollup_histogram_quantiles": rollup_histogram_quantiles,
         "heavy_hitters_suppliers": heavy_hitters_suppliers,
+        "heavy_hitters_by_flag": heavy_hitters_by_flag,
     }
 
 
@@ -6943,5 +6963,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_suppkey
             ORDER BY cnt DESC, l_suppkey ASC
             LIMIT 10
+        """,
+        "heavy_hitters_by_flag": """
+            WITH counts AS (
+                SELECT l_returnflag, l_suppkey, COUNT(*) AS cnt
+                FROM lineitem GROUP BY l_returnflag, l_suppkey
+            ),
+            ranked AS (
+                SELECT l_returnflag,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY cnt DESC, l_suppkey ASC
+                       ) AS INT) AS rank,
+                       l_suppkey, cnt,
+                       CAST(0 AS BIGINT) AS err
+                FROM counts
+            )
+            SELECT l_returnflag, rank, l_suppkey, cnt, err
+            FROM ranked WHERE rank <= 5
         """,
     }

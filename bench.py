@@ -125,6 +125,7 @@ HEADLINE = [
     "incremental_rollup",
     "rollup_histogram_quantiles",
     "heavy_hitters_suppliers",
+    "heavy_hitters_by_flag",
 ]
 
 

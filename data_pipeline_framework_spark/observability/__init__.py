@@ -1,3 +1,4 @@
+from .logging import JsonFormatter, StructuredLogger  # noqa: F401
 from .metrics import (  # noqa: F401
     Alert,
     AlertLevel,

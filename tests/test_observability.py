@@ -152,3 +152,41 @@ def test_monitor_scopes_to_its_own_group(spark):
             "spark_query_narrow_probe_shuffle_write_bytes", "1m"
         )
         assert shuffle["latest"] == 0.0
+
+
+def test_structured_logger_json_lines_and_context():
+    import io
+    import logging as pylogging
+
+    from data_pipeline_framework_spark.observability import StructuredLogger
+
+    buf = io.StringIO()
+    log = StructuredLogger("t.structured", stream=buf,
+                           level=pylogging.DEBUG)
+    log.set_context(pipeline="nightly", run_id="r1")
+    log.info("hello", rows=5)
+    log.log_pipeline_start("nightly", {"processing": {"operations": [
+        {"type": "filter"}, {"type": "aggregate"}]}})
+    log.log_data_quality_check("orders", "null_rate", 0.2, passed=False)
+    log.log_transformation("dedup", 100, 90)
+    with log.timed("load", table="orders"):
+        pass
+    log.clear_context()
+    log.error("boom")
+    lines = [json.loads(line) for line in
+             buf.getvalue().strip().splitlines()]
+    assert all("ts" in d and "level" in d for d in lines)
+    hello = lines[0]
+    assert hello["message"] == "hello" and hello["rows"] == 5
+    assert hello["pipeline"] == "nightly" and hello["run_id"] == "r1"
+    start = lines[1]
+    assert start["event"] == "pipeline_start" and start["operations"] == 2
+    qc = lines[2]
+    assert qc["level"] == "warning" and qc["passed"] is False
+    tr = lines[3]
+    assert (tr["input_records"], tr["output_records"]) == (100, 90)
+    perf = lines[4]
+    assert perf["event"] == "performance" and perf["table"] == "orders"
+    assert perf["duration_seconds"] >= 0
+    err = lines[5]
+    assert err["level"] == "error" and "pipeline" not in err  # cleared

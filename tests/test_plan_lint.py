@@ -66,6 +66,7 @@ _ARROW_OK = {
     "ann_ivfpq_topk",  # Arrow-batched cell assignment (IVF coarse stage)
     "ewm_smoothing",  # sequential recurrence, applyInPandas per series
     "heavy_hitters_suppliers",  # bounded per-partition MG summaries
+    "heavy_hitters_by_flag",    # same, grouped
 }
 
 
