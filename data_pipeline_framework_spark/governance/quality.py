@@ -47,9 +47,13 @@ class QualityMonitor:
     below critical -> FAIL. All metrics are ratios in [0, 1] where higher
     is better."""
 
-    def __init__(self) -> None:
+    def __init__(self, event_bus=None) -> None:
         self.results: list[QualityCheckResult] = []
         self.alerts: list[QualityAlert] = []
+        # architecture.EventBus: non-PASS checks publish
+        # DATA_QUALITY_ALERT so operational hooks (paging, the web
+        # /api/events feed) see them without polling the monitor
+        self.event_bus = event_bus
 
     # -- check synthesis ----------------------------------------------------
 
@@ -112,7 +116,7 @@ class QualityMonitor:
             out.append(result)
             if status != "PASS":
                 severity = "warning" if status == "WARN" else "critical"
-                self.alerts.append(QualityAlert(
+                alert = QualityAlert(
                     table=table, metric=result.metric, column=result.column,
                     severity=severity,
                     message=(
@@ -121,7 +125,26 @@ class QualityMonitor:
                         f" threshold on {table}"
                     ),
                     created_at=now,
-                ))
+                )
+                self.alerts.append(alert)
+                if self.event_bus is not None:
+                    try:
+                        from ..architecture.event_bus import (
+                            DomainEvent, EventType,
+                        )
+
+                        self.event_bus.publish(DomainEvent(
+                            event_type=EventType.DATA_QUALITY_ALERT,
+                            aggregate_id=table,
+                            payload={
+                                "metric": alert.metric,
+                                "column": alert.column,
+                                "severity": alert.severity,
+                                "value": value,
+                            },
+                        ))
+                    except Exception:
+                        pass  # alerting must never fail the check run
         self.results.extend(out)
         return out
 

@@ -237,3 +237,30 @@ def test_user_validation_and_encryption_gate():
         assert "cryptography" in str(e)
     else:  # cryptography IS available here: round-trip must hold
         assert sm.decrypt_data(out) == "hello"
+
+
+def test_quality_monitor_publishes_alert_events(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_framework_spark.governance.quality import (
+        QualityMonitor,
+    )
+    from data_pipeline_framework_spark.sources import read_table
+
+    bus = EventBus()
+    mon = QualityMonitor(event_bus=bus)
+    # plant 50% nulls so completeness lands below critical (0.8)
+    df = read_table(spark, SF_DIR, "orders").select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderstatus"))
+        .alias("o_orderstatus")
+    )
+    results = mon.run_quality_checks(df, "orders_dirty", checks=[{
+        "metric": "completeness", "column": "o_orderstatus",
+        "warning_threshold": 0.95, "critical_threshold": 0.8,
+    }])
+    assert results[0].status == "FAIL"
+    evs = bus.store.get_events_by_type(EventType.DATA_QUALITY_ALERT)
+    assert len(evs) == 1
+    assert evs[0].aggregate_id == "orders_dirty"
+    assert evs[0].payload["severity"] == "critical"
+    assert evs[0].payload["column"] == "o_orderstatus"
