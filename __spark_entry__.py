@@ -1366,9 +1366,14 @@ def bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         BPETokenizer,
     )
 
+    from data_pipeline_framework_spark.functions.dedup import _spread
+
     tok = BPETokenizer()
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    exploded = docs.select(
+    # the chained-replace encode is the CPU-bound stage; spread the
+    # small-file scan to cluster parallelism first (no-op on wide
+    # inputs) — same pattern as the shingle pipelines
+    exploded = _spread(docs).select(
         "doc_id", F.explode(tok.tokens_expr("text")).alias("token")
     )
     return (

@@ -147,6 +147,10 @@ def heavy_hitters(
         [group_cols] if isinstance(group_cols, str)
         else list(group_cols or [])
     )
+    # NOTE: no repartition here — per-row work is a cheap count, and
+    # widening the scan inflates the merged summary (capacity x
+    # partitions rows through the compaction window) for no CPU win;
+    # measured slower at sf0.1 (1.26 s -> 1.98 s)
     parts = _partition_summaries(df, key_col, capacity, groups)
     # per-group error budget: each partition contributed one sentinel
     # row (key NULL) carrying its decrement total
