@@ -2556,6 +2556,54 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
 
 
+BM25_QUERIES = [
+    ("q0", "spark window join"),
+    ("q1", "customer merge batch"),
+    ("q2", "vector scan hash table"),
+]
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 documents for three keyword queries. The query
+    vocabulary filter lands before the tf shuffle (broadcast semi join),
+    so only matched postings shuffle — the 100 TB shape. Oracle replays
+    tokenize/tf/df/idf with mirrored op order."""
+    from data_pipeline_framework_spark.functions import retrieval as RET
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    out = RET.bm25_topk(docs, queries, k=5)
+    return out.select(
+        "query_id", "doc_id", _r(F.col("score"), 4).alias("score"), "rank"
+    )
+
+
+def keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-3 tf-idf keywords per document (per-term drill-down of
+    tfidf_vectors; same MLlib idf smoothing)."""
+    from data_pipeline_framework_spark.functions import retrieval as RET
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = RET.keyword_topk(docs, k=3)
+    return out.select(
+        "doc_id", "term", "tf", _r(F.col("weight"), 6).alias("weight"), "rank"
+    )
+
+
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: fixed seeded codebook (same
+    cells as ann_ivf_topk), within-cell cosine >= 0.35 against a lower
+    id marks a duplicate. Oracle replays assignment + pairing exactly."""
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.semantic_dedup(
+        emb, threshold=0.35,
+        centers=SIM.fixed_codebook(64, n_cells=8, seed=7),
+    )
+    return out.select("vec_id", "cell", "dup_of", "keep")
+
+
 # ---------------------------------------------------------------------------
 # cleaning (operators/cleaning.py + the `clean` op)
 
@@ -4426,6 +4474,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
+        "bm25_search": bm25_search,
+        "keyword_extraction": keyword_extraction,
+        "semantic_dedup_keep": semantic_dedup_keep,
         "clean_standardize": clean_standardize,
         "phone_standardization": phone_standardization,
         "email_validation": email_validation,
@@ -5015,6 +5066,127 @@ def _ann_ivf_oracle() -> str:
         SELECT query_id, vec_id,
                FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
         FROM ranked WHERE rank <= 10
+    """
+
+
+def _bm25_oracle() -> str:
+    """DuckDB twin of queries()['bm25_search']: same tokenizer, distinct
+    query terms, Lucene idf, mirrored contribution op order
+    idf * ((tf * (k1+1)) / (tf + k1 * ((1-b) + b*dl/avgdl)))."""
+    qrows = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+    return f"""
+        WITH q(query_id, query_text) AS (VALUES {qrows}),
+        qt AS (
+            SELECT DISTINCT query_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(query_text), '\\s+'),
+                       t -> t <> '')) AS t
+            FROM q
+        ),
+        d AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+        dl AS (SELECT doc_id, len(w)::DOUBLE AS dl, w FROM d),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+        ),
+        posted AS (
+            SELECT doc_id, dl, t, count(*)::DOUBLE AS tf
+            FROM (SELECT doc_id, dl, unnest(w) AS t FROM dl)
+            JOIN (SELECT DISTINCT t FROM qt) v USING (t)
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (
+            SELECT t, count(*)::DOUBLE AS df FROM posted GROUP BY t
+        ),
+        scored AS (
+            SELECT qt.query_id, posted.doc_id,
+                   sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * ((tf * 2.2)
+                          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+                       AS score
+            FROM posted
+            JOIN dfreq USING (t)
+            JOIN qt USING (t), stats
+            GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id,
+               FLOOR(score * 1e4 + 0.5) / 1e4 AS score, rank
+        FROM (
+            SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS INT) AS rank
+            FROM scored WHERE score > 0.0
+        )
+        WHERE rank <= 5
+    """
+
+
+_KEYWORD_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DD_TOKS}) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    w AS (
+        SELECT doc_id, t, tf,
+               tf * ln((n_docs + 1) / (df + 1)) AS weight
+        FROM tf JOIN dfreq USING (t), n
+    )
+    SELECT doc_id, t AS term, tf,
+           FLOOR(weight * 1e6 + 0.5) / 1e6 AS weight, rank
+    FROM (
+        SELECT doc_id, t, tf, weight,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY weight DESC, t) AS INT) AS rank
+        FROM w
+    )
+    WHERE rank <= 3
+"""
+
+
+def _semantic_dedup_oracle() -> str:
+    """DuckDB twin of queries()['semantic_dedup_keep']: literal-centroid
+    argmin assignment (ties to the lowest cell, as the struct array_min),
+    within-cell lower-id pairing at cosine >= 0.35."""
+    from data_pipeline_framework_spark.functions.similarity import fixed_codebook
+
+    cents = fixed_codebook(64, n_cells=8, seed=7)
+    cent_rows = ", ".join(
+        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(cents)
+    )
+    d2 = (
+        "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
+        " + list_dot_product(cent.cv, cent.cv)"
+    )
+    cos_ab = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+        WITH cent(cell, cv) AS (VALUES {cent_rows}),
+        c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cassign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, cent.cell,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id ORDER BY {d2}, cent.cell
+                       ) AS rn
+                FROM c, cent
+            ) WHERE rn = 1
+        ), dup AS (
+            SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+            FROM cassign a JOIN cassign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE {cos_ab} >= 0.35
+            GROUP BY b.vec_id
+        )
+        SELECT cassign.vec_id, cassign.cell, dup.dup_of,
+               dup.dup_of IS NULL AS keep
+        FROM cassign LEFT JOIN dup ON cassign.vec_id = dup.vid
     """
 
 
@@ -5825,6 +5997,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
+        "bm25_search": _bm25_oracle(),
+        "keyword_extraction": _KEYWORD_ORACLE,
+        "semantic_dedup_keep": _semantic_dedup_oracle(),
         "ewm_smoothing": """
             SELECT event_id, user_id,
                    FLOOR(list_reduce(

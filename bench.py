@@ -32,7 +32,7 @@ _WIDE = {
     "stratified_sample_docs", "token_shard_packing", "kmeans_lloyd",
     "benchmark_decontamination", "domain_quota_cap",
     "duplicate_span_flags", "bpe_token_counts", "bpe_shard_packing",
-    "media_jpeg_roundtrip",
+    "media_jpeg_roundtrip", "keyword_extraction", "semantic_dedup_keep",
 }
 
 HEADLINE = [
@@ -126,6 +126,9 @@ HEADLINE = [
     "rollup_histogram_quantiles",
     "heavy_hitters_suppliers",
     "heavy_hitters_by_flag",
+    "bm25_search",
+    "keyword_extraction",
+    "semantic_dedup_keep",
 ]
 
 

@@ -19,8 +19,13 @@ from .sampling import (  # noqa: F401
     stratified_hash_sample,
     weighted_sample,
 )
+from .retrieval import (  # noqa: F401
+    bm25_topk,
+    keyword_topk,
+)
 from .similarity import (  # noqa: F401
     cosine_topk,
+    semantic_dedup,
     embedding_neardup_pairs,
     ivf_topk,
     ivfpq_topk,

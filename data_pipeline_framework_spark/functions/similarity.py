@@ -785,3 +785,73 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "approx_dist", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centers: list[list[float]] | None = None,
+    n_cells: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    assign every embedding to its nearest codebook centroid, then compare
+    pairs ONLY within a cell; a vector is a duplicate if some lower-id
+    vector in its cell has cosine >= threshold.
+
+    Returns one row per input vector: (id_col, cell, dup_of, keep) where
+    dup_of is the smallest matching lower id (null if none) and
+    keep = dup_of IS NULL. Chains are not contracted (1~2, 2~3, !1~3
+    drops both 2 and 3) — use dedup.neardup_clusters for transitive
+    canonicalization.
+
+    Scale: the all-pairs comparison is confined to cells — the self-join
+    is an equi-join on cell, never a cross join, and cell population is
+    corpus_size / n_cells on average; grow n_cells with the corpus (the
+    SemDeDup paper uses ~100k clusters at web scale). Assignment is a
+    pure codegen expression over literal centroids (argmin of squared L2
+    via an array_min over (dist, cell) structs — ties to the lowest cell,
+    matching np.argmin); with `centers` supplied (or the default seeded
+    codebook) plan construction touches no data, so an external oracle
+    can replay the whole pipeline.
+    """
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if centers is None:
+        if dim is None:
+            dim = len(base.select("__v").first()[0])
+        centers = fixed_codebook(dim, n_cells=n_cells, seed=seed)
+    cells = []
+    for j, cvec in enumerate(centers):
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = _dot(F.col("__v"), F.col("__v")) - 2.0 * _dot(
+            F.col("__v"), c
+        ) + _dot(c, c)
+        cells.append(F.struct(d2.alias("d"), F.lit(j).alias("cell")))
+    assigned = base.withColumn(
+        "cell", F.array_min(F.array(*cells))["cell"]
+    ).persist()
+    # persisted: the n_cells distance expressions feed both join sides
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_of = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            cosine(F.col("a.__v"), F.col("b.__v")) >= F.lit(threshold)
+        )
+        .groupBy(F.col(f"b.{id_col}").alias(id_col))
+        .agg(F.min(F.col(f"a.{id_col}")).alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, id_col, "left")
+        .select(
+            id_col, "cell", "dup_of", F.col("dup_of").isNull().alias("keep")
+        )
+    )

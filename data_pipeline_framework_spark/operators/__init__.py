@@ -1,6 +1,11 @@
 """Operator library: windows, pivots, time series, features, cleaning,
 joins, layout, graph, linkage, multimodal, skew tooling."""
 
+from .funnels import (  # noqa: F401
+    cohort_retention,
+    funnel_conversion,
+    funnel_stages,
+)
 from .graph import pagerank  # noqa: F401
 from .joins import asof_join, range_join  # noqa: F401
 from .layout import cluster_by_zorder, quantize_uniform, zorder_key  # noqa: F401

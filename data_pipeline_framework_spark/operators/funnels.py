@@ -1,0 +1,206 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+Scale-ops extension (the reference's event handling stops at windowed
+stream aggregates, `src/data_pipeline/streaming/stream_processor.py` —
+it has no sequence or cohort analysis): funnel conversion and retention
+matrices are the two table-stakes queries of every product-event
+warehouse.
+
+Design for 100 TB:
+- `funnel_stages` filters the event stream to the step types FIRST (the
+  predicate pushes to the scan), then shuffles once on user and folds
+  each user's time-sorted step events with a greedy earliest-chain
+  automaton. State per user = its filtered step events only; no
+  self-joins, no k-pass re-scans (the classic min-chain SQL re-joins
+  events once per step).
+- `cohort_retention` is two aggregations sharing the user shuffle key
+  (per-user first-seen, then distinct user-period activity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_stages", "funnel_conversion", "cohort_retention"]
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Per-user funnel progress over an ordered step list.
+
+    Greedy earliest-chain semantics (the standard funnel definition,
+    equal to the min-chain t1 = min ts(step1), t2 = min ts(step2 > t1),
+    ...): walk the user's step events in time order and advance one
+    stage whenever the event matches the next needed step; with
+    `within_seconds`, events later than that many seconds after the
+    step-1 completion no longer count.
+
+    Returns (user_col, stages_completed, step1_ts, completed_ts):
+    stages_completed in [0, len(steps)], step1_ts the chain anchor
+    (null if stage 0), completed_ts the final-step timestamp (null
+    unless the whole funnel completed). Repeated step types are allowed
+    ("view" -> "view" requires two distinct events).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    n = len(steps)
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    ev = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col),
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("t"),
+            F.col(type_col).alias("s"),
+        ).alias("__e"),
+    )
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("__e")).alias("__evs")
+    )
+    win = (
+        F.lit(int(within_seconds * 1_000_000))
+        if within_seconds is not None
+        else None
+    )
+    zero = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("long").alias("t0"),
+        F.lit(None).cast("long").alias("tlast"),
+    )
+
+    def _step(acc: Column, e: Column) -> Column:
+        wants = F.element_at(steps_lit, acc["stage"] + 1)
+        in_window = (
+            F.lit(True)
+            if win is None
+            else (acc["stage"] == 0) | (e["t"] - acc["t0"] <= win)
+        )
+        # strict time increase between stages: an event at exactly the
+        # previous stage's timestamp does not advance (matches the
+        # min-chain SQL definition `ts > t_prev` independent of how
+        # equal-timestamp events tie-break in the sort)
+        strictly_after = (acc["stage"] == 0) | (e["t"] > acc["tlast"])
+        advance = (
+            (acc["stage"] < n) & (e["s"] == wants)
+            & strictly_after & in_window
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                F.coalesce(acc["t0"], e["t"]).alias("t0"),
+                e["t"].alias("tlast"),
+            ),
+        ).otherwise(acc)
+
+    final = F.aggregate("__evs", zero, _step)
+    return per_user.select(
+        user_col,
+        final["stage"].alias("stages_completed"),
+        F.timestamp_micros(final["t0"]).alias("step1_ts"),
+        F.when(
+            final["stage"] == n, F.timestamp_micros(final["tlast"])
+        ).alias("completed_ts"),
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Step-level funnel summary: for step k (1-based), the number of
+    users whose chain reached at least step k, and the conversion rate
+    relative to step 1. Returns (step, step_name, users, conversion)
+    with one row per step — a bounded result."""
+    st = funnel_stages(
+        events, steps, user_col, type_col, ts_col, within_seconds
+    )
+    per_stage = (
+        st.select(F.explode(F.sequence(F.lit(1), F.lit(len(steps)))).alias("step"),
+                  "stages_completed")
+        .filter(F.col("stages_completed") >= F.col("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+    names = F.array(*[F.lit(s) for s in steps])
+    # conversion relative to step 1 via a broadcast 1-row step-1 count
+    s1 = per_stage.filter(F.col("step") == 1).select(
+        F.col("users").alias("__s1")
+    )
+    return (
+        per_stage.crossJoin(F.broadcast(s1))
+        .select(
+            "step",
+            F.element_at(names, F.col("step")).alias("step_name"),
+            "users",
+            (F.col("users") / F.col("__s1")).alias("conversion"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    first event; for each later period, how many were active.
+
+    Returns (cohort, period_offset, n_users, cohort_size, retention):
+    cohort is the truncated first-seen date, period_offset counts
+    periods since it (0 = the cohort period itself, retention(0) = 1).
+
+    Shape: per-user first-seen agg (shuffle on user), join back on user
+    (co-partitioned with the agg), distinct (cohort, offset, user),
+    then the matrix agg; cohort sizes ride on a window over the bounded
+    matrix, not a re-scan."""
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day|week|month")
+    trunc = lambda c: F.date_trunc(period, c)  # noqa: E731
+    first_seen = events.groupBy(user_col).agg(
+        trunc(F.min(ts_col)).alias("__cohort")
+    )
+    diff = {
+        "day": lambda a, b: F.datediff(a, b),
+        "week": lambda a, b: (F.datediff(a, b) / 7).cast("int"),
+        "month": lambda a, b: (
+            (F.year(a) - F.year(b)) * 12 + F.month(a) - F.month(b)
+        ),
+    }[period]
+    activity = (
+        events.join(first_seen, user_col)
+        .select(
+            F.col(user_col),
+            F.col("__cohort"),
+            diff(trunc(F.col(ts_col)), F.col("__cohort")).alias(
+                "period_offset"
+            ),
+        )
+        .distinct()
+    )
+    matrix = activity.groupBy("__cohort", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__cohort")
+    size = F.max(
+        F.when(F.col("period_offset") == 0, F.col("n_users"))
+    ).over(w)
+    return matrix.select(
+        F.col("__cohort").alias("cohort"),
+        "period_offset",
+        "n_users",
+        size.alias("cohort_size"),
+        (F.col("n_users") / size).alias("retention"),
+    )

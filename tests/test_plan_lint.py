@@ -49,6 +49,8 @@ _BNL_OK = {
     "ann_pq_topk",            # broadcast query side, small by construction
     "ngram_jaccard_neardup",  # broadcast 1-row corpus count for the df-cut
     "heavy_hitters_suppliers",  # broadcast 1-row error-budget sentinel
+    "bm25_search",          # broadcast 1-row (N, avgdl) corpus stats
+    "keyword_extraction",   # broadcast 1-row corpus count for idf
 }
 
 # queries whose operators legitimately run vectorized Python
