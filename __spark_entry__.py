@@ -2590,6 +2590,54 @@ def keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WITHIN = 86400.0  # 24h per-step conversion window
+
+
+def funnel_user_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-user funnel progress (view -> click -> purchase, each step
+    within 24h of the previous): one user-key shuffle + greedy
+    earliest-chain fold. Oracle replays the equivalent min-chain
+    (t1 = min view; t2 = min click in (t1, t1+24h]; ...)."""
+    from data_pipeline_framework_spark.operators import funnels as FN
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    out = FN.funnel_stages(
+        ev, FUNNEL_STEPS, within_seconds=FUNNEL_WITHIN
+    )
+    return out.select(
+        "user_id", "stages_completed", "step1_ts", "completed_ts"
+    )
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """step-level funnel summary: users reaching each stage + conversion
+    vs step 1 (bounded 3-row result)."""
+    from data_pipeline_framework_spark.operators import funnels as FN
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    out = FN.funnel_conversion(
+        ev, FUNNEL_STEPS, within_seconds=FUNNEL_WITHIN
+    )
+    return out.select(
+        "step", "step_name", "users", _r(F.col("conversion"), 6).alias("conversion")
+    )
+
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weekly cohort retention matrix over events: cohort = week of a
+    user's first event; per later week, distinct active users and the
+    retention share."""
+    from data_pipeline_framework_spark.operators import funnels as FN
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = FN.cohort_retention(ev, period="week")
+    return out.select(
+        "cohort", "period_offset", "n_users", "cohort_size",
+        _r(F.col("retention"), 6).alias("retention"),
+    )
+
+
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: fixed seeded codebook (same
     cells as ann_ivf_topk), within-cell cosine >= 0.35 against a lower
@@ -4477,6 +4525,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": bm25_search,
         "keyword_extraction": keyword_extraction,
         "semantic_dedup_keep": semantic_dedup_keep,
+        "funnel_user_stages": funnel_user_stages,
+        "funnel_conversion_events": funnel_conversion_events,
+        "cohort_retention_weekly": cohort_retention_weekly,
         "clean_standardize": clean_standardize,
         "phone_standardization": phone_standardization,
         "email_validation": email_validation,
@@ -5188,6 +5239,81 @@ def _semantic_dedup_oracle() -> str:
                dup.dup_of IS NULL AS keep
         FROM cassign LEFT JOIN dup ON cassign.vec_id = dup.vid
     """
+
+
+_FUNNEL_CHAIN = f"""
+    s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+          AND epoch_us(e.ts) - epoch_us(s1.t1) <= {int(FUNNEL_WITHIN * 1e6)}
+        GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+          AND epoch_us(e.ts) - epoch_us(s2.t2) <= {int(FUNNEL_WITHIN * 1e6)}
+        GROUP BY 1
+    )
+"""
+
+_FUNNEL_STAGES_ORACLE = f"""
+    WITH base AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type IN ('{FUNNEL_STEPS[0]}', '{FUNNEL_STEPS[1]}',
+                             '{FUNNEL_STEPS[2]}')
+    ), {_FUNNEL_CHAIN}
+    SELECT base.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stages_completed,
+           t1 AS step1_ts, t3 AS completed_ts
+    FROM base
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+"""
+
+_FUNNEL_CONVERSION_ORACLE = f"""
+    WITH {_FUNNEL_CHAIN},
+    c(step, step_name, users) AS (
+        SELECT 1, '{FUNNEL_STEPS[0]}', (SELECT count(*) FROM s1)
+        UNION ALL
+        SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+        UNION ALL
+        SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+    )
+    SELECT step, step_name, users,
+           FLOOR(users / (SELECT count(*) FROM s1) * 1e6 + 0.5) / 1e6
+               AS conversion
+    FROM c
+"""
+
+_COHORT_ORACLE = """
+    WITH fs AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY 1
+    ), act AS (
+        SELECT DISTINCT e.user_id, fs.cohort,
+               (datediff('day', fs.cohort,
+                         date_trunc('week', e.ts)) // 7) AS period_offset
+        FROM events e JOIN fs USING (user_id)
+    ), m AS (
+        SELECT cohort, period_offset, count(*) AS n_users
+        FROM act GROUP BY 1, 2
+    ), sz AS (
+        SELECT cohort,
+               max(CASE WHEN period_offset = 0 THEN n_users END)
+                   AS cohort_size
+        FROM m GROUP BY 1
+    )
+    SELECT m.cohort, m.period_offset, m.n_users, sz.cohort_size,
+           FLOOR(m.n_users / sz.cohort_size * 1e6 + 0.5) / 1e6 AS retention
+    FROM m JOIN sz USING (cohort)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6000,6 +6126,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle(),
         "keyword_extraction": _KEYWORD_ORACLE,
         "semantic_dedup_keep": _semantic_dedup_oracle(),
+        "funnel_user_stages": _FUNNEL_STAGES_ORACLE,
+        "funnel_conversion_events": _FUNNEL_CONVERSION_ORACLE,
+        "cohort_retention_weekly": _COHORT_ORACLE,
         "ewm_smoothing": """
             SELECT event_id, user_id,
                    FLOOR(list_reduce(

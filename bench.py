@@ -129,6 +129,9 @@ HEADLINE = [
     "bm25_search",
     "keyword_extraction",
     "semantic_dedup_keep",
+    "funnel_user_stages",
+    "funnel_conversion_events",
+    "cohort_retention_weekly",
 ]
 
 

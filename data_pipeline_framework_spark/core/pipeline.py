@@ -110,7 +110,11 @@ class Pipeline:
                 return readers.read_csv(self.spark, path)
             return readers.read_parquet(self.spark, path)
         if stype == "parquet":
-            return readers.read_parquet(self.spark, path)
+            return readers.read_parquet(
+                self.spark, path,
+                nanos_ts_columns=tuple(cfg.get("nanos_ts_columns") or ()),
+                source_file_column=cfg.get("source_file_column", False),
+            )
         if stype in ("jdbc", "postgresql"):
             props = dict(cfg.get("properties") or {})
             table = cfg.get("table") or cfg.get("query")

@@ -39,8 +39,9 @@ def funnel_stages(
     equal to the min-chain t1 = min ts(step1), t2 = min ts(step2 > t1),
     ...): walk the user's step events in time order and advance one
     stage whenever the event matches the next needed step; with
-    `within_seconds`, events later than that many seconds after the
-    step-1 completion no longer count.
+    `within_seconds`, each step must land within that many seconds of
+    the PREVIOUS step's chain timestamp (per-step conversion window;
+    the chain never re-anchors to a later step-1 event).
 
     Returns (user_col, stages_completed, step1_ts, completed_ts):
     stages_completed in [0, len(steps)], step1_ts the chain anchor
@@ -52,10 +53,14 @@ def funnel_stages(
         raise ValueError("steps must be non-empty")
     n = len(steps)
     steps_lit = F.array(*[F.lit(s) for s in steps])
+    # unix_micros wants TIMESTAMP; parquet NTZ columns cast losslessly
+    # (the engine session pins UTC), and outputs cast back to the input
+    # type so the caller's schema round-trips
+    ts_type = events.schema[ts_col].dataType
     ev = events.filter(F.col(type_col).isin(steps)).select(
         F.col(user_col),
         F.struct(
-            F.unix_micros(F.col(ts_col)).alias("t"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
             F.col(type_col).alias("s"),
         ).alias("__e"),
     )
@@ -78,7 +83,7 @@ def funnel_stages(
         in_window = (
             F.lit(True)
             if win is None
-            else (acc["stage"] == 0) | (e["t"] - acc["t0"] <= win)
+            else (acc["stage"] == 0) | (e["t"] - acc["tlast"] <= win)
         )
         # strict time increase between stages: an event at exactly the
         # previous stage's timestamp does not advance (matches the
@@ -102,10 +107,10 @@ def funnel_stages(
     return per_user.select(
         user_col,
         final["stage"].alias("stages_completed"),
-        F.timestamp_micros(final["t0"]).alias("step1_ts"),
+        F.timestamp_micros(final["t0"]).cast(ts_type).alias("step1_ts"),
         F.when(
             final["stage"] == n, F.timestamp_micros(final["tlast"])
-        ).alias("completed_ts"),
+        ).cast(ts_type).alias("completed_ts"),
     )
 
 
@@ -130,6 +135,16 @@ def funnel_conversion(
         .filter(F.col("stages_completed") >= F.col("step"))
         .groupBy("step")
         .agg(F.count(F.lit(1)).alias("users"))
+    )
+    # emit a zero row for steps nobody reached (a dropped row would make
+    # "stage 3: 0 users" indistinguishable from "query forgot stage 3")
+    all_steps = (
+        events.sparkSession.range(1, len(steps) + 1)
+        .select(F.col("id").cast("int").alias("step"))
+    )
+    per_stage = (
+        all_steps.join(F.broadcast(per_stage), "step", "left")
+        .select("step", F.coalesce("users", F.lit(0)).alias("users"))
     )
     names = F.array(*[F.lit(s) for s in steps])
     # conversion relative to step 1 via a broadcast 1-row step-1 count

@@ -724,6 +724,85 @@ def _op_checkpoint(params: Mapping, ctx) -> OpFn:
     return fn
 
 
+def _op_funnel(params: Mapping, ctx) -> OpFn:
+    """Ordered funnel — `{"type": "funnel", "steps": [...],
+    "user_column": u, "type_column": t, "ts_column": ts,
+    "within_seconds": W, "output": "stages"|"conversion"}` (default
+    conversion summary)."""
+    from ..operators.funnels import funnel_conversion, funnel_stages
+
+    steps = list(params["steps"])
+    kw = dict(
+        user_col=params.get("user_column", "user_id"),
+        type_col=params.get("type_column", "event_type"),
+        ts_col=params.get("ts_column", "ts"),
+        within_seconds=params.get("within_seconds"),
+    )
+    if params.get("output", "conversion") == "stages":
+        return lambda df: funnel_stages(df, steps, **kw)
+    return lambda df: funnel_conversion(df, steps, **kw)
+
+
+def _op_cohort_retention(params: Mapping, ctx) -> OpFn:
+    """Cohort retention matrix — `{"type": "cohort_retention",
+    "user_column": u, "ts_column": ts, "period": "week"}`."""
+    from ..operators.funnels import cohort_retention
+
+    return lambda df: cohort_retention(
+        df,
+        user_col=params.get("user_column", "user_id"),
+        ts_col=params.get("ts_column", "ts"),
+        period=params.get("period", "week"),
+    )
+
+
+def _op_bm25(params: Mapping, ctx) -> OpFn:
+    """BM25 retrieval — `{"type": "bm25", "queries_table": name,
+    "k": 10, "id_column": c, "text_column": t, ...}`; the queries
+    table resolves through the same CompileContext as join."""
+    from ..functions.retrieval import bm25_topk
+
+    queries = ctx.resolve(params["queries_table"])
+    return lambda df: bm25_topk(
+        df,
+        queries,
+        k=int(params.get("k", 10)),
+        id_col=params.get("id_column", "doc_id"),
+        text_col=params.get("text_column", "text"),
+        query_id_col=params.get("query_id_column", "query_id"),
+        query_text_col=params.get("query_text_column", "query_text"),
+        k1=float(params.get("k1", 1.2)),
+        b=float(params.get("b", 0.75)),
+    )
+
+
+def _op_semantic_dedup(params: Mapping, ctx) -> OpFn:
+    """SemDeDup — `{"type": "semantic_dedup", "threshold": 0.9,
+    "id_column": c, "vector_column": v, "n_cells": 8, "dim": 64}`.
+    Keeps only surviving rows when "filter": true (default returns the
+    full keep/dup_of report)."""
+    from ..functions.similarity import semantic_dedup
+
+    idc = params.get("id_column", "vec_id")
+
+    def fn(df: DataFrame) -> DataFrame:
+        rep = semantic_dedup(
+            df,
+            threshold=float(params.get("threshold", 0.9)),
+            id_col=idc,
+            vec_col=params.get("vector_column", "embedding"),
+            n_cells=int(params.get("n_cells", 8)),
+            seed=int(params.get("seed", 7)),
+            dim=params.get("dim"),
+        )
+        if params.get("filter", False):
+            kept = rep.filter("keep").select(idc)
+            return df.join(kept, idc, "left_semi")
+        return rep
+
+    return fn
+
+
 OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "select": _op_select,
     "filter": _op_filter,
@@ -753,6 +832,10 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "checkpoint": _op_checkpoint,
     "cap_per_key": _op_cap_per_key,
     "weighted_sample": _op_weighted_sample,
+    "funnel": _op_funnel,
+    "cohort_retention": _op_cohort_retention,
+    "bm25": _op_bm25,
+    "semantic_dedup": _op_semantic_dedup,
 }
 
 

@@ -449,3 +449,64 @@ def test_cap_and_weighted_sample_ops(spark):
          "weight_column": "w", "k": 20},
     ])(df)
     assert sampled.count() == 20
+
+
+def test_analytics_ops_in_config_pipeline(spark):
+    """funnel / cohort_retention / bm25 / semantic_dedup drive from
+    YAML-shaped op lists."""
+    import datetime as dt
+
+    from data_pipeline_framework_spark.plans.compiler import compile_ops
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, "view"), (1, t0 + dt.timedelta(minutes=1), "click"),
+            (2, t0, "view"),
+            (2, t0 + dt.timedelta(days=8), "view"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    conv = compile_ops(
+        [{"type": "funnel", "steps": ["view", "click"]}]
+    )(ev)
+    rows = {r["step"]: r["users"] for r in conv.collect()}
+    assert rows == {1: 2, 2: 1}
+
+    stages = compile_ops(
+        [{"type": "funnel", "steps": ["view", "click"],
+          "output": "stages"}]
+    )(ev)
+    assert set(stages.columns) == {
+        "user_id", "stages_completed", "step1_ts", "completed_ts"
+    }
+
+    ret = compile_ops(
+        [{"type": "cohort_retention", "period": "week"}]
+    )(ev)
+    m = {(r["cohort"], r["period_offset"]): r["n_users"]
+         for r in ret.collect()}
+    assert m[(t0, 0)] == 2 and m[(t0, 1)] == 1
+
+    docs = spark.createDataFrame(
+        [(0, "spark shuffles data"), (1, "cats sleep all day")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q0", "spark data")], "query_id string, query_text string"
+    )
+    hits = compile_ops(
+        [{"type": "bm25", "queries_table": "qs", "k": 1}],
+        tables={"qs": queries},
+    )(docs)
+    assert [r["doc_id"] for r in hits.collect()] == [0]
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = compile_ops(
+        [{"type": "semantic_dedup", "threshold": 0.95, "n_cells": 1,
+          "dim": 2, "filter": True}]
+    )(emb)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [0, 2]

@@ -59,7 +59,7 @@ def _minchain_ref(rows, steps, within=None):
                 if et == step
                 and (t_prev is None or ts > t_prev)
                 and (within is None or k == 0 or
-                     (ts - t0).total_seconds() <= within)
+                     (ts - t_prev).total_seconds() <= within)
             ]
             if not cand:
                 break
@@ -142,6 +142,18 @@ def test_funnel_conversion_counts(spark, events):
     assert out[1]["conversion"] == pytest.approx(1.0)
     assert out[3]["conversion"] == pytest.approx(3 / 5)
     assert out[2]["step_name"] == "click"
+
+
+def test_funnel_conversion_emits_zero_rows(spark, events):
+    out = {
+        r["step"]: r
+        for r in funnel_conversion(
+            events, ["view", "click", "refund"]
+        ).collect()
+    }
+    assert out[3]["users"] == 0
+    assert out[3]["conversion"] == pytest.approx(0.0)
+    assert out[3]["step_name"] == "refund"
 
 
 def test_cohort_retention_weekly(spark):

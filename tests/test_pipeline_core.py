@@ -311,3 +311,21 @@ def test_layout_optimize_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
     from pyspark.sql import functions as F
     mx = back.groupBy("l_suppkey").count().agg(F.max("count")).first()[0]
     assert mx <= 500
+
+
+def test_product_analytics_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
+    """the shipped examples/product_analytics.yaml runs end-to-end:
+    NANOS-normalizing parquet source -> funnel op -> parquet."""
+    out = str(tmp_path / "pa_out")
+    monkeypatch.setenv("EVENTS_INPUT", f"{sf_dir}/events.parquet")
+    monkeypatch.setenv("FUNNEL_OUT", out)
+    result = Pipeline.from_yaml(
+        "examples/product_analytics.yaml", spark
+    ).run()
+    assert result.status == "success", result.error
+    back = spark.read.parquet(out)
+    rows = {r["step"]: r for r in back.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["step_name"] == "view"
+    assert rows[1]["users"] >= rows[2]["users"] >= rows[3]["users"]
+    assert result.validation[0]["status"] == "PASS"

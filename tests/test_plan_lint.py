@@ -51,6 +51,7 @@ _BNL_OK = {
     "heavy_hitters_suppliers",  # broadcast 1-row error-budget sentinel
     "bm25_search",          # broadcast 1-row (N, avgdl) corpus stats
     "keyword_extraction",   # broadcast 1-row corpus count for idf
+    "funnel_conversion_events",  # broadcast 1-row step-1 denominator
 }
 
 # queries whose operators legitimately run vectorized Python
