@@ -163,6 +163,65 @@ def cmd_schema(args) -> int:
     return 0
 
 
+def cmd_quality_check(args) -> int:
+    """Quality checks on a data file (reference cli/quality_commands.py
+    :24-96 `quality check`, re-targeted from Postgres tables to files).
+    Checks come from --config (YAML/JSON list of {metric, column,
+    warning_threshold, critical_threshold}) or are auto-generated."""
+    from .governance.quality import QualityMonitor
+
+    spark = _get_spark()
+    df = _read_any(spark, args.path)
+    checks = None
+    if args.config:
+        import yaml
+
+        with open(args.config) as fh:
+            loaded = yaml.safe_load(fh)
+        checks = loaded["checks"] if isinstance(loaded, dict) else loaded
+    mon = QualityMonitor()
+    results = mon.run_quality_checks(df, table=args.path, checks=checks)
+    payload = {
+        "table": args.path,
+        "results": [r.__dict__ for r in results],
+        "alerts": [a.__dict__ for a in mon.alerts],
+        "summary": mon.summary(),
+    }
+    if args.output == "json":
+        print(json.dumps(payload, default=str))
+    else:
+        for r in results:
+            print(f"{r.status:4}  {r.metric}({r.column}) = {r.value:.4f}")
+        s = payload["summary"]["by_status"]
+        print(
+            f"-- {len(results)} checks: {s['PASS']} pass, "
+            f"{s['WARN']} warn, {s['FAIL']} fail"
+        )
+    worst = {r.status for r in results}
+    return 2 if "FAIL" in worst else (1 if "WARN" in worst else 0)
+
+
+def cmd_quality_genconfig(args) -> int:
+    """Emit an auto-generated quality-check config for a file (reference
+    quality_commands.py:117-192 `quality generate-config`)."""
+    from .governance.quality import QualityMonitor
+
+    spark = _get_spark()
+    df = _read_any(spark, args.path)
+    checks = QualityMonitor.default_checks(df)
+    doc = {"table": args.path, "checks": checks}
+    import yaml
+
+    text = yaml.safe_dump(doc, sort_keys=False)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text)
+        print(f"wrote {len(checks)} checks to {args.output}")
+    else:
+        print(text)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dpf-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -214,6 +273,22 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--api-key", default=None,
                      help="require X-API-Key on every request")
     srv.set_defaults(fn=cmd_serve)
+
+    qual = sub.add_parser("quality", help="data-quality checks")
+    qualsub = qual.add_subparsers(dest="quality_command", required=True)
+    qc = qualsub.add_parser("check", help="run checks on a data file")
+    qc.add_argument("path")
+    qc.add_argument("--config", "-c", default=None,
+                    help="YAML/JSON check list (default: auto-generate)")
+    qc.add_argument("--output", "-o", choices=["table", "json"],
+                    default="table")
+    qc.set_defaults(fn=cmd_quality_check)
+    qg = qualsub.add_parser(
+        "generate-config", help="emit an auto-generated check config"
+    )
+    qg.add_argument("path")
+    qg.add_argument("--output", "-o", default=None)
+    qg.set_defaults(fn=cmd_quality_genconfig)
     return p
 
 

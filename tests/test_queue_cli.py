@@ -222,3 +222,42 @@ def test_cli_serve_starts_real_server(tmp_path, capsys, monkeypatch):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["serving"].startswith("http://127.0.0.1:")
     assert bound["health"]["checks"]["spark_session"]["healthy"] is True
+
+
+def test_cli_quality_check_and_genconfig(spark, sf_dir, tmp_path, capsys):
+    """reference cli/quality_commands.py parity: check + generate-config."""
+    import yaml
+
+    src = f"{sf_dir}/customer.parquet"
+    cfg = str(tmp_path / "qc.yaml")
+    assert main(["quality", "generate-config", src, "--output", cfg]) == 0
+    capsys.readouterr()
+    doc = yaml.safe_load(open(cfg))
+    metrics = {(c["metric"], c["column"]) for c in doc["checks"]}
+    assert ("uniqueness", "c_custkey") in metrics
+    assert ("completeness", "c_name") in metrics
+
+    # the auto heuristic flags c_nationkey (a foreign key) for
+    # uniqueness — drop it, then clean data passes -> exit 0
+    doc["checks"] = [
+        c for c in doc["checks"]
+        if not (c["metric"] == "uniqueness" and c["column"] == "c_nationkey")
+    ]
+    yaml.safe_dump(doc, open(cfg, "w"))
+    assert main(["quality", "check", src, "--config", cfg]) == 0
+    out = capsys.readouterr().out
+    assert "pass" in out and "0 fail" in out
+
+    # a failing threshold drives the exit code and the alert list
+    bad = {"checks": [{
+        "metric": "uniqueness", "column": "c_mktsegment",
+        "warning_threshold": 0.99, "critical_threshold": 0.9,
+    }]}
+    cfg2 = str(tmp_path / "qc2.yaml")
+    yaml.safe_dump(bad, open(cfg2, "w"))
+    rc = main(["quality", "check", src, "--config", cfg2, "-o", "json"])
+    assert rc == 2
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["results"][0]["status"] == "FAIL"
+    assert payload["alerts"][0]["severity"] == "critical"
+    assert payload["summary"]["by_status"]["FAIL"] == 1
