@@ -695,6 +695,23 @@ def ewm_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r(F.col("value_smoothed"), 4).alias("value_smoothed"))
 
 
+def holt_trend_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing per user series (one-step fitted
+    values). Oracle: a recursive CTE replays the exact (level, trend)
+    recurrence row-by-row with mirrored op order."""
+    from data_pipeline_framework_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = TS.holt_winters(
+        ev, "value", "ts", alpha=0.3, beta=0.1, group_by=["user_id"]
+    )
+    return out.select(
+        "event_id", "user_id", _r(F.col("value_hat"), 4).alias("value_hat")
+    )
+
+
 def changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling-mean jump detection. Oracle: the same rolling avg/stddev +
     lag comparison in DuckDB window SQL (boundary comparisons sit ~1e-15
@@ -4467,6 +4484,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "interpolate_missing": interpolate_missing,
         "ewm_smoothing": ewm_smoothing,
+        "holt_trend_smoothing": holt_trend_smoothing,
         "changepoints": changepoints,
         "text_statistics": text_statistics,
         "doc_quality_scores": doc_quality_scores,
@@ -6126,6 +6144,31 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle(),
         "keyword_extraction": _KEYWORD_ORACLE,
         "semantic_dedup_keep": _semantic_dedup_oracle(),
+        "holt_trend_smoothing": """
+            WITH RECURSIVE seq AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ), hw AS (
+                SELECT user_id, rn, event_id, value,
+                       value::DOUBLE AS l, CAST(0.0 AS DOUBLE) AS b,
+                       value::DOUBLE AS hat
+                FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT s.user_id, s.rn, s.event_id, s.value,
+                       0.3 * s.value + (1 - 0.3) * (hw.l + hw.b) AS l,
+                       0.1 * ((0.3 * s.value + (1 - 0.3) * (hw.l + hw.b))
+                              - hw.l) + (1 - 0.1) * hw.b AS b,
+                       hw.l + hw.b AS hat
+                FROM hw JOIN seq s
+                  ON s.user_id = hw.user_id AND s.rn = hw.rn + 1
+            )
+            SELECT event_id, user_id,
+                   FLOOR(hat * 1e4 + 0.5) / 1e4 AS value_hat
+            FROM hw
+        """,
         "funnel_user_stages": _FUNNEL_STAGES_ORACLE,
         "funnel_conversion_events": _FUNNEL_CONVERSION_ORACLE,
         "cohort_retention_weekly": _COHORT_ORACLE,

@@ -33,6 +33,7 @@ _WIDE = {
     "benchmark_decontamination", "domain_quota_cap",
     "duplicate_span_flags", "bpe_token_counts", "bpe_shard_packing",
     "media_jpeg_roundtrip", "keyword_extraction", "semantic_dedup_keep",
+    "holt_trend_smoothing", "funnel_user_stages",
 }
 
 HEADLINE = [
@@ -132,6 +133,7 @@ HEADLINE = [
     "funnel_user_stages",
     "funnel_conversion_events",
     "cohort_retention_weekly",
+    "holt_trend_smoothing",
 ]
 
 

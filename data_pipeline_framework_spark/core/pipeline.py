@@ -110,9 +110,20 @@ class Pipeline:
                 return readers.read_csv(self.spark, path)
             return readers.read_parquet(self.spark, path)
         if stype == "parquet":
+            nanos = tuple(cfg.get("nanos_ts_columns") or ())
+            prune = cfg.get("prune")
+            if prune:
+                # footer-stats file skipping: [[column, op, value], ...]
+                from ..sources.pruning import read_parquet_pruned
+
+                return read_parquet_pruned(
+                    self.spark, path,
+                    [tuple(p) for p in prune],
+                    nanos_ts_columns=nanos,
+                )
             return readers.read_parquet(
                 self.spark, path,
-                nanos_ts_columns=tuple(cfg.get("nanos_ts_columns") or ()),
+                nanos_ts_columns=nanos,
                 source_file_column=cfg.get("source_file_column", False),
             )
         if stype in ("jdbc", "postgresql"):

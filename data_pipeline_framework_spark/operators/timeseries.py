@@ -641,3 +641,95 @@ def session_window(
     window_end = last event ts + gap."""
     return _windowed(df, F.session_window(ts_col, gap), "session_window",
                      aggregations, list(group_by or []))
+
+
+def holt_winters(
+    df: DataFrame,
+    column: str,
+    ts_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.1,
+    season_length: int | None = None,
+    group_by: list[str] | None = None,
+    forecast_periods: int = 0,
+) -> DataFrame:
+    """Holt(-Winters) exponential smoothing per series (the forecasting
+    step the reference's time-series module stops short of — its
+    time_series.py:421-480 surface ends at EWM).
+
+    Without `season_length`: Holt's linear trend —
+        l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+    init l_1 = y_1, b_1 = 0; one-step fitted value_hat_t = l_{t-1} +
+    b_{t-1} (fitted_1 = y_1). With `season_length` m: additive seasonal
+    terms s_t = g*(y_t - l_t) + (1-g)*s_{t-m}, seeded from the first
+    season's deviations around its mean; fitted adds s_{t-m}.
+
+    Adds `{column}_hat` to every input row. With forecast_periods=h,
+    appends h rows per series (null input fields except the keys) whose
+    `{column}_hat` is the k-step-ahead forecast l_T + k*b_T (+ the
+    wrapped seasonal). The recurrence is inherently sequential per
+    series: Arrow-batched applyInPandas, series partitioned by
+    `group_by` — the 100 TB shape is many series, not one long one.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keys = list(group_by or [])
+    out_col = f"{column}_hat"
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    m = int(season_length) if season_length else 0
+    h = int(forecast_periods)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        y = pdf[column].to_numpy(dtype="float64")
+        n = len(y)
+        hat = np.empty(n, dtype="float64")
+        if n == 0:
+            pdf[out_col] = hat
+            return pdf
+        if m and n >= 2 * m:
+            l = float(np.mean(y[:m]))
+            b = (float(np.mean(y[m:2 * m])) - l) / m
+            s = [float(v) - l for v in y[:m]]
+            for t in range(n):
+                si = s[t % m]
+                hat[t] = (l + b + si) if t >= m else float(y[t])
+                l_new = alpha * (y[t] - si) + (1 - alpha) * (l + b)
+                b = beta * (l_new - l) + (1 - beta) * b
+                s[t % m] = gamma * (y[t] - l_new) + (1 - gamma) * si
+                l = l_new
+            fc = [l + (k + 1) * b + s[(n + k) % m] for k in range(h)]
+        else:
+            l = float(y[0])
+            b = 0.0
+            hat[0] = float(y[0])
+            for t in range(1, n):
+                hat[t] = l + b
+                l_new = alpha * y[t] + (1 - alpha) * (l + b)
+                b = beta * (l_new - l) + (1 - beta) * b
+                l = l_new
+            fc = [l + (k + 1) * b for k in range(h)]
+        pdf[out_col] = hat
+        if h:
+            extra = pd.DataFrame({out_col: np.asarray(fc, dtype="float64")})
+            for c in pdf.columns:
+                if c == out_col:
+                    continue
+                extra[c] = pdf[c].iloc[-1] if c in keys else None
+            if n >= 2:
+                # forecast rows carry extrapolated timestamps (last
+                # observed cadence), so downstream sorts stay total
+                step = pdf[ts_col].iloc[-1] - pdf[ts_col].iloc[-2]
+                extra[ts_col] = [
+                    pdf[ts_col].iloc[-1] + step * (k + 1) for k in range(h)
+                ]
+            pdf = pd.concat([pdf, extra[pdf.columns]], ignore_index=True)
+        return pdf
+
+    return _apply_per_series(df, fit, schema, keys)

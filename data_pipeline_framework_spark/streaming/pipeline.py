@@ -649,3 +649,98 @@ def quota_stream(
         admit, out_schema, "seen long", "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stream(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Streaming twin of operators.funnels.funnel_stages: per-user funnel
+    progress maintained across micro-batches via applyInPandasWithState.
+
+    State per user = that user's step-type events seen so far (timestamps
+    + step names); each batch re-runs the greedy earliest-chain automaton
+    over the merged, time-sorted buffer, so the emitted progress is
+    EXACTLY the batch operator's answer on the events seen so far — late
+    or out-of-order arrivals reorder into place instead of being dropped
+    (a forward-only automaton would silently skip them). State is bounded
+    by the user's step-event count, already filtered to the funnel's
+    types before the shuffle; it lives in the Spark state store
+    (partitioned by user, RocksDB-spillable — no driver state).
+
+    Emits one row per user per batch in which that user had events
+    (update semantics): (user, stages_completed, step1_ts, completed_ts,
+    events_buffered). Without `within_seconds`, stages_completed is
+    monotone across emissions.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    n = len(steps)
+    win = (
+        int(within_seconds * 1_000_000)
+        if within_seconds is not None
+        else None
+    )
+    user_field = df.schema[user_col]
+    out_schema = T.StructType([
+        user_field,
+        T.StructField("stages_completed", T.IntegerType()),
+        T.StructField("step1_ts", T.TimestampType()),
+        T.StructField("completed_ts", T.TimestampType()),
+        T.StructField("events_buffered", T.IntegerType()),
+    ])
+
+    def run(key, pdfs, state):
+        ts_list, st_list = (
+            (list(state.get[0]), list(state.get[1]))
+            if state.exists
+            else ([], [])
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            t = (pdf[ts_col].astype("datetime64[ns]").astype("int64")
+                 // 1000)
+            ts_list.extend(int(x) for x in t)
+            st_list.extend(str(s) for s in pdf[type_col])
+        order = sorted(range(len(ts_list)),
+                       key=lambda i: (ts_list[i], st_list[i]))
+        stage, t0, tlast = 0, None, None
+        for i in order:
+            t, s = ts_list[i], st_list[i]
+            if stage >= n or s != steps[stage]:
+                continue
+            if stage > 0 and t <= tlast:
+                continue
+            if win is not None and stage > 0 and t - tlast > win:
+                continue
+            stage += 1
+            t0 = t if t0 is None else t0
+            tlast = t
+        state.update((ts_list, st_list))
+        ts_of = lambda v: (  # noqa: E731
+            pd.Timestamp(v * 1000) if v is not None else pd.NaT
+        )
+        yield pd.DataFrame({
+            user_col: [key[0]],
+            "stages_completed": np.array([stage], dtype="int32"),
+            "step1_ts": [ts_of(t0)],
+            "completed_ts": [ts_of(tlast) if stage == n else pd.NaT],
+            "events_buffered": np.array([len(ts_list)], dtype="int32"),
+        })
+
+    filtered = df.filter(F.col(type_col).isin(steps))
+    return filtered.groupBy(user_col).applyInPandasWithState(
+        run, out_schema,
+        "ts array<long>, st array<string>",
+        "update", GroupStateTimeout.NoTimeout,
+    )

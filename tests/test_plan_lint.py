@@ -68,6 +68,7 @@ _ARROW_OK = {
     "ann_ivf_topk",   # Arrow-batched cell assignment
     "ann_ivfpq_topk",  # Arrow-batched cell assignment (IVF coarse stage)
     "ewm_smoothing",  # sequential recurrence, applyInPandas per series
+    "holt_trend_smoothing",  # same: per-series sequential recurrence
     "heavy_hitters_suppliers",  # bounded per-partition MG summaries
     "heavy_hitters_by_flag",    # same, grouped
 }

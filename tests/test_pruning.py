@@ -99,3 +99,36 @@ def test_conjunction_and_missing_stats(spark, ranged_table):
     # unknown column -> treated as may-match, nothing pruned
     kept2, total = prune_files(ranged_table, [("zzz", "=", 1)])
     assert len(kept2) == total
+
+
+def test_pipeline_source_prune_config(spark, ranged_table, tmp_path):
+    """`source.config.prune` drives footer-stats skipping from YAML."""
+    import yaml
+
+    from data_pipeline_framework_spark.core import Pipeline
+
+    out = str(tmp_path / "pruned_out")
+    cfg = {
+        "name": "pruned_scan",
+        "source": {
+            "type": "parquet",
+            "config": {"prune": [["k", "between", [100, 300]]]},
+        },
+        "input": {"path": ranged_table},
+        "processing": {"operations": [
+            {"type": "aggregate", "aggregations": {"v": ["sum"]}},
+        ]},
+        "storage": {"type": "parquet", "destination": out,
+                    "mode": "replace"},
+    }
+    p = str(tmp_path / "p.yaml")
+    yaml.safe_dump(cfg, open(p, "w"))
+    result = Pipeline.from_yaml(p, spark).run()
+    assert result.status == "success", result.error
+    got = spark.read.parquet(out).first()
+    want = (
+        spark.read.parquet(ranged_table)
+        .filter("k between 100 and 300")
+        .groupBy().sum("v").first()[0]
+    )
+    assert got[0] == want

@@ -739,3 +739,51 @@ def test_neardup_replayed_batch_readmits_itself(spark, tmp_path):
     # dedup-on-read resolves to ONE admitted doc with a single verdict
     resolved = spark.read.parquet(out).dropDuplicates(["doc_id"]).collect()
     assert len(resolved) == 1 and resolved[0]["is_dup"] is False
+
+
+def test_funnel_stream_matches_batch_twin(spark, events, stream_dir):
+    """stateful streaming funnel: the final per-user stage across all
+    micro-batches equals the batch operator — regardless of how events
+    split across files, because state buffers the user's step events and
+    re-sorts (late arrivals reorder into place)."""
+    from data_pipeline_framework_spark.operators.funnels import (
+        funnel_stages,
+    )
+
+    steps = ["view", "click", "purchase"]
+    sdf = ST.read_stream_files(
+        spark, str(stream_dir / "in"), schema=events.schema,
+        max_files_per_trigger=1,
+    )
+    streamed = ST.funnel_stream(sdf, steps)
+    got = _run_to_memory(
+        spark, streamed, "t_funnel", stream_dir, output_mode="update"
+    )
+    # without a window the stage is monotone across emissions: final
+    # answer per user = max emitted
+    final = {
+        r["user_id"]: r["m"]
+        for r in got.groupBy("user_id")
+        .agg(F.max("stages_completed").alias("m"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: r["stages_completed"]
+        for r in funnel_stages(events, steps).collect()
+    }
+    assert final == want
+    assert max(want.values()) == 3  # non-vacuous: someone completes
+    # buffered-event counts equal each user's step-event totals
+    buffered = {
+        r["user_id"]: r["b"]
+        for r in got.groupBy("user_id")
+        .agg(F.max("events_buffered").alias("b"))
+        .collect()
+    }
+    truth = {
+        r["user_id"]: r["n"]
+        for r in events.filter(F.col("event_type").isin(steps))
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert buffered == truth
