@@ -1301,6 +1301,42 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_documents(docs, "doc_id", "text", window=32, stride=24)
 
 
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup: strip any line whose
+    normalized form appears in >= 20 distinct documents. The corpus has
+    no newlines, so known boilerplate ("Subscribe to our newsletter",
+    "All rights reserved", 7 rotating "ref code k" footers) plus one
+    unique-per-doc line are injected identically on both sides — the
+    differential proves hot-line detection, the anti-join, and ordered
+    reassembly all agree with the oracle."""
+    from data_pipeline_framework_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("Subscribe to our newsletter"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("All rights reserved")
+        ).otherwise(
+            F.concat(
+                F.lit("unique line for doc "),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        F.concat(F.lit("ref code "), (F.col("doc_id") % 7).cast("string")),
+    )
+    return remove_boilerplate_lines(
+        docs.select("doc_id", injected.alias("text")),
+        "doc_id",
+        "text",
+        min_docs=20,
+        min_line_chars=5,
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub before a corpus ships: count+replace email/SSN/phone in
     one codegen projection. The testdata carries no PII-shaped text, so
@@ -3265,6 +3301,51 @@ def _classifier_oracle() -> str:
     """
 
 
+_BOILERPLATE_ORACLE = """
+    WITH injected AS (
+        SELECT doc_id,
+               text || chr(10) || 'Subscribe to our newsletter' || chr(10)
+               || CASE WHEN doc_id % 3 = 0 THEN 'All rights reserved'
+                       ELSE 'unique line for doc ' || doc_id END
+               || chr(10) || 'ref code ' || (doc_id % 7) AS text
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected
+    ),
+    lines AS (
+        SELECT doc_id,
+               unnest(ls) AS line,
+               unnest(range(1, len(ls) + 1)) AS pos
+        FROM parts
+    ),
+    keys AS (
+        SELECT doc_id, pos, line, lower(trim(line)) AS key FROM lines
+    ),
+    hot AS (
+        SELECT key FROM keys
+        WHERE length(key) >= 5
+        GROUP BY key
+        HAVING count(DISTINCT doc_id) >= 20
+    ),
+    kept AS (
+        SELECT k.doc_id, k.pos, k.line
+        FROM keys k LEFT JOIN hot h ON k.key = h.key
+        WHERE h.key IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(p.ls) AS BIGINT) AS n_lines,
+           CAST(len(p.ls) - coalesce(r.n_kept, 0) AS BIGINT)
+               AS n_lines_removed
+    FROM parts p LEFT JOIN reb r USING (doc_id)
+"""
+
 _CHUNKS_ORACLE = """
     WITH toks AS (
         SELECT doc_id,
@@ -4506,6 +4587,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_quality_scores": classifier_quality_scores,
         "bigram_logprob_scores": bigram_logprob_scores,
         "document_chunks": document_chunks,
+        "boilerplate_line_removal": boilerplate_line_removal,
         "embedding_quantization": embedding_quantization,
         "zorder_locality": zorder_locality,
         "orc_scan_roundtrip": orc_scan_roundtrip,
@@ -6022,6 +6104,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_quality_scores": _classifier_oracle(),
         "bigram_logprob_scores": _BIGRAM_ORACLE,
         "document_chunks": _CHUNKS_ORACLE,
+        "boilerplate_line_removal": _BOILERPLATE_ORACLE,
         "embedding_quantization": _QUANTIZE_ORACLE,
         "zorder_locality": _zorder_oracle(),
         "orc_scan_roundtrip": """

@@ -67,6 +67,7 @@ from .text import (  # noqa: F401
     hashed_classifier_score,
     language_id,
     quality_score,
+    remove_boilerplate_lines,
     text_stats,
     unigram_logprob,
 )

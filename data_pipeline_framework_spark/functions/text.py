@@ -633,3 +633,75 @@ def ngram_novelty(
             "novelty", F.col("novel_grams") / F.col("n_grams")
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 10,
+    min_line_chars: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document boilerplate stripping (the CCNet / RefinedWeb
+    line-dedup step): any line whose normalized form (lower+trim)
+    appears in >= `min_docs` DISTINCT documents is removed from every
+    document; lines shorter than `min_line_chars` after normalization
+    are never candidates (they'd be all-noise: "", "-", "ok").
+
+    Scale shape: posexplode lines -> one distinct-count agg on the
+    normalized line (two-phase, map-side partial) -> the hot-line set
+    is SMALL relative to the corpus (it's the lines shared by many
+    docs), so the anti-join against it is cheap -> one groupBy(id) to
+    reassemble in original order. No driver collect of lines; the hot
+    set never leaves the executors. Reassembly sorts the collected
+    (pos, line) structs per document, so output text is deterministic.
+
+    Reference anchor: the reference's cleaning ops are per-row pandas
+    (reference src/data_pipeline/processing/data_cleaner.py) and have
+    no cross-document step; this is the corpus-level generalization a
+    100 TB curation pipeline needs.
+
+    Output: id, clean_text (kept lines re-joined with `sep`; "" when
+    every line was removed), n_lines, n_lines_removed.
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    parts = df.select(
+        F.col(id_col), F.split(F.col(text_col), sep).alias("__ls")
+    )
+    lines = parts.select(
+        id_col, F.posexplode("__ls").alias("__pos", "__line")
+    ).withColumn("__key", F.lower(F.trim("__line")))
+    hot = (
+        lines.filter(F.length("__key") >= min_line_chars)
+        .groupBy("__key")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__key")
+    )
+    kept = lines.join(hot, "__key", "left_anti")
+    reb = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    base = parts.select(
+        id_col, F.size("__ls").cast("long").alias("n_lines")
+    )
+    return (
+        base.join(reb, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            (
+                F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("long").alias("n_lines_removed"),
+        )
+    )

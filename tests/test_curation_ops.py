@@ -492,3 +492,46 @@ def test_pack_contexts_respects_order_col(spark):
         ).collect()
     )
     assert rows == [(0, 0, 2, "a b"), (0, 2, 1, "c d")]
+
+
+def test_remove_boilerplate_lines(spark):
+    # "visit our sponsor" appears in 3 docs -> hot at min_docs=3;
+    # "hi" is short (<5 chars after trim) and never a candidate even
+    # though it repeats; unique lines survive in original order.
+    rows = [
+        (1, "alpha body one\nVisit our sponsor\nhi\nending one"),
+        (2, "beta body two\n  visit our sponsor  \nhi"),
+        (3, "VISIT OUR SPONSOR\ngamma body three"),
+        (4, "delta keeps everything\nhi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from data_pipeline_framework_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", min_docs=3, min_line_chars=5
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha body one\nhi\nending one"
+    assert (out[1]["n_lines"], out[1]["n_lines_removed"]) == (4, 1)
+    assert out[2]["clean_text"] == "beta body two\nhi"
+    assert out[3]["clean_text"] == "gamma body three"
+    assert out[4]["clean_text"] == "delta keeps everything\nhi"
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_remove_boilerplate_all_lines_removed(spark):
+    rows = [(i, "same line here") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from data_pipeline_framework_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+
+    out = remove_boilerplate_lines(
+        df, "doc_id", "text", min_docs=2, min_line_chars=5
+    ).collect()
+    assert all(r["clean_text"] == "" and r["n_lines_removed"] == 1 for r in out)
+    assert len(out) == 4
