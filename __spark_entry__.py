@@ -1337,6 +1337,104 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_HOSTS = [
+    "news.example.co.uk",
+    "blog.foo.com",
+    "example.org",
+    "192.168.10.4",
+    "www.shop.example.com.au",
+    "spam.bad-site.net",
+    "cdn.assets.bar.io",
+]
+# eTLD+1 expected per host above — the oracle asserts these by
+# construction while the Spark side actually parses the URL.
+_URL_DOMAINS = [
+    "example.co.uk",
+    "foo.com",
+    "example.org",
+    "192.168.10.4",
+    "example.com.au",
+    "bad-site.net",
+    "bar.io",
+]
+
+
+def _inject_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc URL: host from a 7-way pool (covering
+    two-level public suffixes, IP hosts, deep subdomains), path depth
+    from doc_id%4, query params from doc_id%3, scheme from doc_id%2.
+    The corpus has no URL column, so both engines synthesize the same
+    one — the differential then proves the parse, eTLD+1, and
+    depth/param feature logic."""
+    m7 = (F.col("doc_id") % 7).cast("int")
+    host = F.element_at(F.array(*[F.lit(h) for h in _URL_HOSTS]), m7 + 1)
+    path = F.element_at(
+        F.array(F.lit(""), F.lit("/a"), F.lit("/a/b"), F.lit("/a/b/c")),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    query = F.element_at(
+        F.array(F.lit("?x=1&y=2"), F.lit("?x=1"), F.lit("")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(
+        F.lit("http")
+    )
+    return docs.withColumn(
+        "url", F.concat(scheme, F.lit("://"), host, path, query)
+    )
+
+
+def url_domain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl URL feature extraction: scheme/host/eTLD+1/path depth/
+    query params, all as parse_url column expressions (zero UDFs, one
+    codegen projection). The oracle derives every expected value from
+    the doc_id residues the injection used, so a parse or
+    registered-domain bug on the Spark side cannot agree with it."""
+    from data_pipeline_framework_spark.functions.web import (
+        extract_url_features,
+    )
+
+    docs = _inject_urls(_t(spark, sf_dir, "documents").select("doc_id"))
+    return extract_url_features(docs, "url").select(
+        "doc_id",
+        "url",
+        F.col("url_scheme").alias("scheme"),
+        F.col("url_host").alias("host"),
+        F.col("url_registered_domain").alias("registered_domain"),
+        F.col("url_path_depth").cast("long").alias("path_depth"),
+        F.col("url_n_query_params").cast("long").alias("n_query_params"),
+        F.col("url_is_https").cast("int").alias("is_https"),
+        F.col("url_is_ip_host").cast("int").alias("is_ip_host"),
+    )
+
+
+def domain_blocklist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filter + per-domain corpus rollup: drop two bad
+    domains (an eTLD+1 and an IP literal), then aggregate doc count,
+    distinct hosts, and length stats per registered domain. The filter
+    is a literal isin pushed at the scan; the rollup is one hash agg
+    whose output cardinality is the domain count."""
+    from data_pipeline_framework_spark.functions.web import (
+        domain_rollup,
+        filter_blocked_domains,
+    )
+
+    docs = _inject_urls(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    kept = filter_blocked_domains(
+        docs, "url", ["bad-site.net", "192.168.10.4"]
+    )
+    out = domain_rollup(kept, "url", ["n_chars"])
+    return out.select(
+        "registered_domain",
+        "n_docs",
+        "n_hosts",
+        _r(F.col("avg_n_chars")).alias("avg_n_chars"),
+        F.col("sum_n_chars").cast("long").alias("sum_n_chars"),
+    ).orderBy("registered_domain")
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub before a corpus ships: count+replace email/SSN/phone in
     one codegen projection. The testdata carries no PII-shaped text, so
@@ -3301,6 +3399,67 @@ def _classifier_oracle() -> str:
     """
 
 
+_URL_CTE = """
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               CASE doc_id % 7
+                   WHEN 0 THEN 'news.example.co.uk'
+                   WHEN 1 THEN 'blog.foo.com'
+                   WHEN 2 THEN 'example.org'
+                   WHEN 3 THEN '192.168.10.4'
+                   WHEN 4 THEN 'www.shop.example.com.au'
+                   WHEN 5 THEN 'spam.bad-site.net'
+                   ELSE 'cdn.assets.bar.io' END AS host,
+               CASE doc_id % 7
+                   WHEN 0 THEN 'example.co.uk'
+                   WHEN 1 THEN 'foo.com'
+                   WHEN 2 THEN 'example.org'
+                   WHEN 3 THEN '192.168.10.4'
+                   WHEN 4 THEN 'example.com.au'
+                   WHEN 5 THEN 'bad-site.net'
+                   ELSE 'bar.io' END AS registered_domain,
+               CASE doc_id % 4
+                   WHEN 0 THEN '' WHEN 1 THEN '/a'
+                   WHEN 2 THEN '/a/b' ELSE '/a/b/c' END AS path,
+               CASE doc_id % 3
+                   WHEN 0 THEN '?x=1&y=2' WHEN 1 THEN '?x=1'
+                   ELSE '' END AS q,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'https' ELSE 'http' END AS scheme
+        FROM documents
+    )
+"""
+
+_URL_FEATURES_ORACLE = (
+    _URL_CTE
+    + """
+    SELECT doc_id,
+           scheme || '://' || host || path || q AS url,
+           scheme, host, registered_domain,
+           CAST(doc_id % 4 AS BIGINT) AS path_depth,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_query_params,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_https,
+           CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS is_ip_host
+    FROM u
+"""
+)
+
+_DOMAIN_ROLLUP_ORACLE = (
+    _URL_CTE
+    + """
+    SELECT registered_domain,
+           count(*) AS n_docs,
+           count(DISTINCT host) AS n_hosts,
+           FLOOR(avg(n_chars) * 1e4 + 0.5) / 1e4 AS avg_n_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+    FROM u
+    WHERE registered_domain NOT IN ('bad-site.net', '192.168.10.4')
+    GROUP BY registered_domain
+    ORDER BY registered_domain
+"""
+)
+
 _BOILERPLATE_ORACLE = """
     WITH injected AS (
         SELECT doc_id,
@@ -4588,6 +4747,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob_scores": bigram_logprob_scores,
         "document_chunks": document_chunks,
         "boilerplate_line_removal": boilerplate_line_removal,
+        "url_domain_features": url_domain_features,
+        "domain_blocklist_rollup": domain_blocklist_rollup,
         "embedding_quantization": embedding_quantization,
         "zorder_locality": zorder_locality,
         "orc_scan_roundtrip": orc_scan_roundtrip,
@@ -6105,6 +6266,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob_scores": _BIGRAM_ORACLE,
         "document_chunks": _CHUNKS_ORACLE,
         "boilerplate_line_removal": _BOILERPLATE_ORACLE,
+        "url_domain_features": _URL_FEATURES_ORACLE,
+        "domain_blocklist_rollup": _DOMAIN_ROLLUP_ORACLE,
         "embedding_quantization": _QUANTIZE_ORACLE,
         "zorder_locality": _zorder_oracle(),
         "orc_scan_roundtrip": """

@@ -58,6 +58,12 @@ from .tokenize import (  # noqa: F401
     bpe_tokenize,
     train_bpe_merges,
 )
+from .web import (  # noqa: F401
+    domain_rollup,
+    extract_url_features,
+    filter_blocked_domains,
+    url_features,
+)
 from .text import (  # noqa: F401
     bigram_logprob,
     ngram_novelty,

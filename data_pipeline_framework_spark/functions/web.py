@@ -1,0 +1,164 @@
+"""URL / domain curation for web-scale corpora.
+
+Web-crawl pipelines (C4, RefinedWeb, Gopher) filter and weight documents
+by their source URL: blocklisted domains are dropped, per-domain quotas
+cap over-represented hosts, and quality statistics are tracked at the
+registered-domain level. The reference framework has no URL layer (its
+sources are CSV/JSON/S3 files — reference src/data_pipeline/sources/);
+this module is the corpus-curation generalization the 100 TB brief asks
+for.
+
+Scale shape: everything here is a pure column expression over Spark's
+built-in ``parse_url`` (JVM, whole-stage codegen) — no UDFs, no
+shuffles beyond the aggregations a rollup explicitly asks for.
+Blocklists are applied as literal ``isin`` filters when small (pushed
+into the scan) or broadcast anti-joins when passed as a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TWO_LEVEL_SUFFIXES",
+    "url_features",
+    "extract_url_features",
+    "filter_blocked_domains",
+    "domain_rollup",
+]
+
+# Common two-label public suffixes. A full public-suffix list would be
+# shipped to executors as a broadcast lookup; this built-in core covers
+# the dominant crawl TLDs and keeps the expression literal (codegen'd).
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "com.tw",
+    "com.sg", "co.za", "com.ar", "com.tr",
+)
+
+_IP_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
+def _registered_domain(host: Column) -> Column:
+    """eTLD+1 from a hostname: last two labels, or last three when the
+    last two form a known two-level public suffix; IP hosts pass
+    through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
+    last3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
+    suffix_hit = last2.isin(*TWO_LEVEL_SUFFIXES)
+    return (
+        F.when(host.rlike(_IP_RE), host)
+        .when(n <= 2, host)
+        .when(suffix_hit & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def url_features(url: Column | str) -> dict[str, Column]:
+    """Column expressions for the standard URL curation features.
+
+    Returns a dict so callers can pick fields without forcing a full
+    projection; all expressions share the single parsed column and stay
+    inside one codegen stage.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    path = F.parse_url(u, F.lit("PATH"))
+    query = F.parse_url(u, F.lit("QUERY"))
+    return {
+        "scheme": F.lower(F.parse_url(u, F.lit("PROTOCOL"))),
+        "host": host,
+        "registered_domain": _registered_domain(host),
+        "path": path,
+        "path_depth": F.when(
+            (path.isNull()) | (path == "") | (path == "/"), F.lit(0)
+        ).otherwise(F.size(F.split(F.regexp_replace(path, "^/|/$", ""), "/"))),
+        "n_query_params": F.when(
+            query.isNull() | (query == ""), F.lit(0)
+        ).otherwise(F.size(F.split(query, "&"))),
+        "is_https": (F.lower(F.parse_url(u, F.lit("PROTOCOL"))) == "https"),
+        "is_ip_host": host.rlike(_IP_RE),
+    }
+
+
+def extract_url_features(
+    df: DataFrame, url_col: str, prefix: str = "url_"
+) -> DataFrame:
+    """Append the URL feature columns (``{prefix}scheme``,
+    ``{prefix}host``, ``{prefix}registered_domain``,
+    ``{prefix}path_depth``, ``{prefix}n_query_params``,
+    ``{prefix}is_https``, ``{prefix}is_ip_host``) to ``df``.
+
+    One projection, zero shuffles; safe in the scan stage of any plan.
+    """
+    feats = url_features(url_col)
+    out = df
+    for name in (
+        "scheme",
+        "host",
+        "registered_domain",
+        "path_depth",
+        "n_query_params",
+        "is_https",
+        "is_ip_host",
+    ):
+        out = out.withColumn(prefix + name, feats[name])
+    return out
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    url_col: str,
+    blocked: list[str] | DataFrame,
+    keep: bool = False,
+) -> DataFrame:
+    """Drop rows whose registered domain is on the blocklist (or keep
+    ONLY those rows with ``keep=True``, for audit queries).
+
+    Small Python-list blocklists become a literal ``isin`` predicate —
+    Catalyst folds it into the scan filter. DataFrame blocklists (one
+    ``domain`` column) become a broadcast left-anti (or left-semi) join
+    so a million-domain blocklist never round-trips the driver.
+    """
+    dom = _registered_domain(F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))))
+    if isinstance(blocked, DataFrame):
+        tagged = df.withColumn("__dom", dom)
+        bl = blocked.select(F.lower(F.col("domain")).alias("__dom")).distinct()
+        how = "left_semi" if keep else "left_anti"
+        return tagged.join(F.broadcast(bl), "__dom", how).drop("__dom")
+    domains = [d.lower() for d in blocked]
+    pred = dom.isin(*domains) if domains else F.lit(False)
+    return df.filter(pred if keep else ~pred)
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str,
+    metric_cols: list[str] | None = None,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Per-registered-domain corpus statistics: document count, distinct
+    hosts, mean/sum of each metric column. One hash aggregation with
+    map-side partials; output cardinality is the domain count, so the
+    shuffle is tiny relative to the corpus even at 100 TB.
+    """
+    feats = url_features(url_col)
+    base = df.withColumn("__dom", feats["registered_domain"]).withColumn(
+        "__host", feats["host"]
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__host").alias("n_hosts"),
+    ]
+    for m in metric_cols or []:
+        aggs.append(F.avg(m).alias(f"avg_{m}"))
+        aggs.append(F.sum(m).alias(f"sum_{m}"))
+    out = base.groupBy(F.col("__dom").alias("registered_domain")).agg(*aggs)
+    if min_docs > 1:
+        out = out.filter(F.col("n_docs") >= min_docs)
+    return out
