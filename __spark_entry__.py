@@ -1435,6 +1435,35 @@ def domain_blocklist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("registered_domain")
 
 
+def markup_stripping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-markup removal for web-extracted text: tags, script/
+    style/comment blocks (content dropped), entity decode, whitespace
+    collapse — one codegen projection, no UDFs. The corpus is plain
+    text, so both engines wrap each doc in the same deterministic
+    markup (script block on even ids, comment on odd) and the
+    differential proves every stripping stage."""
+    from data_pipeline_framework_spark.functions.text import (
+        strip_markup_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit('<script type="x">var a = 1 < 2;</script>'),
+        ).otherwise(F.lit("<!-- hidden comment -->")),
+        F.lit("<b>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</b> Tom &amp; Jerry&nbsp;&lt;3</body></html>"),
+    )
+    return strip_markup_text(
+        docs.select("doc_id", injected.alias("text")), "text"
+    ).select("doc_id", "clean_text", "n_chars_raw", "n_chars_clean")
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub before a corpus ships: count+replace email/SSN/phone in
     one codegen projection. The testdata carries no PII-shaped text, so
@@ -3460,6 +3489,48 @@ _DOMAIN_ROLLUP_ORACLE = (
 """
 )
 
+_MARKUP_ORACLE = """
+    WITH injected AS (
+        SELECT doc_id,
+               '<html><body><p>' || text || '</p>'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '<script type="x">var a = 1 < 2;</script>'
+                       ELSE '<!-- hidden comment -->' END
+               || '<b>doc ' || doc_id
+               || '</b> Tom &amp; Jerry&nbsp;&lt;3</body></html>' AS text
+        FROM documents
+    ),
+    deblocked AS (
+        SELECT doc_id, length(text) AS n_chars_raw,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                   '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g') AS t
+        FROM injected
+    ),
+    untagged AS (
+        SELECT doc_id, n_chars_raw,
+               regexp_replace(t, '<[^>]+>', ' ', 'g') AS t
+        FROM deblocked
+    ),
+    decoded AS (
+        SELECT doc_id, n_chars_raw,
+               replace(replace(replace(replace(replace(replace(replace(
+                   t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', chr(39)), '&apos;', chr(39)),
+                   '&nbsp;', ' '), '&amp;', '&') AS t
+        FROM untagged
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text,
+           CAST(n_chars_raw AS BIGINT) AS n_chars_raw,
+           CAST(length(trim(regexp_replace(t, '\\s+', ' ', 'g')))
+                AS BIGINT) AS n_chars_clean
+    FROM decoded
+"""
+
 _BOILERPLATE_ORACLE = """
     WITH injected AS (
         SELECT doc_id,
@@ -4748,6 +4819,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_chunks": document_chunks,
         "boilerplate_line_removal": boilerplate_line_removal,
         "url_domain_features": url_domain_features,
+        "markup_stripping": markup_stripping,
         "domain_blocklist_rollup": domain_blocklist_rollup,
         "embedding_quantization": embedding_quantization,
         "zorder_locality": zorder_locality,
@@ -6267,6 +6339,7 @@ def oracle_sql() -> dict[str, str]:
         "document_chunks": _CHUNKS_ORACLE,
         "boilerplate_line_removal": _BOILERPLATE_ORACLE,
         "url_domain_features": _URL_FEATURES_ORACLE,
+        "markup_stripping": _MARKUP_ORACLE,
         "domain_blocklist_rollup": _DOMAIN_ROLLUP_ORACLE,
         "embedding_quantization": _QUANTIZE_ORACLE,
         "zorder_locality": _zorder_oracle(),

@@ -74,6 +74,8 @@ from .text import (  # noqa: F401
     language_id,
     quality_score,
     remove_boilerplate_lines,
+    strip_markup,
+    strip_markup_text,
     text_stats,
     unigram_logprob,
 )

@@ -705,3 +705,53 @@ def remove_boilerplate_lines(
             ).cast("long").alias("n_lines_removed"),
         )
     )
+
+
+# HTML entity decode order matters: "&amp;" must be last so that
+# double-escaped sequences ("&amp;lt;") resolve one level per pass, the
+# standard unescape semantics.
+_MARKUP_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(col: Column | str) -> Column:
+    """HTML/XML markup -> plain text as a pure column expression chain:
+    drop <script>/<style> blocks and comments (content included), strip
+    remaining tags, decode the common entities, collapse whitespace.
+
+    This is the markup-removal step of a web-extraction pipeline
+    (C4/RefinedWeb run trafilatura-class extractors upstream; at the
+    Spark layer this covers the residual-markup case without leaving
+    whole-stage codegen). Regexes avoid backreferences so the same
+    patterns run on RE2-class engines for oracle parity.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in _MARKUP_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def strip_markup_text(
+    df: DataFrame, text_col: str, out_col: str = "clean_text"
+) -> DataFrame:
+    """Apply :func:`strip_markup` and report size deltas. One projection,
+    zero shuffles — safe to fuse into the scan stage of any corpus plan.
+
+    Output adds: ``out_col``, ``n_chars_raw``, ``n_chars_clean``.
+    """
+    return (
+        df.withColumn(out_col, strip_markup(text_col))
+        .withColumn("n_chars_raw", F.length(text_col).cast("long"))
+        .withColumn("n_chars_clean", F.length(out_col).cast("long"))
+    )

@@ -535,3 +535,24 @@ def test_remove_boilerplate_all_lines_removed(spark):
     ).collect()
     assert all(r["clean_text"] == "" and r["n_lines_removed"] == 1 for r in out)
     assert len(out) == 4
+
+
+def test_strip_markup(spark):
+    from data_pipeline_framework_spark.functions.text import strip_markup_text
+
+    rows = [
+        (1, '<html><body><h1>Title</h1><p>Hello <b>world</b>.</p>'
+            '<script type="text/javascript">var x = 1 < 2;</script>'
+            '<!-- note -->Tom &amp; Jerry &lt;3</body></html>'),
+        (2, 'no markup at all'),
+        (3, '<style>p { color: red; }</style>spaced   out&nbsp;text'),
+        (4, 'double escape: &amp;lt;tag&amp;gt;'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in strip_markup_text(df, "text").collect()}
+    assert out[1]["clean_text"] == "Title Hello world . Tom & Jerry <3"
+    assert out[2]["clean_text"] == "no markup at all"
+    assert out[2]["n_chars_raw"] == out[2]["n_chars_clean"]
+    assert out[3]["clean_text"] == "spaced out text"
+    # one unescape level only: &amp;lt; -> &lt;
+    assert out[4]["clean_text"] == "double escape: &lt;tag&gt;"
