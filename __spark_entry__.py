@@ -1464,6 +1464,27 @@ def markup_stripping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "clean_text", "n_chars_raw", "n_chars_clean")
 
 
+def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: dense global positions
+    in md5(seed:epoch:id) order, built from a 256-way prefix-bucketed
+    rank (bounded 256-row offset collect, no single-partition window).
+    Two epochs are returned side by side; the oracle's plain
+    row_number-over-global-order must agree with the bucketed
+    composition exactly, proving offset+rank == global rank."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        epoch_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e0 = epoch_shuffle(docs, "doc_id", epoch=0).withColumnRenamed(
+        "shuffle_pos", "pos_epoch0"
+    )
+    e1 = epoch_shuffle(docs, "doc_id", epoch=1).withColumnRenamed(
+        "shuffle_pos", "pos_epoch1"
+    )
+    return e0.join(e1, "doc_id").select("doc_id", "pos_epoch0", "pos_epoch1")
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub before a corpus ships: count+replace email/SSN/phone in
     one codegen projection. The testdata carries no PII-shaped text, so
@@ -3531,6 +3552,17 @@ _MARKUP_ORACLE = """
     FROM decoded
 """
 
+_EPOCH_SHUFFLE_ORACLE = """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('shuffle:0:' || doc_id), doc_id) - 1
+               AS BIGINT) AS pos_epoch0,
+           CAST(row_number() OVER (
+               ORDER BY md5('shuffle:1:' || doc_id), doc_id) - 1
+               AS BIGINT) AS pos_epoch1
+    FROM documents
+"""
+
 _BOILERPLATE_ORACLE = """
     WITH injected AS (
         SELECT doc_id,
@@ -4820,6 +4852,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_line_removal": boilerplate_line_removal,
         "url_domain_features": url_domain_features,
         "markup_stripping": markup_stripping,
+        "epoch_shuffle_positions": epoch_shuffle_positions,
         "domain_blocklist_rollup": domain_blocklist_rollup,
         "embedding_quantization": embedding_quantization,
         "zorder_locality": zorder_locality,
@@ -6340,6 +6373,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_line_removal": _BOILERPLATE_ORACLE,
         "url_domain_features": _URL_FEATURES_ORACLE,
         "markup_stripping": _MARKUP_ORACLE,
+        "epoch_shuffle_positions": _EPOCH_SHUFFLE_ORACLE,
         "domain_blocklist_rollup": _DOMAIN_ROLLUP_ORACLE,
         "embedding_quantization": _QUANTIZE_ORACLE,
         "zorder_locality": _zorder_oracle(),

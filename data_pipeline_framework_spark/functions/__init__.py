@@ -11,6 +11,7 @@ from .dedup import (  # noqa: F401
 )
 from .sampling import (  # noqa: F401
     cap_per_key,
+    epoch_shuffle,
     hash_sample,
     hash_split,
     mixture_sample,

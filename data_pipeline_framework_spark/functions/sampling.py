@@ -337,3 +337,64 @@ def weighted_sample(
         .limit(int(k))
         .drop("__wkey")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int = 0,
+    seed: str = "shuffle",
+    n_buckets: int = 256,
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    dense position ``0..n-1`` in ``md5(seed:epoch:id)`` order. Same
+    (seed, epoch) -> identical order on any cluster/partitioning;
+    bumping ``epoch`` reshuffles — the standard per-epoch data-order
+    recipe without materializing a shuffled copy of the corpus.
+
+    Scale shape: a naive ``row_number() over (order by key)`` collapses
+    to ONE partition. Instead the hex key's first byte buckets rows 256
+    ways; because the bucket is a *prefix* of the sort key, per-bucket
+    rank + the bucket's global offset equals the global rank. Bucket
+    counts are a bounded 256-row collect; the rank window is
+    partitioned by bucket, so the sort is spread across the cluster and
+    no stage sees more than ~1/256 of the data.
+    """
+    if not 1 <= n_buckets <= 4096:
+        raise ValueError("n_buckets must be in [1, 4096]")
+    # bucket prefix length in hex chars: 256 -> 2, 16 -> 1, 4096 -> 3
+    plen = 1
+    while 16 ** plen < n_buckets:
+        plen += 1
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.lit(str(epoch)),
+                    F.col(id_col).cast("string"))
+    )
+    keyed = df.withColumn("__key", key).withColumn(
+        "__bkt", F.substring("__key", 1, plen)
+    )
+    counts = {
+        r["__bkt"]: r["n"]
+        for r in keyed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("__bkt").orderBy("__key", id_col)
+    return (
+        keyed.withColumn(
+            out_col,
+            (
+                offset_map[F.col("__bkt")]
+                + F.row_number().over(w)
+                - F.lit(1)
+            ).cast("long"),
+        )
+        .drop("__key", "__bkt")
+    )

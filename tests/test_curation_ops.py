@@ -556,3 +556,44 @@ def test_strip_markup(spark):
     assert out[3]["clean_text"] == "spaced out text"
     # one unescape level only: &amp;lt; -> &lt;
     assert out[4]["clean_text"] == "double escape: &lt;tag&gt;"
+
+
+def test_epoch_shuffle_permutation(spark):
+    from data_pipeline_framework_spark.functions.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    e0 = epoch_shuffle(df, "doc_id", epoch=0, n_buckets=16)
+    pos0 = {r["doc_id"]: r["shuffle_pos"] for r in e0.collect()}
+    # dense permutation of 0..n-1
+    assert sorted(pos0.values()) == list(range(200))
+    # deterministic: same epoch -> identical order
+    pos0b = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in epoch_shuffle(df, "doc_id", epoch=0, n_buckets=16).collect()
+    }
+    assert pos0 == pos0b
+    # reshuffle: a new epoch produces a different permutation
+    pos1 = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in epoch_shuffle(df, "doc_id", epoch=1, n_buckets=16).collect()
+    }
+    assert sorted(pos1.values()) == list(range(200))
+    assert pos0 != pos1
+    # repartitioning the input does not change the order
+    pos0c = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in epoch_shuffle(
+            df.repartition(7), "doc_id", epoch=0, n_buckets=16
+        ).collect()
+    }
+    assert pos0 == pos0c
+
+
+def test_epoch_shuffle_validates_buckets(spark):
+    from data_pipeline_framework_spark.functions.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, "doc_id", n_buckets=0)
