@@ -1539,9 +1539,9 @@ def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens")
     )
-    return pack_shards(docs, "doc_id", "n_tokens", budget=2000).select(
-        "doc_id", "n_tokens", "token_offset", "shard"
-    )
+    return pack_shards(
+        docs, "doc_id", "n_tokens", budget=2000, n_buckets=32
+    ).select("doc_id", "n_tokens", "token_offset", "shard")
 
 
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1600,9 +1600,9 @@ def bpe_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = bpe_token_count(
         _t(spark, sf_dir, "documents").select("doc_id", "text"), "text"
     ).select("doc_id", "n_bpe_tokens")
-    return pack_shards(docs, "doc_id", "n_bpe_tokens", budget=4000).select(
-        "doc_id", "n_bpe_tokens", "token_offset", "shard"
-    )
+    return pack_shards(
+        docs, "doc_id", "n_bpe_tokens", budget=4000, n_buckets=32
+    ).select("doc_id", "n_bpe_tokens", "token_offset", "shard")
 
 
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:

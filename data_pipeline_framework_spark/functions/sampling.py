@@ -116,6 +116,7 @@ def pack_shards(
     token_col: str,
     budget: int,
     out_col: str = "shard",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Assign each document to a training shard of ~`budget` tokens:
     shard = floor(cumulative-token-offset / budget) in `order_col` order
@@ -123,20 +124,89 @@ def pack_shards(
     shard except the last spans >= budget tokens and shards are
     contiguous in the ordering).
 
-    One range-partitioned sort (Spark's window over a global ORDER BY);
-    at corpus scale prefer an `order_col` that is already roughly sorted
-    on disk so the range exchange moves little data. Adds `out_col` and
-    `token_offset`."""
+    Default mode is a window over a global ORDER BY — Spark funnels
+    that through ONE partition (Exchange SinglePartition), fine below
+    ~10M rows. At corpus scale pass ``n_buckets`` (e.g. 256): the
+    cumulative sum is then computed two-phase — approx-quantile split
+    points of the numeric ``order_col`` range-bucket the rows, each
+    bucket cumsums in parallel, and the bounded per-bucket totals
+    (one `n_buckets`-row collect) become broadcast offsets. The
+    result is bit-identical to the global window for unique
+    ``order_col`` values: bucket boundaries only change WHERE the sum
+    is split, never its value. Adds `out_col` and `token_offset`."""
     if budget <= 0:
         raise ValueError("budget must be positive")
-    w = (
-        Window.orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offset = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
-    return df.withColumn("token_offset", offset).withColumn(
+    if n_buckets is not None and n_buckets > 1:
+        df = _bucketed_cumsum_offset(df, order_col, token_col, n_buckets)
+    else:
+        w = (
+            Window.orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        df = df.withColumn(
+            "token_offset",
+            (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long"),
+        )
+    return df.withColumn(
         out_col, F.floor(F.col("token_offset") / budget).cast("long")
     )
+
+
+def _bucketed_cumsum_offset(
+    df: DataFrame, order_col: str, token_col: str, n_buckets: int
+) -> DataFrame:
+    """Distributed exclusive cumulative sum of ``token_col`` in
+    ``order_col`` order, as a ``token_offset`` column.
+
+    Split points come from approx_percentile — they only steer load
+    balance, never the answer: any contiguity-preserving bucketing
+    yields the same cumulative sum. Per-bucket totals are a bounded
+    collect (<= n_buckets rows); the in-bucket window is partitioned,
+    so no stage sees more than ~1/n_buckets of the data.
+    """
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    [row] = df.select(
+        F.expr(
+            f"approx_percentile({order_col}, array({qs}), 10000)"
+        ).alias("b")
+    ).collect()
+    bounds = sorted({float(b) for b in (row["b"] or [])})
+    if not bounds:
+        w = (
+            Window.orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(
+            "token_offset",
+            (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long"),
+        )
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bkt = F.size(
+        F.filter(barr, lambda b: b < F.col(order_col).cast("double"))
+    )
+    keyed = df.withColumn("__bkt", bkt)
+    sums = {
+        r["__bkt"]: r["s"]
+        for r in keyed.groupBy("__bkt")
+        .agg(F.sum(token_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for i in range(len(bounds) + 1):
+        offsets[i] = acc
+        acc += int(sums.get(i, 0) or 0)
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return keyed.withColumn(
+        "token_offset", (offset_map[F.col("__bkt")] + within).cast("long")
+    ).drop("__bkt")
 
 
 def pack_contexts(

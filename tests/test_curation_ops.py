@@ -597,3 +597,26 @@ def test_epoch_shuffle_validates_buckets(spark):
 
     with _pytest.raises(ValueError):
         epoch_shuffle(df, "doc_id", n_buckets=0)
+
+
+def test_pack_shards_bucketed_matches_global(spark):
+    from data_pipeline_framework_spark.functions.sampling import pack_shards
+
+    rows = [(i, (i * 37) % 91 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    plain = {
+        r["doc_id"]: (r["token_offset"], r["shard"])
+        for r in pack_shards(df, "doc_id", "n_tokens", budget=300).collect()
+    }
+    bucketed = {
+        r["doc_id"]: (r["token_offset"], r["shard"])
+        for r in pack_shards(
+            df.repartition(8), "doc_id", "n_tokens", budget=300, n_buckets=16
+        ).collect()
+    }
+    assert plain == bucketed
+    # the bucketed plan must NOT contain a single-partition window sort
+    plan = pack_shards(
+        df, "doc_id", "n_tokens", budget=300, n_buckets=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
