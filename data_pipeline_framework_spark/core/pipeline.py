@@ -120,6 +120,7 @@ class Pipeline:
                     self.spark, path,
                     [tuple(p) for p in prune],
                     nanos_ts_columns=nanos,
+                    source_file_column=cfg.get("source_file_column", False),
                 )
             return readers.read_parquet(
                 self.spark, path,

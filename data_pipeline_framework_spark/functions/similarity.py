@@ -823,7 +823,13 @@ def semantic_dedup(
     )
     if centers is None:
         if dim is None:
-            dim = len(base.select("__v").first()[0])
+            first = base.select("__v").first()
+            if first is None or first[0] is None:
+                raise ValueError(
+                    "semantic_dedup: cannot infer embedding dim from an "
+                    "empty (or all-null) input; pass dim= or centers="
+                )
+            dim = len(first[0])
         centers = fixed_codebook(dim, n_cells=n_cells, seed=seed)
     cells = []
     for j, cvec in enumerate(centers):
@@ -849,9 +855,17 @@ def semantic_dedup(
         .groupBy(F.col(f"b.{id_col}").alias(id_col))
         .agg(F.min(F.col(f"a.{id_col}")).alias("dup_of"))
     )
-    return (
+    out = (
         assigned.join(dup_of, id_col, "left")
         .select(
             id_col, "cell", "dup_of", F.col("dup_of").isNull().alias("keep")
         )
     )
+    # Swap caches: the 4-column verdict table is far smaller than the
+    # embedding-carrying intermediate, so materialize it eagerly and
+    # release `assigned` — repeated sweeps (per-epoch dedup) no longer
+    # accumulate executor storage.
+    out = out.persist()
+    out.count()
+    assigned.unpersist()
+    return out

@@ -667,8 +667,12 @@ def remove_boilerplate_lines(
     """
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2")
+    # `sep` is a literal separator: quote it for the Java-regex split
+    # (\Q...\E) so metacharacters like '.' or '||' split on the exact
+    # string, matching the literal array_join used for reassembly.
     parts = df.select(
-        F.col(id_col), F.split(F.col(text_col), sep).alias("__ls")
+        F.col(id_col),
+        F.split(F.col(text_col), "\\Q" + sep + "\\E").alias("__ls"),
     )
     lines = parts.select(
         id_col, F.posexplode("__ls").alias("__pos", "__line")

@@ -132,7 +132,13 @@ def filter_blocked_domains(
         how = "left_semi" if keep else "left_anti"
         return tagged.join(F.broadcast(bl), "__dom", how).drop("__dom")
     domains = [d.lower() for d in blocked]
-    pred = dom.isin(*domains) if domains else F.lit(False)
+    # NULL-safe: a URL whose host fails to parse yields a NULL domain and
+    # a NULL isin() result. Coalesce to False so unparseable rows are KEPT
+    # on keep=False (matching the anti-join path, where null keys never
+    # match) and DROPPED on keep=True (they are not on the blocklist).
+    pred = F.coalesce(
+        dom.isin(*domains) if domains else F.lit(False), F.lit(False)
+    )
     return df.filter(pred if keep else ~pred)
 
 

@@ -79,7 +79,12 @@ def funnel_stages(
     )
 
     def _step(acc: Column, e: Column) -> Column:
-        wants = F.element_at(steps_lit, acc["stage"] + 1)
+        # try_element_at: once a user completes the funnel, stage == n and
+        # the index n+1 is out of bounds — element_at would throw under
+        # ANSI mode (Spark 4 default). try_element_at returns NULL, which
+        # makes `e["s"] == wants` NULL -> advance is falsy, the intended
+        # no-op. ANSI-safe on any session, not just ours.
+        wants = F.try_element_at(steps_lit, acc["stage"] + 1)
         in_window = (
             F.lit(True)
             if win is None

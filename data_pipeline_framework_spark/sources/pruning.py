@@ -131,6 +131,7 @@ def read_parquet_pruned(
     predicates: Iterable[tuple[str, str, Any]],
     nanos_ts_columns: tuple[str, ...] = (),
     max_workers: int = 16,
+    source_file_column: bool = False,
 ) -> DataFrame:
     """spark.read.parquet over only the footer-surviving files, with the
     predicates re-applied as real filters (pruning is an optimization,
@@ -142,7 +143,8 @@ def read_parquet_pruned(
     kept, total = prune_files(path, preds, max_workers=max_workers)
     files = kept if kept else _list_files(path)[:1]  # schema anchor
     df = readers.read_parquet(
-        spark, list(files), nanos_ts_columns=nanos_ts_columns
+        spark, list(files), nanos_ts_columns=nanos_ts_columns,
+        source_file_column=source_file_column,
     )
     for c, op, v in preds:
         col = df[c]

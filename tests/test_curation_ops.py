@@ -620,3 +620,26 @@ def test_pack_shards_bucketed_matches_global(spark):
         df, "doc_id", "n_tokens", budget=300, n_buckets=16
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_remove_boilerplate_regex_metachar_sep(spark):
+    # `sep` is documented as a literal; "||" and "." are regex
+    # metacharacters that used to make F.split fragment on every char.
+    rows = [
+        (1, "alpha body one||shared footer line||unique tail"),
+        (2, "beta body two||shared footer line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from data_pipeline_framework_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", min_docs=2, min_line_chars=5, sep="||"
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha body one||unique tail"
+    assert (out[1]["n_lines"], out[1]["n_lines_removed"]) == (3, 1)
+    assert out[2]["clean_text"] == "beta body two"

@@ -191,3 +191,26 @@ def test_funnel_rejects_empty_steps(spark, events):
         funnel_stages(events, [])
     with pytest.raises(ValueError):
         cohort_retention(events, period="year")
+
+
+def test_funnel_stages_ansi_safe(spark):
+    # A user completing every stage makes the fold look up index n+1;
+    # under ANSI mode (Spark 4 default) a plain element_at would throw.
+    # try_element_at keeps the operator usable on a vanilla session.
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = [
+            ("u1", "view", "2024-01-01 00:00:00"),
+            ("u1", "cart", "2024-01-01 00:01:00"),
+            ("u1", "buy", "2024-01-01 00:02:00"),
+            ("u1", "view", "2024-01-01 00:03:00"),  # post-completion event
+        ]
+        df = spark.createDataFrame(rows, "user_id string, etype string, ts string")
+        out = funnel_stages(
+            df, ["view", "cart", "buy"],
+            user_col="user_id", type_col="etype", ts_col="ts",
+        ).collect()
+        assert len(out) == 1 and out[0]["stages_completed"] == 3
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -132,3 +132,47 @@ def test_pipeline_source_prune_config(spark, ranged_table, tmp_path):
         .groupBy().sum("v").first()[0]
     )
     assert got[0] == want
+
+
+def test_pruned_read_threads_source_file_column(spark, ranged_table):
+    # prune + source_file_column must compose: the lineage column the
+    # plain-parquet branch adds cannot silently vanish when footer
+    # pruning is configured.
+    from data_pipeline_framework_spark.sources.pruning import (
+        read_parquet_pruned,
+    )
+
+    df = read_parquet_pruned(
+        spark, ranged_table, [("k", "between", (100, 300))],
+        source_file_column=True,
+    )
+    assert "_source_file" in df.columns
+    rows = df.select("_source_file").distinct().collect()
+    assert 1 <= len(rows) <= 2  # range-disjoint layout -> few files
+    assert all(r[0].endswith(".parquet") for r in rows)
+
+
+def test_pipeline_prune_with_source_file_column(spark, ranged_table, tmp_path):
+    import yaml
+
+    from data_pipeline_framework_spark.core import Pipeline
+
+    out = str(tmp_path / "pruned_lineage_out")
+    cfg = {
+        "name": "pruned_lineage",
+        "source": {
+            "type": "parquet",
+            "config": {
+                "prune": [["k", "between", [100, 300]]],
+                "source_file_column": True,
+            },
+        },
+        "input": {"path": ranged_table},
+        "processing": {"operations": []},
+        "storage": {"type": "parquet", "destination": out, "mode": "replace"},
+    }
+    p = str(tmp_path / "p.yaml")
+    yaml.safe_dump(cfg, open(p, "w"))
+    result = Pipeline.from_yaml(p, spark).run()
+    assert result.status == "success", result.error
+    assert "_source_file" in spark.read.parquet(out).columns

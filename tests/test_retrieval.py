@@ -193,3 +193,23 @@ def test_bm25_plan_broadcasts_and_filters_before_shuffle(spark, corpus):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        semantic_dedup(df, threshold=0.9)
+
+
+def test_semantic_dedup_releases_cache(spark):
+    # The embedding-carrying intermediate must not stay persisted after
+    # the call (per-epoch sweeps would accumulate executor storage).
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, threshold=0.95, dim=2, n_cells=2)
+    assert out.count() == 3
+    out.unpersist()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before

@@ -84,3 +84,29 @@ def test_domain_rollup(urls_df):
     assert out["example.org"]["sum_n_chars"] == len(URLS[2][1]) + len(URLS[6][1])
     filtered = domain_rollup(sized, "url", min_docs=2)
     assert [r["registered_domain"] for r in filtered.collect()] == ["example.org"]
+
+
+def test_blocklist_unparseable_urls_null_safe(spark):
+    # Rows whose URL fails to parse (null host -> null domain) must be
+    # KEPT on keep=False and DROPPED on keep=True, identically for the
+    # Python-list and DataFrame blocklist paths.
+    rows = [
+        (1, "https://spam.bad-site.net/x"),
+        (2, "not a url at all"),
+        (3, "https://example.org/ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl_list = ["bad-site.net"]
+    bl_df = spark.createDataFrame([("bad-site.net",)], "domain string")
+
+    kept_list = {r["doc_id"] for r in
+                 filter_blocked_domains(df, "url", bl_list).collect()}
+    kept_df = {r["doc_id"] for r in
+               filter_blocked_domains(df, "url", bl_df).collect()}
+    assert kept_list == kept_df == {2, 3}
+
+    only_list = {r["doc_id"] for r in
+                 filter_blocked_domains(df, "url", bl_list, keep=True).collect()}
+    only_df = {r["doc_id"] for r in
+               filter_blocked_domains(df, "url", bl_df, keep=True).collect()}
+    assert only_list == only_df == {1}
