@@ -143,6 +143,66 @@ def cmd_queue_status(args) -> int:
     return 0
 
 
+def cmd_queue_list(args) -> int:
+    """Table view of queue items (reference cli/main.py:367-396)."""
+    from .core.queue import QueueManager
+
+    q = QueueManager(args.db)
+    items = q.list_items(args.status)
+    q.close()
+    if args.json:
+        print(json.dumps([
+            {"id": i.id, "status": i.status, "priority": i.priority,
+             "file": i.file_path, "table": i.table_name, "error": i.error,
+             "created_at": i.created_at}
+            for i in items
+        ]))
+        return 0
+    if not items:
+        print("Queue is empty")
+        return 0
+    print(f"{'ID':<8} {'Status':<11} {'Pri':<4} {'File':<40} {'Table':<20} Created")
+    print("-" * 100)
+    for i in items:
+        created = time.strftime("%m-%d %H:%M", time.localtime(i.created_at))
+        fp = i.file_path[-37:] if len(i.file_path) > 37 else i.file_path
+        print(f"{i.id:<8} {i.status:<11} {i.priority:<4} {fp:<40}"
+              f" {i.table_name[:19]:<20} {created}")
+        if i.error:
+            print(f"         Error: {i.error}")
+    return 0
+
+
+def cmd_queue_remove(args) -> int:
+    from .core.queue import QueueManager
+
+    q = QueueManager(args.db)
+    removed = q.remove(args.item_id)
+    q.close()
+    print(json.dumps({"removed": args.item_id if removed else None}))
+    return 0 if removed else 1
+
+
+def cmd_queue_clear_completed(args) -> int:
+    from .core.queue import QueueManager
+
+    q = QueueManager(args.db)
+    n = q.clear_completed(keep_failed=not args.drop_failed)
+    q.close()
+    print(json.dumps({"cleared": n, "kept_failed": not args.drop_failed}))
+    return 0
+
+
+def cmd_queue_retry_failed(args) -> int:
+    from .core.queue import QueueManager
+
+    q = QueueManager(args.db)
+    n = q.retry_failed()
+    q.close()
+    print(json.dumps({"reset_to_pending": n}))
+    return 0
+
+
 def cmd_profile(args) -> int:
     from .functions.profiling import profile_columns
 
@@ -247,6 +307,26 @@ def build_parser() -> argparse.ArgumentParser:
     qs = qsub.add_parser("status")
     qs.add_argument("--db", default="pipeline_queue.db")
     qs.set_defaults(fn=cmd_queue_status)
+    ql = qsub.add_parser("list", help="list queue items")
+    ql.add_argument("--status",
+                    choices=["pending", "processing", "completed", "failed"])
+    ql.add_argument("--json", action="store_true")
+    ql.add_argument("--db", default="pipeline_queue.db")
+    ql.set_defaults(fn=cmd_queue_list)
+    qr = qsub.add_parser("remove", help="delete one queue item")
+    qr.add_argument("item_id", type=int)
+    qr.add_argument("--db", default="pipeline_queue.db")
+    qr.set_defaults(fn=cmd_queue_remove)
+    qc = qsub.add_parser("clear-completed",
+                         help="drop completed (and optionally failed) items")
+    qc.add_argument("--drop-failed", action="store_true",
+                    help="also drop failed items (default keeps them)")
+    qc.add_argument("--db", default="pipeline_queue.db")
+    qc.set_defaults(fn=cmd_queue_clear_completed)
+    qf = qsub.add_parser("retry-failed",
+                         help="reset failed items to pending")
+    qf.add_argument("--db", default="pipeline_queue.db")
+    qf.set_defaults(fn=cmd_queue_retry_failed)
 
     prof = sub.add_parser("profile", help="profile numeric columns")
     prof.add_argument("path")

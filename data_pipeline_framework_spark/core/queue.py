@@ -141,6 +141,58 @@ class QueueManager:
             error=row[6], created_at=row[7], updated_at=row[8],
         )
 
+    def list_items(self, status: str | None = None) -> list[QueueItem]:
+        """All items, priority DESC then FIFO, optionally filtered by
+        status (reference core/queue_manager.py:218-240)."""
+        sql = (
+            "SELECT id FROM queue_items{} ORDER BY priority DESC, id ASC"
+        )
+        if status is not None:
+            status = QueueStatus(status).value  # validate
+            rows = self._conn.execute(
+                sql.format(" WHERE status = ?"), (status,)
+            ).fetchall()
+        else:
+            rows = self._conn.execute(sql.format("")).fetchall()
+        return [self.get(r[0]) for r in rows]
+
+    def remove(self, item_id: int) -> bool:
+        """Delete one item (reference queue_manager.py:206-216). Returns
+        whether a row was actually removed."""
+        n = self._conn.execute(
+            "DELETE FROM queue_items WHERE id = ?", (item_id,)
+        ).rowcount
+        self._conn.commit()
+        return bool(n)
+
+    def clear_completed(self, keep_failed: bool = True) -> int:
+        """Drop completed (and optionally failed) items (reference
+        queue_manager.py:263-279). Returns the number removed."""
+        statuses = [QueueStatus.COMPLETED.value]
+        if not keep_failed:
+            statuses.append(QueueStatus.FAILED.value)
+        n = self._conn.execute(
+            "DELETE FROM queue_items WHERE status IN ({})".format(
+                ",".join("?" * len(statuses))
+            ),
+            statuses,
+        ).rowcount
+        self._conn.commit()
+        return n
+
+    def retry_failed(self) -> int:
+        """FAILED -> PENDING with the error cleared, so the next
+        process run picks them up again (reference
+        queue_manager.py:281-291). Returns the number reset."""
+        n = self._conn.execute(
+            "UPDATE queue_items SET status = ?, error = NULL,"
+            " updated_at = ? WHERE status = ?",
+            (QueueStatus.PENDING.value, time.time(),
+             QueueStatus.FAILED.value),
+        ).rowcount
+        self._conn.commit()
+        return n
+
     def stats(self) -> dict[str, int]:
         rows = self._conn.execute(
             "SELECT status, COUNT(*) FROM queue_items GROUP BY status"

@@ -261,3 +261,80 @@ def test_cli_quality_check_and_genconfig(spark, sf_dir, tmp_path, capsys):
     assert payload["results"][0]["status"] == "FAIL"
     assert payload["alerts"][0]["severity"] == "critical"
     assert payload["summary"]["by_status"]["FAIL"] == 1
+
+
+def test_queue_list_remove_clear_retry(queue):
+    a = queue.add("/x/a.csv", "t1", priority=5)
+    b = queue.add("/x/b.csv", "t2", priority=9)
+    c = queue.add("/x/c.csv", "t3", priority=5)
+    # claim + finish: b completed, a failed, c stays pending
+    queue.complete(queue.next_item().id)      # b (highest priority)
+    queue.fail(queue.next_item().id, "disk on fire")  # a
+
+    items = queue.list_items()
+    assert [i.id for i in items] == [b, a, c]  # priority DESC, FIFO
+    assert [i.status for i in items] == ["completed", "failed", "pending"]
+    assert [i.id for i in queue.list_items("failed")] == [a]
+    with pytest.raises(ValueError):
+        queue.list_items("bogus")
+
+    # retry_failed: FAILED -> PENDING, error cleared, reprocessable
+    assert queue.retry_failed() == 1
+    got = queue.get(a)
+    assert got.status == "pending" and got.error is None
+    assert queue.next_item().id == a  # claimable again
+
+    # clear_completed keeps failed by default
+    queue.fail(a, "again")
+    assert queue.clear_completed() == 1  # only b
+    assert queue.get(b) is None and queue.get(a) is not None
+    assert queue.clear_completed(keep_failed=False) == 1  # now a too
+    assert queue.get(a) is None
+
+    # remove deletes exactly one row and reports misses
+    assert queue.remove(c) is True
+    assert queue.remove(c) is False
+    assert queue.list_items() == []
+
+
+def test_cli_queue_management_commands(tmp_path, capsys):
+    db = str(tmp_path / "q.db")
+    assert main(["queue", "add", "/x/a.csv", "t1", "--db", db]) == 0
+    assert main(["queue", "add", "/x/b.csv", "t2", "--db", db,
+                 "--priority", "9"]) == 0
+    capsys.readouterr()
+
+    assert main(["queue", "list", "--db", db, "--json"]) == 0
+    items = json.loads(capsys.readouterr().out)
+    assert [i["table"] for i in items] == ["t2", "t1"]
+
+    # human table view mentions both files
+    assert main(["queue", "list", "--db", db]) == 0
+    out = capsys.readouterr().out
+    assert "/x/a.csv" in out and "/x/b.csv" in out and "pending" in out
+
+    # fail one via the manager, then drive retry-failed through the CLI
+    q = QueueManager(db)
+    item = q.next_item()
+    q.fail(item.id, "boom")
+    q.close()
+    assert main(["queue", "list", "--db", db, "--status", "failed"]) == 0
+    assert "boom" in capsys.readouterr().out
+    assert main(["queue", "retry-failed", "--db", db]) == 0
+    assert json.loads(capsys.readouterr().out) == {"reset_to_pending": 1}
+
+    # remove: hit then miss drives the exit code
+    assert main(["queue", "remove", "1", "--db", db]) == 0
+    capsys.readouterr()
+    assert main(["queue", "remove", "1", "--db", db]) == 1
+    capsys.readouterr()
+
+    # clear-completed on a completed item
+    q = QueueManager(db)
+    it = q.next_item()
+    q.complete(it.id)
+    q.close()
+    assert main(["queue", "clear-completed", "--db", db]) == 0
+    assert json.loads(capsys.readouterr().out)["cleared"] == 1
+    assert main(["queue", "list", "--db", db]) == 0
+    assert "empty" in capsys.readouterr().out
