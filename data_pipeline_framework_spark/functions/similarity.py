@@ -525,18 +525,30 @@ def quantized_cosine_topk(
     Same plan shape as cosine_topk: broadcast query side, per-query
     rank window, id tie-break.
     """
-    cq = quantize_embeddings(corpus, id_col, vec_col, out_col="__q")
-    qq = quantize_embeddings(queries, query_id_col, vec_col, out_col="__q")
-    # zero vectors have no direction: drop them on both sides rather
-    # than ranking NULL cosines (engines disagree on NULL sort order)
-    c = cq.select(
-        F.col(id_col),
-        F.transform("__q", lambda x: x.cast("double")).alias("__cv"),
-    ).filter(F.array_max(F.transform("__cv", F.abs)) > 0)
-    q = qq.select(
-        F.col(query_id_col),
-        F.transform("__q", lambda x: x.cast("double")).alias("__qv"),
-    ).filter(F.array_max(F.transform("__qv", F.abs)) > 0)
+    # Lean search-side quantization: same code formula as
+    # quantize_embeddings (floor(x*127/max|x| + 0.5)) but skips the
+    # scale / max_abs_err bookkeeping columns the search never reads,
+    # emits codes directly as doubles (no second cast pass), and drops
+    # zero vectors (no direction -> NULL cosine; engines disagree on
+    # NULL sort order) via the already-computed max|x| instead of a
+    # fresh pass over the code array. Three array traversals per row
+    # instead of six — this is the whole corpus-side scan cost.
+    def _search_codes(side: DataFrame, key: str, out: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        staged = side.select(F.col(key), v.alias("__v")).withColumn(
+            "__ma", F.array_max(F.transform("__v", F.abs))
+        )
+        codes = F.transform(
+            "__v",
+            lambda x: F.floor(x * 127.0 / F.col("__ma") + 0.5)
+            .cast("double"),
+        )
+        return staged.filter(F.col("__ma") > 0).select(
+            key, codes.alias(out)
+        )
+
+    c = _search_codes(corpus, id_col, "__cv")
+    q = _search_codes(queries, query_id_col, "__qv")
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
