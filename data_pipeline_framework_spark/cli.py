@@ -203,6 +203,111 @@ def cmd_queue_retry_failed(args) -> int:
     return 0
 
 
+def _fetch_json(url: str):
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return json.loads(resp.read().decode())
+
+
+def cmd_metrics_show(args) -> int:
+    """Print collector metrics (reference cli/main.py:553-572). With
+    --url, reads a running control plane's /api/metrics; otherwise the
+    in-process singleton collector."""
+    if args.url:
+        if args.format == "prometheus":
+            import urllib.request
+
+            with urllib.request.urlopen(
+                f"{args.url.rstrip('/')}/api/metrics?format=prometheus",
+                timeout=30,
+            ) as resp:
+                print(resp.read().decode())
+        else:
+            print(json.dumps(_fetch_json(
+                f"{args.url.rstrip('/')}/api/metrics")))
+        return 0
+    from .observability.metrics import get_metrics_collector
+
+    print(get_metrics_collector().export_metrics(args.format))
+    return 0
+
+
+def cmd_metrics_health(args) -> int:
+    """Health check table (reference cli/main.py:575-598). Exit code 0
+    only when every check is healthy."""
+    if args.url:
+        results = _fetch_json(f"{args.url.rstrip('/')}/api/health")
+    else:
+        from .observability.metrics import get_health_checker
+
+        results = get_health_checker().run_checks()
+    healthy = results.get("healthy", results.get("overall_healthy", False))
+    if args.json:
+        print(json.dumps(results))
+        return 0 if healthy else 1
+    print("=== Health Check Results ===")
+    print(f"Overall: {'healthy' if healthy else 'UNHEALTHY'}")
+    for name, res in (results.get("checks") or {}).items():
+        mark = "ok  " if res.get("healthy") else "FAIL"
+        print(f"  [{mark}] {name}")
+        if not res.get("healthy") and res.get("error"):
+            print(f"         Error: {res['error']}")
+    return 0 if healthy else 1
+
+
+def _print_alerts(alerts: list[dict], header: str) -> None:
+    print(f"=== {header} ===")
+    for a in alerts:
+        when = time.strftime(
+            "%Y-%m-%d %H:%M:%S", time.localtime(a["timestamp"]))
+        state = "resolved" if a.get("resolved") else "active"
+        print(f"[{a['level']:<8}] {a['name']} ({state})")
+        print(f"   {a['message']}")
+        print(f"   Time: {when}")
+
+
+def cmd_alerts_list(args) -> int:
+    """Active alerts (reference cli/main.py:607-627)."""
+    if args.url:
+        payload = _fetch_json(f"{args.url.rstrip('/')}/api/alerts")
+        active = payload.get("active_alerts", [])
+    else:
+        from .observability.metrics import get_alert_manager
+
+        mgr = get_alert_manager()
+        mgr.check_alerts()
+        active = [a.to_dict() for a in mgr.get_active_alerts()]
+    if args.json:
+        print(json.dumps(active))
+        return 0
+    if not active:
+        print("No active alerts")
+        return 0
+    _print_alerts(active, "Active Alerts")
+    return 0
+
+
+def cmd_alerts_history(args) -> int:
+    """Alert history over --hours (reference cli/main.py:630-655)."""
+    if args.url:
+        payload = _fetch_json(f"{args.url.rstrip('/')}/api/alerts")
+        hist = payload.get("recent_alerts", [])
+    else:
+        from .observability.metrics import get_alert_manager
+
+        hist = [a.to_dict()
+                for a in get_alert_manager().get_alert_history(args.hours)]
+    if args.json:
+        print(json.dumps(hist))
+        return 0
+    if not hist:
+        print(f"No alerts in the last {args.hours} hours")
+        return 0
+    _print_alerts(hist[-20:], f"Alert History (last {args.hours}h)")
+    return 0
+
+
 def cmd_profile(args) -> int:
     from .functions.profiling import profile_columns
 
@@ -327,6 +432,31 @@ def build_parser() -> argparse.ArgumentParser:
                          help="reset failed items to pending")
     qf.add_argument("--db", default="pipeline_queue.db")
     qf.set_defaults(fn=cmd_queue_retry_failed)
+
+    met = sub.add_parser("metrics", help="metrics and monitoring")
+    msub = met.add_subparsers(dest="metrics_command", required=True)
+    ms = msub.add_parser("show", help="dump collector metrics")
+    ms.add_argument("--format", choices=["json", "prometheus"],
+                    default="json")
+    ms.add_argument("--url", help="read from a running control plane"
+                                  " (e.g. http://127.0.0.1:8080)")
+    ms.set_defaults(fn=cmd_metrics_show)
+    mh = msub.add_parser("health", help="run health checks")
+    mh.add_argument("--url")
+    mh.add_argument("--json", action="store_true")
+    mh.set_defaults(fn=cmd_metrics_health)
+
+    al = sub.add_parser("alerts", help="alerts and notifications")
+    asub = al.add_subparsers(dest="alerts_command", required=True)
+    aa = asub.add_parser("list", help="active alerts")
+    aa.add_argument("--url")
+    aa.add_argument("--json", action="store_true")
+    aa.set_defaults(fn=cmd_alerts_list)
+    ah = asub.add_parser("history", help="alert history")
+    ah.add_argument("--hours", type=float, default=24.0)
+    ah.add_argument("--url")
+    ah.add_argument("--json", action="store_true")
+    ah.set_defaults(fn=cmd_alerts_history)
 
     prof = sub.add_parser("profile", help="profile numeric columns")
     prof.add_argument("path")

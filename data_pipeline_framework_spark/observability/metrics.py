@@ -450,3 +450,50 @@ class _Measurement:
             except Exception:
                 pass  # group would be overwritten by the next setJobGroup
         return False
+
+
+# -- process-wide singletons (reference observability/metrics.py:495-528) ----
+
+_metrics_collector: MetricsCollector | None = None
+_alert_manager: AlertManager | None = None
+_health_checker: HealthChecker | None = None
+
+
+def get_metrics_collector() -> MetricsCollector:
+    """Global collector, created on first use (reference :518-521)."""
+    global _metrics_collector
+    if _metrics_collector is None:
+        _metrics_collector = MetricsCollector()
+    return _metrics_collector
+
+
+def get_alert_manager() -> AlertManager:
+    """Global alert manager over the global collector, pre-loaded with
+    the reference's default rules (reference :495-515, :523-526)."""
+    global _alert_manager
+    if _alert_manager is None:
+        _alert_manager = AlertManager(get_metrics_collector())
+        _alert_manager.add_rule(ThresholdRule(
+            name="high_error_rate", metric_name="pipeline_errors_total",
+            threshold=10.0, operator="gt", level=AlertLevel.WARNING,
+        ))
+        _alert_manager.add_rule(ThresholdRule(
+            name="high_memory_usage",
+            metric_name="system_memory_usage_percent",
+            threshold=85.0, operator="gt", level=AlertLevel.CRITICAL,
+        ))
+    return _alert_manager
+
+
+def get_health_checker() -> HealthChecker:
+    """Global health checker (reference :528-531). Ships one built-in
+    check — the collector answers — so `run_checks` is never vacuously
+    healthy; callers add spark_session_check etc. for a live session."""
+    global _health_checker
+    if _health_checker is None:
+        _health_checker = HealthChecker(get_metrics_collector())
+        _health_checker.add_check(
+            "metrics_collector",
+            lambda: get_metrics_collector().export_metrics("json") is not None,
+        )
+    return _health_checker

@@ -1,0 +1,91 @@
+"""metrics/alerts CLI group (reference cli/main.py:548-660 parity)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_pipeline_framework_spark.cli import main
+from data_pipeline_framework_spark.observability import metrics as obs
+
+
+@pytest.fixture()
+def fresh_singletons():
+    """Reset the process-wide collector/manager/checker around each test."""
+    saved = (obs._metrics_collector, obs._alert_manager, obs._health_checker)
+    obs._metrics_collector = obs._alert_manager = obs._health_checker = None
+    yield
+    (obs._metrics_collector, obs._alert_manager,
+     obs._health_checker) = saved
+
+
+def test_metrics_show_json_and_prometheus(fresh_singletons, capsys):
+    c = obs.get_metrics_collector()
+    c.record_counter("pipeline_executions_total", 3)
+    c.record_gauge("queue_depth", 7.0, tags={"queue": "ingest"})
+
+    assert main(["metrics", "show"]) == 0
+    flat = json.loads(capsys.readouterr().out)
+    names = {m["name"] for m in flat}
+    assert {"pipeline_executions_total", "queue_depth"} <= names
+
+    assert main(["metrics", "show", "--format", "prometheus"]) == 0
+    prom = capsys.readouterr().out
+    assert 'queue_depth{queue="ingest"} 7.0' in prom
+
+
+def test_metrics_health_table_and_exit_code(fresh_singletons, capsys):
+    assert main(["metrics", "health"]) == 0
+    out = capsys.readouterr().out
+    assert "healthy" in out and "metrics_collector" in out
+
+    obs.get_health_checker().add_check("always_down", lambda: False)
+    assert main(["metrics", "health"]) == 1
+    assert "UNHEALTHY" in capsys.readouterr().out
+
+    assert main(["metrics", "health", "--json"]) == 1
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["checks"]["always_down"]["healthy"] is False
+
+
+def test_alerts_list_and_history(fresh_singletons, capsys):
+    # cross the default high_error_rate rule (>10 errors in the window)
+    obs.get_metrics_collector().record_counter(
+        "pipeline_errors_total", 25)
+    assert main(["alerts", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "high_error_rate" in out and "warning" in out
+
+    assert main(["alerts", "history", "--hours", "1", "--json"]) == 0
+    hist = json.loads(capsys.readouterr().out)
+    assert hist and hist[-1]["name"] == "high_error_rate"
+
+    # an empty manager prints the friendly message
+    obs._alert_manager = None
+    obs._metrics_collector = obs.MetricsCollector()
+    assert main(["alerts", "list"]) == 0
+    assert "No active alerts" in capsys.readouterr().out
+
+
+def test_metrics_cli_against_live_server(spark, tmp_path, capsys):
+    """--url reads a running control plane's endpoints over real HTTP."""
+    from data_pipeline_framework_spark.web import PipelineServer
+
+    server = PipelineServer(spark, config_dir=str(tmp_path / "cfgs"))
+    port = server.start(host="127.0.0.1", port=0)
+    url = f"http://127.0.0.1:{port}"
+    try:
+        assert main(["metrics", "health", "--url", url, "--json"]) == 0
+        payload = json.loads(capsys.readouterr().out)
+        assert payload["checks"]
+
+        assert main(["metrics", "show", "--url", url]) == 0
+        json.loads(capsys.readouterr().out)  # valid JSON export
+
+        assert main(["alerts", "list", "--url", url]) == 0
+        capsys.readouterr()
+        assert main(["alerts", "history", "--url", url]) == 0
+        capsys.readouterr()
+    finally:
+        server.shutdown()
