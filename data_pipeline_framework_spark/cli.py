@@ -53,6 +53,98 @@ def cmd_run(args) -> int:
     return 0 if result.status == "success" else 1
 
 
+def cmd_init(args) -> int:
+    """Scaffold a starter pipeline YAML (reference cli/main.py:205-290),
+    retargeted to Spark defaults: parquet sink, clean + validation on."""
+    import yaml
+
+    name = args.name
+    source_type = args.source_type
+    config: dict = {
+        "name": name,
+        "description": f"Pipeline for processing {source_type} data",
+        "source": {"type": source_type, "config": {}},
+        "processing": {
+            "engine": "spark",
+            "operations": [
+                {"type": "clean",
+                 "params": {"operations": ["remove_empty_rows",
+                                           "trim_strings"]}},
+            ],
+        },
+        "storage": {
+            "type": args.storage,
+            "destination": f"./data/out/{name.lower()}_data",
+            "mode": "append",
+        },
+        "validation": {
+            "enabled": True,
+            "suite_name": f"{name.lower()}_validation",
+            "auto_generate_expectations": True,
+        },
+        "profiling": {"enabled": False},
+    }
+    if source_type == "csv":
+        config["source"]["config"] = {
+            "base_path": "./data/raw", "encoding": "utf-8",
+            "delimiter": ",",
+        }
+        config["input"] = {"file_pattern": "*.csv"}
+    elif source_type == "json":
+        config["source"]["config"] = {
+            "base_path": "./data/raw", "encoding": "utf-8",
+        }
+        config["input"] = {"file_pattern": "*.json"}
+    elif source_type == "parquet":
+        config["input"] = {"path": "./data/raw/*.parquet"}
+    elif source_type == "s3":
+        config["source"]["config"] = {
+            "bucket": "your-s3-bucket", "region": "us-east-1",
+            "prefix": "raw-data",
+        }
+        config["input"] = {"file_pattern": "*.parquet"}
+    out_path = args.output or f"{name.lower()}_pipeline.yaml"
+    with open(out_path, "w") as f:
+        yaml.safe_dump(config, f, default_flow_style=False, indent=2,
+                       sort_keys=False)
+    print(f"Pipeline configuration created: {out_path}")
+    print("Next steps:")
+    print(f"1. Edit {out_path} to customize your pipeline")
+    print(f"2. Run: dpf-spark run {out_path}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    """Pretty-print a parsed pipeline config (reference
+    cli/main.py:293-313). Config-only — no Spark session is started."""
+    from .core.config import load_config
+    from .core.pipeline import Pipeline
+
+    cfg = load_config(args.config)
+    info = Pipeline.__new__(Pipeline)  # config summary without a session
+    info.config = cfg
+    info._joined_tables = [
+        op.get("right") for op in cfg.operations
+        if op.get("type") == "join" and isinstance(op.get("right"), str)
+    ]
+    data = info.get_pipeline_info()
+    if args.json:
+        print(json.dumps(data))
+        return 0
+    print("=== Pipeline Information ===")
+    print(f"Name: {data['name']}")
+    print(f"Description: {data['description']}")
+    print(f"Source Type: {data['source_type']}")
+    print(f"Processing Engine: {data['processing_engine']}")
+    print(f"Storage Type: {data['storage_type']}")
+    print(f"Total Operations: {data['total_operations']}")
+    print(f"Validation Enabled: {data['validation_enabled']}")
+    print(f"Profiling Enabled: {data['profiling_enabled']}")
+    if data["joined_tables"]:
+        print(f"Joined Tables: {', '.join(data['joined_tables'])}")
+    return 0
+
+
 def cmd_audit(args) -> int:
     """Compile a pipeline YAML and report plan scale-audit findings
     without writing any output. Side-effecting ops (`checkpoint` with a
@@ -396,6 +488,21 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--input", help="override the configured input path")
     run.add_argument("--dry-run", action="store_true")
     run.set_defaults(fn=cmd_run)
+
+    ini = sub.add_parser("init", help="scaffold a pipeline YAML")
+    ini.add_argument("name")
+    ini.add_argument("--source-type",
+                     choices=["csv", "json", "parquet", "s3"],
+                     default="parquet")
+    ini.add_argument("--storage", choices=["parquet", "csv", "json"],
+                     default="parquet")
+    ini.add_argument("--output", "-o")
+    ini.set_defaults(fn=cmd_init)
+
+    inf = sub.add_parser("info", help="describe a pipeline config")
+    inf.add_argument("config")
+    inf.add_argument("--json", action="store_true")
+    inf.set_defaults(fn=cmd_info)
 
     q = sub.add_parser("queue", help="queue-driven ingestion")
     qsub = q.add_subparsers(dest="queue_command", required=True)

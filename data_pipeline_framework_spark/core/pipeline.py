@@ -78,6 +78,22 @@ class Pipeline:
     ) -> "Pipeline":
         return cls(load_config(path), spark, tables)
 
+    def get_pipeline_info(self) -> dict:
+        """Summary of the parsed config (reference core/pipeline.py
+        get_pipeline_info, surfaced by `cli info` :293-313)."""
+        c = self.config
+        return {
+            "name": c.name,
+            "description": c.description,
+            "source_type": c.source.get("type", "parquet"),
+            "processing_engine": "spark",
+            "storage_type": c.storage.get("type", "none"),
+            "total_operations": len(c.operations),
+            "validation_enabled": bool(c.validation.get("enabled")),
+            "profiling_enabled": bool(c.profiling.get("enabled")),
+            "joined_tables": list(self._joined_tables),
+        }
+
     # -- stage 1: load ------------------------------------------------------
 
     def load(self, input_source: str | None = None) -> DataFrame:

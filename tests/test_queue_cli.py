@@ -338,3 +338,61 @@ def test_cli_queue_management_commands(tmp_path, capsys):
     assert json.loads(capsys.readouterr().out)["cleared"] == 1
     assert main(["queue", "list", "--db", db]) == 0
     assert "empty" in capsys.readouterr().out
+
+
+def test_cli_init_info_run_roundtrip(spark, sf_dir, tmp_path, capsys,
+                                     monkeypatch):
+    """init scaffolds a YAML that info can describe and run can execute
+    (reference cli/main.py:205-313 parity)."""
+    import yaml
+
+    monkeypatch.chdir(tmp_path)
+    cfg_path = str(tmp_path / "scaffold.yaml")
+    assert main(["init", "orders_demo", "--source-type", "parquet",
+                 "-o", cfg_path]) == 0
+    out = capsys.readouterr().out
+    assert "scaffold.yaml" in out and "dpf-spark run" in out
+
+    doc = yaml.safe_load(open(cfg_path))
+    assert doc["name"] == "orders_demo"
+    assert doc["processing"]["engine"] == "spark"
+    assert doc["processing"]["operations"][0]["type"] == "clean"
+    assert doc["validation"]["enabled"] is True
+
+    assert main(["info", cfg_path]) == 0
+    out = capsys.readouterr().out
+    assert "Name: orders_demo" in out
+    assert "Source Type: parquet" in out
+    assert "Total Operations: 1" in out
+
+    assert main(["info", cfg_path, "--json"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert data["storage_type"] == "parquet"
+    assert data["validation_enabled"] is True
+
+    # the scaffold actually runs: point storage at tmp and feed sf0.001
+    doc["storage"]["destination"] = str(tmp_path / "out")
+    yaml.safe_dump(doc, open(cfg_path, "w"))
+    rc = main(["run", cfg_path, "--input", f"{sf_dir}/orders.parquet"])
+    result = json.loads(capsys.readouterr().out)
+    assert rc == 0 and result["status"] == "success"
+    assert result["rows_written"] == 1500
+
+
+def test_cli_init_source_variants(tmp_path, capsys, monkeypatch):
+    import yaml
+
+    monkeypatch.chdir(tmp_path)
+    for stype, want in [
+        ("csv", ("delimiter", "*.csv")),
+        ("json", ("encoding", "*.json")),
+        ("s3", ("bucket", "*.parquet")),
+    ]:
+        p = str(tmp_path / f"{stype}.yaml")
+        assert main(["init", f"p_{stype}", "--source-type", stype,
+                     "-o", p]) == 0
+        capsys.readouterr()
+        doc = yaml.safe_load(open(p))
+        key, pattern = want
+        assert key in doc["source"]["config"]
+        assert doc["input"]["file_pattern"] == pattern
