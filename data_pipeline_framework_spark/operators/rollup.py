@@ -264,6 +264,16 @@ def finalize_rollup(
     return out.drop(*drop) if drop else out
 
 
+def _filesystem(spark: SparkSession, state_path: str):
+    """Hadoop FileSystem for a path. Module-level so fault-injection
+    tests can wrap every metadata operation (create/rename/delete) in a
+    crash simulator — the swap protocol below is only trustworthy if a
+    kill at ANY point between two operations recovers."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return jvm.org.apache.hadoop.fs.Path(state_path).getFileSystem(conf)
+
+
 def _commit_path(jvm, dir_path: str):
     return jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/") + "/_commit")
 
@@ -328,9 +338,8 @@ def update_rollup(
     dir is restored.
     """
     jvm = spark._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(state_path)
-    fs = path.getFileSystem(conf)
+    fs = _filesystem(spark, state_path)
     tmp = state_path.rstrip("/") + "__swap"
     old = state_path.rstrip("/") + "__old"
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)

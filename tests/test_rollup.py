@@ -229,3 +229,98 @@ def test_crash_windows_recover(spark, events, tmp_path):
     got2 = _rows(recovered)
     for k in want:
         assert got2[k]["__rows"] == want[k]["__rows"]
+
+
+def test_random_kill_points_property(spark, events, tmp_path, monkeypatch):
+    """Chaos property: kill the swap protocol at EVERY fault point
+    (before the Nth filesystem metadata op) across a 20-update sequence
+    with exactly-once re-delivery; the final rollup must equal the
+    direct aggregate over all deltas applied once.
+
+    The crash is injected by wrapping the real Hadoop FileSystem in a
+    proxy that raises before the scheduled create/rename/delete call —
+    everything already on disk at that moment is exactly what a process
+    kill would leave behind.
+    """
+    import itertools
+    import random
+
+    from data_pipeline_framework_spark.operators import rollup as mod
+
+    class SimulatedCrash(RuntimeError):
+        pass
+
+    real_filesystem = mod._filesystem
+
+    class CrashingFS:
+        """Dies before the scheduled metadata operation."""
+
+        def __init__(self, fs, die_at: int):
+            self._fs = fs
+            self._left = die_at
+
+        def _tick(self):
+            if self._left == 0:
+                raise SimulatedCrash("kill -9")
+            self._left -= 1
+
+        def create(self, *a):
+            self._tick()
+            return self._fs.create(*a)
+
+        def rename(self, *a):
+            self._tick()
+            return self._fs.rename(*a)
+
+        def delete(self, *a):
+            self._tick()
+            return self._fs.delete(*a)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    state = str(tmp_path / "chaos_state")
+    n_updates = 20
+    deltas = [
+        events.filter(F.col("event_id") % n_updates == i)
+        for i in range(n_updates)
+    ]
+    rng = random.Random(42)
+    crash_schedule = {i: rng.randint(0, 5) for i in rng.sample(
+        range(n_updates), 12)}  # 12 of 20 updates get a kill point
+
+    applied = 0
+    for i, delta in enumerate(deltas):
+        if i in crash_schedule:
+            monkeypatch.setattr(
+                mod, "_filesystem",
+                lambda sp, p, _die=crash_schedule[i]: CrashingFS(
+                    real_filesystem(sp, p), _die),
+            )
+            try:
+                update_rollup(spark, delta, state, ["event_type"],
+                              METRICS, commit_id=i)
+                crashed = False
+            except SimulatedCrash:
+                crashed = True
+            monkeypatch.setattr(mod, "_filesystem", real_filesystem)
+            # foreachBatch contract: the same batch id is re-delivered
+            update_rollup(spark, delta, state, ["event_type"],
+                          METRICS, commit_id=i)
+        else:
+            update_rollup(spark, delta, state, ["event_type"],
+                          METRICS, commit_id=i)
+        applied += 1
+
+    final = _rows(update_rollup(
+        spark, events.limit(0), state, ["event_type"], METRICS,
+        commit_id=n_updates))
+    want = _rows(finalize_rollup(
+        rollup_state(events, ["event_type"], METRICS), METRICS))
+    assert final.keys() == want.keys()
+    for k in want:
+        assert final[k]["__rows"] == want[k]["__rows"]
+        assert final[k]["value_sum"] == pytest.approx(
+            want[k]["value_sum"], rel=1e-9)
+        assert final[k]["value_min"] == want[k]["value_min"]
+        assert final[k]["value_max"] == want[k]["value_max"]
