@@ -137,6 +137,12 @@ HEADLINE = [
 ]
 
 
+def _sf_of(sf_dir: str):
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = sf.lstrip("_")
+    return float(sf) if sf.replace(".", "", 1).isdigit() else sf
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -190,15 +196,41 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "sf": _sf_of(sf_dir),
         "runs_per_query": runs,
-    }))
+    }
+
+    # optional second sweep at a larger SF (e.g. the synthetic sf1 from
+    # tools/make_scale_data.py) over the pre-round-2 headline subset —
+    # turns the committed scaling story into a measured 100x-vs-sf0.01
+    # point without slowing the default per-round run.
+    extra_dir = os.environ.get("SPARK_GRAFT_EXTRA_SF_DIR")
+    if extra_dir and os.path.isdir(extra_dir):
+        extra_names = names[:31]  # the stable headline core
+        extra: dict[str, float] = {}
+        for name in extra_names:
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = qs[name](spark, extra_dir)
+                df.count() if name in _WIDE else df.collect()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            extra[name] = round(best, 3)
+        payload["extra_sf"] = {
+            "sf": _sf_of(extra_dir),
+            "dir": extra_dir,
+            "value": round(sum(extra.values()), 3),
+            "queries": extra,
+        }
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ import argparse
 import json
 import sys
 import time
+from pathlib import Path
 
 
 def _get_spark():
@@ -51,6 +52,45 @@ def cmd_run(args) -> int:
         "validation": result.validation,
     }, default=str))
     return 0 if result.status == "success" else 1
+
+
+def cmd_generate_analysis(args) -> int:
+    """Emit analysis starter scripts from parquet table schemas
+    (reference cli/main.py:663-1008, retargeted from Postgres
+    information_schema to parquet footers)."""
+    from . import codegen
+
+    spark = _get_spark()
+    if args.all_tables:
+        out_dir = Path(args.output_dir or "./analysis")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        tables = codegen.discover_tables(args.table)
+        if not tables:
+            print(f"No parquet tables found under {args.table}")
+            return 1
+        print(f"Generating analysis code for {len(tables)} tables...")
+        for name, path in tables.items():
+            info = codegen.table_info(spark, path)
+            out = out_dir / (
+                f"analysis_{name}.{codegen.file_extension(args.language)}"
+            )
+            out.write_text(codegen.generate_analysis_code(
+                name, path, info, args.language))
+            print(f"Generated: {out}")
+        return 0
+    path = args.table
+    name = Path(path).stem
+    info = codegen.table_info(spark, path)
+    out = args.output or (
+        f"analysis_{name}.{codegen.file_extension(args.language)}"
+    )
+    Path(out).write_text(codegen.generate_analysis_code(
+        name, path, info, args.language))
+    print(f"Generated analysis code: {out}")
+    print(f"Language: {args.language.title()}")
+    print(f"Table: {name}")
+    print(f"Columns: {len(info['columns'])}")
+    return 0
 
 
 def cmd_init(args) -> int:
@@ -488,6 +528,19 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--input", help="override the configured input path")
     run.add_argument("--dry-run", action="store_true")
     run.set_defaults(fn=cmd_run)
+
+    gen = sub.add_parser("generate", help="generate analysis code")
+    gsub = gen.add_subparsers(dest="generate_command", required=True)
+    ga = gsub.add_parser("analysis",
+                         help="starter analysis script per table")
+    ga.add_argument("table", help="parquet table path, or a directory"
+                                  " with --all-tables")
+    ga.add_argument("--language", "-l", choices=["python", "scala"],
+                    default="python")
+    ga.add_argument("--output", "-o")
+    ga.add_argument("--all-tables", action="store_true")
+    ga.add_argument("--output-dir")
+    ga.set_defaults(fn=cmd_generate_analysis)
 
     ini = sub.add_parser("init", help="scaffold a pipeline YAML")
     ini.add_argument("name")
