@@ -123,6 +123,10 @@ class MetricsCollector:
                     m for m in series if m.timestamp >= cutoff
                 ]
 
+    def metric_names(self) -> list[str]:
+        with self._lock:
+            return list(self._metrics)
+
     def get_metrics(self, name: str, window: str = "1h") -> list[Metric]:
         cutoff = time.time() - _window_seconds(window)
         with self._lock:

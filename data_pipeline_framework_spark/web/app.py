@@ -105,12 +105,17 @@ class PipelineServer:
             def log_message(self, *a):  # quiet test output
                 pass
 
-            def _send(self, code: int, payload: dict):
-                body = json.dumps(
-                    {**payload, "timestamp": time.time()}
-                ).encode()
+            def _send(self, code: int, payload):
+                if isinstance(payload, str):  # pre-rendered HTML page
+                    body = payload.encode()
+                    ctype = "text/html; charset=utf-8"
+                else:
+                    body = json.dumps(
+                        {**payload, "timestamp": time.time()}
+                    ).encode()
+                    ctype = "application/json"
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -200,6 +205,18 @@ class PipelineServer:
             raise PermissionError(f"permission {perm.value} required")
 
     def _dispatch(self, method, path, raw_path, body_fn, user=None):
+        if method == "GET" and path in ("/", "/dashboard"):
+            # HTML monitoring view over the same state the JSON API
+            # serves (reference templates/dashboard.html + Flask
+            # dashboard, observability/dashboard.py:22-289)
+            self._require(user, "VIEW_METRICS")
+            from ..observability.dashboard import render_dashboard
+
+            return 200, render_dashboard(
+                self.collector, self.alerts, self.health,
+                pipelines=sorted(
+                    p.stem for p in self.config_dir.glob("*.yaml")),
+            )
         if method == "GET" and path == "/api/health":
             return 200, self.health.run_checks()
         if method == "GET" and path == "/api/events":

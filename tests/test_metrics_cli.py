@@ -89,3 +89,66 @@ def test_metrics_cli_against_live_server(spark, tmp_path, capsys):
         capsys.readouterr()
     finally:
         server.shutdown()
+
+
+def test_dashboard_html_served(spark, tmp_path):
+    """GET /dashboard returns the self-contained HTML monitoring page."""
+    import urllib.request
+
+    from data_pipeline_framework_spark.web import PipelineServer
+
+    server = PipelineServer(spark, config_dir=str(tmp_path / "cfgs"))
+    (tmp_path / "cfgs" / "nightly.yaml").write_text("name: nightly\n")
+    server.collector.record_counter("pipeline_executions_total", 2)
+    for i in range(5):
+        server.collector.record_gauge("queue_depth", float(i))
+    port = server.start(host="127.0.0.1", port=0)
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/dashboard", timeout=30
+        ) as resp:
+            assert resp.headers["Content-Type"].startswith("text/html")
+            page = resp.read().decode()
+        assert "<!doctype html>" in page
+        assert "queue_depth" in page and "polyline" in page  # sparkline
+        assert "spark_session" in page and "healthy" in page
+        assert "nightly" in page  # saved pipeline listed
+        # "/" serves the same page
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30
+        ) as resp:
+            assert resp.headers["Content-Type"].startswith("text/html")
+    finally:
+        server.shutdown()
+
+
+def test_dashboard_requires_rbac_permission(spark, tmp_path):
+    import urllib.error
+    import urllib.request
+
+    from data_pipeline_framework_spark.security import Role, SecurityManager
+    from data_pipeline_framework_spark.web import PipelineServer
+
+    sec = SecurityManager(secret="dash-test")
+    sec.create_user("viewer", "v@e.com", "longenough", roles=[Role.VIEWER])
+    nobody = sec.create_user("nobody", "n@e.com", "longenough")
+    nobody.roles.clear()  # a user with no roles -> no VIEW_METRICS
+    viewer_key = sec.create_api_key("viewer", "ci")
+    nobody_key = sec.create_api_key("nobody", "ci")
+    server = PipelineServer(
+        spark, config_dir=str(tmp_path / "cfgs"), security=sec)
+    port = server.start(host="127.0.0.1", port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/dashboard",
+            headers={"X-API-Key": viewer_key})
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/dashboard",
+            headers={"X-API-Key": nobody_key})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 403
+    finally:
+        server.shutdown()
