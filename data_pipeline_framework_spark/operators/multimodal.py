@@ -500,14 +500,21 @@ def sample_frames(
     )
 
     def frames(pdf: pd.DataFrame) -> pd.DataFrame:
+        # zip over plain column lists instead of pdf.iterrows(): iterrows
+        # builds a Series per row (dtype boxing per field), measurable at
+        # million-image batch sizes; the per-blob decode is inherently
+        # Python either way
         rows = []
-        for _, row in pdf.iterrows():
-            video = _decode(bytes(row[content_col]), row[fmt_col])
+        id_values = [pdf[c].tolist() for c in id_cols]
+        for blob, fmt, *ids in zip(
+            pdf[content_col], pdf[fmt_col], *id_values
+        ):
+            video = _decode(bytes(blob), fmt)
             n = video.shape[0]
+            base = dict(zip(id_cols, ids))
             for i in range(0, n, every_n):
                 rows.append(
-                    {**{c: row[c] for c in id_cols},
-                     "frame_idx": i, "n_frames": n,
+                    {**base, "frame_idx": i, "n_frames": n,
                      "frame": encode_npy(video[i])}
                 )
         return pd.DataFrame(
