@@ -4787,6 +4787,85 @@ def heavy_hitters_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 
 
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): hashed-bigram
+    log-likelihood ratio of each document under the target corpus
+    (lang='en') vs the raw corpus. Bounded model state (512 buckets),
+    broadcast scoring join, md5-prefix hash — fully replayed in SQL."""
+    from data_pipeline_framework_spark.functions.importance import (
+        dsir_importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    raw = docs.select("doc_id", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    out = dsir_importance_weights(
+        raw, target, buckets=512, alpha=1.0, ngram=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        _r(F.col("log_weight"), 4).alias("log_weight"),
+        _r(F.col("avg_log_weight"), 6).alias("avg_log_weight"),
+    )
+
+
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-paragraph removal. The corpus text is
+    single-line, so both engines synthesize the same 3-paragraph doc
+    from substring slices — even doc_ids get an UPPERCASED copy of
+    paragraph 1 as paragraph 3 (exercising the lower+trim normalization)
+    — and the oracle replays the keep-first logic in SQL."""
+    from data_pipeline_framework_spark.functions.text import (
+        dedup_paragraphs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    p1 = F.substring("text", 1, 60)
+    p2 = F.substring("text", 31, 60)
+    p3 = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.substring("text", 1, 60))
+    ).otherwise(F.substring("text", 61, 60))
+    para = docs.select(
+        "doc_id", F.concat_ws("\n", p1, p2, p3).alias("text")
+    )
+    return dedup_paragraphs(para, "doc_id", "text").select(
+        "doc_id", "clean_text", "n_paragraphs", "n_removed"
+    )
+
+
+def canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization + dedup: tracking params, www,
+    default ports, trailing slashes, and param order all collapse; one
+    row per canonical form survives (lowest doc_id). The oracle derives
+    the expected canonical string directly from the doc_id residues the
+    injection used, so a parse_url or param-filter bug cannot agree."""
+    from data_pipeline_framework_spark.functions.web import (
+        dedup_by_canonical_url,
+    )
+
+    g = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://example.com/p"), g, F.lit("?x=1&y=2")))
+        .when(v == 1, F.concat(
+            F.lit("https://WWW.example.com:443/p"), g,
+            F.lit("/?y=2&utm_source=feed&x=1")))
+        .when(v == 2, F.concat(
+            F.lit("http://shop.example.co.uk/p"), g, F.lit("?a=1")))
+        .otherwise(F.concat(
+            F.lit("http://shop.example.co.uk:80/p"), g,
+            F.lit("/?a=1&fbclid=abc")))
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "url", url
+    )
+    return dedup_by_canonical_url(docs, "url", "doc_id").select(
+        "doc_id", "url", "canonical_url", "is_canonical_dup"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4878,6 +4957,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "corpus_snapshot_diff": corpus_snapshot_diff,
+        "dsir_importance_scores": dsir_importance_scores,
+        "paragraph_dedup_docs": paragraph_dedup_docs,
+        "canonical_url_dedup": canonical_url_dedup,
         "corpus_report": corpus_report,
         "ngram_novelty_scores": ngram_novelty_scores,
         "neardup_clusters": neardup_clusters,
@@ -5682,6 +5764,106 @@ _COHORT_ORACLE = """
 """
 
 
+_DSIR_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 13))
+                    AS BIGINT) % 512 AS b
+        FROM toks, UNNEST(range(1, len(w))) AS r(i)
+        WHERE len(w) >= 2
+    ),
+    tgrams AS (
+        SELECT g.* FROM grams g
+        JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+    ),
+    rhist AS (SELECT b, COUNT(*) AS c FROM grams GROUP BY b),
+    thist AS (SELECT b, COUNT(*) AS c FROM tgrams GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM grams) AS nr,
+                   (SELECT COUNT(*) FROM tgrams) AS nt),
+    ratio AS (
+        SELECT ids.b,
+               ln((COALESCE(th.c, 0) + 1.0) / (tot.nt + 1.0 * 512))
+             - ln((COALESCE(rh.c, 0) + 1.0) / (tot.nr + 1.0 * 512)) AS lr
+        FROM (SELECT UNNEST(range(0, 512)) AS b) ids
+        LEFT JOIN thist th USING (b)
+        LEFT JOIN rhist rh USING (b), tot
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           FLOOR(SUM(lr) * 1e4 + 0.5) / 1e4 AS log_weight,
+           FLOOR(AVG(lr) * 1e6 + 0.5) / 1e6 AS avg_log_weight
+    FROM grams g JOIN ratio USING (b)
+    GROUP BY g.doc_id
+"""
+
+
+_PARA_DEDUP_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               substr(text, 1, 60) AS p1,
+               substr(text, 31, 60) AS p2,
+               CASE WHEN doc_id % 2 = 0 THEN upper(substr(text, 1, 60))
+                    ELSE substr(text, 61, 60) END AS p3
+        FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, i - 1 AS pos, ps[i] AS p,
+               lower(trim(ps[i])) AS key
+        FROM (SELECT doc_id, [p1, p2, p3] AS ps FROM base),
+             UNNEST(range(1, 4)) AS r(i)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id, key ORDER BY pos) AS rn
+        FROM paras
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn = 1 OR length(key) < 1)
+    SELECT k.doc_id,
+           string_agg(k.p, chr(10) ORDER BY k.pos) AS clean_text,
+           CAST(3 AS BIGINT) AS n_paragraphs,
+           CAST(3 - COUNT(*) AS BIGINT) AS n_removed
+    FROM kept k
+    GROUP BY k.doc_id
+"""
+
+
+_CANON_URL_ORACLE = """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(doc_id % 50 AS VARCHAR) AS g,
+               doc_id % 4 AS v
+        FROM documents
+    ),
+    urls AS (
+        SELECT doc_id,
+               CASE v
+                   WHEN 0 THEN 'https://example.com/p' || g || '?x=1&y=2'
+                   WHEN 1 THEN 'https://WWW.example.com:443/p' || g
+                               || '/?y=2&utm_source=feed&x=1'
+                   WHEN 2 THEN 'http://shop.example.co.uk/p' || g || '?a=1'
+                   ELSE 'http://shop.example.co.uk:80/p' || g
+                        || '/?a=1&fbclid=abc'
+               END AS url,
+               CASE WHEN v IN (0, 1)
+                    THEN 'https://example.com/p' || g || '?x=1&y=2'
+                    ELSE 'http://shop.example.co.uk/p' || g || '?a=1'
+               END AS canonical_url
+        FROM m
+    )
+    SELECT doc_id, url, canonical_url,
+           ROW_NUMBER() OVER (
+               PARTITION BY canonical_url ORDER BY doc_id) > 1
+               AS is_canonical_dup
+    FROM urls
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -6461,6 +6643,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_oracle(),
         "ann_ivfpq_topk": _ivfpq_oracle(),
         "corpus_snapshot_diff": _SNAPDIFF_ORACLE,
+        "dsir_importance_scores": _DSIR_ORACLE,
+        "paragraph_dedup_docs": _PARA_DEDUP_ORACLE,
+        "canonical_url_dedup": _CANON_URL_ORACLE,
         "corpus_report": _corpus_report_oracle(),
         "ngram_novelty_scores": _novelty_oracle(),
         "tfidf_vectors": _tfidf_oracle(),

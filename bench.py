@@ -134,6 +134,9 @@ HEADLINE = [
     "funnel_conversion_events",
     "cohort_retention_weekly",
     "holt_trend_smoothing",
+    "dsir_importance_scores",
+    "paragraph_dedup_docs",
+    "canonical_url_dedup",
 ]
 
 

@@ -759,3 +759,71 @@ def strip_markup_text(
         .withColumn("n_chars_raw", F.length(text_col).cast("long"))
         .withColumn("n_chars_clean", F.length(out_col).cast("long"))
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_paragraph_chars: int = 1,
+) -> DataFrame:
+    """Intra-document repeated-paragraph removal: keep the FIRST
+    occurrence of each normalized (lower+trim) paragraph within a
+    document, drop later repeats. The within-document half of the
+    dedup story (remove_boilerplate_lines is the cross-document half);
+    templated pages repeat nav blocks / disclaimers inside one page,
+    and repeated spans are exactly what an LM memorizes first.
+
+    Paragraphs shorter than `min_paragraph_chars` after normalization
+    are never dropped (blank separators survive structurally).
+
+    Shape: posexplode -> row_number over (doc, normalized paragraph) in
+    position order -> keep rank 1 -> one groupBy(doc) reassembly in
+    original order. Two shuffles keyed on the doc id (plus the
+    paragraph key inside the window partition) — no driver state, no
+    UDF; `sep` is treated as a literal (\\Q...\\E), matching the
+    literal array_join on reassembly.
+
+    Output: id, clean_text, n_paragraphs, n_removed.
+    """
+    parts = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\\Q" + sep + "\\E").alias("__ps"),
+    )
+    paras = parts.select(
+        id_col, F.posexplode("__ps").alias("__pos", "__p")
+    ).withColumn("__key", F.lower(F.trim("__p")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col, "__key").orderBy("__pos")
+    ranked = paras.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.filter(
+        (F.col("__rn") == 1)
+        | (F.length("__key") < min_paragraph_chars)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__p"))),
+                    lambda s: s["__p"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .join(
+            paras.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_paragraphs")),
+            id_col,
+        )
+        .select(
+            id_col,
+            "clean_text",
+            F.col("n_paragraphs").cast("long").alias("n_paragraphs"),
+            (F.col("n_paragraphs") - F.col("__n_kept"))
+            .cast("long").alias("n_removed"),
+        )
+    )

@@ -168,3 +168,93 @@ def domain_rollup(
     if min_docs > 1:
         out = out.filter(F.col("n_docs") >= min_docs)
     return out
+
+
+_TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src"
+    r"|igshid|spm|yclid|_ga)="
+)
+
+
+def canonical_url(url_col: str | Column) -> Column:
+    """Crawl-dedup URL canonicalization as one codegen expression chain:
+
+    - scheme and host lowercased; a leading ``www.`` stripped
+    - default ports dropped (``:80`` for http, ``:443`` for https)
+    - fragment dropped (parse_url never returns it)
+    - tracking params removed (utm_*, gclid, fbclid, msclkid, mc_cid,
+      mc_eid, ref, ref_src, igshid, spm, yclid, _ga)
+    - remaining query params sorted byte-wise, so param order never
+      distinguishes two URLs
+    - trailing ``/`` on the path stripped
+
+    Pure column expressions (the per-URL param arrays are tiny, so the
+    interpreted higher-order filter is noise); pair with
+    dedup_by_canonical_url for the corpus-level keep decision.
+    """
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    # parse_url HOST excludes the port; take it from AUTHORITY
+    auth = F.lower(F.parse_url(u, F.lit("AUTHORITY")))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    hostport = F.when(
+        keep_port, F.concat(host, F.lit(":"), port)
+    ).otherwise(host)
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.parse_url(u, F.lit("QUERY"))
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "")
+            & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), hostport, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def dedup_by_canonical_url(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    keep_all_columns: bool = True,
+) -> DataFrame:
+    """Keep one row per canonical URL — the lowest id wins (crawls
+    revisit the same page under tracking-param variants; dedup BEFORE
+    text processing so downstream never pays for the copies).
+
+    One row_number window keyed on the canonical form (a single hash
+    shuffle on that key); rows whose URL fails to parse (null host)
+    canonicalize to null and are all kept — an unparseable URL is not
+    evidence of duplication.
+
+    Output: the input columns plus canonical_url and is_canonical_dup
+    (true on every dropped-equivalent row when keep_all_columns, or a
+    deduped frame when not).
+    """
+    from pyspark.sql.window import Window
+
+    tagged = df.withColumn("canonical_url", canonical_url(url_col))
+    w = Window.partitionBy("canonical_url").orderBy(F.asc(id_col))
+    flagged = tagged.withColumn(
+        "is_canonical_dup",
+        F.when(
+            F.col("canonical_url").isNull(), F.lit(False)
+        ).otherwise(F.row_number().over(w) > 1),
+    )
+    if keep_all_columns:
+        return flagged
+    return flagged.filter(~F.col("is_canonical_dup")).drop(
+        "is_canonical_dup"
+    )

@@ -643,3 +643,82 @@ def test_remove_boilerplate_regex_metachar_sep(spark):
     assert out[1]["clean_text"] == "alpha body one||unique tail"
     assert (out[1]["n_lines"], out[1]["n_lines_removed"]) == (3, 1)
     assert out[2]["clean_text"] == "beta body two"
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    from data_pipeline_framework_spark.functions.text import (
+        dedup_paragraphs,
+    )
+
+    rows = [
+        (1, "intro para\nNAV BLOCK\nbody text\nnav block\nend"),
+        (2, "a para\nb para\na para\nb para\na para"),
+        (3, "all unique one\nall unique two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    # case-insensitive: "nav block" repeat of "NAV BLOCK" dropped
+    assert out[1]["clean_text"] == "intro para\nNAV BLOCK\nbody text\nend"
+    assert (out[1]["n_paragraphs"], out[1]["n_removed"]) == (5, 1)
+    assert out[2]["clean_text"] == "a para\nb para"
+    assert out[2]["n_removed"] == 3
+    assert out[3]["n_removed"] == 0
+
+
+def test_dedup_paragraphs_blank_separators_survive(spark):
+    from data_pipeline_framework_spark.functions.text import (
+        dedup_paragraphs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "para one\n\npara two\n\npara one")],
+        "doc_id long, text string",
+    )
+    out = dedup_paragraphs(
+        df, "doc_id", "text", min_paragraph_chars=1
+    ).first()
+    # both empty separators kept (below min chars), repeat dropped
+    assert out["clean_text"] == "para one\n\npara two\n"
+    assert out["n_removed"] == 1
+
+
+def test_dsir_importance_weights_prefers_target_like_docs(spark):
+    from data_pipeline_framework_spark.functions.importance import (
+        dsir_importance_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") 
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox jumps again and again"),
+         (2, "completely unrelated spark shuffle partition tokens here"),
+         (3, "x")],  # single token -> no bigrams -> emits nothing
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_importance_weights(
+        raw, target, buckets=256, ngram=2).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no bigram evidence
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+    assert out[1]["avg_log_weight"] > 0 > out[2]["avg_log_weight"]
+    with pytest.raises(ValueError):
+        dsir_importance_weights(raw, target, buckets=1)
+
+
+def test_dsir_unigram_mode(spark):
+    from data_pipeline_framework_spark.functions.importance import (
+        dsir_importance_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(10, "alpha beta gamma")], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "delta epsilon")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dsir_importance_weights(
+        raw, target, buckets=64, ngram=1).collect()}
+    assert out[1]["n_grams"] == 2
+    assert out[1]["log_weight"] > out[2]["log_weight"]

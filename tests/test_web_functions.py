@@ -110,3 +110,47 @@ def test_blocklist_unparseable_urls_null_safe(spark):
     only_df = {r["doc_id"] for r in
                filter_blocked_domains(df, "url", bl_df, keep=True).collect()}
     assert only_list == only_df == {1}
+
+
+def test_canonical_url_normalizations(spark):
+    from data_pipeline_framework_spark.functions.web import canonical_url
+
+    rows = [
+        (1, "https://WWW.Example.com:443/a/b/?utm_source=x&b=2&a=1"),
+        (2, "https://example.com/a/b?a=1&b=2"),
+        (3, "http://example.com:8080/a/?ref=tw"),
+        (4, "http://example.com:80/a"),
+        (5, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonical_url("url").alias("c")).collect()}
+    assert out[1] == out[2] == "https://example.com/a/b?a=1&b=2"
+    assert out[3] == "http://example.com:8080/a"  # non-default port kept
+    assert out[4] == "http://example.com/a"       # default port dropped
+    assert out[5] is None                          # unparseable -> null
+
+
+def test_dedup_by_canonical_url(spark):
+    from data_pipeline_framework_spark.functions.web import (
+        dedup_by_canonical_url,
+    )
+
+    rows = [
+        (2, "https://example.com/a?x=1"),
+        (1, "https://www.example.com/a/?x=1&fbclid=zz"),
+        (3, "https://example.com/b"),
+        (4, "garbage"),
+        (5, "garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["is_canonical_dup"]
+           for r in dedup_by_canonical_url(df, "url", "doc_id").collect()}
+    assert out[1] is False and out[2] is True  # lowest id wins
+    assert out[3] is False
+    assert out[4] is False and out[5] is False  # nulls never dup
+
+    deduped = dedup_by_canonical_url(
+        df, "url", "doc_id", keep_all_columns=False)
+    assert deduped.count() == 4
+    assert "is_canonical_dup" not in deduped.columns
