@@ -4866,6 +4866,27 @@ def canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenizer fertility per language: BPE tokens per word and chars
+    per token from one corpus scan + a 5-row aggregation — the
+    multilingual tokenizer health check every pretraining mix needs."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        tokenizer_fertility,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    out = tokenizer_fertility(docs, ["lang"])
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        _r(F.col("fertility"), 6).alias("fertility"),
+        _r(F.col("chars_per_token"), 6).alias("chars_per_token"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4960,6 +4981,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_scores": dsir_importance_scores,
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "canonical_url_dedup": canonical_url_dedup,
+        "bpe_fertility_by_lang": bpe_fertility_by_lang,
         "corpus_report": corpus_report,
         "ngram_novelty_scores": ngram_novelty_scores,
         "neardup_clusters": neardup_clusters,
@@ -5864,6 +5886,36 @@ _CANON_URL_ORACLE = """
 """
 
 
+_FERTILITY_ORACLE_TMPL = """
+    WITH s AS (
+        SELECT lang,
+               {bpe_stream} AS st,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS w,
+               length(text) AS c
+        FROM documents
+    ),
+    t AS (
+        SELECT lang,
+               CAST(coalesce(length(st) - length(replace(st, '(', '')), 0)
+                    AS BIGINT) AS bpe,
+               w, c
+        FROM s
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           FLOOR(CAST(SUM(bpe) AS DOUBLE) / SUM(w) * 1e6 + 0.5) / 1e6
+               AS fertility,
+           FLOOR(CAST(SUM(c) AS DOUBLE) / SUM(bpe) * 1e6 + 0.5) / 1e6
+               AS chars_per_token
+    FROM t
+    GROUP BY lang
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -6646,6 +6698,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance_scores": _DSIR_ORACLE,
         "paragraph_dedup_docs": _PARA_DEDUP_ORACLE,
         "canonical_url_dedup": _CANON_URL_ORACLE,
+        "bpe_fertility_by_lang": _FERTILITY_ORACLE_TMPL.format(
+            bpe_stream=_bpe_stream_sql()),
         "corpus_report": _corpus_report_oracle(),
         "ngram_novelty_scores": _novelty_oracle(),
         "tfidf_vectors": _tfidf_oracle(),

@@ -137,6 +137,7 @@ HEADLINE = [
     "dsir_importance_scores",
     "paragraph_dedup_docs",
     "canonical_url_dedup",
+    "bpe_fertility_by_lang",
 ]
 
 

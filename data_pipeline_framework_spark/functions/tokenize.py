@@ -366,3 +366,42 @@ def bpe_stream_sql(
     once in a CTE and count with
     length(st) - length(replace(st, '(', ''))."""
     return BPETokenizer(merges)._stream_sql(col_sql)
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Tokenizer fertility diagnostics per group (typically language or
+    source): BPE tokens per whitespace word and characters per BPE
+    token. The standard multilingual-pretraining health check — a
+    tokenizer whose fertility explodes on some language wastes context
+    length and skews the effective data mix for that language.
+
+    One narrow projection (the JVM chained-replace encode + whitespace
+    count + char length) feeding one tiny aggregation keyed on the
+    group columns — output cardinality is the group count, so this is
+    a single cheap pass even at 100 TB.
+
+    Output per group: n_docs, n_words, n_bpe_tokens, n_chars,
+    fertility (tokens/word), chars_per_token.
+    """
+    from .text import tokens as ws_tokens
+
+    tok = BPETokenizer(merges)
+    base = df.select(
+        *group_cols,
+        tok.count_expr(text_col).alias("__bpe"),
+        F.size(ws_tokens(text_col)).alias("__w"),
+        F.length(F.col(text_col)).alias("__c"),
+    )
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__bpe").alias("n_bpe_tokens"),
+        F.sum("__c").alias("n_chars"),
+        F.try_divide(F.sum("__bpe"), F.sum("__w")).alias("fertility"),
+        F.try_divide(F.sum("__c"), F.sum("__bpe")).alias("chars_per_token"),
+    )

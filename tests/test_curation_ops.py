@@ -722,3 +722,22 @@ def test_dsir_unigram_mode(spark):
         raw, target, buckets=64, ngram=1).collect()}
     assert out[1]["n_grams"] == 2
     assert out[1]["log_weight"] > out[2]["log_weight"]
+
+
+def test_tokenizer_fertility_groups(spark):
+    from data_pipeline_framework_spark.functions.tokenize import (
+        tokenizer_fertility,
+    )
+
+    rows = [
+        ("en", "the cat sat"), ("en", "a dog ran far"),
+        ("de", "donaudampfschifffahrt gesellschaft"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r for r in tokenizer_fertility(
+        df, ["lang"]).collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["n_words"] == 7
+    assert out["de"]["n_words"] == 2
+    # long compound words -> more BPE tokens per word than short English
+    assert out["de"]["fertility"] > out["en"]["fertility"]
+    assert out["en"]["chars_per_token"] > 0
