@@ -4887,6 +4887,27 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contrastive hard-negative mining: per anchor vector the top-3
+    nearest different-label vectors within its codebook cell (the
+    SemDeDup blocking shape — never a corpus cross join). Oracle
+    replays assignment, pairing, and ranking exactly."""
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.hard_negative_mining(
+        emb, k=3, centers=SIM.fixed_codebook(64, n_cells=8, seed=7),
+    )
+    return out.select(
+        "anchor_id", "negative_id",
+        F.col("anchor_label").cast("long").alias("anchor_label"),
+        F.col("negative_label").cast("long").alias("negative_label"),
+        F.col("cell").cast("long").alias("cell"),
+        _r(F.col("neg_cosine"), 6).alias("neg_cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4982,6 +5003,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "canonical_url_dedup": canonical_url_dedup,
         "bpe_fertility_by_lang": bpe_fertility_by_lang,
+        "hard_negative_pairs": hard_negative_pairs,
         "corpus_report": corpus_report,
         "ngram_novelty_scores": ngram_novelty_scores,
         "neardup_clusters": neardup_clusters,
@@ -5916,6 +5938,58 @@ _FERTILITY_ORACLE_TMPL = """
 """
 
 
+def _hard_negative_oracle() -> str:
+    """DuckDB twin of hard_negative_pairs: same literal-centroid argmin
+    cells, within-cell different-label pairing, cosine-desc/id-asc
+    ranking, top 3."""
+    from data_pipeline_framework_spark.functions.similarity import fixed_codebook
+
+    cents = fixed_codebook(64, n_cells=8, seed=7)
+    cent_rows = ", ".join(
+        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(cents)
+    )
+    d2 = (
+        "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
+        " + list_dot_product(cent.cv, cent.cv)"
+    )
+    cos_ab = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+        WITH cent(cell, cv) AS (VALUES {cent_rows}),
+        c AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ), cassign AS (
+            SELECT vec_id, label, v, cell FROM (
+                SELECT c.vec_id, c.label, c.v, cent.cell,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id ORDER BY {d2}, cent.cell
+                       ) AS rn
+                FROM c, cent
+            ) WHERE rn = 1
+        ), pairs AS (
+            SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+                   CAST(a.label AS BIGINT) AS anchor_label,
+                   CAST(b.label AS BIGINT) AS negative_label,
+                   CAST(a.cell AS BIGINT) AS cell,
+                   {cos_ab} AS cos
+            FROM cassign a JOIN cassign b
+              ON a.cell = b.cell AND a.label <> b.label
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor_id ORDER BY cos DESC, negative_id ASC
+            ) AS rank
+            FROM pairs
+        )
+        SELECT anchor_id, negative_id, anchor_label, negative_label,
+               cell, FLOOR(cos * 1e6 + 0.5) / 1e6 AS neg_cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -6700,6 +6774,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_url_dedup": _CANON_URL_ORACLE,
         "bpe_fertility_by_lang": _FERTILITY_ORACLE_TMPL.format(
             bpe_stream=_bpe_stream_sql()),
+        "hard_negative_pairs": _hard_negative_oracle(),
         "corpus_report": _corpus_report_oracle(),
         "ngram_novelty_scores": _novelty_oracle(),
         "tfidf_vectors": _tfidf_oracle(),

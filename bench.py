@@ -138,6 +138,7 @@ HEADLINE = [
     "paragraph_dedup_docs",
     "canonical_url_dedup",
     "bpe_fertility_by_lang",
+    "hard_negative_pairs",
 ]
 
 

@@ -881,3 +881,85 @@ def semantic_dedup(
     out.count()
     assigned.unpersist()
     return out
+
+
+def hard_negative_mining(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    min_cosine: float | None = None,
+    centers: list[list[float]] | None = None,
+    n_cells: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Contrastive-training data mining: for every anchor vector, the
+    top-k most cosine-similar vectors carrying a DIFFERENT label —
+    the "hard negatives" that sit near the anchor in embedding space
+    but belong to another class. `min_cosine` optionally drops easy
+    negatives below a similarity floor.
+
+    Scale shape is SemDeDup's: vectors are assigned to literal-codebook
+    cells by an argmin expression, and candidate pairs come ONLY from a
+    within-cell equi-join — never a corpus cross join. Grow n_cells
+    with the corpus; mined negatives are approximate (cell-local) by
+    design, which is exactly how production contrastive pipelines
+    bound the search. With `centers` supplied (or the seeded default
+    codebook) plan construction reads no data, so an external oracle
+    replays every pair.
+
+    Output: (anchor_id, negative_id, anchor_label, negative_label,
+    cell, neg_cosine, rank).
+    """
+    base = df.select(
+        F.col(id_col), F.col(label_col).alias("__lbl"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    if centers is None:
+        if dim is None:
+            first = base.select("__v").first()
+            if first is None or first[0] is None:
+                raise ValueError(
+                    "hard_negative_mining: cannot infer embedding dim "
+                    "from an empty input; pass dim= or centers="
+                )
+            dim = len(first[0])
+        centers = fixed_codebook(dim, n_cells=n_cells, seed=seed)
+    cells = []
+    for j, cvec in enumerate(centers):
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = _dot(F.col("__v"), F.col("__v")) - 2.0 * _dot(
+            F.col("__v"), c
+        ) + _dot(c, c)
+        cells.append(F.struct(d2.alias("d"), F.lit(j).alias("cell")))
+    assigned = base.withColumn(
+        "cell", F.array_min(F.array(*cells))["cell"]
+    ).persist()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.__lbl") != F.col("b.__lbl")),
+    ).select(
+        F.col(f"a.{id_col}").alias("anchor_id"),
+        F.col(f"b.{id_col}").alias("negative_id"),
+        F.col("a.__lbl").alias("anchor_label"),
+        F.col("b.__lbl").alias("negative_label"),
+        F.col("a.cell").alias("cell"),
+        cosine(F.col("a.__v"), F.col("b.__v")).alias("neg_cosine"),
+    )
+    if min_cosine is not None:
+        pairs = pairs.filter(F.col("neg_cosine") >= float(min_cosine))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("neg_cosine"), F.asc("negative_id")
+    )
+    out = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    out = out.persist()
+    out.count()
+    assigned.unpersist()
+    return out

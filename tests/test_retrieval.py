@@ -213,3 +213,43 @@ def test_semantic_dedup_releases_cache(spark):
     assert out.count() == 3
     out.unpersist()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
+
+
+def test_hard_negative_mining_basics(spark):
+    from data_pipeline_framework_spark.functions.similarity import (
+        hard_negative_mining,
+    )
+
+    # two tight clusters; labels mixed inside each
+    rows = [
+        (1, [1.0, 0.0], "a"), (2, [0.99, 0.01], "b"),
+        (3, [0.98, 0.02], "a"), (4, [0.0, 1.0], "a"),
+        (5, [0.01, 0.99], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    out = hard_negative_mining(
+        df, k=2, dim=2, n_cells=2, label_col="label")
+    rowsd = [(r["anchor_id"], r["negative_id"], r["rank"])
+             for r in out.orderBy("anchor_id", "rank").collect()]
+    # anchor 1 (label a): only different-label neighbor in its cell is 2
+    assert (1, 2, 1) in rowsd
+    # no pair ever has matching labels
+    assert out.filter(
+        F.col("anchor_label") == F.col("negative_label")).count() == 0
+    # min_cosine floor removes easy negatives
+    floored = hard_negative_mining(
+        df, k=2, dim=2, n_cells=2, label_col="label", min_cosine=0.9)
+    assert floored.filter(F.col("neg_cosine") < 0.9).count() == 0
+    out.unpersist(); floored.unpersist()
+
+
+def test_hard_negative_mining_empty_raises(spark):
+    from data_pipeline_framework_spark.functions.similarity import (
+        hard_negative_mining,
+    )
+
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label string")
+    with pytest.raises(ValueError, match="empty"):
+        hard_negative_mining(df)
