@@ -222,7 +222,10 @@ def cmd_audit(args) -> int:
 
 def cmd_serve(args) -> int:
     """Serve the HTTP control plane until interrupted (reference
-    web/app.py's uvicorn entry, without the FastAPI stack)."""
+    web/app.py's uvicorn entry, without the FastAPI stack). Invoked as
+    `dashboard` it is the same server — the reference runs a separate
+    Flask/SocketIO process (cli/main.py:522-545); here the dashboard is
+    just the HTML face of the one control plane."""
     from .web import PipelineServer
 
     spark = _get_spark()
@@ -230,8 +233,11 @@ def cmd_serve(args) -> int:
         spark, args.config_dir, api_key=args.api_key,
     )
     port = server.start(host=args.host, port=args.port)
-    print(json.dumps({"serving": f"http://{args.host}:{port}",
-                      "config_dir": args.config_dir}))
+    payload = {"serving": f"http://{args.host}:{port}",
+               "config_dir": args.config_dir}
+    if getattr(args, "as_dashboard", False):
+        payload["dashboard"] = f"http://{args.host}:{port}/dashboard"
+    print(json.dumps(payload))
     try:
         while True:
             time.sleep(3600)
@@ -592,6 +598,14 @@ def build_parser() -> argparse.ArgumentParser:
                          help="reset failed items to pending")
     qf.add_argument("--db", default="pipeline_queue.db")
     qf.set_defaults(fn=cmd_queue_retry_failed)
+
+    dash = sub.add_parser(
+        "dashboard", help="serve the HTML monitoring dashboard")
+    dash.add_argument("--host", default="127.0.0.1")
+    dash.add_argument("--port", type=int, default=8050)
+    dash.add_argument("--config-dir", default="./pipeline_configs")
+    dash.add_argument("--api-key")
+    dash.set_defaults(fn=cmd_serve, as_dashboard=True)
 
     met = sub.add_parser("metrics", help="metrics and monitoring")
     msub = met.add_subparsers(dest="metrics_command", required=True)

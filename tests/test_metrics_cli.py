@@ -152,3 +152,40 @@ def test_dashboard_requires_rbac_permission(spark, tmp_path):
         assert exc.value.code == 403
     finally:
         server.shutdown()
+
+
+def test_dashboard_cli_command(spark, tmp_path, capsys, monkeypatch):
+    """`dpf-spark dashboard` starts the control plane and points at the
+    HTML page; cut the wait loop via simulated Ctrl-C after probing."""
+    import urllib.request
+
+    from data_pipeline_framework_spark import cli as climod
+
+    bound = {}
+
+    def fake_sleep(_):
+        with urllib.request.urlopen(
+            bound["dashboard"], timeout=30
+        ) as resp:
+            bound["html"] = resp.read().decode()
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(climod.time, "sleep", fake_sleep)
+
+    from data_pipeline_framework_spark.web import PipelineServer
+
+    orig_start = PipelineServer.start
+
+    def capture_start(self, host="127.0.0.1", port=0):
+        p = orig_start(self, host=host, port=0)
+        bound["dashboard"] = f"http://127.0.0.1:{p}/dashboard"
+        return p
+
+    monkeypatch.setattr(PipelineServer, "start", capture_start)
+    rc = climod.main([
+        "dashboard", "--config-dir", str(tmp_path / "cfgs"), "--port", "0",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "/dashboard" in out["dashboard"]
+    assert "<!doctype html>" in bound["html"]
