@@ -5838,11 +5838,15 @@ _DSIR_ORACLE = """
         LEFT JOIN thist th USING (b)
         LEFT JOIN rhist rh USING (b), tot
     )
+    , doc_buckets AS (
+        SELECT doc_id, b, COUNT(*) AS n FROM grams GROUP BY doc_id, b
+    )
     SELECT g.doc_id,
-           COUNT(*) AS n_grams,
-           FLOOR(SUM(lr) * 1e4 + 0.5) / 1e4 AS log_weight,
-           FLOOR(AVG(lr) * 1e6 + 0.5) / 1e6 AS avg_log_weight
-    FROM grams g JOIN ratio USING (b)
+           CAST(SUM(g.n) AS BIGINT) AS n_grams,
+           FLOOR(SUM(g.n * ratio.lr) * 1e4 + 0.5) / 1e4 AS log_weight,
+           FLOOR(SUM(g.n * ratio.lr) / SUM(g.n) * 1e6 + 0.5) / 1e6
+               AS avg_log_weight
+    FROM doc_buckets g JOIN ratio USING (b)
     GROUP BY g.doc_id
 """
 

@@ -70,6 +70,7 @@ def dsir_importance_weights(
     buckets: int = 4096,
     alpha: float = 1.0,
     ngram: int = 2,
+    cache: bool = True,
 ) -> DataFrame:
     """Per-document DSIR importance weight.
 
@@ -91,7 +92,28 @@ def dsir_importance_weights(
     raw_grams = _gram_stream(raw, id_col, text_col, ngram)
     tgt_grams = _gram_stream(target, id_col, text_col, ngram)
 
-    raw_hist = _bucket_hist(raw_grams, buckets)
+    # One corpus scan: collapse the raw gram stream to per-(doc, bucket)
+    # counts first — at most min(n_grams, buckets) rows per document —
+    # then both the corpus histogram (roll up by bucket) and the scoring
+    # join read THIS table instead of re-tokenizing the corpus. The
+    # target side stays a direct histogram (it is small by construction).
+    doc_buckets = (
+        raw_grams.select(
+            id_col,
+            F.pmod(hash52(F.col("__gram")), F.lit(buckets)).alias("__b"),
+        )
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    if cache:
+        # doc_buckets feeds the corpus histogram AND the scoring join;
+        # without this the corpus is tokenized twice. It is the
+        # compressed form (<= min(n_grams, buckets) ints per doc), far
+        # smaller than the text — caller-releasable via cache=False when
+        # scoring many corpora in one session (bigram_logprob contract).
+        doc_buckets = doc_buckets.persist()
+    raw_hist = doc_buckets.groupBy("__b").agg(
+        F.sum("__n").alias("__c"))
     tgt_hist = _bucket_hist(tgt_grams, buckets)
 
     # log-ratio per bucket, dense over all `buckets` ids so unseen
@@ -106,8 +128,8 @@ def dsir_importance_weights(
         .withColumnRenamed("__c", "__cr")
         .join(F.broadcast(tgt_grams.agg(
             F.count(F.lit(1)).alias("__nt"))))
-        .join(F.broadcast(raw_grams.agg(
-            F.count(F.lit(1)).alias("__nr"))))
+        .join(F.broadcast(raw_hist.agg(
+            F.sum("__c").alias("__nr"))))
         .select(
             "__b",
             (
@@ -118,11 +140,10 @@ def dsir_importance_weights(
             ).alias("__lr"),
         )
     )
-    scored = raw_grams.withColumn(
-        "__b", F.pmod(hash52(F.col("__gram")), F.lit(buckets))
-    ).join(F.broadcast(ratio), "__b")
+    scored = doc_buckets.join(F.broadcast(ratio), "__b")
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum("__lr").alias("log_weight"),
-        F.avg("__lr").alias("avg_log_weight"),
+        F.sum("__n").cast("long").alias("n_grams"),
+        F.sum(F.col("__n") * F.col("__lr")).alias("log_weight"),
+        (F.sum(F.col("__n") * F.col("__lr")) / F.sum("__n"))
+        .alias("avg_log_weight"),
     )
