@@ -4908,6 +4908,25 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature-based mixture sampling (mT5/UniMax): per-source keep
+    rates derived from the corpus's own size distribution at tau=0.5 —
+    rate_s = min_u sqrt(total_u) / sqrt(total_s), the cancelled form
+    whose every term is IEEE-exact (sqrt + divide), so the oracle
+    replays each rate bit-for-bit. The corpus filter is the same
+    pushed-down deterministic hash threshold as mixture_sample."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return temperature_mixture_sample(
+        docs, "doc_id", "source", "n_chars", temperature=0.5
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5004,6 +5023,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_dedup": canonical_url_dedup,
         "bpe_fertility_by_lang": bpe_fertility_by_lang,
         "hard_negative_pairs": hard_negative_pairs,
+        "temperature_mixture_docs": temperature_mixture_docs,
         "corpus_report": corpus_report,
         "ngram_novelty_scores": ngram_novelty_scores,
         "neardup_clusters": neardup_clusters,
@@ -5994,6 +6014,30 @@ def _hard_negative_oracle() -> str:
     """
 
 
+_TMIX_BUCKET = (
+    "CAST(('0x' || substr(md5('tmix' || CAST(doc_id AS VARCHAR)), 1, 13))"
+    " AS BIGINT) % 1000000"
+)
+
+_TMIX_ORACLE = f"""
+    WITH tot AS (
+        SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total
+        FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(sqrt(CAST(total AS DOUBLE))) AS mcap FROM tot),
+    r AS (
+        SELECT source,
+               CAST(FLOOR(LEAST(1.0,
+                    mcap * (1.0 / sqrt(CAST(total AS DOUBLE))))
+                    * 1000000) AS BIGINT) AS thr
+        FROM tot CROSS JOIN m
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN r USING (source)
+    WHERE {_TMIX_BUCKET} < r.thr
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -6779,6 +6823,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility_by_lang": _FERTILITY_ORACLE_TMPL.format(
             bpe_stream=_bpe_stream_sql()),
         "hard_negative_pairs": _hard_negative_oracle(),
+        "temperature_mixture_docs": _TMIX_ORACLE,
         "corpus_report": _corpus_report_oracle(),
         "ngram_novelty_scores": _novelty_oracle(),
         "tfidf_vectors": _tfidf_oracle(),

@@ -139,6 +139,7 @@ HEADLINE = [
     "canonical_url_dedup",
     "bpe_fertility_by_lang",
     "hard_negative_pairs",
+    "temperature_mixture_docs",
 ]
 
 

@@ -377,6 +377,83 @@ def mixture_sample(
     return df.filter(bucket < threshold)
 
 
+def temperature_weights(
+    totals: dict[str, int], temperature: float = 0.5
+) -> dict[str, float]:
+    """Source weights from the empirical size distribution raised to
+    `temperature` (the mT5 / UniMax mixing rule): tau=1 keeps natural
+    proportions, tau -> 0 approaches uniform — small sources get
+    upweighted without ever being upsampled. Driver arithmetic over the
+    bounded per-source totals."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    pos = {s: float(n) for s, n in totals.items() if n > 0}
+    if not pos:
+        raise ValueError("no source has a positive total")
+    powed = {s: n ** temperature for s, n in pos.items()}
+    z = sum(powed.values())
+    return {s: v / z for s, v in powed.items()}
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_col: str,
+    temperature: float = 0.5,
+    budget_tokens: int | None = None,
+    seed: str = "tmix",
+) -> DataFrame:
+    """mixture_sample with the target mix DERIVED from the corpus
+    itself: per-source token totals ^ temperature, renormalized
+    (temperature sampling). One bounded totals aggregate feeds both the
+    weight derivation and the keep-rate solve; the corpus-side filter
+    is the same pushed-down deterministic hash threshold."""
+    import math
+
+    totals = {
+        r[0]: int(r[1])
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("long")))
+        .collect()
+    }
+    if budget_tokens is None:
+        # the normalizer z cancels out of rate_s = w_s * tmax / total_s:
+        #   rate_s = min_u(total_u^(1-tau)) * total_s^(tau-1)
+        # computing the cancelled form skips a cross-source float sum
+        # whose accumulation order differs between engines — every term
+        # is a per-source power + one multiply, so an external oracle
+        # reproduces each rate bit-for-bit. tau=0.5 routes through
+        # IEEE-exact sqrt (libm pow is not correctly rounded).
+        def _pw(x: float, e: float) -> float:
+            if e == 0.5:
+                return math.sqrt(x)
+            if e == -0.5:
+                return 1.0 / math.sqrt(x)
+            return x ** e
+
+        pos = {s: float(n) for s, n in totals.items() if n > 0}
+        if not pos:
+            raise ValueError("no source has a positive total")
+        if temperature <= 0:
+            raise ValueError("temperature must be positive")
+        mcap = min(_pw(t, 1.0 - temperature) for t in pos.values())
+        rates = {
+            s: min(1.0, mcap * _pw(t, temperature - 1.0))
+            for s, t in pos.items()
+        }
+    else:
+        weights = temperature_weights(totals, temperature)
+        rates = mixture_rates(totals, weights, budget_tokens)
+    bucket = _bucket(id_col, seed)
+    threshold: Column = F.lit(0)
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(source_col) == value, F.lit(int(rate * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -741,3 +741,36 @@ def test_tokenizer_fertility_groups(spark):
     # long compound words -> more BPE tokens per word than short English
     assert out["de"]["fertility"] > out["en"]["fertility"]
     assert out["en"]["chars_per_token"] > 0
+
+
+def test_temperature_mixture_flattens_sources(spark):
+    from data_pipeline_framework_spark.functions.sampling import (
+        temperature_mixture_sample,
+        temperature_weights,
+    )
+
+    # 10:1 size imbalance; tau=0.5 should keep ALL of the small source
+    # and sqrt(1/10) of the big one
+    rows = [(i, "big", 10) for i in range(1000)] + [
+        (10_000 + i, "small", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok int")
+    out = temperature_mixture_sample(
+        df, "doc_id", "source", "tok", temperature=0.5)
+    kept = {r["source"]: r["n"] for r in out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept["small"] == 100            # smallest source fully kept
+    import math
+
+    expect_big = math.sqrt(1000 / 10000.0)  # sqrt(min_total/total)
+    assert abs(kept["big"] / 1000 - expect_big) < 0.05
+
+    w = temperature_weights({"a": 100, "b": 900}, temperature=0.5)
+    assert abs(w["a"] + w["b"] - 1.0) < 1e-12
+    assert w["b"] / w["a"] == pytest.approx(3.0)  # sqrt(9)
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 100}, temperature=0.0)
+    # budget path routes through mixture_rates
+    capped = temperature_mixture_sample(
+        df, "doc_id", "source", "tok", temperature=0.5,
+        budget_tokens=2000)
+    assert capped.count() < out.count()
