@@ -52,6 +52,7 @@ _BNL_OK = {
     "bm25_search",          # broadcast 1-row (N, avgdl) corpus stats
     "keyword_extraction",   # broadcast 1-row corpus count for idf
     "funnel_conversion_events",  # broadcast 1-row step-1 denominator
+    "dsir_importance_scores",  # broadcast 1-row target/raw gram totals
 }
 
 # queries whose operators legitimately run vectorized Python
