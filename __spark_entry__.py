@@ -4927,6 +4927,82 @@ def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_url_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter crawl membership: a 4096-bit / 4-hash filter is
+    built over the 'historical crawl' (docs with doc_id % 10 < 7,
+    keyed by source/doc_id) and every doc probed against it — the
+    incremental-ingest primitive that skips re-processing yesterday's
+    URLs without keeping the URL set. The filter is m/32 rows of
+    bit-OR'd words (one bounded groupBy); the probe is an explode ->
+    broadcast join -> bool_and. md5-derived bit positions make the
+    filter — including its false positives — bit-identical in the
+    DuckDB oracle, which asserts no false negatives by construction."""
+    from data_pipeline_framework_spark.functions.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = docs.withColumn(
+        "k",
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")),
+    )
+    hist = keyed.filter(F.col("doc_id") % 10 < 7)
+    bloom = bloom_build(hist, "k", m_bits=4096, k=4)
+    probed = bloom_probe(bloom, keyed, "k", m_bits=4096, k=4)
+    return probed.select(
+        "doc_id",
+        F.col("maybe_member").cast("int").alias("maybe_member"),
+        (F.col("doc_id") % 10 < 7).cast("int").alias("true_member"),
+    ).orderBy("doc_id")
+
+
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (vs duplicate_span_flags which
+    only measures): every repeated 10-token window is cut from the
+    corpus except its canonical (lowest (doc, pos)) occurrence, and
+    each document's text rebuilt from the surviving tokens. The oracle
+    replays hashing, canonical election, span coverage, and the full
+    rebuilt string."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_duplicate_spans(docs, "doc_id", "text", n=10)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("removed_tokens").cast("long").alias("removed_tokens"),
+        "clean_text",
+    ).orderBy("doc_id")
+
+
+def packed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_shards (distributed two-phase cumsum) into ~5k-token
+    shards, then the per-shard manifest a dataloader verifies against:
+    doc/token/byte counts, id range, and an order-independent XOR
+    content fingerprint (mergeable across partial re-packs). One hash
+    agg on the shard key after the packing pass."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        pack_shards,
+        shard_manifest,
+    )
+    from data_pipeline_framework_spark.functions.text import tokens
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("n_toks", F.size(tokens("text")).cast("long"))
+    )
+    packed = pack_shards(
+        docs, "doc_id", "n_toks", budget=5000, n_buckets=8
+    )
+    return shard_manifest(
+        packed, "shard", "doc_id", "n_toks", "text"
+    ).orderBy("shard")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5024,6 +5100,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility_by_lang": bpe_fertility_by_lang,
         "hard_negative_pairs": hard_negative_pairs,
         "temperature_mixture_docs": temperature_mixture_docs,
+        "bloom_url_membership": bloom_url_membership,
+        "duplicate_span_removal": duplicate_span_removal,
+        "packed_shard_manifest": packed_shard_manifest,
         "corpus_report": corpus_report,
         "ngram_novelty_scores": ngram_novelty_scores,
         "neardup_clusters": neardup_clusters,
@@ -6038,6 +6117,121 @@ _TMIX_ORACLE = f"""
 """
 
 
+# Bloom filter twin: same md5 bit positions, 32-bit words in BIGINTs,
+# bit_or build / bool_and probe — false positives replay bit-for-bit.
+_BLOOM_ORACLE = """
+    WITH keys AS (
+        SELECT doc_id,
+               source || '/' || CAST(doc_id AS VARCHAR) AS k
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('bl' || CAST(j AS VARCHAR)
+                    || ':' || k), 1, 13)) AS BIGINT) % 4096 AS p
+        FROM keys, LATERAL (SELECT unnest(range(4)) AS j)
+    ),
+    words AS (
+        SELECT p // 32 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        FROM pos WHERE doc_id % 10 < 7 GROUP BY 1
+    ),
+    probe AS (
+        SELECT doc_id, p // 32 AS word,
+               CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS mask
+        FROM pos
+    ),
+    m AS (
+        SELECT doc_id,
+               bool_and((COALESCE(bits, 0) & mask) = mask) AS mm
+        FROM probe LEFT JOIN words USING (word)
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN mm THEN 1 ELSE 0 END AS maybe_member,
+           CASE WHEN doc_id % 10 < 7 THEN 1 ELSE 0 END AS true_member
+    FROM m ORDER BY doc_id
+"""
+
+# ExactSubstr removal twin: 10-token windows, canonical occurrence =
+# min (doc, pos) packed as doc*1000000+pos, covered positions exploded
+# and the text rebuilt with list expressions.
+_SPAN_REMOVAL_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, {_DD_TOKS} AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               {_DD_HASH.format(x=(
+                   "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || "
+                   "ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || "
+                   "ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8] || ' ' || "
+                   "ws[i+9]"))} AS h
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 8)) AS i)
+    ),
+    st AS (
+        SELECT h, count(*) AS cnt,
+               min(doc_id * 1000000 + pos) AS can
+        FROM g GROUP BY h
+    ),
+    rm AS (
+        SELECT g.doc_id, g.pos
+        FROM g JOIN st USING (h)
+        WHERE st.cnt > 1 AND g.doc_id * 1000000 + g.pos <> st.can
+    ),
+    cpos AS (
+        SELECT DISTINCT doc_id, pos + j AS p
+        FROM rm, LATERAL (SELECT unnest(range(10)) AS j)
+    ),
+    cl AS (SELECT doc_id, count(*) AS n_cov, list(p) AS cov
+           FROM cpos GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_cov, 0) AS BIGINT) AS removed_tokens,
+           COALESCE(array_to_string(
+               list_transform(
+                   list_filter(range(1, len(ws) + 1),
+                       p -> NOT list_contains(
+                           COALESCE(cov, CAST([] AS BIGINT[])), p)),
+                   p -> ws[CAST(p AS INT)]),
+               ' '), '') AS clean_text
+    FROM w LEFT JOIN cl USING (doc_id)
+    ORDER BY w.doc_id
+"""
+
+# shard-manifest twin: same exclusive cumsum -> shard assignment as
+# token_shard_packing, then one grouped agg with the XOR fingerprint.
+_SHARD_MANIFEST_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               CAST(len({_DD_TOKS}) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    ofs AS (
+        SELECT doc_id, text, n_toks,
+               CAST(SUM(n_toks) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_toks AS BIGINT) AS token_offset
+        FROM t
+    ),
+    sh AS (
+        SELECT doc_id, text, n_toks,
+               CAST(FLOOR(token_offset / 5000.0) AS BIGINT) AS shard
+        FROM ofs
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id,
+           bit_xor(CAST(('0x' || substr(md5('mf' || ':'
+               || CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 13))
+               AS BIGINT)) AS content_fingerprint
+    FROM sh GROUP BY shard ORDER BY shard
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -6824,6 +7018,9 @@ def oracle_sql() -> dict[str, str]:
             bpe_stream=_bpe_stream_sql()),
         "hard_negative_pairs": _hard_negative_oracle(),
         "temperature_mixture_docs": _TMIX_ORACLE,
+        "bloom_url_membership": _BLOOM_ORACLE,
+        "duplicate_span_removal": _SPAN_REMOVAL_ORACLE,
+        "packed_shard_manifest": _SHARD_MANIFEST_ORACLE,
         "corpus_report": _corpus_report_oracle(),
         "ngram_novelty_scores": _novelty_oracle(),
         "tfidf_vectors": _tfidf_oracle(),

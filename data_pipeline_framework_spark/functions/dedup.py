@@ -615,6 +615,103 @@ def duplicate_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL (Lee et al.): where
+    duplicate_span_stats only measures, this rewrites each document
+    with every repeated length-``n`` token window cut out — except the
+    corpus-wide canonical occurrence (lexicographically smallest
+    (doc, position)), so exactly one copy of every duplicated span
+    survives, like the suffix-array dedup pass a pretraining corpus
+    gets before tokenization.
+
+    Output: id, n_tokens, removed_tokens, ``out_col`` (the rebuilt
+    text, original token order, duplicated spans dropped).
+
+    Scale shape: windows travel as 52-bit hashes; the global
+    canonical/count agg is ONE groupBy on the hash (map-side partials).
+    Only occurrences of *duplicated* hashes flow into the doc-level
+    regroup — the corpus' unique windows (the overwhelming majority)
+    never leave stage one. Span coverage is resolved per doc with
+    array expressions over the (small) list of removal starts; no
+    token-level shuffle of the corpus.
+    """
+    from .text import _gram_stream, hash52, tokens
+
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("__w")
+    ).select(id_col, "__w", F.size("__w").alias("n_words")).persist()
+    # (id, pos, hash) occurrence stream — _gram_stream positions are
+    # 1-based, matching element_at
+    occ = (
+        base.filter(F.size("__w") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("__w") - (n - 1))
+            ).alias("__i"),
+            "__w",
+        )
+        .select(
+            id_col,
+            F.col("__i").cast("long").alias("pos"),
+            hash52(
+                F.concat_ws(
+                    " ", *[F.element_at("__w", F.col("__i") + j)
+                           for j in range(n)]
+                )
+            ).alias("__h"),
+        )
+    )
+    stats = occ.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+              ).alias("__can"),
+    ).filter(F.col("__cnt") > 1)
+    removals = (
+        occ.join(stats, "__h")
+        .filter(
+            ~((F.col(id_col) == F.col("__can.i"))
+              & (F.col("pos") == F.col("__can.p")))
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos")).alias("__rm"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                "__rm", lambda s: F.sequence(s, s + F.lit(n - 1))
+            )
+        )
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1).cast("long"), F.size("__w").cast("long")),
+        lambda p: ~F.array_contains(F.col("__cov"), p),
+    )
+    out = (
+        base.join(removals, id_col, "left")
+        .withColumn(
+            "__cov",
+            F.coalesce(covered, F.array().cast("array<bigint>")),
+        )
+        .select(
+            id_col,
+            F.col("n_words").alias("n_tokens"),
+            F.size("__cov").alias("removed_tokens"),
+            F.array_join(
+                F.transform(kept, lambda p: F.element_at("__w", p.cast("int"))),
+                " ",
+            ).alias(out_col),
+        )
+    )
+    return out
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -545,3 +545,47 @@ def epoch_shuffle(
         )
         .drop("__key", "__bkt")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    token_col: str,
+    text_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest for a packed training corpus: the audit
+    record a dataloader (or a re-run) checks shards against without
+    re-reading the documents. One hash aggregation on the shard key.
+
+    Output per shard: n_docs, n_tokens, min/max id, n_bytes (UTF-8
+    octets of ``text_col``, when given) and ``content_fingerprint`` —
+    the XOR of per-doc 52-bit (id, content) hashes. XOR makes the
+    fingerprint order-independent and overflow-free, and it MERGES:
+    the fingerprint of a shard re-written from two partial runs is the
+    XOR of the partial fingerprints, so incremental re-packs verify
+    without a full scan.
+    """
+    doc_h = hash52(
+        F.concat_ws(
+            ":",
+            F.lit("mf"),
+            F.col(id_col).cast("string"),
+            F.md5(F.col(text_col)) if text_col else F.lit(""),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+        F.min(F.col(id_col)).alias("min_id"),
+        F.max(F.col(id_col)).alias("max_id"),
+        F.bit_xor(doc_h).alias("content_fingerprint"),
+    ]
+    if text_col:
+        aggs.insert(
+            2,
+            F.sum(F.octet_length(F.col(text_col))).cast("long").alias(
+                "n_bytes"
+            ),
+        )
+    return df.groupBy(shard_col).agg(*aggs)

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from .text import hash52
 
-__all__ = ["cms_bucket", "count_min_table", "cms_lookup"]
+__all__ = [
+    "cms_bucket", "count_min_table", "cms_lookup",
+    "bloom_build", "bloom_probe",
+]
 
 
 def cms_bucket(key: Column | str, row: int, width: int) -> Column:
@@ -100,6 +103,92 @@ def cms_lookup(
         F.broadcast(table), on=["sketch_row", "bucket"], how="left"
     ).withColumn("cnt", F.coalesce("cnt", F.lit(0)))
     return joined.groupBy(key_col).agg(F.min("cnt").alias(out_col))
+
+
+def _bloom_probes(
+    key: Column | str, k: int, m_bits: int
+) -> list[Column]:
+    """k (word, mask) probe structs for ``key``. Bit positions are
+    md5-derived (portable — a DuckDB oracle replays them exactly);
+    the filter is stored as 32-bit words inside BIGINTs so shifted
+    masks never touch the sign bit in either engine."""
+    c = F.col(key) if isinstance(key, str) else key
+    out = []
+    for j in range(k):
+        p = hash52(F.concat(F.lit(f"bl{j}:"), c.cast("string"))) % m_bits
+        # F.shiftleft needs a literal shift; pow is exact to 2^31 and
+        # the bit index is < 32, so the mask is integer-exact
+        mask = F.pow(F.lit(2.0), (p % 32).cast("double")).cast("long")
+        out.append(
+            F.struct(
+                (p / 32).cast("long").alias("word"),
+                mask.alias("mask"),
+            )
+        )
+    return out
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a DataFrame of
+    (word, bits) — at most m_bits/32 rows, whatever the input size.
+
+    The incremental-crawl membership primitive: yesterday's URL/doc
+    fingerprint set compresses to m_bits of state that today's scan
+    probes without re-reading history. No false negatives; false
+    positives bounded by the classic (1-e^{-kn/m})^k. Like the CMS,
+    it is a linear sketch: filters from different corpus slices merge
+    with a union + re-agg (bit_or is idempotent/associative), and the
+    build is ONE groupBy whose map-side partial aggregation caps
+    shuffle volume at m_bits/32 rows per input partition —
+    independent of key cardinality.
+    """
+    if m_bits <= 0 or m_bits % 32:
+        raise ValueError("m_bits must be a positive multiple of 32")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    probes = df.select(
+        F.explode(F.array(*_bloom_probes(key_col, k, m_bits))).alias("p")
+    )
+    return (
+        probes.select("p.word", "p.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe each row's ``key_col`` against a bloom_build table with
+    the same (m_bits, k): true iff every one of the key's k bits is
+    set. The filter is tiny (<= m_bits/32 rows) and broadcast; the
+    probe is an explode -> broadcast-join -> bool_and regroup, so
+    cost stays linear in probe rows with no shuffle of the corpus
+    beyond the k-row expansion."""
+    keys = df.select(F.col(key_col)).distinct()
+    probes = keys.select(
+        key_col,
+        F.explode(F.array(*_bloom_probes(key_col, k, m_bits))).alias("p"),
+    ).select(key_col, "p.word", "p.mask")
+    hit = F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+        F.col("mask")
+    ) == F.col("mask")
+    member = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .groupBy(key_col)
+        .agg(F.bool_and(hit).alias(out_col))
+    )
+    return df.join(member, key_col, "left")
 
 
 def hll_distinct_table(

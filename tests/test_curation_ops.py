@@ -774,3 +774,97 @@ def test_temperature_mixture_flattens_sources(spark):
         df, "doc_id", "source", "tok", temperature=0.5,
         budget_tokens=2000)
     assert capped.count() < out.count()
+
+
+def test_remove_duplicate_spans_hand_checked(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        remove_duplicate_spans,
+    )
+
+    # doc 1 and doc 2 share the 3-token span "x y z"; doc 1 is
+    # canonical (lower id). doc 3 is unique; doc 4 is too short.
+    rows = [
+        (1, "a b x y z c"),
+        (2, "p x y z q r"),
+        (3, "unique words only here"),
+        (4, "ab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=3).collect()
+    }
+    assert out[1]["clean_text"] == "a b x y z c"       # canonical kept
+    assert out[1]["removed_tokens"] == 0
+    assert out[2]["clean_text"] == "p q r"             # span cut
+    assert out[2]["removed_tokens"] == 3
+    assert out[3]["clean_text"] == "unique words only here"
+    assert out[4]["clean_text"] == "ab"                # shorter than n
+    assert out[4]["removed_tokens"] == 0
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        remove_duplicate_spans,
+    )
+
+    # the same 2-gram repeats inside one doc: first occurrence is
+    # canonical, the second is removed
+    df = spark.createDataFrame(
+        [(1, "x y a x y")], "doc_id long, text string"
+    )
+    [r] = remove_duplicate_spans(df, "doc_id", "text", n=2).collect()
+    assert r["clean_text"] == "x y a"
+    assert r["removed_tokens"] == 2
+
+
+def test_remove_duplicate_spans_overlapping_coverage(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        remove_duplicate_spans,
+    )
+
+    # doc 2 repeats doc 1's whole 4-token text: every 2-gram window of
+    # doc 2 is a duplicate, overlapping spans cover the entire doc
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=2).collect()
+    }
+    assert out[1]["removed_tokens"] == 0
+    assert out[2]["clean_text"] == ""
+    assert out[2]["removed_tokens"] == 4
+
+
+def test_shard_manifest_counts_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_framework_spark.functions.sampling import (
+        shard_manifest,
+    )
+
+    rows = [
+        (1, 0, 10, "aaa"), (2, 0, 20, "bbbb"),
+        (3, 1, 5, "cc"), (4, 1, 7, "ddd"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, shard long, n_toks long, text string"
+    )
+    m = {r["shard"]: r
+         for r in shard_manifest(df, "shard", "doc_id", "n_toks",
+                                 "text").collect()}
+    assert m[0]["n_docs"] == 2 and m[0]["n_tokens"] == 30
+    assert m[0]["n_bytes"] == 7
+    assert m[0]["min_id"] == 1 and m[0]["max_id"] == 2
+    assert m[1]["n_tokens"] == 12
+
+    # fingerprint is order-independent and merges by XOR: manifest of
+    # the union == XOR of the partial fingerprints
+    half1 = shard_manifest(
+        df.filter(F.col("doc_id") == 1), "shard", "doc_id", "n_toks", "text"
+    ).collect()[0]["content_fingerprint"]
+    half2 = shard_manifest(
+        df.filter(F.col("doc_id") == 2), "shard", "doc_id", "n_toks", "text"
+    ).collect()[0]["content_fingerprint"]
+    assert (half1 ^ half2) == m[0]["content_fingerprint"]

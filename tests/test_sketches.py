@@ -165,3 +165,70 @@ def test_count_min_composes_with_streaming_windows(spark, tmp_path):
     # every emitted (window, cell) matches the batch sketch exactly
     for key, cnt in got.items():
         assert want[key] == cnt
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from data_pipeline_framework_spark.functions.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = [(f"url-{i}",) for i in range(200)]
+    others = [(f"other-{i}",) for i in range(200)]
+    mdf = spark.createDataFrame(members, "k string")
+    odf = spark.createDataFrame(others, "k string")
+    bloom = bloom_build(mdf, "k", m_bits=4096, k=4)
+    # filter state is bounded by m_bits/32 words
+    assert bloom.count() <= 4096 // 32
+
+    probed = bloom_probe(bloom, mdf.union(odf), "k", m_bits=4096, k=4)
+    got = {r["k"]: r["maybe_member"] for r in probed.collect()}
+    # every true member answers True (no false negatives, ever)
+    assert all(got[k] for k, in members)
+    # FP rate at kn/m = 4*200/4096: overwhelming majority of
+    # non-members answer False
+    fps = sum(1 for k, in others if got[k])
+    assert fps < 20
+
+    # linearity: build over halves, union + re-agg == direct build
+    h1 = bloom_build(mdf.limit(100), "k", m_bits=4096, k=4)
+    h2 = bloom_build(
+        spark.createDataFrame(members[100:], "k string"),
+        "k", m_bits=4096, k=4,
+    )
+    merged = (
+        h1.unionByName(h2).groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = {(r["word"], r["bits"]) for r in bloom.collect()}
+    assert {(r["word"], r["bits"]) for r in merged.collect()} == direct
+
+
+def test_bloom_probe_missing_words_are_nonmember(spark):
+    from data_pipeline_framework_spark.functions.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    empty = bloom_build(
+        spark.createDataFrame([], "k string"), "k", m_bits=256, k=3
+    )
+    probed = bloom_probe(
+        empty, spark.createDataFrame([("x",)], "k string"), "k",
+        m_bits=256, k=3,
+    )
+    assert [r["maybe_member"] for r in probed.collect()] == [False]
+
+
+def test_bloom_rejects_bad_params(spark):
+    import pytest
+
+    from data_pipeline_framework_spark.functions.sketches import bloom_build
+
+    df = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", m_bits=100, k=4)   # not a multiple of 32
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", m_bits=256, k=0)
