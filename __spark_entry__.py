@@ -5003,6 +5003,24 @@ def packed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard")
 
 
+def collocation_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collocation extraction by PMI over within-doc word bigrams
+    (Church & Hanks): two count aggregations + token-key joins, no
+    pair enumeration. The PMI expression shape is mirrored verbatim in
+    the oracle so values are IEEE-identical."""
+    from data_pipeline_framework_spark.functions.text import (
+        collocation_pmi,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = collocation_pmi(docs, "doc_id", "text", min_count=5)
+    return out.select(
+        "w1", "w2",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        _r(F.col("pmi"), 6).alias("pmi"),
+    ).orderBy("w1", "w2")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5101,6 +5119,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_pairs": hard_negative_pairs,
         "temperature_mixture_docs": temperature_mixture_docs,
         "bloom_url_membership": bloom_url_membership,
+        "collocation_pmi_pairs": collocation_pmi_pairs,
         "duplicate_span_removal": duplicate_span_removal,
         "packed_shard_manifest": packed_shard_manifest,
         "corpus_report": corpus_report,
@@ -6199,6 +6218,37 @@ _SPAN_REMOVAL_ORACLE = f"""
     ORDER BY w.doc_id
 """
 
+# PMI collocation twin: identical count joins and the identical
+# ln((cab/T2) / ((ca/T1)*(cb/T1))) expression shape.
+_PMI_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, {_DD_TOKS} AS ws FROM documents
+    ),
+    uni AS (
+        SELECT t AS w, count(*) AS c
+        FROM (SELECT unnest(ws) AS t FROM w) GROUP BY t
+    ),
+    t1 AS (SELECT CAST(SUM(c) AS BIGINT) AS t1 FROM uni),
+    t2 AS (
+        SELECT CAST(SUM(GREATEST(len(ws) - 1, 0)) AS BIGINT) AS t2 FROM w
+    ),
+    bi AS (
+        SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS pair_count
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT bi.w1, bi.w2, CAST(pair_count AS BIGINT) AS pair_count,
+           FLOOR(ln((CAST(pair_count AS DOUBLE) / t2)
+                 / ((CAST(u1.c AS DOUBLE) / t1)
+                    * (CAST(u2.c AS DOUBLE) / t1))) * 1e6 + 0.5) / 1e6
+               AS pmi
+    FROM bi
+    JOIN uni u1 ON bi.w1 = u1.w
+    JOIN uni u2 ON bi.w2 = u2.w
+    CROSS JOIN t1 CROSS JOIN t2
+    ORDER BY bi.w1, bi.w2
+"""
+
 # shard-manifest twin: same exclusive cumsum -> shard assignment as
 # token_shard_packing, then one grouped agg with the XOR fingerprint.
 _SHARD_MANIFEST_ORACLE = f"""
@@ -7019,6 +7069,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negative_pairs": _hard_negative_oracle(),
         "temperature_mixture_docs": _TMIX_ORACLE,
         "bloom_url_membership": _BLOOM_ORACLE,
+        "collocation_pmi_pairs": _PMI_ORACLE,
         "duplicate_span_removal": _SPAN_REMOVAL_ORACLE,
         "packed_shard_manifest": _SHARD_MANIFEST_ORACLE,
         "corpus_report": _corpus_report_oracle(),

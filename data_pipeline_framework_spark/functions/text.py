@@ -827,3 +827,66 @@ def dedup_paragraphs(
             .cast("long").alias("n_removed"),
         )
     )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a) p(b)) ) over within-document word
+    bigrams — the classic collocation / multi-word-expression extractor
+    (Church & Hanks 1990), used in corpus curation to find phrases
+    worth protecting from tokenizer splits.
+
+    Output: w1, w2, pair_count, pmi — pairs seen >= ``min_count``
+    times. The expression shape (two divides, one multiply, one ln) is
+    kept verbatim in the SQL oracle so PMI values are IEEE-identical.
+
+    Scale shape: unigram and bigram counts are each ONE groupBy with
+    map-side partials; the two count joins shuffle on the token key.
+    No pair enumeration beyond bigrams that actually occur.
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("__w")).select(
+        id_col, "__w", F.size("__w").alias("n_words")
+    )
+    uni = (
+        base.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t1 = uni.agg(F.sum("c").alias("t")).withColumnRenamed("t", "__t1")
+    bi = (
+        _gram_stream(base, id_col, 2)
+        .select(
+            F.split_part(F.col("__gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("__gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    # total bigrams without a second gram pass: sum of (n_words - 1)
+    t2 = base.agg(
+        F.sum(
+            F.greatest(F.col("n_words") - 1, F.lit(0))
+        ).alias("__t2")
+    )
+    j = (
+        bi.join(uni.withColumnRenamed("w", "w1")
+                .withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+    )
+    pmi = F.log(
+        (F.col("pair_count").cast("double") / F.col("__t2"))
+        / (
+            (F.col("c1").cast("double") / F.col("__t1"))
+            * (F.col("c2").cast("double") / F.col("__t1"))
+        )
+    )
+    return j.select("w1", "w2", "pair_count", pmi.alias("pmi"))

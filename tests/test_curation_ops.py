@@ -868,3 +868,34 @@ def test_shard_manifest_counts_and_merge(spark):
         df.filter(F.col("doc_id") == 2), "shard", "doc_id", "n_toks", "text"
     ).collect()[0]["content_fingerprint"]
     assert (half1 ^ half2) == m[0]["content_fingerprint"]
+
+
+def test_collocation_pmi_hand_checked(spark):
+    import math
+
+    from data_pipeline_framework_spark.functions.text import collocation_pmi
+
+    # "new york" appears 3x; unigrams: new=3, york=3, total T1=8;
+    # bigrams: T2=5 (doc1 has 4, doc2 has 1)
+    df = spark.createDataFrame(
+        [(1, "new york new york a"), (2, "new york"), (3, "b")],
+        "doc_id long, text string",
+    )
+    out = {(r["w1"], r["w2"]): r
+           for r in collocation_pmi(df, "doc_id", "text",
+                                    min_count=3).collect()}
+    assert set(out) == {("new", "york")}
+    r = out[("new", "york")]
+    assert r["pair_count"] == 3
+    t1, t2 = 8.0, 5.0
+    want = math.log((3 / t2) / ((3 / t1) * (3 / t1)))
+    assert abs(r["pmi"] - want) < 1e-12
+
+
+def test_collocation_pmi_min_count_filters(spark):
+    from data_pipeline_framework_spark.functions.text import collocation_pmi
+
+    df = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    assert collocation_pmi(df, "doc_id", "text", min_count=2).count() == 0
