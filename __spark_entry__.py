@@ -5021,6 +5021,23 @@ def collocation_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("w1", "w2")
 
 
+def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic duplicate CLUSTERS: hyperplane-LSH-blocked embedding
+    near-dup pairs (cosine >= 0.35) -> alternating-star connected
+    components -> per-cluster sizes. The embedding analogue of
+    neardup_clusters: blocking means no corpus cross join, CC means no
+    adjacency collected. Oracle: the embedding-pair CTE chained into
+    recursive reachability."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_neardup_pairs(emb, threshold=0.35, dim=64)
+    labels = DD.connected_components(pairs)
+    w = Window.partitionBy("component")
+    return labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5120,6 +5137,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_docs": temperature_mixture_docs,
         "bloom_url_membership": bloom_url_membership,
         "collocation_pmi_pairs": collocation_pmi_pairs,
+        "semantic_clusters": semantic_clusters,
         "duplicate_span_removal": duplicate_span_removal,
         "packed_shard_manifest": packed_shard_manifest,
         "corpus_report": corpus_report,
@@ -5671,6 +5689,52 @@ def _embedding_neardup_oracle() -> str:
         )
         SELECT id_a, id_b, FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS cosine
         FROM scored WHERE cos_raw >= 0.35
+    """
+
+
+def _semantic_clusters_oracle() -> str:
+    """Embedding near-dup pairs chained into recursive-CTE
+    reachability: component = min vec_id reachable via pairs with
+    cosine >= 0.35."""
+    from data_pipeline_framework_spark.functions.similarity import hyperplanes
+
+    sig = _lsh_sig_sql(hyperplanes(64, 16, seed=42))
+    return f"""
+        WITH RECURSIVE c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), csig AS (
+            SELECT vec_id, v, {sig} AS sig FROM c
+        ), blks AS (
+            SELECT unnest([0, 1, 2, 3]) AS blk
+        ), cb AS (
+            SELECT vec_id, v, blk, (sig >> (blk * 4)) & 15 AS key
+            FROM csig, blks
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM cb a JOIN cb b
+              ON a.blk = b.blk AND a.key = b.key AND a.vec_id < b.vec_id
+        ), scored AS (
+            SELECT id_a, id_b, {_ANN_COS} AS cos_raw
+            FROM cand
+            JOIN (SELECT vec_id AS id_a, v AS qv FROM csig) x USING (id_a)
+            JOIN (SELECT vec_id AS id_b, v AS cv FROM csig) y USING (id_b)
+        ),
+        pairs AS (
+            SELECT id_a AS u, id_b AS v FROM scored WHERE cos_raw >= 0.35
+        ),
+        sym AS (
+            SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS n FROM sym),
+        reach(n, l) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT s.u, r.l FROM sym s JOIN reach r ON s.v = r.n
+        ),
+        labels AS (SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n)
+        SELECT node, component,
+               COUNT(*) OVER (PARTITION BY component) AS cluster_size
+        FROM labels
     """
 
 
@@ -7070,6 +7134,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture_docs": _TMIX_ORACLE,
         "bloom_url_membership": _BLOOM_ORACLE,
         "collocation_pmi_pairs": _PMI_ORACLE,
+        "semantic_clusters": _semantic_clusters_oracle(),
         "duplicate_span_removal": _SPAN_REMOVAL_ORACLE,
         "packed_shard_manifest": _SHARD_MANIFEST_ORACLE,
         "corpus_report": _corpus_report_oracle(),
