@@ -5038,6 +5038,37 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
 
 
+def curriculum_phase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality-ordered curriculum split: ntile(4) by descending
+    composite quality (id tiebreak) via the distributed-rank
+    curriculum_phases (range-bucketed, no single-partition window),
+    then per-phase doc/token counts and mean quality. Oracle: the same
+    quality expression through SQL ntile."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        curriculum_phases,
+    )
+    from data_pipeline_framework_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = quality_score(docs, "text").select(
+        "doc_id", "n_words", _r(F.col("quality"), 6).alias("q6")
+    )
+    ph = curriculum_phases(q, "q6", "doc_id", n_phases=4, n_buckets=8)
+    return (
+        ph.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            _r(F.avg("q6"), 6).alias("avg_quality"),
+        )
+        .select(
+            F.col("phase").cast("long").alias("phase"),
+            "n_docs", "n_tokens", "avg_quality",
+        )
+        .orderBy("phase")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5138,6 +5169,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_url_membership": bloom_url_membership,
         "collocation_pmi_pairs": collocation_pmi_pairs,
         "semantic_clusters": semantic_clusters,
+        "curriculum_phase_stats": curriculum_phase_stats,
         "duplicate_span_removal": duplicate_span_removal,
         "packed_shard_manifest": packed_shard_manifest,
         "corpus_report": corpus_report,
@@ -6282,6 +6314,52 @@ _SPAN_REMOVAL_ORACLE = f"""
     ORDER BY w.doc_id
 """
 
+# curriculum twin: the doc_quality_scores expression -> SQL ntile(4)
+# over (quality DESC, doc_id) -> per-phase rollup.
+def _curriculum_oracle() -> str:
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text, {_DD_TOKS} AS w, length(text) AS nc
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   CASE WHEN len(w) > 0 THEN
+                       list_sum(list_transform(w, t -> length(t))) / len(w)
+                   END AS awl,
+                   CASE WHEN nc > 0 THEN
+                       (nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       / nc END AS punct,
+                   CASE WHEN nc > 0 THEN
+                       (nc - length(regexp_replace(text, '[0-9]', '', 'g')))
+                       / nc END AS digit,
+                   CASE WHEN len(w) > 0 THEN
+                       len(list_filter(w, t -> list_contains(
+                           {_stopword_list_sql()}, t)))
+                       / len(w) END AS stop
+            FROM d
+        ), q AS (
+            SELECT doc_id, n_words,
+                   FLOOR((0.3 * LEAST(n_words / 100.0, 1.0)
+                        + 0.2 * (CASE WHEN awl BETWEEN 3.0 AND 10.0
+                                      THEN 1.0 ELSE 0.0 END)
+                        + 0.2 * LEAST(stop * 3, 1.0)
+                        + 0.3 * GREATEST(0.0, 1.0 - punct * 4 - digit * 2)
+                   ) * 1e6 + 0.5) / 1e6 AS q6
+            FROM s
+        ), ph AS (
+            SELECT doc_id, n_words, q6,
+                   ntile(4) OVER (ORDER BY q6 DESC, doc_id) AS phase
+            FROM q
+        )
+        SELECT CAST(phase AS BIGINT) AS phase,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+               FLOOR(AVG(q6) * 1e6 + 0.5) / 1e6 AS avg_quality
+        FROM ph GROUP BY phase ORDER BY phase
+    """
+
+
 # PMI collocation twin: identical count joins and the identical
 # ln((cab/T2) / ((ca/T1)*(cb/T1))) expression shape.
 _PMI_ORACLE = f"""
@@ -7135,6 +7213,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_url_membership": _BLOOM_ORACLE,
         "collocation_pmi_pairs": _PMI_ORACLE,
         "semantic_clusters": _semantic_clusters_oracle(),
+        "curriculum_phase_stats": _curriculum_oracle(),
         "duplicate_span_removal": _SPAN_REMOVAL_ORACLE,
         "packed_shard_manifest": _SHARD_MANIFEST_ORACLE,
         "corpus_report": _corpus_report_oracle(),

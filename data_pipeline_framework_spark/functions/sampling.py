@@ -589,3 +589,82 @@ def shard_manifest(
             ),
         )
     return df.groupBy(shard_col).agg(*aggs)
+
+
+def curriculum_phases(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_phases: int = 4,
+    out_col: str = "phase",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Curriculum assignment: split the corpus into ``n_phases`` equal
+    phases by DESCENDING ``score_col`` (ties broken by ascending
+    ``id_col``) — phase 1 holds the highest-quality documents, the
+    schedule quality-ordered pretraining feeds first. Semantics are
+    exactly SQL ntile(n) OVER (ORDER BY score DESC, id): the first
+    (total % n) phases get one extra row.
+
+    Default mode uses the ntile window directly — a global ORDER BY
+    that funnels one partition, fine below ~10M rows. At corpus scale
+    pass ``n_buckets``: approx-percentile split points on the score
+    range-bucket the rows, each bucket ranks in parallel, and the
+    bounded per-bucket counts (one <= n_buckets-row collect) become
+    broadcast offsets — an exact global rank with no single-partition
+    stage, then the ntile arithmetic applied to it.
+    """
+    if n_phases <= 0:
+        raise ValueError("n_phases must be positive")
+    if not n_buckets or n_buckets <= 1:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        return df.withColumn(out_col, F.ntile(n_phases).over(w))
+
+    # distributed exact rank: ascending (score, -id) buckets, so the
+    # descending rank is total - rank_asc + 1
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    [row] = df.select(
+        F.expr(
+            f"approx_percentile({score_col}, array({qs}), 10000)"
+        ).alias("b")
+    ).collect()
+    bounds = sorted({float(b) for b in (row["b"] or [])})
+    if not bounds:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        return df.withColumn(out_col, F.ntile(n_phases).over(w))
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bkt = F.size(
+        F.filter(barr, lambda b: b < F.col(score_col).cast("double"))
+    )
+    keyed = df.withColumn("__bkt", bkt)
+    counts = {
+        r["__bkt"]: r["n"]
+        for r in keyed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for i in range(len(bounds) + 1):
+        offsets[i] = acc
+        acc += counts.get(i, 0)
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col(score_col).asc(), F.col(id_col).desc())
+    )
+    rank_asc = offset_map[F.col("__bkt")] + F.row_number().over(w)
+    rank = (F.lit(total) - rank_asc + 1).cast("long")
+    # ntile(n): first (total % n) phases hold size+1 rows
+    size, rem = total // n_phases, total % n_phases
+    cut = rem * (size + 1)
+    phase = F.when(
+        F.lit(size) == 0, rank
+    ).when(
+        rank <= cut,
+        F.ceil(rank / F.lit(size + 1)),
+    ).otherwise(
+        F.lit(rem) + F.ceil((rank - cut) / F.lit(size)),
+    )
+    return keyed.withColumn(out_col, phase.cast("int")).drop("__bkt")

@@ -899,3 +899,52 @@ def test_collocation_pmi_min_count_filters(spark):
         [(1, "a b c d")], "doc_id long, text string"
     )
     assert collocation_pmi(df, "doc_id", "text", min_count=2).count() == 0
+
+
+def test_curriculum_phases_matches_ntile(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_pipeline_framework_spark.functions.sampling import (
+        curriculum_phases,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, round(rng.random(), 3)) for i in range(137)]
+    # inject score ties to exercise the id tiebreak
+    rows += [(1000 + i, 0.5) for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    want = {
+        r["doc_id"]: r["p"]
+        for r in df.withColumn("p", F.ntile(5).over(w)).collect()
+    }
+    for buckets in (None, 8):
+        got = {
+            r["doc_id"]: r["phase"]
+            for r in curriculum_phases(
+                df, "score", "doc_id", n_phases=5, n_buckets=buckets
+            ).collect()
+        }
+        assert got == want, f"n_buckets={buckets}"
+
+
+def test_curriculum_phases_fewer_rows_than_phases(spark):
+    from data_pipeline_framework_spark.functions.sampling import (
+        curriculum_phases,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, 0.1)], "doc_id long, score double"
+    )
+    got = sorted(
+        (r["doc_id"], r["phase"])
+        for r in curriculum_phases(
+            df, "score", "doc_id", n_phases=4, n_buckets=4
+        ).collect()
+    )
+    # ntile(4) over 2 rows: phases 1 and 2
+    assert got == [(1, 1), (2, 2)]
