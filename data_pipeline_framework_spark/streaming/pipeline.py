@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..operators.timeseries import _window_aggs
 
@@ -607,6 +608,77 @@ def neardup_filter_batch_fn(
         bands.join(admitted, id_col).write.mode("append").parquet(store_path)
         bands.unpersist()
         docs.unpersist()
+
+    return run_batch
+
+
+def bloom_dedup_batch_fn(
+    key_col: str,
+    store_path: str,
+    out_path: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    order_col: str | None = None,
+):
+    """Streaming EXACT-key seen-before filtering against a persistent
+    Bloom filter — the bounded-state complement of
+    neardup_filter_batch_fn: where the MinHash store grows with the
+    corpus, the Bloom store is FIXED at m_bits/32 rows forever, the
+    right shape when the key set (URLs, content fingerprints) is
+    billions and the question is only "probably seen?" (no false
+    negatives; FP rate set by m and k).
+
+    Returns a foreachBatch callable. Per batch: (1) OR-merge the
+    store's appended partial filters (bit_or groupBy over <= m/32
+    rows), (2) probe batch keys, also flagging within-batch repeats
+    when ``order_col`` is given (first-wins), (3) append rows +
+    `maybe_seen` to `out_path`, (4) append this batch's partial
+    filter to the store.
+
+    At-least-once safety comes from Bloom linearity: re-appending a
+    replayed batch's partial filter ORs in bits that are already set —
+    a no-op — and readers always merge before probing. No driver
+    state, no state-store memory; everything is a bounded parquet
+    table.
+    """
+    from data_pipeline_framework_spark.functions.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+
+        jvm = spark._jvm
+        jsc = spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = hpath.getFileSystem(jsc)
+        if fs.exists(hpath):
+            bloom = (
+                spark.read.parquet(store_path)
+                .groupBy("word")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+            probed = bloom_probe(
+                bloom, batch, key_col, m_bits=m_bits, k=k,
+                out_col="maybe_seen",
+            )
+        else:  # first batch: nothing seen yet
+            probed = batch.withColumn("maybe_seen", F.lit(False))
+
+        if order_col is not None:
+            w = Window.partitionBy(key_col).orderBy(order_col)
+            probed = probed.withColumn(
+                "maybe_seen",
+                F.col("maybe_seen") | (F.row_number().over(w) > 1),
+            )
+        probed.withColumn("batch_id", F.lit(int(batch_id))) \
+            .write.mode("append").parquet(out_path)
+        bloom_build(
+            batch.select(key_col), key_col, m_bits=m_bits, k=k
+        ).write.mode("append").parquet(store_path)
+        batch.unpersist()
 
     return run_batch
 

@@ -53,6 +53,7 @@ _BNL_OK = {
     "keyword_extraction",   # broadcast 1-row corpus count for idf
     "funnel_conversion_events",  # broadcast 1-row step-1 denominator
     "dsir_importance_scores",  # broadcast 1-row target/raw gram totals
+    "collocation_pmi_pairs",  # broadcast 1-row T1/T2 corpus totals
 }
 
 # queries whose operators legitimately run vectorized Python

@@ -787,3 +787,77 @@ def test_funnel_stream_matches_batch_twin(spark, events, stream_dir):
         .collect()
     }
     assert buffered == truth
+
+
+def test_bloom_dedup_stream_two_batches_and_replay(spark, tmp_path):
+    """Real availableNow stream, one file per micro-batch: batch 1's
+    keys are unseen, batch 2's repeats are flagged (no false
+    negatives), and a checkpointed replay appends nothing new."""
+    d = tmp_path / "bloom_in"
+    spark.createDataFrame(
+        [(i, f"url-{i}") for i in range(100)], "rid long, k string"
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    # batch 2: 50 repeats + 50 fresh
+    spark.createDataFrame(
+        [(1000 + i, f"url-{i}") for i in range(50)]
+        + [(2000 + i, f"new-{i}") for i in range(50)],
+        "rid long, k string",
+    ).coalesce(1).write.parquet(str(d / "f2"))
+
+    store = str(tmp_path / "bloom_store")
+    out = str(tmp_path / "bloom_out")
+    schema = "rid long, k string"
+
+    def run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "*"))
+        )
+        q = ST.write_stream(
+            sdf,
+            foreach_batch=ST.bloom_dedup_batch_fn(
+                "k", store, out, m_bits=1 << 14, k=4, order_col="rid"
+            ),
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    res = spark.read.parquet(out)
+    assert res.count() == 200
+    seen = {r["k"]: r["maybe_seen"]
+            for r in res.filter(F.col("rid") >= 1000).collect()}
+    # every repeated key MUST be flagged (no false negatives)
+    assert all(seen[f"url-{i}"] for i in range(50))
+    # fresh keys: overwhelmingly unseen (16384 bits vs 100 keys)
+    fps = sum(1 for i in range(50) if seen[f"new-{i}"])
+    assert fps <= 2
+    # batch 1 saw an empty store
+    b1 = res.filter(F.col("rid") < 1000)
+    assert b1.filter(F.col("maybe_seen")).count() == 0
+    # the filter state is bounded regardless of key volume
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    assert merged.count() <= (1 << 14) // 32
+
+    # checkpointed replay: availableNow finds nothing new
+    run()
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_bloom_dedup_within_batch_first_wins(spark, tmp_path):
+    fn = ST.bloom_dedup_batch_fn(
+        "k", str(tmp_path / "s"), str(tmp_path / "o"),
+        m_bits=1 << 12, k=4, order_col="rid",
+    )
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "rid long, k string"
+    )
+    fn(batch, 0)
+    got = {r["rid"]: r["maybe_seen"]
+           for r in spark.read.parquet(str(tmp_path / "o")).collect()}
+    assert got == {1: False, 2: True, 3: False}
