@@ -5069,6 +5069,27 @@ def curriculum_phase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BADWORDS = ["slow", "drop", "null", "error"]
+
+
+def badword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style word-blocklist scoring: per doc, count and
+    fraction of tokens on a literal blocklist plus the threshold flag —
+    a pure in-projection expression, zero shuffles/UDFs."""
+    from data_pipeline_framework_spark.functions.text import (
+        blocklist_fraction,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = blocklist_fraction(docs, "text", _BADWORDS)
+    return out.select(
+        "doc_id",
+        F.col("blocked_count").alias("blocked_count"),
+        _r(F.col("blocked_frac"), 6).alias("blocked_frac"),
+        F.col("blocked_any").cast("int").alias("blocked_any"),
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5170,6 +5191,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_pmi_pairs": collocation_pmi_pairs,
         "semantic_clusters": semantic_clusters,
         "curriculum_phase_stats": curriculum_phase_stats,
+        "badword_scores": badword_scores,
         "duplicate_span_removal": duplicate_span_removal,
         "packed_shard_manifest": packed_shard_manifest,
         "corpus_report": corpus_report,
@@ -6314,6 +6336,10 @@ _SPAN_REMOVAL_ORACLE = f"""
     ORDER BY w.doc_id
 """
 
+def _badwords_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _BADWORDS) + "]"
+
+
 # curriculum twin: the doc_quality_scores expression -> SQL ntile(4)
 # over (quality DESC, doc_id) -> per-phase rollup.
 def _curriculum_oracle() -> str:
@@ -7214,6 +7240,22 @@ def oracle_sql() -> dict[str, str]:
         "collocation_pmi_pairs": _PMI_ORACLE,
         "semantic_clusters": _semantic_clusters_oracle(),
         "curriculum_phase_stats": _curriculum_oracle(),
+        "badword_scores": f"""
+            WITH d AS (
+                SELECT doc_id, {_DD_TOKS} AS w FROM documents
+            ), s AS (
+                SELECT doc_id, len(w) AS n,
+                       len(list_filter(w, t -> list_contains(
+                           {_badwords_sql()}, t))) AS hits
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(hits AS BIGINT) AS blocked_count,
+                   FLOOR((CASE WHEN n > 0 THEN hits / CAST(n AS DOUBLE)
+                          ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS blocked_frac,
+                   CASE WHEN hits > 0 THEN 1 ELSE 0 END AS blocked_any
+            FROM s ORDER BY doc_id
+        """,
         "duplicate_span_removal": _SPAN_REMOVAL_ORACLE,
         "packed_shard_manifest": _SHARD_MANIFEST_ORACLE,
         "corpus_report": _corpus_report_oracle(),

@@ -890,3 +890,35 @@ def collocation_pmi(
         )
     )
     return j.select("w1", "w2", "pair_count", pmi.alias("pmi"))
+
+
+def blocklist_fraction(
+    df: DataFrame,
+    text_col: str,
+    blocklist: list[str],
+    out_prefix: str = "blocked",
+) -> DataFrame:
+    """Word-blocklist scoring (the C4/RefinedWeb "bad words" filter
+    family): per document, the count and fraction of tokens that
+    appear in ``blocklist``, plus a boolean flag any curation config
+    thresholds on. The blocklist becomes an array literal evaluated
+    inside the row's projection — zero shuffles, zero UDFs; for
+    blocklists too big for a literal (>~10k terms), join a broadcast
+    DataFrame of terms against exploded tokens instead.
+
+    Adds: {prefix}_count, {prefix}_frac, {prefix}_any.
+    """
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    terms = [t.lower() for t in blocklist]
+    toks = tokens(F.col(text_col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*terms)))
+    n = F.size(toks)
+    return (
+        df.withColumn(f"{out_prefix}_count", hits.cast("long"))
+        .withColumn(
+            f"{out_prefix}_frac",
+            F.when(n > 0, hits / n.cast("double")).otherwise(F.lit(0.0)),
+        )
+        .withColumn(f"{out_prefix}_any", hits > 0)
+    )

@@ -948,3 +948,24 @@ def test_curriculum_phases_fewer_rows_than_phases(spark):
     )
     # ntile(4) over 2 rows: phases 1 and 2
     assert got == [(1, 1), (2, 2)]
+
+
+def test_blocklist_fraction_hand_checked(spark):
+    from data_pipeline_framework_spark.functions.text import (
+        blocklist_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Bad word bad again fine"), (2, "all clean"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in blocklist_fraction(df, "text", ["bad", "worse"]).collect()}
+    assert out[1]["blocked_count"] == 2          # case-folded matches
+    assert out[1]["blocked_frac"] == pytest.approx(2 / 5)
+    assert out[1]["blocked_any"] is True
+    assert out[2]["blocked_count"] == 0 and out[2]["blocked_any"] is False
+    assert out[3]["blocked_frac"] == 0.0
+
+    with pytest.raises(ValueError):
+        blocklist_fraction(df, "text", [])
