@@ -87,10 +87,22 @@ def fixed_codebook(
     """Seeded gaussian codebook literals — a data-independent IVF codebook.
     Recall is below a trained codebook's, but cell assignment becomes a
     deterministic function of (dim, n_cells, seed), so results are exactly
-    reproducible by an external oracle and index builds touch no data."""
+    reproducible by an external oracle and index builds touch no data.
+
+    Centers are UNIT-NORMALIZED: with raw gaussian centers the squared
+    distance v.v - 2 v.c + c.c is dominated by the c.c spread (~±2
+    sqrt(2 dim) across centers vs a ±2|v||c| data term), so for
+    normalized embeddings nearly every vector lands in the
+    smallest-norm cell — the "blocked" join silently degenerates into
+    an all-pairs cross join. Equal-norm centers make argmin a pure
+    direction comparison (argmax v.c), which keeps cells populated by
+    data direction and the within-cell joins genuinely bounded."""
     rng = random.Random(seed)
-    return [
+    cents = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_cells)
+    ]
+    return [
+        [x / math.sqrt(sum(y * y for y in c)) for x in c] for c in cents
     ]
 
 

@@ -145,3 +145,42 @@ def test_ivfpq_recall_and_probe_bound(spark):
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
     top3 = sum(sorted(cell_sizes.values(), reverse=True)[:3])
     assert top3 < 400  # probing can never touch the full corpus
+
+
+def test_fixed_codebook_unit_norm_and_balanced_cells(spark):
+    """Raw gaussian centers let the c.c spread dominate the argmin, so
+    normalized embeddings all land in the smallest-norm cell and every
+    'blocked' join silently becomes all-pairs. Guard both properties:
+    centers are unit norm, and real testdata spreads across cells."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        fixed_codebook,
+    )
+
+    cents = fixed_codebook(64, n_cells=8, seed=7)
+    for c in cents:
+        assert math.isclose(sum(x * x for x in c), 1.0, rel_tol=1e-9)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+    cells = []
+    for j, cvec in enumerate(cents):
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), c, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        d2 = -2.0 * dot + sum(x * x for x in cvec)
+        cells.append(F.struct(d2.alias("d"), F.lit(j).alias("cell")))
+    counts = [
+        r["count"]
+        for r in base.withColumn(
+            "cell", F.array_min(F.array(*cells))["cell"]
+        ).groupBy("cell").count().collect()
+    ]
+    total = sum(counts)
+    assert len(counts) >= 4            # several cells populated
+    assert max(counts) < 0.5 * total   # no degenerate mega-cell
