@@ -391,8 +391,12 @@ def embedding_neardup_pairs(
     planes = hyperplanes(dim, n_planes, seed)
     bits_per_block = n_planes // n_blocks
     sig = base.withColumn("__sig", lsh_signature(F.col("__v"), planes))
+    # per-row norm computed ONCE here: the per-pair cosine below is then
+    # a single dot-product aggregate instead of three (dot + 2 norms) —
+    # the identical float value (same inputs, same ops), ~3x less
+    # interpreted higher-order-function work on the candidate stream
     blocks = sig.select(
-        id_col, "__v",
+        id_col, "__v", _norm(F.col("__v")).alias("__n"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -404,7 +408,7 @@ def embedding_neardup_pairs(
                 for b in range(n_blocks)
             ])
         ).alias("bk"),
-    ).select(id_col, "__v", "bk.blk", "bk.key").persist()
+    ).select(id_col, "__v", "__n", "bk.blk", "bk.key").persist()
     # persisted: the 16 plane dot-products feed both sides of the self-join
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
@@ -419,11 +423,19 @@ def embedding_neardup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.__v").alias("__va"),
             F.col("b.__v").alias("__vb"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        cand.withColumn(
+            "cosine",
+            F.try_divide(
+                _dot(F.col("__va"), F.col("__vb")),
+                F.col("__na") * F.col("__nb"),
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -862,9 +874,12 @@ def semantic_dedup(
             F.col("__v"), c
         ) + _dot(c, c)
         cells.append(F.struct(d2.alias("d"), F.lit(j).alias("cell")))
-    assigned = base.withColumn(
-        "cell", F.array_min(F.array(*cells))["cell"]
-    ).persist()
+    assigned = base.withColumns({
+        "cell": F.array_min(F.array(*cells))["cell"],
+        # one norm per ROW: the per-pair cosine is a single dot-product
+        # (same float value as cosine(), 3x less interpreted work)
+        "__n": _norm(F.col("__v")),
+    }).persist()
     # persisted: the n_cells distance expressions feed both join sides
     a, b = assigned.alias("a"), assigned.alias("b")
     dup_of = (
@@ -874,7 +889,10 @@ def semantic_dedup(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
-            cosine(F.col("a.__v"), F.col("b.__v")) >= F.lit(threshold)
+            F.try_divide(
+                _dot(F.col("a.__v"), F.col("b.__v")),
+                F.col("a.__n") * F.col("b.__n"),
+            ) >= F.lit(threshold)
         )
         .groupBy(F.col(f"b.{id_col}").alias(id_col))
         .agg(F.min(F.col(f"a.{id_col}")).alias("dup_of"))
@@ -946,9 +964,10 @@ def hard_negative_mining(
             F.col("__v"), c
         ) + _dot(c, c)
         cells.append(F.struct(d2.alias("d"), F.lit(j).alias("cell")))
-    assigned = base.withColumn(
-        "cell", F.array_min(F.array(*cells))["cell"]
-    ).persist()
+    assigned = base.withColumns({
+        "cell": F.array_min(F.array(*cells))["cell"],
+        "__n": _norm(F.col("__v")),  # once per row, not per pair
+    }).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,
@@ -960,7 +979,10 @@ def hard_negative_mining(
         F.col("a.__lbl").alias("anchor_label"),
         F.col("b.__lbl").alias("negative_label"),
         F.col("a.cell").alias("cell"),
-        cosine(F.col("a.__v"), F.col("b.__v")).alias("neg_cosine"),
+        F.try_divide(
+            _dot(F.col("a.__v"), F.col("b.__v")),
+            F.col("a.__n") * F.col("b.__n"),
+        ).alias("neg_cosine"),
     )
     if min_cosine is not None:
         pairs = pairs.filter(F.col("neg_cosine") >= float(min_cosine))
