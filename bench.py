@@ -34,6 +34,8 @@ _WIDE = {
     "duplicate_span_flags", "bpe_token_counts", "bpe_shard_packing",
     "media_jpeg_roundtrip", "keyword_extraction", "semantic_dedup_keep",
     "holt_trend_smoothing", "funnel_user_stages",
+    "bloom_url_membership", "duplicate_span_removal",
+    "collocation_pmi_pairs", "semantic_clusters", "badword_scores",
 }
 
 HEADLINE = [
@@ -140,6 +142,13 @@ HEADLINE = [
     "bpe_fertility_by_lang",
     "hard_negative_pairs",
     "temperature_mixture_docs",
+    "bloom_url_membership",
+    "duplicate_span_removal",
+    "packed_shard_manifest",
+    "collocation_pmi_pairs",
+    "semantic_clusters",
+    "curriculum_phase_stats",
+    "badword_scores",
 ]
 
 
@@ -216,6 +225,11 @@ def main() -> None:
     # turns the committed scaling story into a measured 100x-vs-sf0.01
     # point without slowing the default per-round run.
     extra_dir = os.environ.get("SPARK_GRAFT_EXTRA_SF_DIR")
+    if extra_dir is None and os.path.isdir("/tmp/spark_graft_sf1"):
+        # tools/make_scale_data.py's default output: if the synthetic
+        # sf1 exists, fold the 10x sweep into the same JSON so every
+        # committed BENCH carries a measured two-SF scaling point
+        extra_dir = "/tmp/spark_graft_sf1"
     if extra_dir and os.path.isdir(extra_dir):
         extra_names = names[:31]  # the stable headline core
         extra: dict[str, float] = {}
