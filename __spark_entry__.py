@@ -5090,6 +5090,47 @@ def badword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF index vs exact brute-force cosine, per
+    query — the measurement that gates any approximate index before it
+    serves production retrieval. nprobe=2 of 8 cells so the trade-off
+    is visible. One inner join of the two top-k sets; the oracle
+    replays both pipelines and the intersection."""
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, queries, k=10)
+    approx = SIM.ivf_topk(
+        emb, queries, k=10, n_cells=8, nprobe=2,
+        centers=SIM.fixed_codebook(64, n_cells=8, seed=7),
+    )
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            _r(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5192,6 +5233,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": semantic_clusters,
         "curriculum_phase_stats": curriculum_phase_stats,
         "badword_scores": badword_scores,
+        "ann_recall_report": ann_recall_report,
         "duplicate_span_removal": duplicate_span_removal,
         "packed_shard_manifest": packed_shard_manifest,
         "corpus_report": corpus_report,
@@ -5845,6 +5887,82 @@ def _ann_ivf_oracle() -> str:
         SELECT query_id, vec_id,
                FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
         FROM ranked WHERE rank <= 10
+    """
+
+
+def _ann_recall_oracle() -> str:
+    """Brute-force and IVF(nprobe=2) top-10 replayed side by side;
+    recall = |intersection| / 10 per query."""
+    from data_pipeline_framework_spark.functions.similarity import fixed_codebook
+
+    cents = fixed_codebook(64, n_cells=8, seed=7)
+    cent_rows = ", ".join(
+        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(cents)
+    )
+    d2 = (
+        "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
+        " + list_dot_product(cent.cv, cent.cv)"
+    )
+    return f"""
+        WITH cent(cell, cv) AS (VALUES {cent_rows}),
+        c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 5
+        ), exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, c.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.v, c.v) /
+                                    (sqrt(list_dot_product(q.v, q.v)) *
+                                     sqrt(list_dot_product(c.v, c.v))) DESC,
+                                    c.vec_id
+                       ) AS rank
+                FROM q, c
+            ) WHERE rank <= 10
+        ), cassign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, cent.cell,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id ORDER BY {d2}, cent.cell
+                       ) AS rn
+                FROM c, cent
+            ) WHERE rn = 1
+        ), qprobe AS (
+            SELECT query_id, v, cell FROM (
+                SELECT q.query_id, q.v, cent.cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id ORDER BY {d2}, cent.cell
+                       ) AS rn
+                FROM q, cent
+            ) WHERE rn <= 2
+        ), approx AS (
+            SELECT query_id, vec_id FROM (
+                SELECT qprobe.query_id, cassign.vec_id,
+                       row_number() OVER (
+                           PARTITION BY qprobe.query_id
+                           ORDER BY list_dot_product(qprobe.v, cassign.v) /
+                                    (sqrt(list_dot_product(qprobe.v, qprobe.v)) *
+                                     sqrt(list_dot_product(cassign.v, cassign.v)))
+                                    DESC, cassign.vec_id
+                       ) AS rank
+                FROM qprobe JOIN cassign USING (cell)
+            ) WHERE rank <= 10
+        ), h AS (
+            SELECT query_id, count(*) AS n_hits
+            FROM exact JOIN approx USING (query_id, vec_id)
+            GROUP BY query_id
+        )
+        SELECT e.query_id,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(COALESCE(MIN(h.n_hits), 0) AS BIGINT) AS n_hits,
+               FLOOR((COALESCE(MIN(h.n_hits), 0)
+                      / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS recall
+        FROM exact e LEFT JOIN h USING (query_id)
+        GROUP BY e.query_id ORDER BY e.query_id
     """
 
 
@@ -7290,6 +7408,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "ann_recall_report": _ann_recall_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "bm25_search": _bm25_oracle(),
         "keyword_extraction": _KEYWORD_ORACLE,
