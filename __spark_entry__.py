@@ -5131,6 +5131,39 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall S-curve: ground truth = exact inverted-index
+    n-gram Jaccard pairs (df-cut disabled), probe = the banded LSH
+    pipeline at the same threshold; per 0.1-wide Jaccard bucket, how
+    many true pairs the bands surfaced. The curve every LSH parameter
+    choice (bands x rows) is tuned against — run on a sample at 100 TB.
+    Both sides verify the identical exact Jaccard, so probe pairs are a
+    strict subset of truth and recall is well-defined."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    truth = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, max_df=None
+    )
+    approx = DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
+    found = approx.select("id_a", "id_b").withColumn("__f", F.lit(1))
+    j = truth.join(found, ["id_a", "id_b"], "left")
+    bucket = F.floor(F.col("jaccard") * 10) / 10
+    return (
+        j.groupBy(bucket.alias("j_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("__f"), F.lit(0)))
+            .cast("long").alias("n_found"),
+        )
+        .withColumn(
+            "recall",
+            _r(F.col("n_found") / F.col("n_true").cast("double"), 6),
+        )
+        .orderBy("j_bucket")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5234,6 +5267,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_phase_stats": curriculum_phase_stats,
         "badword_scores": badword_scores,
         "ann_recall_report": ann_recall_report,
+        "neardup_recall_report": neardup_recall_report,
         "duplicate_span_removal": duplicate_span_removal,
         "packed_shard_manifest": packed_shard_manifest,
         "corpus_report": corpus_report,
@@ -5392,6 +5426,36 @@ def _minhash_cte_body() -> str:
                       JOIN d y ON cand.idb = y.doc_id
         )"""
     return body
+
+
+def _neardup_recall_oracle() -> str:
+    """Truth = brute all-pairs exact Jaccard >= 0.5 (fine at oracle SF);
+    probe = the minhash CTE's verified pairs; bucketed recall."""
+    return f"""
+        WITH {_minhash_cte_body()},
+        truth AS (
+            SELECT x.doc_id AS ida, y.doc_id AS idb,
+                   len(list_intersect(x.sh, y.sh))
+                     / (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh))) AS j
+            FROM d x JOIN d y ON x.doc_id < y.doc_id
+        ),
+        t AS (SELECT ida, idb, j FROM truth WHERE j >= 0.2),
+        mh AS (
+            SELECT ida, idb, 1 AS f FROM verified WHERE j >= 0.2
+        ),
+        b AS (
+            SELECT FLOOR(t.j * 10) / 10 AS j_bucket,
+                   COALESCE(mh.f, 0) AS f
+            FROM t LEFT JOIN mh USING (ida, idb)
+        )
+        SELECT j_bucket,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(SUM(f) AS BIGINT) AS n_found,
+               FLOOR((SUM(f) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS recall
+        FROM b GROUP BY j_bucket ORDER BY j_bucket
+    """
 
 
 def _mllib_english_stopwords() -> list[str]:
@@ -7409,6 +7473,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "ann_recall_report": _ann_recall_oracle(),
+        "neardup_recall_report": _neardup_recall_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "bm25_search": _bm25_oracle(),
         "keyword_extraction": _KEYWORD_ORACLE,
