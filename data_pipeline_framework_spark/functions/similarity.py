@@ -640,15 +640,19 @@ def pq_encode(
     codes = []
     for j, book in enumerate(codebooks):
         sv = _pq_sub(F.col("__v"), j, sub)
-        dists = [_sq_dist_lit(sv, c) for c in book]
-        code = F.lit(len(book) - 1)
-        for i in range(len(book) - 2, -1, -1):
-            cond = None
-            for t in range(i + 1, len(book)):
-                cmp_ = dists[i] <= dists[t]
-                cond = cmp_ if cond is None else (cond & cmp_)
-            code = F.when(cond, F.lit(i)).otherwise(code)
-        codes.append(code.cast("int"))
+        # argmin via array_min over (dist, idx) structs: lexicographic
+        # struct comparison gives ties -> lowest index, and each
+        # distance expression appears ONCE — the chained-when argmin
+        # repeated every dist O(k) times, blowing the expression tree
+        # past janino's method limit (codegen fallback) and costing
+        # k/2x redundant interpreted evaluation
+        cands = [
+            F.struct(
+                _sq_dist_lit(sv, c).alias("d"), F.lit(i).alias("i")
+            )
+            for i, c in enumerate(book)
+        ]
+        codes.append(F.array_min(F.array(*cands))["i"].cast("int"))
     return base.withColumn(out_col, F.array(*codes)).drop("__v")
 
 
