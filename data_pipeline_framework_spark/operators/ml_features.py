@@ -203,13 +203,15 @@ def create_clustering_features(
             )
             for ctr in centers
         ]
-        label = F.lit(len(centers) - 1)
-        for i in range(len(centers) - 2, -1, -1):
-            cond = None
-            for j in range(i + 1, len(centers)):
-                cmp_ = sq[i] <= sq[j]
-                cond = cmp_ if cond is None else (cond & cmp_)
-            label = F.when(cond, F.lit(i)).otherwise(label)
+        # argmin via array_min over (dist, idx) structs (ties -> lowest
+        # idx, same as the old when-chain, with each distance expression
+        # appearing once instead of O(k) times)
+        label = F.array_min(
+            F.array(*[
+                F.struct(sq[i].alias("d"), F.lit(i).alias("i"))
+                for i in range(len(centers))
+            ])
+        )["i"]
         work = work.withColumn("cluster_label", label)
         if include_distances:
             work = work.select(
@@ -434,13 +436,12 @@ def lloyd_kmeans(
             )
             for ctr in centers_now
         ]
-        cluster = F.lit(len(centers_now) - 1)
-        for i in range(len(centers_now) - 2, -1, -1):
-            cond = None
-            for j in range(i + 1, len(centers_now)):
-                c = dists[i] <= dists[j]
-                cond = c if cond is None else (cond & c)
-            cluster = F.when(cond, F.lit(i)).otherwise(cluster)
+        cluster = F.array_min(
+            F.array(*[
+                F.struct(dists[i].alias("d"), F.lit(i).alias("i"))
+                for i in range(len(centers_now))
+            ])
+        )["i"]
         return pts.withColumn("cluster", cluster)
 
     for _ in range(iters):
