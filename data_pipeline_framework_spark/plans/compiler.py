@@ -803,6 +803,80 @@ def _op_semantic_dedup(params: Mapping, ctx) -> OpFn:
     return fn
 
 
+def _op_remove_duplicate_spans(params: Mapping, ctx) -> OpFn:
+    """ExactSubstr span removal — `{"type": "remove_duplicate_spans",
+    "id_column": c, "text_column": t, "n": 20}`. Replaces the text
+    column with the rewritten text (duplicated spans cut, canonical
+    occurrence kept) and adds n_tokens/removed_tokens."""
+    from ..functions.dedup import remove_duplicate_spans
+
+    idc = params.get("id_column", "doc_id")
+    txt = params.get("text_column", "text")
+
+    def fn(df: DataFrame) -> DataFrame:
+        out = remove_duplicate_spans(
+            df, idc, txt, n=int(params.get("n", 20)), out_col="__clean"
+        )
+        return (
+            df.join(out, idc)
+            .drop(txt)
+            .withColumnRenamed("__clean", txt)
+        )
+
+    return fn
+
+
+def _op_blocklist_filter(params: Mapping, ctx) -> OpFn:
+    """Badwords filter — `{"type": "blocklist_filter", "text_column": t,
+    "blocklist": [...], "max_fraction": 0.01}`. Scores every doc and
+    drops rows whose blocked-token fraction exceeds the cap (set
+    "max_fraction": null to only annotate)."""
+    from ..functions.text import blocklist_fraction
+
+    def fn(df: DataFrame) -> DataFrame:
+        out = blocklist_fraction(
+            df,
+            params.get("text_column", "text"),
+            list(params["blocklist"]),
+        )
+        cap = params.get("max_fraction", 0.0)
+        if cap is None:
+            return out
+        return out.filter(F.col("blocked_frac") <= float(cap))
+
+    return fn
+
+
+def _op_curriculum(params: Mapping, ctx) -> OpFn:
+    """Curriculum phases — `{"type": "curriculum", "score_column": s,
+    "id_column": c, "n_phases": 4, "n_buckets": 256}` (n_buckets
+    engages the distributed exact rank; omit for the window path)."""
+    from ..functions.sampling import curriculum_phases
+
+    return lambda df: curriculum_phases(
+        df,
+        params["score_column"],
+        params.get("id_column", "doc_id"),
+        n_phases=int(params.get("n_phases", 4)),
+        n_buckets=params.get("n_buckets"),
+    )
+
+
+def _op_pack_shards(params: Mapping, ctx) -> OpFn:
+    """Token-budget shard packing — `{"type": "pack_shards",
+    "order_column": c, "token_column": t, "budget": N,
+    "n_buckets": 256}`."""
+    from ..functions.sampling import pack_shards
+
+    return lambda df: pack_shards(
+        df,
+        params["order_column"],
+        params["token_column"],
+        int(params["budget"]),
+        n_buckets=params.get("n_buckets"),
+    )
+
+
 OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "select": _op_select,
     "filter": _op_filter,
@@ -836,6 +910,10 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "cohort_retention": _op_cohort_retention,
     "bm25": _op_bm25,
     "semantic_dedup": _op_semantic_dedup,
+    "remove_duplicate_spans": _op_remove_duplicate_spans,
+    "blocklist_filter": _op_blocklist_filter,
+    "curriculum": _op_curriculum,
+    "pack_shards": _op_pack_shards,
 }
 
 

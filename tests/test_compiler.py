@@ -510,3 +510,56 @@ def test_analytics_ops_in_config_pipeline(spark):
           "dim": 2, "filter": True}]
     )(emb)
     assert sorted(r["vec_id"] for r in kept.collect()) == [0, 2]
+
+
+def test_op_remove_duplicate_spans_rewrites_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b x y z c"), (2, "p x y z q r")],
+        "doc_id long, text string",
+    )
+    fn = compile_ops([
+        {"type": "remove_duplicate_spans",
+         "params": {"n": 3, "id_column": "doc_id",
+                    "text_column": "text"}},
+    ])
+    out = {r["doc_id"]: r for r in fn(df).collect()}
+    assert out[1]["text"] == "a b x y z c"
+    assert out[2]["text"] == "p q r"
+    assert out[2]["removed_tokens"] == 3
+
+
+def test_op_blocklist_filter_drops_over_cap(spark):
+    df = spark.createDataFrame(
+        [(1, "bad bad bad"), (2, "mostly clean text bad")],
+        "doc_id long, text string",
+    )
+    fn = compile_ops([
+        {"type": "blocklist_filter",
+         "params": {"blocklist": ["bad"], "max_fraction": 0.5}},
+    ])
+    got = [r["doc_id"] for r in fn(df).collect()]
+    assert got == [2]
+    annotate = compile_ops([
+        {"type": "blocklist_filter",
+         "params": {"blocklist": ["bad"], "max_fraction": None}},
+    ])
+    assert annotate(df).count() == 2
+
+
+def test_op_curriculum_and_pack_shards(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7), 100) for i in range(40)],
+        "doc_id long, score double, n_tokens long",
+    )
+    fn = compile_ops([
+        {"type": "curriculum",
+         "params": {"score_column": "score", "id_column": "doc_id",
+                    "n_phases": 4, "n_buckets": 4}},
+        {"type": "pack_shards",
+         "params": {"order_column": "doc_id", "token_column": "n_tokens",
+                    "budget": 1000}},
+    ])
+    out = fn(df)
+    rows = out.collect()
+    assert {r["phase"] for r in rows} == {1, 2, 3, 4}
+    assert max(r["shard"] for r in rows) == 3   # 40*100 / 1000
