@@ -29,6 +29,21 @@ def _dot(a, b) -> Column:
     )
 
 
+def _dot_unrolled(a, b, dim: int) -> Column:
+    """Dot product as an unrolled codegen expression — for pair-scoring
+    hot paths where `dim` is statically known. Higher-order functions
+    (zip_with/aggregate) are interpreted per element and allocate a
+    zipped array per pair; the unrolled sum stays inside whole-stage
+    codegen. Left-associated addition starting from the first term, so
+    the float result is bit-identical to the `_dot` left fold
+    (0.0 + x == x in IEEE for the first accumulate)."""
+    terms = [a[i] * b[i] for i in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def _norm(a) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
@@ -432,7 +447,7 @@ def embedding_neardup_pairs(
         cand.withColumn(
             "cosine",
             F.try_divide(
-                _dot(F.col("__va"), F.col("__vb")),
+                _dot_unrolled(F.col("__va"), F.col("__vb"), dim),
                 F.col("__na") * F.col("__nb"),
             ),
         )
@@ -894,7 +909,9 @@ def semantic_dedup(
         )
         .filter(
             F.try_divide(
-                _dot(F.col("a.__v"), F.col("b.__v")),
+                _dot_unrolled(
+                    F.col("a.__v"), F.col("b.__v"), len(centers[0])
+                ),
                 F.col("a.__n") * F.col("b.__n"),
             ) >= F.lit(threshold)
         )
@@ -984,7 +1001,7 @@ def hard_negative_mining(
         F.col("b.__lbl").alias("negative_label"),
         F.col("a.cell").alias("cell"),
         F.try_divide(
-            _dot(F.col("a.__v"), F.col("b.__v")),
+            _dot_unrolled(F.col("a.__v"), F.col("b.__v"), len(centers[0])),
             F.col("a.__n") * F.col("b.__n"),
         ).alias("neg_cosine"),
     )
@@ -1001,3 +1018,63 @@ def hard_negative_mining(
     out.count()
     assigned.unpersist()
     return out
+
+
+def centroid_similarity(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seed_pred: Column,
+    dim: int | None = None,
+) -> DataFrame:
+    """Seed-centroid quality scoring: cosine of every embedding to the
+    centroid of a trusted seed subset (`seed_pred` rows). The GPT-3 /
+    CCNet move — "score the whole crawl by similarity to Wikipedia" —
+    done in embedding space: one tiny aggregation builds the centroid,
+    then scoring is a narrow per-row projection over the corpus.
+
+    Scale shape: the centroid is a per-dimension aggregate of the seed
+    rows via posexplode -> groupBy(pos) -> sum — fully distributed; the
+    only driver materialization is the `dim`-row centroid itself
+    (bounded by the embedding width, never the corpus). The centroid is
+    then inlined as a literal array, so corpus scoring is a single
+    codegen projection: no join, no shuffle, no second pass. Cosine is
+    invariant to positive scaling, so the UN-normalized per-dim sums
+    are used directly — with integer-quantized inputs every arithmetic
+    step is exact IEEE, reproducible across partition orders and
+    engines.
+
+    Output: df's columns + `centroid_cosine`.
+    """
+    base = df.select(F.col(vec_col).alias("__v"))
+    if dim is None:
+        row = base.filter(F.size("__v") > 0).first()
+        if row is None:
+            raise ValueError(
+                "cannot infer dim from an empty input; pass dim="
+            )
+        dim = len(row[0])
+    sums = (
+        df.filter(seed_pred)
+        .select(F.posexplode(vec_col).alias("__pos", "__x"))
+        .groupBy("__pos")
+        .agg(F.sum(F.col("__x").cast("double")).alias("__s"))
+        .collect()
+    )
+    if not sums:
+        raise ValueError("seed_pred selected no rows; centroid undefined")
+    cvals = [0.0] * dim
+    for r in sums:
+        cvals[r["__pos"]] = float(r["__s"])
+    cnorm = math.sqrt(math.fsum(v * v for v in cvals))
+    if cnorm == 0.0:
+        raise ValueError("seed centroid is the zero vector")
+    cen = F.array(*[F.lit(v) for v in cvals])
+    v = F.col(vec_col)
+    return df.withColumn(
+        "centroid_cosine",
+        F.try_divide(
+            _dot_unrolled(v, cen, dim),
+            _norm(v) * F.lit(cnorm),
+        ),
+    )
