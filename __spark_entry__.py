@@ -5164,6 +5164,52 @@ def neardup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-doc character-distribution Shannon entropy (bits/char) — the
+    cheapest garbage/spam signal; histogram bounded by alphabet size,
+    entropy folded in sorted-char order so the float is partition-order
+    independent and bit-identical to the SQL twin's mirrored fold."""
+    from data_pipeline_framework_spark.functions.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = char_entropy(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_chars", "distinct_chars",
+        _r(F.col("entropy_bits"), 6).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
+def centroid_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seed-centroid quality scoring (the GPT-3/CCNet "similarity to
+    Wikipedia" filter in embedding space): centroid of the label=0 seed
+    rows via one distributed per-dim aggregate (driver sees only the
+    64-row centroid), inlined as a literal so corpus scoring is a
+    single codegen projection — no join, no shuffle. Embedding dims are
+    integer-quantized (floor x*1000) so every sum/product is exact IEEE
+    arithmetic independent of partition order; the oracle rebuilds the
+    identical centroid and cosine in SQL."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        centroid_similarity,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("double"),
+        ).alias("__q"),
+    )
+    out = centroid_similarity(
+        q, "vec_id", "__q", F.col("label") == 0, dim=64
+    )
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        _r(F.col("centroid_cosine"), 6).alias("centroid_cosine"),
+    ).orderBy("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5263,6 +5309,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_docs": temperature_mixture_docs,
         "bloom_url_membership": bloom_url_membership,
         "collocation_pmi_pairs": collocation_pmi_pairs,
+        "char_entropy_scores": char_entropy_scores,
+        "centroid_quality_scores": centroid_quality_scores,
         "semantic_clusters": semantic_clusters,
         "curriculum_phase_stats": curriculum_phase_stats,
         "badword_scores": badword_scores,
@@ -7420,6 +7468,74 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture_docs": _TMIX_ORACLE,
         "bloom_url_membership": _BLOOM_ORACLE,
         "collocation_pmi_pairs": _PMI_ORACLE,
+        # char-entropy twin: same histogram, same sorted-char left fold
+        # (list_reduce seeded by a prepended 0.0 == F.aggregate's init),
+        # ln(2) inlined as the identical Python double literal.
+        "char_entropy_scores": """
+            WITH ch AS (
+                SELECT doc_id, c FROM (
+                    SELECT doc_id, unnest(string_split(text, '')) AS c
+                    FROM documents
+                ) WHERE c <> ''
+            ),
+            hist AS (
+                SELECT doc_id, c AS chr, count(*) AS cnt
+                FROM ch GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(SUM(cnt) AS BIGINT) AS n_chars,
+                       CAST(count(*) AS BIGINT) AS distinct_chars,
+                       CAST(SUM(cnt) AS DOUBLE) AS nd,
+                       list(CAST(cnt AS DOUBLE) ORDER BY chr) AS h
+                FROM hist GROUP BY doc_id
+            )
+            SELECT doc_id, n_chars, distinct_chars,
+                   FLOOR(
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE), h),
+                           (acc, x) -> acc - (x / nd) * ln(x / nd)
+                       ) / 0.6931471805599453 * 1e6 + 0.5
+                   ) / 1e6 AS entropy_bits
+            FROM agg ORDER BY doc_id
+        """,
+        # centroid-cosine twin: identical quantization, identical per-dim
+        # seed sums (exact integer arithmetic, order-free), identical
+        # cosine expression. cnorm = sqrt of an exact integer sum, so the
+        # driver-side math.fsum and SQL SUM agree bit-for-bit.
+        "centroid_quality_scores": """
+            WITH q AS (
+                SELECT vec_id, label,
+                       list_transform(
+                           embedding,
+                           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000)
+                                     AS DOUBLE)
+                       ) AS v
+                FROM embeddings
+            ),
+            cen AS (
+                SELECT pos, SUM(x) AS s FROM (
+                    SELECT unnest(v) AS x,
+                           generate_subscripts(v, 1) AS pos
+                    FROM q WHERE label = 0
+                ) GROUP BY pos
+            ),
+            e AS (
+                SELECT vec_id, unnest(v) AS vx,
+                       generate_subscripts(v, 1) AS pos
+                FROM q
+            ),
+            dots AS (
+                SELECT vec_id, SUM(vx * s) AS dot, SUM(vx * vx) AS nv2
+                FROM e JOIN cen USING (pos) GROUP BY vec_id
+            ),
+            cn AS (SELECT SQRT(SUM(s * s)) AS cnorm FROM cen)
+            SELECT q.vec_id, CAST(label AS BIGINT) AS label,
+                   FLOOR(dot / (SQRT(nv2) * cnorm) * 1e6 + 0.5) / 1e6
+                       AS centroid_cosine
+            FROM q JOIN dots USING (vec_id) CROSS JOIN cn
+            ORDER BY q.vec_id
+        """,
         "semantic_clusters": _semantic_clusters_oracle(),
         "curriculum_phase_stats": _curriculum_oracle(),
         "badword_scores": f"""

@@ -12,6 +12,8 @@ calls for.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -922,3 +924,62 @@ def blocklist_fraction(
         )
         .withColumn(f"{out_prefix}_any", hits > 0)
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution, in
+    bits/char. The cheapest spam/garbage signal there is: keyboard
+    mash, repeated-char padding, and base64/hex blobs all sit far from
+    natural text (English prose ~4.1 bits/char), so curation configs
+    threshold on it before spending anything heavier (reference quality
+    checks: src/data_pipeline/utils/data_quality.py's
+    validity/consistency family; this is the corpus-curation analogue).
+
+    Shape: one explode to a (doc, char) stream -> count per (doc, char)
+    -> ONE groupBy(doc) that collects the (char, count) histogram
+    (bounded by alphabet size, ~100 entries, NOT doc length) and folds
+    entropy with F.aggregate in sorted-char order. The deterministic
+    left fold makes the float result independent of partition order —
+    reproducible cluster-to-cluster and bit-identical to a SQL twin
+    that folds the same histogram in the same order.
+
+    Empty documents report 0.0 entropy (no characters, no surprise).
+
+    Output: id, n_chars, distinct_chars, entropy_bits.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+    ).filter(F.col("__ch") != "")
+    hist = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = hist.groupBy(id_col).agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.array_sort(F.collect_list(F.struct("__ch", "__c"))).alias("__h"),
+    )
+    n = F.col("__n").cast("double")
+    ent = F.aggregate(
+        F.col("__h"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        - (s["__c"] / n) * F.log(s["__c"] / n),
+    ) / math.log(2.0)
+    out = agg.select(
+        id_col,
+        F.col("__n").cast("long").alias("n_chars"),
+        F.col("distinct_chars").cast("long").alias("distinct_chars"),
+        ent.alias("entropy_bits"),
+    )
+    empties = df.filter(F.length(text_col) == 0).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_chars"),
+        F.lit(0).cast("long").alias("distinct_chars"),
+        F.lit(0.0).alias("entropy_bits"),
+    )
+    return out.unionByName(empties)

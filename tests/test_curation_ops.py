@@ -969,3 +969,100 @@ def test_blocklist_fraction_hand_checked(spark):
 
     with pytest.raises(ValueError):
         blocklist_fraction(df, "text", [])
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from data_pipeline_framework_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # zero surprise
+            (2, "abab"),          # uniform over 2 chars -> 1 bit
+            (3, "abcdefgh"),      # uniform over 8 -> 3 bits
+            (4, ""),              # empty doc -> defined as 0
+            (5, "aab"),           # -2/3 lg 2/3 - 1/3 lg 1/3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["entropy_bits"] == pytest.approx(0.0)
+    assert out[1]["n_chars"] == 4 and out[1]["distinct_chars"] == 1
+    assert out[2]["entropy_bits"] == pytest.approx(1.0)
+    assert out[3]["entropy_bits"] == pytest.approx(3.0)
+    assert out[4]["entropy_bits"] == 0.0 and out[4]["n_chars"] == 0
+    expect5 = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert out[5]["entropy_bits"] == pytest.approx(expect5)
+
+
+def test_char_entropy_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from data_pipeline_framework_spark.functions.text import char_entropy
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog."),
+        (2, "zzzzzzzzzz zz z"),
+        (3, "a1b2c3d4e5f6g7h8"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r["entropy_bits"]
+           for r in char_entropy(df, "doc_id", "text").collect()}
+    for i, t in texts:
+        c = Counter(t)
+        n = len(t)
+        truth = -sum((v / n) * math.log2(v / n) for v in c.values())
+        assert out[i] == pytest.approx(truth, abs=1e-12)
+
+
+def test_centroid_similarity_hand_checked(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        centroid_similarity,
+    )
+
+    # seed = {(1,0), (0,1)} -> centroid direction (1,1)
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),
+            (2, [0.0, 1.0], 1),
+            (3, [1.0, 1.0], 0),
+            (4, [-1.0, -1.0], 0),
+            (5, [1.0, -1.0], 0),
+        ],
+        "vec_id long, v array<double>, label int",
+    )
+    out = {
+        r["vec_id"]: r["centroid_cosine"]
+        for r in centroid_similarity(
+            df, "vec_id", "v", F.col("label") == 1
+        ).collect()
+    }
+    assert out[3] == pytest.approx(1.0)    # aligned with centroid
+    assert out[4] == pytest.approx(-1.0)   # anti-aligned
+    assert out[5] == pytest.approx(0.0)    # orthogonal
+    assert out[1] == pytest.approx(2 ** -0.5)
+
+
+def test_centroid_similarity_guards(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        centroid_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [-1.0, 0.0], 0)],
+        "vec_id long, v array<double>, label int",
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        centroid_similarity(df, "vec_id", "v", F.col("label") == 9).collect()
+    with pytest.raises(ValueError, match="zero vector"):
+        # seeds cancel exactly -> zero centroid
+        centroid_similarity(df, "vec_id", "v", F.col("label") == 0)
+    empty = df.filter("vec_id > 99")
+    with pytest.raises(ValueError, match="empty input"):
+        centroid_similarity(empty, "vec_id", "v", F.col("label") == 0)
