@@ -7468,9 +7468,11 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture_docs": _TMIX_ORACLE,
         "bloom_url_membership": _BLOOM_ORACLE,
         "collocation_pmi_pairs": _PMI_ORACLE,
-        # char-entropy twin: same histogram, same sorted-char left fold
-        # (list_reduce seeded by a prepended 0.0 == F.aggregate's init),
-        # ln(2) inlined as the identical Python double literal.
+        # char-entropy twin: Spark folds sorted runs accumulating
+        # Σ c·ln(c) then H = (ln n − Σ/n)/ln2; the twin folds the same
+        # counts in the same sorted-char order (list_reduce seeded by a
+        # prepended 0.0 == the fold's init), ln(2) inlined as the
+        # identical Python double literal.
         "char_entropy_scores": """
             WITH ch AS (
                 SELECT doc_id, c FROM (
@@ -7492,10 +7494,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars, distinct_chars,
                    FLOOR(
-                       list_reduce(
+                       (ln(nd) - list_reduce(
                            list_prepend(CAST(0.0 AS DOUBLE), h),
-                           (acc, x) -> acc - (x / nd) * ln(x / nd)
-                       ) / 0.6931471805599453 * 1e6 + 0.5
+                           (acc, x) -> acc + x * ln(x)
+                       ) / nd) / 0.6931471805599453 * 1e6 + 0.5
                    ) / 1e6 AS entropy_bits
             FROM agg ORDER BY doc_id
         """,

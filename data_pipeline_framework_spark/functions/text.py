@@ -939,47 +939,65 @@ def char_entropy(
     checks: src/data_pipeline/utils/data_quality.py's
     validity/consistency family; this is the corpus-curation analogue).
 
-    Shape: one explode to a (doc, char) stream -> count per (doc, char)
-    -> ONE groupBy(doc) that collects the (char, count) histogram
-    (bounded by alphabet size, ~100 entries, NOT doc length) and folds
-    entropy with F.aggregate in sorted-char order. The deterministic
-    left fold makes the float result independent of partition order —
-    reproducible cluster-to-cluster and bit-identical to a SQL twin
-    that folds the same histogram in the same order.
+    Shape: ZERO shuffles — the whole computation is one per-row
+    projection inside the scan stage. The naive plan (explode chars ->
+    count per (doc, char) -> regroup) shuffles one row per CHARACTER,
+    i.e. the entire corpus byte volume; instead the chars are sorted
+    within the row and a single F.aggregate fold walks the runs,
+    accumulating Σ c·ln(c) per run boundary, then
+    H = (ln n − Σ c·ln(c) / n) / ln 2. The fold visits runs in sorted
+    char order, so the float result is deterministic across partition
+    orders and bit-identical to a SQL twin folding the same histogram
+    in the same order.
 
     Empty documents report 0.0 entropy (no characters, no surprise).
 
     Output: id, n_chars, distinct_chars, entropy_bits.
     """
-    chars = df.select(
+    chars = F.array_sort(
+        F.filter(
+            F.split(F.col(text_col), ""), lambda c: c != F.lit("")
+        )
+    )
+
+    def _close(a):
+        cd = a["c"].cast("double")
+        return F.when(a["c"] > 0, cd * F.log(cd)).otherwise(F.lit(0.0))
+
+    folded = F.aggregate(
+        chars,
+        F.struct(
+            F.lit("").alias("p"),
+            F.lit(0).cast("long").alias("c"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda a, ch: F.when(
+            ch == a["p"],
+            F.struct(
+                a["p"].alias("p"),
+                (a["c"] + 1).alias("c"),
+                a["s"].alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                ch.alias("p"),
+                F.lit(1).cast("long").alias("c"),
+                (a["s"] + _close(a)).alias("s"),
+            )
+        ),
+        lambda a: a["s"] + _close(a),
+    )
+    n = F.size(chars)
+    nd = n.cast("double")
+    ent = F.when(
+        n > 0,
+        (F.log(nd) - folded / nd) / math.log(2.0),
+    ).otherwise(F.lit(0.0))
+    return df.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
-    ).filter(F.col("__ch") != "")
-    hist = chars.groupBy(id_col, "__ch").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    agg = hist.groupBy(id_col).agg(
-        F.sum("__c").alias("__n"),
-        F.count(F.lit(1)).alias("distinct_chars"),
-        F.array_sort(F.collect_list(F.struct("__ch", "__c"))).alias("__h"),
-    )
-    n = F.col("__n").cast("double")
-    ent = F.aggregate(
-        F.col("__h"),
-        F.lit(0.0),
-        lambda acc, s: acc
-        - (s["__c"] / n) * F.log(s["__c"] / n),
-    ) / math.log(2.0)
-    out = agg.select(
-        id_col,
-        F.col("__n").cast("long").alias("n_chars"),
-        F.col("distinct_chars").cast("long").alias("distinct_chars"),
+        n.cast("long").alias("n_chars"),
+        F.size(F.array_distinct(chars)).cast("long").alias(
+            "distinct_chars"
+        ),
         ent.alias("entropy_bits"),
     )
-    empties = df.filter(F.length(text_col) == 0).select(
-        F.col(id_col),
-        F.lit(0).cast("long").alias("n_chars"),
-        F.lit(0).cast("long").alias("distinct_chars"),
-        F.lit(0.0).alias("entropy_bits"),
-    )
-    return out.unionByName(empties)

@@ -301,3 +301,36 @@ def test_heavy_hitters_no_extra_shuffle_beyond_summary_agg(spark, sf_dir):
     assert "MapInPandas" in plan          # bounded per-partition state
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row err sentinel
+
+
+def test_char_entropy_is_pure_projection(spark, sf_dir):
+    """char_entropy must be one per-row projection — no explode-per-char
+    shuffle (which would move the whole corpus byte volume), no Python."""
+    from data_pipeline_framework_spark.functions.text import char_entropy
+    from data_pipeline_framework_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(char_entropy(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "Generate explode" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_similarity_scoring_is_pure_projection(spark, sf_dir):
+    """after the bounded centroid aggregate, corpus scoring must be a
+    single codegen projection: no join, no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        centroid_similarity,
+    )
+    from data_pipeline_framework_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = centroid_similarity(
+        emb, "vec_id", "embedding", F.col("label") == 0, dim=64
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
