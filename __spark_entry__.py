@@ -5210,6 +5210,23 @@ def centroid_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross-source shingle-Jaccard matrix (mixture-design companion to
+    dedup: near-copy sources double-count in training mixes). Bounded
+    shape: one groupBy(shingle) collects the ≤#sources source set, pairs
+    expand in-row, sizes broadcast — no shingle self-join."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = source_overlap_matrix(docs, "doc_id", "text", "source")
+    return out.select(
+        "source_a", "source_b", "shared_shingles", "n_a", "n_b",
+        _r(F.col("jaccard"), 6).alias("jaccard"),
+    ).orderBy("source_a", "source_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5310,6 +5327,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_url_membership": bloom_url_membership,
         "collocation_pmi_pairs": collocation_pmi_pairs,
         "char_entropy_scores": char_entropy_scores,
+        "source_overlap": source_overlap,
         "centroid_quality_scores": centroid_quality_scores,
         "semantic_clusters": semantic_clusters,
         "curriculum_phase_stats": curriculum_phase_stats,
@@ -7468,6 +7486,37 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture_docs": _TMIX_ORACLE,
         "bloom_url_membership": _BLOOM_ORACLE,
         "collocation_pmi_pairs": _PMI_ORACLE,
+        # cross-source overlap twin: same per-doc distinct shingles,
+        # same (source, shingle) distinct, pairwise via a<b self-join
+        # (equivalent to Spark's in-row sorted-set pair walk).
+        "source_overlap": f"""
+            WITH d AS (
+                SELECT source, {_DD_SHINGLES} AS sh
+                FROM (SELECT source, {_DD_TOKS} AS w FROM documents)
+            ),
+            e AS (
+                SELECT DISTINCT source, unnest(sh) AS h FROM d
+            ),
+            sizes AS (
+                SELECT source, count(*) AS n FROM e GROUP BY source
+            ),
+            shared AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS shared
+                FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b,
+                   CAST(shared AS BIGINT) AS shared_shingles,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   FLOOR(shared / CAST(sa.n + sb.n - shared AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS jaccard
+            FROM shared
+            JOIN sizes sa ON source_a = sa.source
+            JOIN sizes sb ON source_b = sb.source
+            ORDER BY source_a, source_b
+        """,
         # char-entropy twin: Spark folds sorted runs accumulating
         # Σ c·ln(c) then H = (ln n − Σ/n)/ln2; the twin folds the same
         # counts in the same sorted-char order (list_reduce seeded by a

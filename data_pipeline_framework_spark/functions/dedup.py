@@ -89,7 +89,8 @@ def shingle_hashes(text_col: Column | str, n: int = 3) -> Column:
 
 
 def shingled_docs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, __sh) with __sh = hashed distinct shingles — via a two-step
     select that BINDS the token array to a column before any lambda
@@ -110,9 +111,10 @@ def shingled_docs(
         F.array(F.concat_ws(" ", w))
     )
     return df.select(
-        F.col(id_col), tokens(text_col).alias("__sw")
+        F.col(id_col), *carry, tokens(text_col).alias("__sw")
     ).select(
         id_col,
+        *carry,
         F.transform(F.array_distinct(grams), hash52).alias("__sh"),
     )
 
@@ -746,4 +748,83 @@ def snapshot_diff(
     return j.select(
         id_col, status.alias("status"),
         "old_fingerprint", "new_fingerprint",
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source content-overlap matrix: for every pair of sources
+    (crawls, dumps, datasets), the Jaccard similarity between their
+    DISTINCT n-gram shingle sets. The mixture-design companion to
+    near-dup removal — two sources with high shingle Jaccard are
+    near-copies of each other and double-count in training mixes; the
+    matrix is what you weight (or drop) by before sampling.
+
+    Scale shape: (source, shingle) distinct -> ONE groupBy(shingle)
+    collecting the source set — each row bounded by #sources, never by
+    corpus size — then source pairs expand IN-ROW from the sorted set
+    (i<j index walk) and a final groupBy(pair) counts shared shingles.
+    Two shuffles, zero joins on the shingle stream; the only join is
+    the #sources-row size table, broadcast twice. A shingle seen in
+    every source emits sources^2/2 pairs from one row — bounded state,
+    unlike a shingle self-join which would shuffle the postings twice.
+
+    Output: source_a, source_b, shared_shingles, n_a, n_b, jaccard
+    (one row per unordered pair with any overlap).
+    """
+    sh = shingled_docs(df, id_col, text_col, n=n, carry=(group_col,))
+    src_shingle = (
+        sh.select(group_col, F.explode("__sh").alias("__h"))
+        .distinct()
+    )
+    sizes = src_shingle.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per_shingle = src_shingle.groupBy("__h").agg(
+        F.array_sort(F.collect_set(group_col)).alias("__ss")
+    )
+    ss = F.col("__ss")
+    pairs = per_shingle.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ss,
+                    lambda x, i: F.transform(
+                        F.slice(ss, i + 2, F.size(ss)),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select("__p.source_a", "__p.source_b")
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("shared_shingles")
+    )
+    sa = sizes.withColumnRenamed(group_col, "source_a").withColumnRenamed(
+        "__n", "n_a"
+    )
+    sb = sizes.withColumnRenamed(group_col, "source_b").withColumnRenamed(
+        "__n", "n_b"
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.col("shared_shingles").cast("long").alias("shared_shingles"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("shared_shingles")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles"))
+                .cast("double")
+            ).alias("jaccard"),
+        )
     )

@@ -29,21 +29,6 @@ def _dot(a, b) -> Column:
     )
 
 
-def _dot_unrolled(a, b, dim: int) -> Column:
-    """Dot product as an unrolled codegen expression — for pair-scoring
-    hot paths where `dim` is statically known. Higher-order functions
-    (zip_with/aggregate) are interpreted per element and allocate a
-    zipped array per pair; the unrolled sum stays inside whole-stage
-    codegen. Left-associated addition starting from the first term, so
-    the float result is bit-identical to the `_dot` left fold
-    (0.0 + x == x in IEEE for the first accumulate)."""
-    terms = [a[i] * b[i] for i in range(dim)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
 def _norm(a) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
@@ -447,7 +432,7 @@ def embedding_neardup_pairs(
         cand.withColumn(
             "cosine",
             F.try_divide(
-                _dot_unrolled(F.col("__va"), F.col("__vb"), dim),
+                _dot(F.col("__va"), F.col("__vb")),
                 F.col("__na") * F.col("__nb"),
             ),
         )
@@ -909,9 +894,7 @@ def semantic_dedup(
         )
         .filter(
             F.try_divide(
-                _dot_unrolled(
-                    F.col("a.__v"), F.col("b.__v"), len(centers[0])
-                ),
+                _dot(F.col("a.__v"), F.col("b.__v")),
                 F.col("a.__n") * F.col("b.__n"),
             ) >= F.lit(threshold)
         )
@@ -1001,7 +984,7 @@ def hard_negative_mining(
         F.col("b.__lbl").alias("negative_label"),
         F.col("a.cell").alias("cell"),
         F.try_divide(
-            _dot_unrolled(F.col("a.__v"), F.col("b.__v"), len(centers[0])),
+            _dot(F.col("a.__v"), F.col("b.__v")),
             F.col("a.__n") * F.col("b.__n"),
         ).alias("neg_cosine"),
     )
@@ -1074,7 +1057,7 @@ def centroid_similarity(
     return df.withColumn(
         "centroid_cosine",
         F.try_divide(
-            _dot_unrolled(v, cen, dim),
+            _dot(v, cen),
             _norm(v) * F.lit(cnorm),
         ),
     )

@@ -1066,3 +1066,43 @@ def test_centroid_similarity_guards(spark):
     empty = df.filter("vec_id > 99")
     with pytest.raises(ValueError, match="empty input"):
         centroid_similarity(empty, "vec_id", "v", F.col("label") == 0)
+
+
+def test_source_overlap_matrix_hand_checked(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        source_overlap_matrix,
+    )
+
+    # s1 and s2 share exactly one trigram; s3 shares nothing
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "s1"),
+            (2, "alpha beta gamma other words here", "s2"),
+            (3, "completely different text entirely", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap_matrix(df, "doc_id", "text", "source").collect()
+    out = {(r["source_a"], r["source_b"]): r for r in rows}
+    assert set(out) == {("s1", "s2")}          # only the overlapping pair
+    r = out[("s1", "s2")]
+    # doc1: 2 trigrams, doc2: 4 trigrams, shared: "alpha beta gamma"
+    assert r["shared_shingles"] == 1
+    assert r["n_a"] == 2 and r["n_b"] == 4
+    assert r["jaccard"] == pytest.approx(1 / 5)
+
+
+def test_source_overlap_matrix_pair_expansion_complete(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        source_overlap_matrix,
+    )
+
+    # same text in 4 sources -> all 6 unordered pairs at jaccard 1.0
+    df = spark.createDataFrame(
+        [(i, "one two three four five", f"s{i}") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap_matrix(df, "doc_id", "text", "source").collect()
+    assert len(rows) == 6
+    assert all(r["jaccard"] == pytest.approx(1.0) for r in rows)
+    assert all(r["source_a"] < r["source_b"] for r in rows)
