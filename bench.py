@@ -149,6 +149,9 @@ HEADLINE = [
     "semantic_clusters",
     "curriculum_phase_stats",
     "badword_scores",
+    "char_entropy_scores",
+    "centroid_quality_scores",
+    "source_overlap",
 ]
 
 
