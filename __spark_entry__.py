@@ -5227,6 +5227,24 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def winnowing_doc_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: distinct window-minima of char
+    k-gram hashes — positional substring-overlap detection, all in-row
+    expressions, zero shuffles before the final explode/sort."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        winnowing_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    return out.select(
+        "doc_id", "n_kgrams",
+        F.explode("fingerprints").alias("fingerprint"),
+    ).orderBy("doc_id", "fingerprint")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 through the op-DSL compiler at sf0.001."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5328,6 +5346,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocation_pmi_pairs": collocation_pmi_pairs,
         "char_entropy_scores": char_entropy_scores,
         "source_overlap": source_overlap,
+        "winnowing_doc_fingerprints": winnowing_doc_fingerprints,
         "centroid_quality_scores": centroid_quality_scores,
         "semantic_clusters": semantic_clusters,
         "curriculum_phase_stats": curriculum_phase_stats,
@@ -7486,6 +7505,36 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture_docs": _TMIX_ORACLE,
         "bloom_url_membership": _BLOOM_ORACLE,
         "collocation_pmi_pairs": _PMI_ORACLE,
+        # winnowing twin: same normalization, same k-gram hash, same
+        # window minima (the distinct VALUE set is tie-break invariant).
+        "winnowing_doc_fingerprints": f"""
+            WITH nrm AS (
+                SELECT doc_id,
+                       array_to_string({_DD_TOKS}, ' ') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       greatest(length(t) - 7, 0) AS ng,
+                       CASE WHEN length(t) >= 8 THEN
+                           [{_DD_HASH.format(x='substr(t, i, 8)')}
+                            for i in range(1, length(t) - 6)]
+                       ELSE [] END AS h
+                FROM nrm
+            ),
+            m AS (
+                SELECT doc_id, CAST(ng AS BIGINT) AS n_kgrams,
+                       CASE WHEN ng > 0 THEN
+                           list_distinct(
+                               [list_min(h[j:j+3])
+                                for j in range(1, greatest(ng - 3, 1) + 1)]
+                           )
+                       ELSE [] END AS fps
+                FROM g
+            )
+            SELECT doc_id, n_kgrams, unnest(fps) AS fingerprint
+            FROM m ORDER BY doc_id, fingerprint
+        """,
         # cross-source overlap twin: same per-doc distinct shingles,
         # same (source, shingle) distinct, pairwise via a<b self-join
         # (equivalent to Spark's in-row sorted-set pair walk).

@@ -152,6 +152,7 @@ HEADLINE = [
     "char_entropy_scores",
     "centroid_quality_scores",
     "source_overlap",
+    "winnowing_doc_fingerprints",
 ]
 
 

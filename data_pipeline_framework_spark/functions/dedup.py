@@ -828,3 +828,93 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every character k-gram of the normalized
+    text, slide a window of `window` consecutive hashes, record the
+    minimum of each window, keep the distinct set. Guarantees any
+    shared substring of length >= k + window - 1 produces at least one
+    shared fingerprint — positional overlap detection that MinHash
+    (whole-doc similarity) and SimHash (global signature) can't give.
+
+    Shape: ZERO shuffles — normalization, k-gram hashing, window minima
+    and the distinct set are all in-row array expressions inside the
+    scan stage; output rows stay one-per-document with a bounded
+    fingerprint array (≤ #kgrams). Pair generation downstream is the
+    same bucketed equi-join as every other fingerprint family here
+    (explode -> groupBy fingerprint), never all-pairs.
+
+    Sliding minima use the sparse-table doubling trick — O(log window)
+    zip_with passes over shifted copies — NOT a per-window
+    slice+array_min lambda. Nested higher-order functions are
+    interpreted, and a lambda that captures a computed array column
+    invites CollapseProject to inline the producer INTO the lambda
+    body, re-evaluating it once per window (O(n^2) k-gram hashing —
+    observed as a 450s single-task spin at sf0.01). zip_with only ever
+    sees arrays in ARGUMENT position (evaluated once per row), so the
+    plan stays linear no matter how projections collapse.
+
+    Output: id, n_kgrams, fingerprints (sorted distinct array<bigint>).
+    """
+    from .text import hash52, tokens
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    t = F.col("__t")
+    n_grams = F.greatest(
+        F.length(t) - (k - 1), F.lit(0)
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: hash52(t.substr(i, F.lit(k))),
+    )
+    base = df.select(F.col(id_col), norm.alias("__t")).select(
+        id_col,
+        n_grams.alias("__ng"),
+        F.when(n_grams > 0, hashes).otherwise(
+            F.array().cast("array<bigint>")
+        ).alias("__h"),
+    )
+
+    def _shift_min(arr: Column, s: int) -> Column:
+        # least(arr[j], arr[j+s]) for every valid j — one zip_with over
+        # the array and its s-shifted copy (zip_with stops at the
+        # shorter operand... it actually pads with null, so trim first).
+        shifted = F.slice(arr, 1 + s, F.greatest(F.size(arr) - s, F.lit(0)))
+        return F.zip_with(
+            F.slice(arr, 1, F.greatest(F.size(arr) - s, F.lit(0))),
+            shifted,
+            lambda a, b: F.least(a, b),
+        )
+
+    # sparse-table range-min: m covers width 2^p after p doublings,
+    # then one overlapped least() extends exact coverage to `window`.
+    h = F.col("__h")
+    covered, m = 1, h
+    while covered * 2 <= window:
+        m = _shift_min(m, covered)
+        covered *= 2
+    if covered < window:
+        m = _shift_min(m, window - covered)
+    # docs with 0 < ng < window get the classic single whole-doc window
+    core = F.when(F.size(h) >= window, m).otherwise(
+        F.array(F.array_min(h))
+    )
+    mins = F.when(
+        F.col("__ng") > 0,
+        F.array_sort(F.array_distinct(core)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select(
+        id_col,
+        F.col("__ng").cast("long").alias("n_kgrams"),
+        mins.alias("fingerprints"),
+    )

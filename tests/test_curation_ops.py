@@ -1106,3 +1106,67 @@ def test_source_overlap_matrix_pair_expansion_complete(spark):
     assert len(rows) == 6
     assert all(r["jaccard"] == pytest.approx(1.0) for r in rows)
     assert all(r["source_a"] < r["source_b"] for r in rows)
+
+
+def test_winnowing_guarantee_and_shape(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 4, 3
+    shared = "the same stolen sentence fragment"
+    df = spark.createDataFrame(
+        [
+            (1, f"left context AAA {shared} right tail one"),
+            (2, f"other document BB {shared} different end"),
+            (3, "nothing in common with the others at all"),
+            (4, "ab"),                       # shorter than k
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in winnowing_fingerprints(
+               df, "doc_id", "text", k=k, window=w).collect()}
+    # guarantee: shared substring of len >= k+w-1 -> >= 1 shared print
+    f1, f2, f3 = (set(out[i]["fingerprints"]) for i in (1, 2, 3))
+    assert f1 & f2
+    assert not (f1 & f3) or len(f1 & f3) < len(f1 & f2)
+    # arrays are sorted distinct
+    assert out[1]["fingerprints"] == sorted(set(out[1]["fingerprints"]))
+    # short doc: zero kgrams, empty set
+    assert out[4]["n_kgrams"] == 0 and out[4]["fingerprints"] == []
+
+
+def test_winnowing_matches_python_reference(spark):
+    import hashlib
+
+    from data_pipeline_framework_spark.functions.dedup import (
+        winnowing_fingerprints,
+    )
+
+    def h52(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+    def ref(text: str, k: int, w: int):
+        norm = " ".join(text.lower().split())
+        ng = max(len(norm) - (k - 1), 0)
+        if ng == 0:
+            return 0, []
+        hs = [h52(norm[i:i + k]) for i in range(ng)]
+        nw = max(ng - (w - 1), 1)
+        mins = {min(hs[j:j + w]) for j in range(nw)}
+        return ng, sorted(mins)
+
+    texts = [
+        (1, "The quick brown Fox jumps over   the lazy dog"),
+        (2, "aaaaaaaaaaaaaaaa"),
+        (3, "short"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in winnowing_fingerprints(
+               df, "doc_id", "text", k=8, window=4).collect()}
+    for i, t in texts:
+        ng, fps = ref(t, 8, 4)
+        assert out[i]["n_kgrams"] == ng, i
+        assert out[i]["fingerprints"] == fps, i
