@@ -88,7 +88,45 @@ def audit_plan(df: DataFrame, plan: str | None = None) -> list[Finding]:
                 "escape hatch, keep it off hot relational paths",
             ))
             break
+    if _lambda_contains_producer(p):
+        found.append(Finding(
+            "hof-inlined-producer", "warn",
+            "a higher-order-function lambda body contains an array/"
+            "string PRODUCER (transform/split/sequence): CollapseProject"
+            " inlined the producing projection into the lambda, so it "
+            "re-evaluates once PER ELEMENT — O(n^2) work per row in the "
+            "interpreted HOF path. Bind the producer so it is referenced"
+            " >=2 times, or restructure so lambdas only see arrays in "
+            "argument position (zip_with over shifted copies).",
+        ))
     return found
+
+
+_PRODUCERS = ("transform(sequence(", "split(", "aggregate(")
+
+
+def _lambda_contains_producer(plan: str) -> bool:
+    """True when any lambdafunction(...) BODY embeds a producer-class
+    expression (per-element re-evaluation hazard). Paren-walk each
+    lambda to its extent; cheap string scan, no plan parsing."""
+    i = 0
+    while True:
+        i = plan.find("lambdafunction(", i)
+        if i < 0:
+            return False
+        j = i + len("lambdafunction(")
+        depth, end = 1, len(plan)
+        while j < end and depth:
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        body = plan[i + len("lambdafunction("):j]
+        if any(m in body for m in _PRODUCERS):
+            return True
+        i = j
 
 
 def assert_scalable(

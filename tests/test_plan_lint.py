@@ -54,6 +54,7 @@ _BNL_OK = {
     "funnel_conversion_events",  # broadcast 1-row step-1 denominator
     "dsir_importance_scores",  # broadcast 1-row target/raw gram totals
     "collocation_pmi_pairs",  # broadcast 1-row T1/T2 corpus totals
+    "ann_recall_report",  # brute-force arm broadcasts the bounded query side
 }
 
 # queries whose operators legitimately run vectorized Python
@@ -73,6 +74,7 @@ _ARROW_OK = {
     "holt_trend_smoothing",  # same: per-series sequential recurrence
     "heavy_hitters_suppliers",  # bounded per-partition MG summaries
     "heavy_hitters_by_flag",    # same, grouped
+    "ann_recall_report",  # IVF arm's Arrow-batched cell assignment
 }
 
 
@@ -160,3 +162,31 @@ def test_advisor_flags_and_clears(spark):
     combined = keyed.crossJoin(F.broadcast(total))
     rules = {f.rule for f in audit_plan(combined)}
     assert "single-partition-window" not in rules
+
+
+def test_advisor_flags_hof_inlined_producer(spark):
+    """a lambda whose body re-evaluates a producer (split/tokenize) per
+    element — the CollapseProject O(n^2) hazard — must warn; bound
+    arrays in argument position must not."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_framework_spark.plans.advisor import audit_plan
+
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    # producer inlined INTO the lambda body: split() runs per element
+    toks = F.split(F.col("text"), " ")
+    bad = df.select(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.element_at(toks, i),
+        ).alias("out")
+    )
+    assert "hof-inlined-producer" in {f.rule for f in audit_plan(bad)}
+
+    # same computation with the array only in ARGUMENT position: clean
+    good = df.select(toks.alias("t")).select(
+        F.zip_with(
+            F.col("t"), F.col("t"), lambda a, b: F.concat(a, b)
+        ).alias("out")
+    )
+    assert "hof-inlined-producer" not in {f.rule for f in audit_plan(good)}
