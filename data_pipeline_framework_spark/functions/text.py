@@ -943,61 +943,66 @@ def char_entropy(
     projection inside the scan stage. The naive plan (explode chars ->
     count per (doc, char) -> regroup) shuffles one row per CHARACTER,
     i.e. the entire corpus byte volume; instead the chars are sorted
-    within the row and a single F.aggregate fold walks the runs,
-    accumulating Σ c·ln(c) per run boundary, then
-    H = (ln n − Σ c·ln(c) / n) / ln 2. The fold visits runs in sorted
-    char order, so the float result is deterministic across partition
-    orders and bit-identical to a SQL twin folding the same histogram
-    in the same order.
+    within the row, run BOUNDARIES are located with one filtered index
+    pass, run lengths fall out of one zip_with over the shifted
+    boundary list, and a fold over that SMALL counts array (≤ alphabet
+    size) accumulates Σ c·ln(c); then
+    H = (ln n − Σ c·ln(c) / n) / ln 2. The sorted array is bound to a
+    column first so the per-element work is O(1) attribute access (see
+    advisor rule `hof-inlined-producer`), and the heavy per-CHAR stages
+    carry no struct allocation — only the ≤|alphabet| fold does any
+    float math. Fold order = sorted char order, so the float is
+    deterministic across partition orders and bit-identical to a SQL
+    twin folding the same histogram in the same order.
 
     Empty documents report 0.0 entropy (no characters, no surprise).
 
     Output: id, n_chars, distinct_chars, entropy_bits.
     """
-    chars = F.array_sort(
-        F.filter(
-            F.split(F.col(text_col), ""), lambda c: c != F.lit("")
-        )
-    )
-
-    def _close(a):
-        cd = a["c"].cast("double")
-        return F.when(a["c"] > 0, cd * F.log(cd)).otherwise(F.lit(0.0))
-
-    folded = F.aggregate(
-        chars,
-        F.struct(
-            F.lit("").alias("p"),
-            F.lit(0).cast("long").alias("c"),
-            F.lit(0.0).alias("s"),
-        ),
-        lambda a, ch: F.when(
-            ch == a["p"],
-            F.struct(
-                a["p"].alias("p"),
-                (a["c"] + 1).alias("c"),
-                a["s"].alias("s"),
-            ),
-        ).otherwise(
-            F.struct(
-                ch.alias("p"),
-                F.lit(1).cast("long").alias("c"),
-                (a["s"] + _close(a)).alias("s"),
+    bound = df.select(
+        F.col(id_col),
+        F.array_sort(
+            F.filter(
+                F.split(F.col(text_col), ""), lambda c: c != F.lit("")
             )
-        ),
-        lambda a: a["s"] + _close(a),
+        ).alias("__sc"),
     )
-    n = F.size(chars)
-    nd = n.cast("double")
+    s = F.col("__sc")
+    n = F.size(s)
+    # positions where a new run starts (i == 1 or s[i] != s[i-1]);
+    # try_element_at keeps i-1 == 0 ANSI-safe (null -> comparison null
+    # -> the i == 1 arm already made the disjunction true)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: (i == 1)
+        | (F.try_element_at(s, i) != F.try_element_at(s, i - 1)),
+    )
+    with_runs = bound.select(
+        id_col,
+        n.alias("__n"),
+        F.when(n > 0, starts).otherwise(
+            F.array().cast("array<integer>")
+        ).alias("__st"),
+    )
+    st = F.col("__st")
+    ends = F.concat(
+        F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+        F.array((F.col("__n") + 1).cast("integer")),
+    )
+    counts = F.zip_with(st, ends, lambda a, b: (b - a).cast("double"))
+    folded = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c * F.log(c),
+    )
+    nd = F.col("__n").cast("double")
     ent = F.when(
-        n > 0,
+        F.col("__n") > 0,
         (F.log(nd) - folded / nd) / math.log(2.0),
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return with_runs.select(
         F.col(id_col),
-        n.cast("long").alias("n_chars"),
-        F.size(F.array_distinct(chars)).cast("long").alias(
-            "distinct_chars"
-        ),
+        F.col("__n").cast("long").alias("n_chars"),
+        F.size(st).cast("long").alias("distinct_chars"),
         ent.alias("entropy_bits"),
     )
