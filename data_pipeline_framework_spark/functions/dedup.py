@@ -778,15 +778,18 @@ def source_overlap_matrix(
     (one row per unordered pair with any overlap).
     """
     sh = shingled_docs(df, id_col, text_col, n=n, carry=(group_col,))
-    src_shingle = (
-        sh.select(group_col, F.explode("__sh").alias("__h"))
-        .distinct()
-    )
-    sizes = src_shingle.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("__n")
-    )
+    src_shingle = sh.select(group_col, F.explode("__sh").alias("__h"))
+    # collect_set dedups (source, shingle) itself — no separate
+    # distinct pass; persist the bounded-width result because BOTH the
+    # size table and the pair expansion read it (without the persist
+    # the tokenize+shingle+explode stream is computed twice).
     per_shingle = src_shingle.groupBy("__h").agg(
         F.array_sort(F.collect_set(group_col)).alias("__ss")
+    ).persist()
+    sizes = (
+        per_shingle.select(F.explode("__ss").alias(group_col))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
     ss = F.col("__ss")
     pairs = per_shingle.select(
@@ -813,7 +816,7 @@ def source_overlap_matrix(
     sb = sizes.withColumnRenamed(group_col, "source_b").withColumnRenamed(
         "__n", "n_b"
     )
-    return (
+    out = (
         shared.join(F.broadcast(sa), "source_a")
         .join(F.broadcast(sb), "source_b")
         .select(
@@ -828,6 +831,12 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+    # the matrix is <= sources^2 rows — materialize it, then release
+    # the persisted shingle table (same eager pattern as semantic_dedup)
+    out = out.persist()
+    out.count()
+    per_shingle.unpersist()
+    return out
 
 
 def winnowing_fingerprints(
