@@ -877,6 +877,72 @@ def _op_pack_shards(params: Mapping, ctx) -> OpFn:
     )
 
 
+def _op_char_entropy(params: Mapping, ctx) -> OpFn:
+    """Char-entropy quality signal — `{"type": "char_entropy",
+    "id_column": c, "text_column": t, "min_bits": 2.5, "max_bits":
+    null}`. Annotates n_chars/distinct_chars/entropy_bits (joined back
+    on the id) and drops rows outside the [min_bits, max_bits] band;
+    leave both bounds null to only annotate."""
+    from ..functions.text import char_entropy
+
+    idc = params.get("id_column", "doc_id")
+    txt = params.get("text_column", "text")
+
+    def fn(df: DataFrame) -> DataFrame:
+        scored = char_entropy(df, idc, txt)
+        out = df.join(scored, idc)
+        lo, hi = params.get("min_bits"), params.get("max_bits")
+        if lo is not None:
+            out = out.filter(F.col("entropy_bits") >= float(lo))
+        if hi is not None:
+            out = out.filter(F.col("entropy_bits") <= float(hi))
+        return out
+
+    return fn
+
+
+def _op_centroid_score(params: Mapping, ctx) -> OpFn:
+    """Seed-centroid cosine scoring — `{"type": "centroid_score",
+    "id_column": c, "vector_column": v, "seed_filter": "<sql expr>",
+    "min_cosine": 0.2}`. Adds centroid_cosine; drops rows below
+    min_cosine when set."""
+    from ..functions.similarity import centroid_similarity
+
+    def fn(df: DataFrame) -> DataFrame:
+        out = centroid_similarity(
+            df,
+            params.get("id_column", "vec_id"),
+            params.get("vector_column", "embedding"),
+            F.expr(params["seed_filter"]),
+            dim=params.get("dim"),
+        )
+        mc = params.get("min_cosine")
+        if mc is not None:
+            out = out.filter(F.col("centroid_cosine") >= float(mc))
+        return out
+
+    return fn
+
+
+def _op_winnowing(params: Mapping, ctx) -> OpFn:
+    """Winnowing fingerprints — `{"type": "winnowing", "id_column": c,
+    "text_column": t, "k": 8, "window": 4}`. Adds
+    n_kgrams/fingerprints (joined back on the id)."""
+    from ..functions.dedup import winnowing_fingerprints
+
+    idc = params.get("id_column", "doc_id")
+
+    def fn(df: DataFrame) -> DataFrame:
+        fp = winnowing_fingerprints(
+            df, idc, params.get("text_column", "text"),
+            k=int(params.get("k", 8)),
+            window=int(params.get("window", 4)),
+        )
+        return df.join(fp, idc)
+
+    return fn
+
+
 OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "select": _op_select,
     "filter": _op_filter,
@@ -914,6 +980,9 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "blocklist_filter": _op_blocklist_filter,
     "curriculum": _op_curriculum,
     "pack_shards": _op_pack_shards,
+    "char_entropy": _op_char_entropy,
+    "centroid_score": _op_centroid_score,
+    "winnowing": _op_winnowing,
 }
 
 

@@ -563,3 +563,43 @@ def test_op_curriculum_and_pack_shards(spark):
     rows = out.collect()
     assert {r["phase"] for r in rows} == {1, 2, 3, 4}
     assert max(r["shard"] for r in rows) == 3   # 40*100 / 1000
+
+
+def test_op_char_entropy_band_filter(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaa"), (2, "a normal english sentence here")],
+        "doc_id long, text string",
+    )
+    fn = compile_ops([
+        {"type": "char_entropy", "params": {"min_bits": 1.5}},
+    ])
+    rows = fn(df).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    assert {"entropy_bits", "n_chars", "distinct_chars"} <= set(
+        rows[0].asDict()
+    )
+    annotate = compile_ops([{"type": "char_entropy", "params": {}}])
+    assert annotate(df).count() == 2
+
+
+def test_op_centroid_score_and_winnowing(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1), (2, [0.9, 0.1], 0), (3, [-1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    fn = compile_ops([
+        {"type": "centroid_score",
+         "params": {"seed_filter": "label = 1", "min_cosine": 0.0}},
+    ])
+    got = [r["vec_id"] for r in fn(emb).orderBy("vec_id").collect()]
+    assert got == [1, 2]      # 3 is anti-aligned, dropped
+
+    docs = spark.createDataFrame(
+        [(1, "shared stolen fragment here"), (2, "shared stolen fragment too")],
+        "doc_id long, text string",
+    )
+    wfn = compile_ops([
+        {"type": "winnowing", "params": {"k": 4, "window": 3}},
+    ])
+    rows = {r["doc_id"]: r for r in wfn(docs).collect()}
+    assert set(rows[1]["fingerprints"]) & set(rows[2]["fingerprints"])
