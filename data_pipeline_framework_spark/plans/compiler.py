@@ -890,7 +890,13 @@ def _op_char_entropy(params: Mapping, ctx) -> OpFn:
 
     def fn(df: DataFrame) -> DataFrame:
         scored = char_entropy(df, idc, txt)
-        out = df.join(scored, idc)
+        # only add metric columns the frame doesn't already carry
+        # (documents tables commonly ship their own n_chars)
+        metrics = [
+            c for c in ("n_chars", "distinct_chars", "entropy_bits")
+            if c not in df.columns
+        ]
+        out = df.join(scored.select(idc, *metrics), idc)
         lo, hi = params.get("min_bits"), params.get("max_bits")
         if lo is not None:
             out = out.filter(F.col("entropy_bits") >= float(lo))

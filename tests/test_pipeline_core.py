@@ -329,3 +329,26 @@ def test_product_analytics_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
     assert rows[1]["step_name"] == "view"
     assert rows[1]["users"] >= rows[2]["users"] >= rows[3]["users"]
     assert result.validation[0]["status"] == "PASS"
+
+
+def test_quality_filtering_yaml_example(spark, sf_dir, tmp_path,
+                                        monkeypatch):
+    """the shipped examples/quality_filtering.yaml runs end-to-end:
+    entropy band -> blocklist cap -> span removal -> winnowing."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "qf_out")
+    monkeypatch.setenv("QF_INPUT", f"{sf_dir}/documents.parquet")
+    monkeypatch.setenv("QF_OUT", out)
+    result = Pipeline.from_yaml(
+        "examples/quality_filtering.yaml", spark).run()
+    assert result.status == "success", result.error
+    back = spark.read.parquet(out)
+    assert {"doc_id", "text", "entropy_bits", "blocked_frac",
+            "fingerprints"} <= set(back.columns)
+    assert back.count() == result.rows_written > 0
+    # the entropy band actually applied
+    stats = back.agg(
+        F.min("entropy_bits"), F.max("entropy_bits")).first()
+    assert stats[0] >= 2.0 and stats[1] <= 5.5
+    assert result.validation[0]["status"] == "PASS"
