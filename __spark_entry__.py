@@ -5237,12 +5237,27 @@ def winnowing_doc_fingerprints(
         winnowing_fingerprints,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # repartition: the doc scan is a handful of files but the projection
+    # is compute-heavy — spread it across the executor cores.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32, "doc_id")
+    )
     out = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
-    return out.select(
-        "doc_id", "n_kgrams",
-        F.explode("fingerprints").alias("fingerprint"),
-    ).orderBy("doc_id", "fingerprint")
+    # explode_outer, NOT explode: InferFiltersFromGenerate plants a
+    # size()>0 filter under a plain explode, and predicate pushdown then
+    # substitutes the ENTIRE fingerprint expression into it — measured
+    # 13x slower. The isNotNull filter references the generated column,
+    # so it cannot be pushed below the Generate.
+    return (
+        out.select(
+            "doc_id", "n_kgrams",
+            F.explode_outer("fingerprints").alias("fingerprint"),
+        )
+        .filter(F.col("fingerprint").isNotNull())
+        .orderBy("doc_id", "fingerprint")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

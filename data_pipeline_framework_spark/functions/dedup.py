@@ -861,15 +861,19 @@ def winnowing_fingerprints(
     same bucketed equi-join as every other fingerprint family here
     (explode -> groupBy fingerprint), never all-pairs.
 
-    Sliding minima use the sparse-table doubling trick — O(log window)
-    zip_with passes over shifted copies — NOT a per-window
-    slice+array_min lambda. Nested higher-order functions are
-    interpreted, and a lambda that captures a computed array column
-    invites CollapseProject to inline the producer INTO the lambda
-    body, re-evaluating it once per window (O(n^2) k-gram hashing —
-    observed as a 450s single-task spin at sf0.01). zip_with only ever
-    sees arrays in ARGUMENT position (evaluated once per row), so the
-    plan stays linear no matter how projections collapse.
+    EVERY lambda in this pipeline is capture-free: k-grams are built by
+    k-1 zip_with concat passes over shifted char arrays, and sliding
+    minima by the sparse-table doubling trick (O(log window) zip_with
+    passes) — never a per-position lambda that captures a computed
+    column. Captured columns are a scale trap twice over: nested
+    higher-order functions are interpreted, and BOTH CollapseProject
+    and filter pushdown (e.g. the size()>0 filter
+    InferFiltersFromGenerate plants under a downstream explode) happily
+    substitute the producer INTO the lambda body, re-evaluating the
+    whole normalization once per element — O(n^2) per row, observed as
+    a 450s single-task spin at sf0.01 and an hours-long one at the 10x
+    scale stress. Arrays in ARGUMENT position are evaluated once per
+    expression eval no matter how the optimizer rewrites the plan.
 
     Output: id, n_kgrams, fingerprints (sorted distinct array<bigint>).
     """
@@ -877,36 +881,53 @@ def winnowing_fingerprints(
 
     if window < 1:
         raise ValueError("window must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
     norm = F.concat_ws(" ", tokens(F.col(text_col)))
-    t = F.col("__t")
-    n_grams = F.greatest(
-        F.length(t) - (k - 1), F.lit(0)
+    chars = F.filter(
+        F.split(norm, ""), lambda c: c != F.lit("")
     )
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: hash52(t.substr(i, F.lit(k))),
-    )
-    base = df.select(F.col(id_col), norm.alias("__t")).select(
+
+    def _shifted(arr: Column, s: int) -> Column:
+        return F.slice(arr, 1 + s, F.greatest(F.size(arr) - s, F.lit(0)))
+
+    # k-grams by left-to-right concat chaining: after pass j, element i
+    # holds chars[i..i+j]; k-1 passes build every k-char substring.
+    # zip_with null-pads the longer side, so the chained expression is
+    # only ever referenced ONCE per pass (a size()+slice trim would
+    # evaluate it twice per level — 2^k blowup interpreted); the null
+    # tail is compacted away after hashing (hash52(null) is null).
+    grams = F.col("__c")
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, _shifted(F.col("__c"), j),
+            lambda a, b: F.concat(a, b),
+        )
+    base = df.select(F.col(id_col), chars.alias("__c")).select(
         id_col,
-        n_grams.alias("__ng"),
-        F.when(n_grams > 0, hashes).otherwise(
-            F.array().cast("array<bigint>")
-        ).alias("__h"),
+        F.greatest(F.size("__c") - (k - 1), F.lit(0)).alias("__ng"),
+        F.array_compact(F.transform(grams, hash52)).alias("__h"),
     )
 
     def _shift_min(arr: Column, s: int) -> Column:
-        # least(arr[j], arr[j+s]) for every valid j — one zip_with over
-        # the array and its s-shifted copy (zip_with stops at the
-        # shorter operand... it actually pads with null, so trim first).
-        shifted = F.slice(arr, 1 + s, F.greatest(F.size(arr) - s, F.lit(0)))
+        # min(arr[j], arr[j+s]) per position. zip_with null-pads the
+        # tail; a null-PROPAGATING min keeps incomplete windows null so
+        # one array_compact at the end trims them (least() would skip
+        # nulls and leak partial-window minima). Keeping the chained
+        # expression in argument position, referenced a constant number
+        # of times, is what makes this safe under CollapseProject and
+        # filter-pushdown substitution (see the k-gram chain above).
         return F.zip_with(
-            F.slice(arr, 1, F.greatest(F.size(arr) - s, F.lit(0))),
-            shifted,
-            lambda a, b: F.least(a, b),
+            arr,
+            _shifted(arr, s),
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(),
+                F.lit(None).cast("bigint"),
+            ).otherwise(F.least(a, b)),
         )
 
     # sparse-table range-min: m covers width 2^p after p doublings,
-    # then one overlapped least() extends exact coverage to `window`.
+    # then one overlapped min() extends exact coverage to `window`.
     h = F.col("__h")
     covered, m = 1, h
     while covered * 2 <= window:
@@ -915,7 +936,7 @@ def winnowing_fingerprints(
     if covered < window:
         m = _shift_min(m, window - covered)
     # docs with 0 < ng < window get the classic single whole-doc window
-    core = F.when(F.size(h) >= window, m).otherwise(
+    core = F.when(F.size(h) >= window, F.array_compact(m)).otherwise(
         F.array(F.array_min(h))
     )
     mins = F.when(

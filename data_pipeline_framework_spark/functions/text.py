@@ -969,27 +969,38 @@ def char_entropy(
     )
     s = F.col("__sc")
     n = F.size(s)
-    # positions where a new run starts (i == 1 or s[i] != s[i-1]);
-    # try_element_at keeps i-1 == 0 ANSI-safe (null -> comparison null
-    # -> the i == 1 arm already made the disjunction true)
-    starts = F.filter(
+    # run END positions, capture-free (no lambda references `s` — a
+    # captured producer column is quadratic under CollapseProject /
+    # filter-pushdown substitution, see advisor rule
+    # `hof-inlined-producer`): a position is a run end when the next
+    # char differs (the null pad marks the final position).
+    nxt = F.concat(
+        F.slice(s, 2, F.greatest(n - 1, F.lit(0))),
+        F.array(F.lit(None).cast("string")),
+    )
+    bnd = F.zip_with(
+        s, nxt, lambda a, b: b.isNull() | (a != b)
+    )
+    marked = F.zip_with(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: (i == 1)
-        | (F.try_element_at(s, i) != F.try_element_at(s, i - 1)),
+        bnd,
+        lambda i, e: F.when(e, i),
     )
     with_runs = bound.select(
         id_col,
         n.alias("__n"),
-        F.when(n > 0, starts).otherwise(
-            F.array().cast("array<integer>")
-        ).alias("__st"),
+        F.array_compact(marked).alias("__en"),
     )
-    st = F.col("__st")
-    ends = F.concat(
-        F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
-        F.array((F.col("__n") + 1).cast("integer")),
+    en = F.col("__en")
+    # run lengths = ends minus the previous end (0 prepended); the
+    # null-padded tail element compacts away.
+    counts = F.array_compact(
+        F.zip_with(
+            en,
+            F.concat(F.array(F.lit(0)), en),
+            lambda e, p: (e - p).cast("double"),
+        )
     )
-    counts = F.zip_with(st, ends, lambda a, b: (b - a).cast("double"))
     folded = F.aggregate(
         counts,
         F.lit(0.0),
@@ -1003,6 +1014,6 @@ def char_entropy(
     return with_runs.select(
         F.col(id_col),
         F.col("__n").cast("long").alias("n_chars"),
-        F.size(st).cast("long").alias("distinct_chars"),
+        F.size(en).cast("long").alias("distinct_chars"),
         ent.alias("entropy_bits"),
     )
