@@ -421,20 +421,26 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.try_divide(
-                _dot(F.col("a.__v"), F.col("b.__v")),
-                F.col("a.__n") * F.col("b.__n"),
-            ).alias("cosine"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
         )
-    )
-    # score + threshold BEFORE the dedup shuffle: a pair matching in
-    # multiple blocks recomputes its cosine (<= n_blocks times), but the
-    # dropDuplicates exchange then moves only the (id, id, cosine)
-    # survivors — not every candidate row with two full vectors attached
-    # (~40x narrower rows, and the threshold usually cuts row COUNT too)
-    return (
-        cand.filter(F.col("cosine") >= threshold)
+        # dedup BEFORE scoring: a pair matching in several blocks would
+        # recompute its interpreted 64-dim dot per duplicate — measured
+        # 2.5x slower than shuffling the wider (vectors-attached) rows
+        # once and scoring each surviving pair exactly once
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            F.try_divide(
+                _dot(F.col("__va"), F.col("__vb")),
+                F.col("__na") * F.col("__nb"),
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
 
