@@ -2846,9 +2846,11 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
+    nc = _cells_for(emb)
     out = SIM.semantic_dedup(
         emb, threshold=0.35,
-        centers=SIM.fixed_codebook(64, n_cells=_cells_for(emb), seed=7),
+        centers=SIM.fixed_codebook(64, n_cells=nc, seed=7),
+        assign="literal" if nc <= 8 else "arrow",
     )
     return out.select("vec_id", "cell", "dup_of", "keep")
 
@@ -4896,6 +4898,12 @@ def _cells_for(emb) -> int:
     return max(8, (n // 500) * 8)
 
 
+# oracle-checked cell count (sf0.01's 500 vectors): at and below this the
+# queries use the literal-argmin assignment the SQL twins replay exactly;
+# above it (bench/scale SFs, never oracle-compared) the Arrow matmul path
+# — the literal expression is O(n_cells*dim) per row and outgrows codegen
+
+
 def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """contrastive hard-negative mining: per anchor vector the top-3
     nearest different-label vectors within its codebook cell (the
@@ -4904,9 +4912,11 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
+    nc = _cells_for(emb)
     out = SIM.hard_negative_mining(
         emb, k=3,
-        centers=SIM.fixed_codebook(64, n_cells=_cells_for(emb), seed=7),
+        centers=SIM.fixed_codebook(64, n_cells=nc, seed=7),
+        assign="literal" if nc <= 8 else "arrow",
     )
     return out.select(
         "anchor_id", "negative_id",

@@ -831,6 +831,45 @@ def ivfpq_topk(
     )
 
 
+
+def _literal_cell_argmin(centers: list[list[float]]) -> Column:
+    """argmin over literal centroids as a pure expression (array_min of
+    (d2, cell) structs; ties to the lowest cell, matching np.argmin).
+    Bit-exactly replayable by a SQL oracle — but O(n_cells * dim) ops
+    PER ROW, and past ~64 cells the generated method outgrows codegen
+    and falls back to interpreted eval. Use the Arrow path beyond that."""
+    cells = []
+    for j, cvec in enumerate(centers):
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = _dot(F.col("__v"), F.col("__v")) - 2.0 * _dot(
+            F.col("__v"), c
+        ) + _dot(c, c)
+        cells.append(F.struct(d2.alias("d"), F.lit(j).alias("cell")))
+    return F.array_min(F.array(*cells))["cell"]
+
+
+def _arrow_cell_argmin(centers: list[list[float]]) -> Column:
+    """argmin via one Arrow-batched numpy matmul per batch — the scale
+    path for large codebooks (the same shape ivf_index uses). Same
+    assignment as the literal expression except at exact-tie Voronoi
+    boundaries (summation order), which is measure-zero for real data."""
+    import numpy as np
+    import pandas as pd
+
+    centers_arr = np.asarray(centers, dtype="float64")
+
+    def _assign(vecs):
+        m = np.stack(vecs.to_numpy())
+        dist = (
+            (m ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * m @ centers_arr.T
+            + (centers_arr ** 2).sum(axis=1)
+        )
+        return pd.Series(dist.argmin(axis=1).astype("int32"))
+
+    return F.pandas_udf(_assign, "int")(F.col("__v"))
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,
@@ -840,6 +879,7 @@ def semantic_dedup(
     n_cells: int = 8,
     seed: int = 7,
     dim: int | None = None,
+    assign: str = "literal",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     assign every embedding to its nearest codebook centroid, then compare
@@ -875,15 +915,12 @@ def semantic_dedup(
                 )
             dim = len(first[0])
         centers = fixed_codebook(dim, n_cells=n_cells, seed=seed)
-    cells = []
-    for j, cvec in enumerate(centers):
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        d2 = _dot(F.col("__v"), F.col("__v")) - 2.0 * _dot(
-            F.col("__v"), c
-        ) + _dot(c, c)
-        cells.append(F.struct(d2.alias("d"), F.lit(j).alias("cell")))
+    cell_expr = (
+        _arrow_cell_argmin(centers) if assign == "arrow"
+        else _literal_cell_argmin(centers)
+    )
     assigned = base.withColumns({
-        "cell": F.array_min(F.array(*cells))["cell"],
+        "cell": cell_expr,
         # one norm per ROW: the per-pair cosine is a single dot-product
         # (same float value as cosine(), 3x less interpreted work)
         "__n": _norm(F.col("__v")),
@@ -932,6 +969,7 @@ def hard_negative_mining(
     n_cells: int = 8,
     seed: int = 7,
     dim: int | None = None,
+    assign: str = "literal",
 ) -> DataFrame:
     """Contrastive-training data mining: for every anchor vector, the
     top-k most cosine-similar vectors carrying a DIFFERENT label —
@@ -965,15 +1003,12 @@ def hard_negative_mining(
                 )
             dim = len(first[0])
         centers = fixed_codebook(dim, n_cells=n_cells, seed=seed)
-    cells = []
-    for j, cvec in enumerate(centers):
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        d2 = _dot(F.col("__v"), F.col("__v")) - 2.0 * _dot(
-            F.col("__v"), c
-        ) + _dot(c, c)
-        cells.append(F.struct(d2.alias("d"), F.lit(j).alias("cell")))
+    cell_expr = (
+        _arrow_cell_argmin(centers) if assign == "arrow"
+        else _literal_cell_argmin(centers)
+    )
     assigned = base.withColumns({
-        "cell": F.array_min(F.array(*cells))["cell"],
+        "cell": cell_expr,
         "__n": _norm(F.col("__v")),  # once per row, not per pair
     }).persist()
     a, b = assigned.alias("a"), assigned.alias("b")

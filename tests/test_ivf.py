@@ -184,3 +184,27 @@ def test_fixed_codebook_unit_norm_and_balanced_cells(spark):
     total = sum(counts)
     assert len(counts) >= 4            # several cells populated
     assert max(counts) < 0.5 * total   # no degenerate mega-cell
+
+
+def test_semantic_dedup_arrow_assignment_matches_literal(spark):
+    """the Arrow matmul cell assignment must agree with the oracle-exact
+    literal argmin on real data (ties are measure-zero here)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        fixed_codebook,
+        semantic_dedup,
+    )
+    from data_pipeline_framework_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = fixed_codebook(64, n_cells=16, seed=7)
+    lit = semantic_dedup(emb, threshold=0.35, centers=cents)
+    arw = semantic_dedup(emb, threshold=0.35, centers=cents,
+                         assign="arrow")
+    j = lit.alias("l").join(arw.alias("a"), "vec_id")
+    assert j.filter(
+        (F.col("l.cell") != F.col("a.cell"))
+        | (F.col("l.keep") != F.col("a.keep"))
+    ).count() == 0
+    lit.unpersist(); arw.unpersist()
