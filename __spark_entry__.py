@@ -5257,13 +5257,9 @@ def winnowing_doc_fingerprints(
         winnowing_fingerprints,
     )
 
-    # repartition: the doc scan is a handful of files but the projection
-    # is compute-heavy — spread it across the executor cores.
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(32, "doc_id")
-    )
+    # winnowing_fingerprints spreads the scan itself (functions.text
+    # _spread) — no caller-side repartition needed.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
     # explode_outer, NOT explode: InferFiltersFromGenerate plants a
     # size()>0 filter under a plain explode, and predicate pushdown then

@@ -36,6 +36,12 @@ _WIDE = {
     "holt_trend_smoothing", "funnel_user_stages",
     "bloom_url_membership", "duplicate_span_removal",
     "collocation_pmi_pairs", "semantic_clusters", "badword_scores",
+    # winnowing emits one row per window-min fingerprint (~100/doc):
+    # collecting millions of rows measures the driver's pickle loop,
+    # not the engine. count() still forces the whole fingerprint
+    # pipeline — the isNotNull filter on the exploded column cannot be
+    # pruned or pushed below the Generate.
+    "winnowing_doc_fingerprints",
 }
 
 HEADLINE = [

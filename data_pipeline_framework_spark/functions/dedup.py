@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import hash52, tokens
+from .text import _spread, hash52, tokens  # noqa: F401  (_spread re-exported; long-standing import site for callers)
 
 # (a, b) pairs for k=16 minhash permutations; a < 2^10 keeps a*hash52 < 2^62
 # (no int64 overflow), p = 2^61 - 1 (Mersenne prime).
@@ -31,36 +31,6 @@ MINHASH_PARAMS: list[tuple[int, int]] = [
     (_rng.randrange(1, 1 << 10), _rng.randrange(0, 1 << 60)) for _ in range(16)
 ]
 LSH_BANDS = 4  # 4 bands x 4 rows
-
-
-def _spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
-    """Repartition up to the cluster's parallelism before CPU-bound
-    shingle/hash work. Small-file corpora (one 128 MB split = one task)
-    otherwise serialize the most expensive stage of the pipeline on a
-    single core; at 100 TB inputs are already wide and this is a no-op.
-
-    Width probe: `inputFiles()` (metadata-only, ~ms). File count lower-
-    bounds the scan's partition count (block splitting only adds tasks),
-    so `files >= target` safely skips the shuffle. Only non-file-backed
-    plans fall through to the JVM-side RDD probe; the Python `df.rdd`
-    probe is never used (it builds a Python-serialized RDD — ~1 s of
-    plan conversion per call)."""
-    sc = df.sparkSession.sparkContext
-    target = parallelism or sc.defaultParallelism
-    try:
-        n = len(df.inputFiles())
-    except Exception:
-        n = 0
-    if n >= target:
-        return df
-    if n == 0:  # non-file plan (in-memory, stream, join output)
-        try:
-            n = df._jdf.rdd().getNumPartitions()
-        except Exception:
-            return df.repartition(target)
-    if n < target:
-        return df.repartition(target)
-    return df
 
 
 def shingles(text_col: Column | str, n: int = 3) -> Column:
@@ -777,7 +747,7 @@ def source_overlap_matrix(
     Output: source_a, source_b, shared_shingles, n_a, n_b, jaccard
     (one row per unordered pair with any overlap).
     """
-    sh = shingled_docs(df, id_col, text_col, n=n, carry=(group_col,))
+    sh = shingled_docs(_spread(df), id_col, text_col, n=n, carry=(group_col,))
     src_shingle = sh.select(group_col, F.explode("__sh").alias("__h"))
     # collect_set dedups (source, shingle) itself — no separate
     # distinct pass; persist the bounded-width result because BOTH the
@@ -854,9 +824,10 @@ def winnowing_fingerprints(
     shared fingerprint — positional overlap detection that MinHash
     (whole-doc similarity) and SimHash (global signature) can't give.
 
-    Shape: ZERO shuffles — normalization, k-gram hashing, window minima
-    and the distinct set are all in-row array expressions inside the
-    scan stage; output rows stay one-per-document with a bounded
+    Shape: one optional `_spread` repartition (skipped when the scan is
+    already as wide as the cluster) — normalization, k-gram hashing,
+    window minima and the distinct set are all in-row array expressions
+    inside one stage; output rows stay one-per-document with a bounded
     fingerprint array (≤ #kgrams). Pair generation downstream is the
     same bucketed equi-join as every other fingerprint family here
     (explode -> groupBy fingerprint), never all-pairs.
@@ -903,7 +874,7 @@ def winnowing_fingerprints(
             grams, _shifted(F.col("__c"), j),
             lambda a, b: F.concat(a, b),
         )
-    base = df.select(F.col(id_col), chars.alias("__c")).select(
+    base = _spread(df).select(F.col(id_col), chars.alias("__c")).select(
         id_col,
         F.greatest(F.size("__c") - (k - 1), F.lit(0)).alias("__ng"),
         F.array_compact(F.transform(grams, hash52)).alias("__h"),

@@ -20,6 +20,36 @@ from pyspark.sql import functions as F
 # A 52-bit portable string hash: hex prefix of md5, parseable identically in
 # DuckDB (CAST('0x'||substr(md5(x),1,13) AS BIGINT)). Used everywhere a
 # cross-engine-stable hash is needed (shingles, fingerprints, buckets).
+
+def _spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Repartition up to the cluster's parallelism before CPU-bound
+    shingle/hash work. Small-file corpora (one 128 MB split = one task)
+    otherwise serialize the most expensive stage of the pipeline on a
+    single core; at 100 TB inputs are already wide and this is a no-op.
+
+    Width probe: `inputFiles()` (metadata-only, ~ms). File count lower-
+    bounds the scan's partition count (block splitting only adds tasks),
+    so `files >= target` safely skips the shuffle. Only non-file-backed
+    plans fall through to the JVM-side RDD probe; the Python `df.rdd`
+    probe is never used (it builds a Python-serialized RDD — ~1 s of
+    plan conversion per call)."""
+    sc = df.sparkSession.sparkContext
+    target = parallelism or sc.defaultParallelism
+    try:
+        n = len(df.inputFiles())
+    except Exception:
+        n = 0
+    if n >= target:
+        return df
+    if n == 0:  # non-file plan (in-memory, stream, join output)
+        try:
+            n = df._jdf.rdd().getNumPartitions()
+        except Exception:
+            return df.repartition(target)
+    if n < target:
+        return df.repartition(target)
+    return df
+
 def hash52(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("bigint")
 
@@ -939,8 +969,10 @@ def char_entropy(
     checks: src/data_pipeline/utils/data_quality.py's
     validity/consistency family; this is the corpus-curation analogue).
 
-    Shape: ZERO shuffles — the whole computation is one per-row
-    projection inside the scan stage. The naive plan (explode chars ->
+    Shape: one per-row projection (plus `_spread`'s repartition when —
+    and only when — the scan is narrower than the cluster: a one-file
+    corpus otherwise serializes the whole fold on one core). The naive
+    plan (explode chars ->
     count per (doc, char) -> regroup) shuffles one row per CHARACTER,
     i.e. the entire corpus byte volume; instead the chars are sorted
     within the row, run BOUNDARIES are located with one filtered index
@@ -959,7 +991,7 @@ def char_entropy(
 
     Output: id, n_chars, distinct_chars, entropy_bits.
     """
-    bound = df.select(
+    bound = _spread(df).select(
         F.col(id_col),
         F.array_sort(
             F.filter(
