@@ -3935,6 +3935,53 @@ def media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: embeddings quantize to REAL 8x8 PNGs, the
+    distributed dHash kernel (operators/multimodal.py:dhash_images)
+    decodes them back and fingerprints adjacent-pixel gradients; pairs
+    within Hamming<=3 come from the banded-bucket equi-join
+    (functions/dedup.py:hamming_hash_pairs — never all-pairs); the
+    keep-list drops every image with a smaller-id near-dup. The oracle
+    replays the hash from the floats alone (quantization is
+    deterministic), so a match proves the PNG encode->decode->hash loop
+    bit-exactly, distributed."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        hamming_hash_pairs,
+    )
+    from data_pipeline_framework_spark.operators.multimodal import (
+        dhash_images,
+        encode_png,
+    )
+
+    @F.pandas_udf("binary")
+    def pack(s: pd.Series) -> pd.Series:
+        def go(v):
+            q = np.clip(
+                np.floor((np.asarray(v, dtype=np.float64) + 1.0) * 127.5),
+                0, 255,
+            ).astype(np.uint8)
+            return encode_png(q.reshape(8, 8))
+
+        return s.map(go)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    blobs = emb.select(
+        "vec_id", pack("embedding").alias("content"),
+        F.lit("png").alias("format"),
+    )
+    sig = dhash_images(blobs).select("vec_id", "dhash").persist()
+    pairs = hamming_hash_pairs(
+        sig, "vec_id", "dhash", bits=56, max_hamming=3, n_blocks=4
+    )
+    dup_ids = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    out = (
+        sig.join(dup_ids, "vec_id", "left_anti")
+        .select("vec_id", "dhash")
+        .orderBy("vec_id")
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # as-of / range joins (operators/joins.py)
 
@@ -5440,6 +5487,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "savgol_smooth": savgol_smooth,
         "media_waveform_features": media_waveform_features,
         "media_image_features": media_image_features,
+        "image_dhash_dedup": image_dhash_dedup,
         "media_jpeg_roundtrip": media_jpeg_roundtrip,
         "asof_join_events": asof_join_events,
         "range_join_acctbal": range_join_acctbal,
@@ -6746,6 +6794,17 @@ _SHARD_MANIFEST_ORACLE = f"""
                AS BIGINT)) AS content_fingerprint
     FROM sh GROUP BY shard ORDER BY shard
 """
+
+
+# dHash bit terms for the image_dhash_dedup oracle: bit k = r*7+c set iff
+# quantized px[r*8+c] > px[r*8+c+1] (row-major adjacent-column gradient,
+# exactly operators/multimodal.py:dhash_images on an 8x8 grid).
+_DHASH_BITS_SQL = " + ".join(
+    f"CASE WHEN p[{r * 8 + c + 1}] > p[{r * 8 + c + 2}]"
+    f" THEN {1 << (r * 7 + c)} ELSE 0 END"
+    for r in range(8)
+    for c in range(7)
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8384,6 +8443,35 @@ def oracle_sql() -> dict[str, str]:
                                     * 127.5), 0), 255)))
                          * 1e6 + 0.5) / 1e6 AS mean_q
             FROM embeddings
+        """,
+        "image_dhash_dedup": f"""
+            WITH px AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           v -> CAST(least(greatest(FLOOR((CAST(v AS DOUBLE)
+                                     + 1.0) * 127.5), 0), 255) AS BIGINT)
+                       ) AS p
+                FROM embeddings
+            ), sig AS (
+                SELECT vec_id, CAST({_DHASH_BITS_SQL} AS BIGINT) AS dhash
+                FROM px
+            ), blocks AS (
+                SELECT vec_id, dhash, blk,
+                       (dhash >> (blk * 14)) & 16383 AS key
+                FROM sig, (SELECT unnest(range(4)) AS blk)
+            ), pairs AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                                a.dhash AS sa, b.dhash AS sb
+                FROM blocks a
+                JOIN blocks b ON a.blk = b.blk AND a.key = b.key
+                             AND a.vec_id < b.vec_id
+            ), dups AS (
+                SELECT DISTINCT id_b FROM pairs
+                WHERE bit_count(xor(sa, sb)) <= 3
+            )
+            SELECT vec_id, dhash FROM sig
+            WHERE vec_id NOT IN (SELECT id_b FROM dups)
+            ORDER BY vec_id
         """,
         "media_jpeg_roundtrip": """
             SELECT vec_id,

@@ -159,6 +159,7 @@ HEADLINE = [
     "centroid_quality_scores",
     "source_overlap",
     "winnowing_doc_fingerprints",
+    "image_dhash_dedup",
 ]
 
 

@@ -919,3 +919,66 @@ def winnowing_fingerprints(
         F.col("__ng").cast("long").alias("n_kgrams"),
         mins.alias("fingerprints"),
     )
+
+
+def hamming_hash_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 56,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs over ANY integer fingerprint column (text SimHash,
+    image dHash, audio fingerprints): candidates come from matching
+    contiguous bit blocks (pigeonhole: hamming <= n_blocks-1 guarantees
+    at least one identical block), then exact ``bit_count(xor)``
+    verification. The self-join is an equi-join on (block index, block
+    key) — per-bucket, never all-pairs — so shuffle volume is
+    n_blocks rows per fingerprint regardless of corpus size.
+
+    Generalizes simhash_pairs' inline blocking (kept for its public
+    signature); reference has no fingerprint-family dedup at all
+    (closest: pandas drop_duplicates in
+    src/data_pipeline/processing/data_cleaner.py).
+    """
+    n_blocks = n_blocks or (max_hamming + 1)
+    width = -(-bits // n_blocks)  # ceil: blocks cover all `bits`
+    mask = (1 << width) - 1
+    blocks = sig.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright(hash_col, b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for b in range(n_blocks)
+            ])
+        ).alias("bk"),
+    ).select(id_col, hash_col, "bk.blk", "bk.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("sig_a"),
+            F.col(f"b.{hash_col}").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -559,3 +559,50 @@ def audio_features(
         return pdf
 
     return _map_batches(df, schema, feats)
+
+
+def dhash_images(
+    df: DataFrame,
+    content_col: str = "content",
+    fmt_col: str = "format",
+    max_bits: int = 56,
+) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint per image.
+
+    Bit k = 1 iff px[r,c] > px[r,c+1] on the grayscale grid (channel
+    mean for RGB), row-major (k = r*(W-1)+c), capped at ``max_bits`` so
+    the hash packs into one BIGINT column. Re-encodes and low-amplitude
+    noise leave the hash inside a small Hamming ball, so image-level
+    near-dup detection reduces to the same banded-bucket equi-join used
+    for text SimHash (functions/dedup.py:hamming_hash_pairs) — never
+    all-pairs, so a billion-image corpus shuffles only (id, block-key)
+    rows. Parity note: the reference's media handling stops at content
+    metadata (src/data_pipeline/utils/*); perceptual dedup is the
+    multimodal-corpus extension BASELINE.json calls for.
+
+    Arrow-batched mapInPandas: byte-level codec work is inherently
+    per-blob Python, everything after the hash column is JVM-side.
+    """
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("dhash", T.LongType())]
+    )
+
+    def hashes(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for blob, fmt in zip(pdf[content_col], pdf[fmt_col]):
+            img = _decode(bytes(blob), fmt).astype(np.float64)
+            if img.ndim == 3:
+                img = img.mean(axis=2)
+            if img.ndim == 1:
+                img = img.reshape(1, -1)
+            bits = (img[:, :-1] > img[:, 1:]).ravel()[:max_bits]
+            h = 0
+            for k, b in enumerate(bits):
+                if b:
+                    h |= 1 << k
+            out.append(h)
+        pdf = pdf.copy()
+        pdf["dhash"] = pd.Series(out, index=pdf.index, dtype="int64")
+        return pdf
+
+    return _map_batches(df, schema, hashes)

@@ -311,3 +311,47 @@ def test_ppm_16bit_and_unsupported():
                       + np.array([1, 1], dtype="<i4").tobytes()
                       + np.array([1, 24], dtype="<u2").tobytes()
                       + np.array([1], dtype="<u4").tobytes() + bytes(20))
+
+
+def test_dhash_images_and_hamming_pairs(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        hamming_hash_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    # near-dup: +-1 noise almost never flips an adjacent-pixel gradient
+    noisy = np.clip(
+        base.astype(np.int16) + rng.integers(-1, 2, size=(8, 8)), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    rows = [
+        (0, MM.encode_png(base), "png"),
+        (1, MM.encode_png(noisy), "png"),
+        (2, MM.encode_png(other), "png"),
+        (3, MM.encode_png(base), "png"),  # exact re-encode of 0
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary, format string")
+    sig = MM.dhash_images(df).select("id", "dhash")
+    got = {r["id"]: r["dhash"] for r in sig.collect()}
+    # exact duplicate -> identical hash; independent image -> far away
+    assert got[0] == got[3]
+    assert bin(got[0] ^ got[2]).count("1") > 3
+    # reference hash computed directly from pixels (row-major gradient)
+    expect = 0
+    k = 0
+    for r in range(8):
+        for c in range(7):
+            if base[r, c] > base[r, c + 1]:
+                expect |= 1 << k
+            k += 1
+    assert got[0] == expect
+
+    pairs = hamming_hash_pairs(
+        sig, "id", "dhash", bits=56, max_hamming=3, n_blocks=4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in found
+    assert all({a, b} != {0, 2} and {a, b} != {2, 3} for a, b in found)
+    ham03 = [r["hamming"] for r in pairs if (r["id_a"], r["id_b"]) == (0, 3)]
+    assert ham03 == [0]
