@@ -2779,6 +2779,38 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid similar-document search: BM25 (query = the seed doc's own
+    text) and dense cosine (query = the seed doc's embedding) each
+    produce a top-30, fused by reciprocal-rank fusion
+    (functions/retrieval.py:rrf_fuse). Only ranks enter the fusion, so
+    the oracle replays both rankers (proven separately by bm25_search
+    and ann_cosine_topk) and the exact 1/(60+rank) sums."""
+    from data_pipeline_framework_spark.functions import retrieval as RET
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    qdocs = docs.filter("doc_id < 3").select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = RET.bm25_topk(docs, qdocs, k=30).select(
+        "query_id", "doc_id", "rank"
+    )
+    qvecs = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    den = SIM.cosine_topk(emb, qvecs, k=30).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = RET.rrf_fuse([lex, den], k_rrf=60, topk=10)
+    return fused.select(
+        "query_id", "doc_id",
+        _r(F.col("rrf_score"), 6).alias("rrf_score"),
+        "n_systems", "rank",
+    )
+
+
 def keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """top-3 tf-idf keywords per document (per-term drill-down of
     tfidf_vectors; same MLlib idf smoothing)."""
@@ -5444,6 +5476,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
         "bm25_search": bm25_search,
+        "hybrid_rrf_search": hybrid_rrf_search,
         "keyword_extraction": keyword_extraction,
         "semantic_dedup_keep": semantic_dedup_keep,
         "funnel_user_stages": funnel_user_stages,
@@ -6191,6 +6224,91 @@ def _ann_recall_oracle() -> str:
                    AS recall
         FROM exact e LEFT JOIN h USING (query_id)
         GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+def _hybrid_rrf_oracle() -> str:
+    """DuckDB twin of queries()['hybrid_rrf_search']: the bm25_search
+    oracle's CTE chain (query = seed docs' own tokens, k=30), the
+    ann_cosine_topk oracle's dense ranking (k=30), fused with the exact
+    1/(60+rank) reciprocal-rank sums. rank is CAST to DOUBLE before the
+    60.0 + so DuckDB stays in double math (DECIMAL + INT would silently
+    switch the division to fixed-point)."""
+    return f"""
+        WITH d AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+        dl AS (SELECT doc_id, len(w)::DOUBLE AS dl, w FROM d),
+        qt AS (
+            SELECT doc_id AS query_id, unnest(list_distinct(w)) AS t
+            FROM d WHERE doc_id < 3
+        ),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+        ),
+        posted AS (
+            SELECT doc_id, dl, t, count(*)::DOUBLE AS tf
+            FROM (SELECT doc_id, dl, unnest(w) AS t FROM dl)
+            JOIN (SELECT DISTINCT t FROM qt) v USING (t)
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT t, count(*)::DOUBLE AS df FROM posted GROUP BY t),
+        bm AS (
+            SELECT qt.query_id, posted.doc_id,
+                   sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * ((tf * 2.2)
+                          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+                       AS score
+            FROM posted JOIN dfreq USING (t) JOIN qt USING (t), stats
+            GROUP BY 1, 2
+        ),
+        lex AS (
+            SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS INT) AS rank
+                FROM bm WHERE score > 0.0
+            ) WHERE rank <= 30
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 3
+        ),
+        s AS (
+            SELECT q.query_id, e.vec_id AS doc_id,
+                   list_dot_product(qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])))
+                       AS cos
+            FROM embeddings e, q
+        ),
+        den AS (
+            SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS INT) AS rank
+                FROM s
+            ) WHERE rank <= 30
+        ),
+        u AS (
+            SELECT query_id, doc_id, rank FROM lex
+            UNION ALL
+            SELECT query_id, doc_id, rank FROM den
+        ),
+        fused AS (
+            SELECT query_id, doc_id,
+                   sum(1.0 / (60.0 + CAST(rank AS DOUBLE))) AS rrf_score,
+                   CAST(count(*) AS INT) AS n_systems
+            FROM u GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id,
+               FLOOR(rrf_score * 1e6 + 0.5) / 1e6 AS rrf_score,
+               n_systems, rank
+        FROM (
+            SELECT query_id, doc_id, rrf_score, n_systems,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+            FROM fused
+        ) WHERE rank <= 10
     """
 
 
@@ -7782,6 +7900,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_recall_report": _neardup_recall_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "bm25_search": _bm25_oracle(),
+        "hybrid_rrf_search": _hybrid_rrf_oracle(),
         "keyword_extraction": _KEYWORD_ORACLE,
         "semantic_dedup_keep": _semantic_dedup_oracle(),
         "holt_trend_smoothing": """

@@ -160,6 +160,7 @@ HEADLINE = [
     "source_overlap",
     "winnowing_doc_fingerprints",
     "image_dhash_dedup",
+    "hybrid_rrf_search",
 ]
 
 

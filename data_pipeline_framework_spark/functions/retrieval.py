@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk", "keyword_topk"]
+__all__ = ["bm25_topk", "keyword_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -146,4 +146,48 @@ def keyword_topk(
         weighted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, F.col("__t").alias("term"), "tf", "weight", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack et al., the
+    standard lexical+dense hybrid-search combiner):
+
+        rrf(q, d) = sum over systems s ranking d of 1 / (k_rrf + rank_s)
+
+    Each input must carry (query_id_col, id_col, rank). Scores from
+    different systems never need calibration — only ranks enter — which
+    is why RRF is the robust default for BM25 + embedding hybrids.
+
+    Shape: inputs are already top-k-per-query (bounded), so the union +
+    one (query, doc) groupBy shuffles at most sum(k_s) rows per query
+    regardless of corpus size; ranking is a per-query window over <=
+    sum(k_s) rows. No counterpart in the reference (its text surface
+    stops at tf-idf aggregates); this is the retrieval-stack extension.
+    """
+    parts = [
+        r.select(query_id_col, id_col, F.col("rank").cast("int").alias("rank"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_id_col, id_col).agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank")))
+        .alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id_col, id_col, "rrf_score", "n_systems", "rank")
     )

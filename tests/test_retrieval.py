@@ -253,3 +253,27 @@ def test_hard_negative_mining_empty_raises(spark):
         [], "vec_id long, embedding array<double>, label string")
     with pytest.raises(ValueError, match="empty"):
         hard_negative_mining(df)
+
+
+def test_rrf_fuse_ranks_and_scores(spark):
+    from data_pipeline_framework_spark.functions.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    den = spark.createDataFrame(
+        [("q", 2, 1), ("q", 4, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    out = rrf_fuse([lex, den], k_rrf=60, topk=3).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 2 appears in both systems -> highest fused score, rank 1
+    assert by_id[2]["rank"] == 1 and by_id[2]["n_systems"] == 2
+    assert abs(by_id[2]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-12
+    # doc 1: lexical-only rank 1
+    assert abs(by_id[1]["rrf_score"] - 1 / 61) < 1e-12
+    # topk=3 keeps exactly 3 rows; doc with lowest fused score dropped
+    assert len(out) == 3
+    # deterministic tie-break: docs 1 and 4 tie (1/61 each) -> lower id first
+    assert by_id[1]["rank"] == 2 and 4 in by_id and by_id[4]["rank"] == 3
