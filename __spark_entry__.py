@@ -1291,6 +1291,29 @@ def classifier_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calibration sweep for the hashed quality classifier: precision /
+    recall / F1 against the lang=='en' heuristic label at 20 even score
+    thresholds, one corpus pass + a 20-row grid window (the window runs
+    over the GRID, never the data — see
+    functions/profiling.py:threshold_sweep)."""
+    from data_pipeline_framework_spark.functions import profiling as PF
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    w = TX.classifier_weights(64, seed=13)
+    scored = TX.hashed_classifier_score(docs, "doc_id", "text", w, bias=0.1)
+    lab = scored.withColumn("__lab", (F.col("lang") == "en").cast("int"))
+    out = PF.threshold_sweep(lab, "prob", "__lab", n_thresholds=20)
+    return out.select(
+        _r(F.col("threshold"), 6).alias("threshold"),
+        "pred_pos", "tp",
+        _r(F.col("precision"), 6).alias("precision"),
+        _r(F.col("recall"), 6).alias("recall"),
+        _r(F.col("f1"), 6).alias("f1"),
+    )
+
+
 def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """long-document -> training-context chunking: 32-token windows at
     stride 24, fully narrow (sequence/explode/slice expressions — zero
@@ -2887,6 +2910,26 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cell", "dup_of", "keep")
 
 
+def diverse_prototype_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coverage sampling: the 3 most prototypical vectors per codebook
+    cell (highest centroid cosine) — every embedding-space region
+    contributes representatives instead of the dense core dominating.
+    Oracle replays assignment, centroid cosine, and per-cell ranking."""
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nc = _cells_for(emb)
+    out = SIM.diversity_sample(
+        emb, k_per_cell=3,
+        centers=SIM.fixed_codebook(64, n_cells=nc, seed=7),
+        assign="literal" if nc <= 8 else "arrow",
+    )
+    return out.select(
+        "vec_id", "cell", _r(F.col("proto_cos"), 6).alias("proto_cos"),
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # cleaning (operators/cleaning.py + the `clean` op)
 
@@ -3480,6 +3523,83 @@ def _classifier_oracle() -> str:
                                                        0.0))))
                      * 1e6 + 0.5) / 1e6 AS prob
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def _threshold_sweep_oracle() -> str:
+    """DuckDB twin of classifier_threshold_sweep: the classifier oracle's
+    raw prob, label = (lang='en'), bucket floor((prob-0)/5e-2) clamped to
+    [0,19], cumulative TP / predicted-positive down the 20-row grid."""
+    from data_pipeline_framework_spark.functions.text import (
+        classifier_weights,
+    )
+
+    w = classifier_weights(64, seed=13)
+    vals = ", ".join(f"({i}, {wi!r})" for i, wi in enumerate(w))
+    h = "CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT)"
+    return f"""
+        WITH wts(bkt, wt) AS (VALUES {vals}),
+        tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS t
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt) AS sw
+            FROM (SELECT doc_id, {h} % 64 AS bkt FROM tok) b
+            JOIN wts USING (bkt)
+            GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id, d.lang,
+                   1.0 / (1.0 + exp(-(0.1 + COALESCE(a.sw / a.n_tokens,
+                                                     0.0)))) AS prob
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        ),
+        bkt AS (
+            SELECT least(greatest(CAST(floor((prob - 0.0) / 5e-2) AS INT),
+                                  0), 19) AS b,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM scored
+        ),
+        counts AS (SELECT b, SUM(y) AS pos, COUNT(*) AS n
+                   FROM bkt GROUP BY b),
+        grid AS (SELECT CAST(unnest(range(20)) AS INT) AS b),
+        f AS (
+            SELECT g.b, COALESCE(pos, 0) AS pos, COALESCE(n, 0) AS n
+            FROM grid g LEFT JOIN counts USING (b)
+        ),
+        swept AS (
+            SELECT b,
+                   SUM(pos) OVER (ORDER BY b DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS tp,
+                   SUM(n) OVER (ORDER BY b DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pred_pos,
+                   SUM(pos) OVER () AS all_pos
+            FROM f
+        ),
+        metrics AS (
+            SELECT b, CAST(tp AS BIGINT) AS tp,
+                   CAST(pred_pos AS BIGINT) AS pred_pos,
+                   CASE WHEN pred_pos > 0
+                        THEN CAST(tp AS DOUBLE) / pred_pos END AS p,
+                   CASE WHEN all_pos > 0
+                        THEN CAST(tp AS DOUBLE) / all_pos END AS r
+            FROM swept
+        )
+        SELECT FLOOR((0.0 + b * 5e-2) * 1e6 + 0.5) / 1e6 AS threshold,
+               pred_pos, tp,
+               FLOOR(p * 1e6 + 0.5) / 1e6 AS precision,
+               FLOOR(r * 1e6 + 0.5) / 1e6 AS recall,
+               FLOOR(CASE WHEN p IS NOT NULL AND r IS NOT NULL
+                          AND p + r > 0
+                          THEN 2.0 * p * r / (p + r) END
+                     * 1e6 + 0.5) / 1e6 AS f1
+        FROM metrics
     """
 
 
@@ -5415,6 +5535,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_flags": duplicate_span_flags,
         "unigram_logprob_scores": unigram_logprob_scores,
         "classifier_quality_scores": classifier_quality_scores,
+        "classifier_threshold_sweep": classifier_threshold_sweep,
         "bigram_logprob_scores": bigram_logprob_scores,
         "document_chunks": document_chunks,
         "boilerplate_line_removal": boilerplate_line_removal,
@@ -5479,6 +5600,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_search": hybrid_rrf_search,
         "keyword_extraction": keyword_extraction,
         "semantic_dedup_keep": semantic_dedup_keep,
+        "diverse_prototype_sample": diverse_prototype_sample,
         "funnel_user_stages": funnel_user_stages,
         "funnel_conversion_events": funnel_conversion_events,
         "cohort_retention_weekly": cohort_retention_weekly,
@@ -6387,6 +6509,53 @@ _KEYWORD_ORACLE = f"""
     )
     WHERE rank <= 3
 """
+
+
+def _diversity_sample_oracle() -> str:
+    """DuckDB twin of queries()['diverse_prototype_sample']: the
+    semantic-dedup assignment CTE (literal-centroid argmin, ties to the
+    lowest cell), centroid cosine in the same dot/sqrt op order as
+    ann_cosine_topk, per-cell rank by (cosine desc, id)."""
+    from data_pipeline_framework_spark.functions.similarity import fixed_codebook
+
+    cents = fixed_codebook(64, n_cells=8, seed=7)
+    cent_rows = ", ".join(
+        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(cents)
+    )
+    d2 = (
+        "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
+        " + list_dot_product(cent.cv, cent.cv)"
+    )
+    return f"""
+        WITH cent(cell, cv) AS (VALUES {cent_rows}),
+        c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cassign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, cent.cell,
+                       row_number() OVER (
+                           PARTITION BY c.vec_id ORDER BY {d2}, cent.cell
+                       ) AS rn
+                FROM c, cent
+            ) WHERE rn = 1
+        ), scored AS (
+            SELECT a.vec_id, a.cell,
+                   list_dot_product(a.v, cent.cv)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(cent.cv, cent.cv)))
+                       AS proto_cos
+            FROM cassign a JOIN cent ON a.cell = cent.cell
+        )
+        SELECT vec_id, cell,
+               FLOOR(proto_cos * 1e6 + 0.5) / 1e6 AS proto_cos, rank
+        FROM (
+            SELECT vec_id, cell, proto_cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY proto_cos DESC, vec_id) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """
 
 
 def _semantic_dedup_oracle() -> str:
@@ -7611,6 +7780,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "classifier_quality_scores": _classifier_oracle(),
+        "classifier_threshold_sweep": _threshold_sweep_oracle(),
         "bigram_logprob_scores": _BIGRAM_ORACLE,
         "document_chunks": _CHUNKS_ORACLE,
         "boilerplate_line_removal": _BOILERPLATE_ORACLE,
@@ -7903,6 +8073,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_search": _hybrid_rrf_oracle(),
         "keyword_extraction": _KEYWORD_ORACLE,
         "semantic_dedup_keep": _semantic_dedup_oracle(),
+        "diverse_prototype_sample": _diversity_sample_oracle(),
         "holt_trend_smoothing": """
             WITH RECURSIVE seq AS (
                 SELECT user_id, event_id, value,

@@ -161,6 +161,8 @@ HEADLINE = [
     "winnowing_doc_fingerprints",
     "image_dhash_dedup",
     "hybrid_rrf_search",
+    "diverse_prototype_sample",
+    "classifier_threshold_sweep",
 ]
 
 

@@ -949,3 +949,89 @@ def psi_drift_categorical(
         "category", fa.alias("frac_a"), fb.alias("frac_b"),
         term.alias("psi_term"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_thresholds: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Classifier calibration report: precision / recall / F1 at an even
+    threshold grid over [lo, hi), in ONE corpus pass.
+
+    Rows are bucketed by floor((score - lo) / step) (clamped to the
+    grid), so "predicted positive at threshold t_k" means "score lands
+    in bucket >= k" — the exact bucket-boundary semantics both this and
+    any external replayer share, with no engine-dependent quantile
+    estimation. The corpus pass is a single tiny groupBy (n_thresholds
+    result rows); the cumulative TP/FP sweep then runs on the
+    n_thresholds-row grid — the single-partition window is over the
+    GRID, never the data, so corpus scale never touches it. The model-
+    eval step a quality-filter pipeline runs before picking its cut
+    (reference has profiling only, src/data_pipeline/utils/
+    data_profiler.py; this is the curation-classifier extension).
+
+    Output per threshold: threshold, pred_pos, tp, precision, recall,
+    f1 (precision/f1 null when nothing is predicted positive).
+    """
+    from pyspark.sql import Window
+
+    n = int(n_thresholds)
+    step = (hi - lo) / n
+    spark = df.sparkSession
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(step)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n - 1),
+    )
+    counts = (
+        df.select(b.alias("__b"), F.col(label_col).cast("int").alias("__y"))
+        .groupBy("__b")
+        .agg(F.sum("__y").alias("pos"), F.count(F.lit(1)).alias("n"))
+    )
+    grid = spark.range(n).select(F.col("id").cast("int").alias("__b"))
+    full = (
+        grid.join(counts, "__b", "left")
+        .select(
+            "__b",
+            F.coalesce("pos", F.lit(0)).alias("pos"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    w = Window.orderBy(F.desc("__b")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    swept = full.select(
+        "__b",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("n").over(w).alias("pred_pos"),
+        F.sum("pos").over(wall).alias("all_pos"),
+    )
+    prec = F.when(
+        F.col("pred_pos") > 0,
+        F.col("tp").cast("double") / F.col("pred_pos"),
+    )
+    rec = F.when(
+        F.col("all_pos") > 0,
+        F.col("tp").cast("double") / F.col("all_pos"),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    return swept.select(
+        (F.lit(lo) + F.col("__b") * F.lit(step)).alias("threshold"),
+        "pred_pos",
+        "tp",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -1100,3 +1100,68 @@ def centroid_similarity(
             _norm(v) * F.lit(cnorm),
         ),
     )
+
+
+def diversity_sample(
+    df: DataFrame,
+    k_per_cell: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centers: list[list[float]] | None = None,
+    n_cells: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+    assign: str = "literal",
+) -> DataFrame:
+    """Coverage-driven diverse subset selection: assign every embedding
+    to its nearest codebook cell, keep the k most prototypical vectors
+    per cell (highest cosine to the cell centroid, ties to the lower
+    id). The cheap distributed stand-in for k-center/facility-location
+    prototype selection: every region of embedding space contributes
+    representatives, so the sample spans the corpus instead of
+    oversampling its dense core — the selection step SemDeDup-style
+    curation pipelines run after dedup.
+
+    Shape: assignment is the same literal-argmin (or Arrow matmul)
+    projection semantic_dedup uses; ranking is one window partitioned by
+    cell. Cell count grows with the corpus (see semantic_dedup), so
+    per-cell populations — and thus per-partition window sorts — stay
+    bounded at scale.
+
+    Output: (id_col, cell, proto_cos, rank), rank 1..k_per_cell.
+    """
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if centers is None:
+        if dim is None:
+            first = base.select("__v").first()
+            if first is None or first[0] is None:
+                raise ValueError(
+                    "diversity_sample: cannot infer embedding dim from an "
+                    "empty (or all-null) input; pass dim= or centers="
+                )
+            dim = len(first[0])
+        centers = fixed_codebook(dim, n_cells=n_cells, seed=seed)
+    cell_expr = (
+        _literal_cell_argmin(centers)
+        if assign == "literal"
+        else _arrow_cell_argmin(centers)
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+    assigned = base.select(
+        F.col(id_col), F.col("__v"), cell_expr.alias("cell")
+    ).withColumn(
+        "proto_cos",
+        cosine(F.col("__v"), F.element_at(cent_lit, F.col("cell") + 1)),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("proto_cos"), F.asc(id_col)
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_per_cell)
+        .select(id_col, "cell", "proto_cos", "rank")
+    )

@@ -61,3 +61,38 @@ def test_average_ranks_ties_and_nulls(spark):
     assert out[1] == out[2] == 2.5   # positions 2,3 averaged
     assert out[3] == 4.0
     assert out[4] is None
+
+
+def test_threshold_sweep_metrics(spark):
+    from data_pipeline_framework_spark.functions.profiling import (
+        threshold_sweep,
+    )
+
+    # 4 rows: scores .1 .4 .6 .9, labels 0 1 0 1
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.4, 1), (0.6, 0), (0.9, 1)], "s double, y int"
+    )
+    out = threshold_sweep(df, "s", "y", n_thresholds=10).collect()
+    by_t = {round(r["threshold"], 2): r for r in out}
+    assert len(out) == 10
+    # threshold 0.0: everything predicted positive
+    r0 = by_t[0.0]
+    assert r0["pred_pos"] == 4 and r0["tp"] == 2
+    assert abs(r0["precision"] - 0.5) < 1e-12 and r0["recall"] == 1.0
+    # threshold 0.5: scores .6 and .9 predicted positive, one is true
+    r5 = by_t[0.5]
+    assert r5["pred_pos"] == 2 and r5["tp"] == 1
+    assert abs(r5["precision"] - 0.5) < 1e-12
+    assert abs(r5["recall"] - 0.5) < 1e-12
+    assert abs(r5["f1"] - 0.5) < 1e-12
+    # top threshold 0.9: only score .9 (bucket 9 clamps) -> precision 1
+    r9 = by_t[0.9]
+    assert r9["pred_pos"] == 1 and r9["tp"] == 1 and r9["precision"] == 1.0
+    # empty prediction never occurs here, but nulls propagate:
+    empty = threshold_sweep(
+        spark.createDataFrame([(0.05, 1)], "s double, y int"), "s", "y",
+        n_thresholds=10,
+    ).collect()
+    top = [r for r in empty if round(r["threshold"], 2) == 0.9][0]
+    assert top["pred_pos"] == 0 and top["precision"] is None
+    assert top["f1"] is None and top["recall"] == 0.0

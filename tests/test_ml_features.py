@@ -184,3 +184,40 @@ def test_lloyd_kmeans_empty_cluster_keeps_center(spark):
     got = {r["id"]: r["cluster"] for r in out.collect()}
     assert got[3] != got[0]  # far point separates
     assert len(set(got.values())) == 2
+
+
+def test_diversity_sample_coverage(spark):
+    from data_pipeline_framework_spark.functions.similarity import (
+        diversity_sample,
+    )
+
+    # two well-separated directions -> two populated cells with a
+    # hand-made codebook; most-prototypical = exactly on the centroid
+    centers = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (0, [1.0, 0.0]),      # cell 0, cos 1.0
+        (1, [0.9, 0.1]),      # cell 0
+        (2, [0.8, 0.3]),      # cell 0, least aligned
+        (3, [0.0, 1.0]),      # cell 1, cos 1.0
+        (4, [0.2, 0.9]),      # cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = diversity_sample(df, k_per_cell=2, centers=centers).collect()
+    got = {(r["cell"], r["rank"]): r["vec_id"] for r in out}
+    assert len(out) == 4  # 2 per cell, both cells represented
+    assert got[(0, 1)] == 0 and got[(1, 1)] == 3  # exact-centroid first
+    assert got[(0, 2)] == 1 and got[(1, 2)] == 4
+    # vec 2 (least prototypical in the fuller cell) dropped
+    assert all(r["vec_id"] != 2 for r in out)
+
+
+def test_diversity_sample_empty_raises(spark):
+    import pytest as _pytest
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        diversity_sample,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        diversity_sample(df)
