@@ -4019,6 +4019,47 @@ def media_waveform_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup: embeddings packed as npy waveforms, the
+    distributed energy-delta fingerprint kernel
+    (operators/multimodal.py:audio_fingerprints) hashes the decoded
+    samples, Hamming<=2 pairs come from the banded bucket join, and the
+    keep-list drops every clip with a smaller-id near-dup. Oracle
+    replays frame energies and the 31 delta bits from the floats —
+    proving the pack->decode->fingerprint loop bit-exact."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        hamming_hash_pairs,
+    )
+    from data_pipeline_framework_spark.operators.multimodal import (
+        audio_fingerprints,
+        encode_npy,
+    )
+
+    @F.pandas_udf("binary")
+    def pack(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: encode_npy(np.asarray(v, dtype=np.float32))
+        )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    blobs = emb.select(
+        "vec_id", pack("embedding").alias("content"),
+        F.lit("npy").alias("format"),
+    )
+    sig = audio_fingerprints(blobs, n_frames=32).select(
+        "vec_id", "afp"
+    ).persist()
+    pairs = hamming_hash_pairs(
+        sig, "vec_id", "afp", bits=31, max_hamming=2, n_blocks=3
+    )
+    dup_ids = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        sig.join(dup_ids, "vec_id", "left_anti")
+        .select("vec_id", "afp")
+        .orderBy("vec_id")
+    )
+
+
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image pipeline round-trip with a REAL codec: each embedding is
     quantized to an 8x8 uint8 grayscale image, compressed to actual PNG
@@ -5643,6 +5684,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_waveform_features": media_waveform_features,
         "media_image_features": media_image_features,
         "image_dhash_dedup": image_dhash_dedup,
+        "audio_fingerprint_dedup": audio_fingerprint_dedup,
         "media_jpeg_roundtrip": media_jpeg_roundtrip,
         "asof_join_events": asof_join_events,
         "range_join_acctbal": range_join_acctbal,
@@ -7091,6 +7133,15 @@ _DHASH_BITS_SQL = " + ".join(
     f" THEN {1 << (r * 7 + c)} ELSE 0 END"
     for r in range(8)
     for c in range(7)
+)
+
+
+# audio-fingerprint bit terms: bit i set iff frame i+1 energy > frame i
+# energy over 32 two-sample frames (operators/multimodal.py:
+# audio_fingerprints with n_frames=32 on 64-sample npy waveforms).
+_AFP_BITS_SQL = " + ".join(
+    f"CASE WHEN en[{i + 2}] > en[{i + 1}] THEN {1 << i} ELSE 0 END"
+    for i in range(31)
 )
 
 
@@ -8760,6 +8811,36 @@ def oracle_sql() -> dict[str, str]:
                 WHERE bit_count(xor(sa, sb)) <= 3
             )
             SELECT vec_id, dhash FROM sig
+            WHERE vec_id NOT IN (SELECT id_b FROM dups)
+            ORDER BY vec_id
+        """,
+        "audio_fingerprint_dedup": f"""
+            WITH c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), e AS (
+                SELECT vec_id,
+                       list_transform(range(32),
+                           j -> v[2 * j + 1] * v[2 * j + 1]
+                                + v[2 * j + 2] * v[2 * j + 2]) AS en
+                FROM c
+            ), sig AS (
+                SELECT vec_id, CAST({_AFP_BITS_SQL} AS BIGINT) AS afp
+                FROM e
+            ), blocks AS (
+                SELECT vec_id, afp, blk,
+                       (afp >> (blk * 11)) & 2047 AS key
+                FROM sig, (SELECT unnest(range(3)) AS blk)
+            ), pairs AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                                a.afp AS sa, b.afp AS sb
+                FROM blocks a
+                JOIN blocks b ON a.blk = b.blk AND a.key = b.key
+                             AND a.vec_id < b.vec_id
+            ), dups AS (
+                SELECT DISTINCT id_b FROM pairs
+                WHERE bit_count(xor(sa, sb)) <= 2
+            )
+            SELECT vec_id, afp FROM sig
             WHERE vec_id NOT IN (SELECT id_b FROM dups)
             ORDER BY vec_id
         """,

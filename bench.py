@@ -163,6 +163,7 @@ HEADLINE = [
     "hybrid_rrf_search",
     "diverse_prototype_sample",
     "classifier_threshold_sweep",
+    "audio_fingerprint_dedup",
 ]
 
 

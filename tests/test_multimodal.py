@@ -355,3 +355,47 @@ def test_dhash_images_and_hamming_pairs(spark):
     assert all({a, b} != {0, 2} and {a, b} != {2, 3} for a, b in found)
     ham03 = [r["hamming"] for r in pairs if (r["id_a"], r["id_b"]) == (0, 3)]
     assert ham03 == [0]
+
+
+def test_audio_fingerprints_and_dedup(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        hamming_hash_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, 64).astype(np.float32)
+    noisy = (base + rng.normal(0, 1e-4, 64).astype(np.float32)).astype(
+        np.float32
+    )
+    other = rng.normal(0, 1, 64).astype(np.float32)
+    rows = [
+        (0, MM.encode_npy(base), "npy"),
+        (1, MM.encode_npy(noisy), "npy"),
+        (2, MM.encode_npy(other), "npy"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary, format string")
+    sig = MM.audio_fingerprints(df, n_frames=32).select("id", "afp")
+    got = {r["id"]: r["afp"] for r in sig.collect()}
+    # reference hash straight from the samples
+    en = (base.astype(np.float64)[:64].reshape(32, 2) ** 2).sum(axis=1)
+    expect = sum(1 << i for i in range(31) if en[i + 1] > en[i])
+    assert got[0] == expect
+    # tiny noise cannot flip many energy deltas; independent clip is far
+    assert bin(got[0] ^ got[1]).count("1") <= 2
+    assert bin(got[0] ^ got[2]).count("1") > 2
+    pairs = hamming_hash_pairs(
+        sig, "id", "afp", bits=31, max_hamming=2, n_blocks=3
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found and all(2 not in p for p in found)
+
+
+def test_audio_fingerprints_short_clip_zero(spark):
+    # fewer samples than frames -> hash 0, no crash
+    clip = np.arange(5, dtype=np.float32)
+    df = spark.createDataFrame(
+        [(0, MM.encode_npy(clip), "npy")],
+        "id long, content binary, format string",
+    )
+    row = MM.audio_fingerprints(df, n_frames=32).first()
+    assert row["afp"] == 0
