@@ -2930,6 +2930,43 @@ def diverse_prototype_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """re-identification audit: equivalence classes over the
+    (nation, segment) quasi-identifiers with k=5 anonymity and l=3
+    diversity flags on the acctbal-band sensitive attribute. One
+    groupBy; result rows bounded by the attribute-domain product."""
+    from data_pipeline_framework_spark.functions import privacy as PV
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("long").alias("bal_band"),
+    )
+    out = PV.k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], k=5,
+        sensitive_col="bal_band", l=3,
+    )
+    return out.select(
+        "c_nationkey", "c_mktsegment", "class_size",
+        "distinct_sensitive", "meets_k", "meets_l",
+    )
+
+
+def anonymity_risk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """one-row release gate over the k-anonymity class table: classes
+    below k, rows at risk, smallest class, risk fraction."""
+    from data_pipeline_framework_spark.functions import privacy as PV
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    out = PV.anonymity_summary(cust, ["c_nationkey", "c_mktsegment"], k=5)
+    return out.select(
+        "n_classes", "classes_below_k", "rows_at_risk", "min_class_size",
+        _r(F.col("risk_fraction"), 6).alias("risk_fraction"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # cleaning (operators/cleaning.py + the `clean` op)
 
@@ -5642,6 +5679,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_extraction": keyword_extraction,
         "semantic_dedup_keep": semantic_dedup_keep,
         "diverse_prototype_sample": diverse_prototype_sample,
+        "k_anonymity_audit": k_anonymity_audit,
+        "anonymity_risk_summary": anonymity_risk_summary,
         "funnel_user_stages": funnel_user_stages,
         "funnel_conversion_events": funnel_conversion_events,
         "cohort_retention_weekly": cohort_retention_weekly,
@@ -8125,6 +8164,39 @@ def oracle_sql() -> dict[str, str]:
         "keyword_extraction": _KEYWORD_ORACLE,
         "semantic_dedup_keep": _semantic_dedup_oracle(),
         "diverse_prototype_sample": _diversity_sample_oracle(),
+        "k_anonymity_audit": """
+            WITH b AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000)
+                            AS BIGINT) AS bal_band
+                FROM customer
+            )
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(*) AS class_size,
+                   COUNT(DISTINCT bal_band) AS distinct_sensitive,
+                   COUNT(*) >= 5 AS meets_k,
+                   COUNT(DISTINCT bal_band) >= 3 AS meets_l
+            FROM b GROUP BY 1, 2
+        """,
+        "anonymity_risk_summary": """
+            WITH classes AS (
+                SELECT c_nationkey, c_mktsegment,
+                       COUNT(*) AS class_size,
+                       COUNT(*) >= 5 AS meets_k
+                FROM customer GROUP BY 1, 2
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(CASE WHEN NOT meets_k THEN 1 ELSE 0 END)
+                        AS BIGINT) AS classes_below_k,
+                   CAST(SUM(CASE WHEN NOT meets_k THEN class_size
+                            ELSE 0 END) AS BIGINT) AS rows_at_risk,
+                   CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+                   FLOOR(CAST(SUM(CASE WHEN NOT meets_k THEN class_size
+                                  ELSE 0 END) AS DOUBLE)
+                         / SUM(class_size) * 1e6 + 0.5) / 1e6
+                       AS risk_fraction
+            FROM classes
+        """,
         "holt_trend_smoothing": """
             WITH RECURSIVE seq AS (
                 SELECT user_id, event_id, value,

@@ -164,6 +164,7 @@ HEADLINE = [
     "diverse_prototype_sample",
     "classifier_threshold_sweep",
     "audio_fingerprint_dedup",
+    "k_anonymity_audit",
 ]
 
 

@@ -124,3 +124,27 @@ def test_quality_default_checks(spark, sf_dir):
     qm = QualityMonitor()
     results = qm.run_quality_checks(orders, "orders", checks)
     assert all(r.status == "PASS" for r in results if r.metric == "completeness")
+
+
+def test_k_anonymity_flags(spark):
+    from data_pipeline_framework_spark.functions.privacy import (
+        anonymity_summary,
+        k_anonymity,
+    )
+
+    rows = (
+        [("a", "x", i) for i in range(6)]        # class of 6, 6 distinct
+        + [("a", "y", 1), ("a", "y", 1)]         # class of 2, 1 distinct
+        + [("b", "x", 3)]                        # singleton
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s int")
+    out = k_anonymity(df, ["q1", "q2"], k=3, sensitive_col="s", l=2)
+    got = {(r["q1"], r["q2"]): r for r in out.collect()}
+    assert got[("a", "x")]["meets_k"] and got[("a", "x")]["meets_l"]
+    assert not got[("a", "y")]["meets_k"]
+    assert not got[("a", "y")]["meets_l"]  # k-fail AND same sensitive value
+    assert not got[("b", "x")]["meets_k"]
+    s = anonymity_summary(df, ["q1", "q2"], k=3).first()
+    assert s["n_classes"] == 3 and s["classes_below_k"] == 2
+    assert s["rows_at_risk"] == 3 and s["min_class_size"] == 1
+    assert abs(s["risk_fraction"] - 3 / 9) < 1e-12
