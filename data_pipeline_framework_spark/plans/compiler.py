@@ -949,6 +949,125 @@ def _op_winnowing(params: Mapping, ctx) -> OpFn:
     return fn
 
 
+def _op_dhash(params: Mapping, ctx) -> OpFn:
+    """Perceptual image hash — `{"type": "dhash", "content_column": c,
+    "format_column": f, "max_bits": 56}`. Adds a BIGINT `dhash`
+    column from the decoded pixels."""
+    from ..operators.multimodal import dhash_images
+
+    return lambda df: dhash_images(
+        df,
+        params.get("content_column", "content"),
+        params.get("format_column", "format"),
+        max_bits=int(params.get("max_bits", 56)),
+    )
+
+
+def _op_audio_fingerprint(params: Mapping, ctx) -> OpFn:
+    """Audio energy-delta fingerprint — `{"type": "audio_fingerprint",
+    "content_column": c, "format_column": f, "n_frames": 32}`. Adds a
+    BIGINT `afp` column from the decoded waveform."""
+    from ..operators.multimodal import audio_fingerprints
+
+    return lambda df: audio_fingerprints(
+        df,
+        params.get("content_column", "content"),
+        params.get("format_column", "format"),
+        n_frames=int(params.get("n_frames", 32)),
+    )
+
+
+def _op_hamming_dedup(params: Mapping, ctx) -> OpFn:
+    """Fingerprint dedup — `{"type": "hamming_dedup", "id_column": c,
+    "hash_column": h, "bits": 56, "max_hamming": 3}`. Drops every row
+    with a smaller-id neighbor inside the Hamming ball (banded bucket
+    join, never all-pairs)."""
+    from ..functions.dedup import hamming_hash_pairs
+
+    idc = params.get("id_column", "doc_id")
+
+    def fn(df: DataFrame) -> DataFrame:
+        pairs = hamming_hash_pairs(
+            df, idc, params["hash_column"],
+            bits=int(params.get("bits", 56)),
+            max_hamming=int(params.get("max_hamming", 3)),
+            n_blocks=params.get("n_blocks"),
+        )
+        dups = pairs.select(F.col("id_b").alias(idc)).distinct()
+        return df.join(dups, idc, "left_anti")
+
+    return fn
+
+
+def _op_diversity_sample(params: Mapping, ctx) -> OpFn:
+    """Coverage sampling — `{"type": "diversity_sample", "id_column": c,
+    "vector_column": v, "k_per_cell": 2, "n_cells": 8, "seed": 7}`.
+    Keeps the k most-prototypical rows per codebook cell; annotates
+    cell/proto_cos."""
+    from ..functions.similarity import diversity_sample
+
+    idc = params.get("id_column", "vec_id")
+
+    def fn(df: DataFrame) -> DataFrame:
+        sel = diversity_sample(
+            df,
+            k_per_cell=int(params.get("k_per_cell", 2)),
+            id_col=idc,
+            vec_col=params.get("vector_column", "embedding"),
+            n_cells=int(params.get("n_cells", 8)),
+            seed=int(params.get("seed", 7)),
+            dim=params.get("dim"),
+            assign=params.get("assign", "literal"),
+        )
+        return df.join(sel.select(idc, "cell", "proto_cos"), idc)
+
+    return fn
+
+
+def _op_threshold_sweep(params: Mapping, ctx) -> OpFn:
+    """Calibration report — `{"type": "threshold_sweep", "score_column":
+    s, "label_column": y, "n_thresholds": 20, "lo": 0.0, "hi": 1.0}`.
+    Replaces the frame with the per-threshold precision/recall/F1
+    table (aggregate-style op)."""
+    from ..functions.profiling import threshold_sweep
+
+    return lambda df: threshold_sweep(
+        df,
+        params["score_column"],
+        params["label_column"],
+        n_thresholds=int(params.get("n_thresholds", 20)),
+        lo=float(params.get("lo", 0.0)),
+        hi=float(params.get("hi", 1.0)),
+    )
+
+
+def _op_k_anonymity(params: Mapping, ctx) -> OpFn:
+    """Privacy audit — `{"type": "k_anonymity", "quasi_columns": [...],
+    "k": 5, "sensitive_column": s, "l": 2, "mode": "report"}`.
+    mode "report" -> class table, "summary" -> one-row gate,
+    "suppress" -> drop rows living in sub-k classes."""
+    from ..functions.privacy import anonymity_summary, k_anonymity
+
+    quasi = list(params["quasi_columns"])
+    k = int(params.get("k", 5))
+    mode = params.get("mode", "report")
+
+    def fn(df: DataFrame) -> DataFrame:
+        if mode == "summary":
+            return anonymity_summary(df, quasi, k=k)
+        classes = k_anonymity(
+            df, quasi, k=k,
+            sensitive_col=params.get("sensitive_column"),
+            l=params.get("l"),
+        )
+        if mode == "suppress":
+            ok = classes.filter(F.col("meets_k")).select(*quasi)
+            return df.join(ok, quasi, "left_semi")
+        return classes
+
+    return fn
+
+
 OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "select": _op_select,
     "filter": _op_filter,
@@ -989,6 +1108,12 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "char_entropy": _op_char_entropy,
     "centroid_score": _op_centroid_score,
     "winnowing": _op_winnowing,
+    "dhash": _op_dhash,
+    "audio_fingerprint": _op_audio_fingerprint,
+    "hamming_dedup": _op_hamming_dedup,
+    "diversity_sample": _op_diversity_sample,
+    "threshold_sweep": _op_threshold_sweep,
+    "k_anonymity": _op_k_anonymity,
 }
 
 

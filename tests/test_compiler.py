@@ -603,3 +603,57 @@ def test_op_centroid_score_and_winnowing(spark):
     ])
     rows = {r["doc_id"]: r for r in wfn(docs).collect()}
     assert set(rows[1]["fingerprints"]) & set(rows[2]["fingerprints"])
+
+
+def test_op_hamming_dedup_and_k_anonymity(spark):
+    sig = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b1010), (3, 0b0101_0101)],
+        "doc_id long, h long",
+    )
+    fn = compile_ops([
+        {"type": "hamming_dedup",
+         "params": {"hash_column": "h", "bits": 8, "max_hamming": 1}},
+    ])
+    kept = sorted(r["doc_id"] for r in fn(sig).collect())
+    assert kept == [1, 3]  # 2 is an exact dup of 1
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 9)], "g string, v int"
+    )
+    sup = compile_ops([
+        {"type": "k_anonymity",
+         "params": {"quasi_columns": ["g"], "k": 2, "mode": "suppress"}},
+    ])
+    assert sorted(r["v"] for r in sup(df).collect()) == [1, 2, 3]
+    summ = compile_ops([
+        {"type": "k_anonymity",
+         "params": {"quasi_columns": ["g"], "k": 2, "mode": "summary"}},
+    ])
+    s = summ(df).first()
+    assert s["n_classes"] == 2 and s["classes_below_k"] == 1
+
+
+def test_op_diversity_sample_and_threshold_sweep(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    fn = compile_ops([
+        {"type": "diversity_sample",
+         "params": {"k_per_cell": 1, "n_cells": 2, "dim": 2}},
+    ])
+    out = fn(emb)
+    assert {"cell", "proto_cos"} <= set(out.columns)
+    # one representative per populated cell, original columns kept
+    assert out.count() == out.select("cell").distinct().count()
+
+    scores = spark.createDataFrame(
+        [(0.2, 0), (0.8, 1)], "s double, y int"
+    )
+    sweep = compile_ops([
+        {"type": "threshold_sweep",
+         "params": {"score_column": "s", "label_column": "y",
+                    "n_thresholds": 4}},
+    ])
+    rows = sweep(scores).collect()
+    assert len(rows) == 4 and {r["tp"] for r in rows} <= {0, 1, 2}
