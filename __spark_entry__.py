@@ -1314,6 +1314,38 @@ def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus-health report per source: token count, vocabulary size,
+    type-token ratio, hapax fraction, and the Zipf slope over the top
+    100 terms (ln freq ~ ln rank OLS; healthy text sits near -1).
+    One (source, token) shuffle + a bounded top-100 window per source."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    out = TX.zipf_stats(docs, "text", group_col="source", top_k=100)
+    return out.select(
+        "source", "n_tokens", "vocab_size",
+        _r(F.col("type_token_ratio"), 6).alias("type_token_ratio"),
+        _r(F.col("hapax_frac"), 6).alias("hapax_frac"),
+        _r(F.col("zipf_slope"), 6).alias("zipf_slope"),
+    )
+
+
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairwise Jensen-Shannon divergence between source unigram
+    distributions (add-0.5 smoothed over the shared vocabulary) — the
+    "do these sources speak the same language?" mixture diagnostic
+    complementing source_overlap's literal-shingle Jaccard."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    out = TX.source_divergence(docs, "source", "text", smooth=0.5)
+    return out.select(
+        "source_a", "source_b",
+        _r(F.col("js_divergence"), 6).alias("js_divergence"),
+    )
+
+
 def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """long-document -> training-context chunking: 32-token windows at
     stride 24, fully narrow (sequence/explode/slice expressions — zero
@@ -5614,6 +5646,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_scores": unigram_logprob_scores,
         "classifier_quality_scores": classifier_quality_scores,
         "classifier_threshold_sweep": classifier_threshold_sweep,
+        "corpus_zipf_stats": corpus_zipf_stats,
+        "source_js_divergence": source_js_divergence,
         "bigram_logprob_scores": bigram_logprob_scores,
         "document_chunks": document_chunks,
         "boilerplate_line_removal": boilerplate_line_removal,
@@ -7871,6 +7905,81 @@ def oracle_sql() -> dict[str, str]:
         """,
         "classifier_quality_scores": _classifier_oracle(),
         "classifier_threshold_sweep": _threshold_sweep_oracle(),
+        "corpus_zipf_stats": f"""
+            WITH toks AS (
+                SELECT source, unnest({_DD_TOKS}) AS t FROM documents
+            ),
+            counts AS (
+                SELECT source, t, COUNT(*) AS c FROM toks GROUP BY 1, 2
+            ),
+            vocab AS (
+                SELECT source, SUM(c) AS n_tokens, COUNT(*) AS vocab_size,
+                       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+                FROM counts GROUP BY 1
+            ),
+            ranked AS (
+                SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+                       ln(CAST(c AS DOUBLE)) AS y
+                FROM (
+                    SELECT source, c,
+                           row_number() OVER (
+                               PARTITION BY source ORDER BY c DESC, t
+                           ) AS r
+                    FROM counts
+                ) WHERE r <= 100
+            ),
+            slope AS (
+                SELECT source,
+                       (avg(x * y) - avg(x) * avg(y))
+                       / (avg(x * x) - avg(x) * avg(x)) AS zipf_slope
+                FROM ranked GROUP BY 1
+            )
+            SELECT v.source,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(vocab_size AS BIGINT) AS vocab_size,
+                   FLOOR(CAST(vocab_size AS DOUBLE) / n_tokens
+                         * 1e6 + 0.5) / 1e6 AS type_token_ratio,
+                   FLOOR(CAST(hapax AS DOUBLE) / vocab_size
+                         * 1e6 + 0.5) / 1e6 AS hapax_frac,
+                   FLOOR(zipf_slope * 1e6 + 0.5) / 1e6 AS zipf_slope
+            FROM vocab v JOIN slope USING (source)
+        """,
+        "source_js_divergence": f"""
+            WITH toks AS (
+                SELECT source, unnest({_DD_TOKS}) AS t FROM documents
+            ),
+            counts AS (
+                SELECT source, t, CAST(COUNT(*) AS DOUBLE) AS c
+                FROM toks GROUP BY 1, 2
+            ),
+            totals AS (SELECT source, SUM(c) AS n FROM counts GROUP BY 1),
+            vocab AS (SELECT DISTINCT t FROM counts),
+            vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+            pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b
+                FROM totals a JOIN totals b ON a.source < b.source
+            ),
+            grid AS (SELECT source_a, source_b, t FROM pairs, vocab),
+            j AS (
+                SELECT g.source_a, g.source_b,
+                       (COALESCE(ca.c, 0.0) + 0.5)
+                           / (ta.n + 0.5 * vn.v) AS p,
+                       (COALESCE(cb.c, 0.0) + 0.5)
+                           / (tb.n + 0.5 * vn.v) AS q
+                FROM grid g
+                LEFT JOIN counts ca
+                       ON ca.source = g.source_a AND ca.t = g.t
+                LEFT JOIN counts cb
+                       ON cb.source = g.source_b AND cb.t = g.t
+                JOIN totals ta ON ta.source = g.source_a
+                JOIN totals tb ON tb.source = g.source_b, vn
+            )
+            SELECT source_a, source_b,
+                   FLOOR(SUM(0.5 * p * ln(p / ((p + q) / 2.0))
+                             + 0.5 * q * ln(q / ((p + q) / 2.0)))
+                         * 1e6 + 0.5) / 1e6 AS js_divergence
+            FROM j GROUP BY 1, 2
+        """,
         "bigram_logprob_scores": _BIGRAM_ORACLE,
         "document_chunks": _CHUNKS_ORACLE,
         "boilerplate_line_removal": _BOILERPLATE_ORACLE,

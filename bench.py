@@ -165,6 +165,8 @@ HEADLINE = [
     "classifier_threshold_sweep",
     "audio_fingerprint_dedup",
     "k_anonymity_audit",
+    "corpus_zipf_stats",
+    "source_js_divergence",
 ]
 
 

@@ -1049,3 +1049,155 @@ def char_entropy(
         F.size(en).cast("long").alias("distinct_chars"),
         ent.alias("entropy_bits"),
     )
+
+
+def zipf_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-health statistics per group (or globally): token count,
+    vocabulary size, type-token ratio, hapax fraction (share of the
+    vocabulary seen exactly once), and the Zipf slope — the OLS slope of
+    ln(freq) on ln(rank) over the top_k most frequent terms (a healthy
+    natural-language corpus sits near -1; boilerplate-heavy or
+    template-generated corpora drift far from it).
+
+    Shape: one (group, token) count shuffle, then a bounded per-group
+    top-k window (top_k rows per group survive) and one tiny aggregate.
+    The slope is computed from explicit moment sums — the same formula
+    any external replayer uses, no engine-specific regression function.
+
+    Output: [group_col,] n_tokens, vocab_size, type_token_ratio,
+    hapax_frac, zipf_slope.
+    """
+    from pyspark.sql import Window
+
+    keys = [group_col] if group_col else []
+    toks = df.select(
+        *keys, F.explode(tokens(text_col)).alias("__t")
+    )
+    counts = toks.groupBy(*keys, "__t").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    vocab = counts.groupBy(*keys).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("__hapax"),
+    )
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.desc("__c"), F.asc("__t"))
+    else:
+        w = Window.partitionBy().orderBy(F.desc("__c"), F.asc("__t"))
+    ranked = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= top_k)
+        .select(
+            *keys,
+            F.log(F.col("__r").cast("double")).alias("__x"),
+            F.log(F.col("__c").cast("double")).alias("__y"),
+        )
+    )
+    slope = ranked.groupBy(*keys).agg(
+        (
+            (F.avg(F.col("__x") * F.col("__y"))
+             - F.avg("__x") * F.avg("__y"))
+            / (F.avg(F.col("__x") * F.col("__x"))
+               - F.avg("__x") * F.avg("__x"))
+        ).alias("zipf_slope")
+    )
+    joined = (
+        vocab.join(slope, keys) if keys else vocab.crossJoin(slope)
+    )
+    return joined.select(
+        *keys,
+        "n_tokens",
+        "vocab_size",
+        (F.col("vocab_size").cast("double") / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+        (F.col("__hapax").cast("double") / F.col("vocab_size")).alias(
+            "hapax_frac"
+        ),
+        "zipf_slope",
+    )
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of each source — the mixture-design companion to
+    source_overlap_matrix (that one asks "do sources share literal
+    shingles?", this one asks "do they use language the same way?").
+    JS is symmetric and bounded by ln 2, so scores are comparable
+    across corpus sizes.
+
+    Distributions are add-``smooth`` smoothed over the UNION vocabulary
+    of each pair, computed from one (source, token) count shuffle; the
+    pair join is per-token on the bounded per-source count table (rows
+    = vocab x sources, never the corpus), and sources are few by
+    construction, so the pair expansion is bounded.
+
+    Output: source_a, source_b, js_divergence (one row per unordered
+    pair, a < b).
+    """
+    toks = df.select(
+        F.col(group_col).alias("__g"), F.explode(tokens(text_col)).alias("__t")
+    )
+    counts = toks.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    counts = counts.persist()  # feeds totals, vocab, and both join sides
+    totals = counts.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    vocab_n = counts.select("__t").distinct().count()
+    # bounded driver collect: one row per SOURCE (the same #sources-bounded
+    # pattern mixture_rates uses), never per token or document
+    srcs = [r[0] for r in totals.select("__g").orderBy("__g").collect()]
+    pairs = [(x, y) for i, x in enumerate(srcs) for y in srcs[i + 1:]]
+    spark = df.sparkSession
+    pair_df = spark.createDataFrame(pairs, ["source_a", "source_b"])
+    vocab = counts.select("__t").distinct()
+    grid = pair_df.crossJoin(vocab)
+    ca = counts.select(
+        F.col("__g").alias("source_a"), "__t", F.col("__c").alias("__ca")
+    )
+    cb = counts.select(
+        F.col("__g").alias("source_b"), "__t", F.col("__c").alias("__cb")
+    )
+    ta = totals.select(
+        F.col("__g").alias("source_a"), F.col("__n").alias("__na")
+    )
+    tb = totals.select(
+        F.col("__g").alias("source_b"), F.col("__n").alias("__nb")
+    )
+    s = F.lit(float(smooth))
+    joined = (
+        grid.join(ca, ["source_a", "__t"], "left")
+        .join(cb, ["source_b", "__t"], "left")
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a", "source_b",
+            (
+                (F.coalesce("__ca", F.lit(0.0)) + s)
+                / (F.col("__na") + s * vocab_n)
+            ).alias("__p"),
+            (
+                (F.coalesce("__cb", F.lit(0.0)) + s)
+                / (F.col("__nb") + s * vocab_n)
+            ).alias("__q"),
+        )
+    )
+    m = (F.col("__p") + F.col("__q")) / 2.0
+    contrib = 0.5 * F.col("__p") * F.log(F.col("__p") / m) + 0.5 * F.col(
+        "__q"
+    ) * F.log(F.col("__q") / m)
+    return (
+        joined.groupBy("source_a", "source_b")
+        .agg(F.sum(contrib).alias("js_divergence"))
+    )

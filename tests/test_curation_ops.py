@@ -1170,3 +1170,52 @@ def test_winnowing_matches_python_reference(spark):
         ng, fps = ref(t, 8, 4)
         assert out[i]["n_kgrams"] == ng, i
         assert out[i]["fingerprints"] == fps, i
+
+
+def test_zipf_stats_known_corpus(spark):
+    from data_pipeline_framework_spark.functions.text import zipf_stats
+
+    # "a" x4, "b" x2, "c" x1 -> vocab 3, tokens 7, hapax 1/3
+    df = spark.createDataFrame(
+        [("s", "a a b c"), ("s", "a a b")], "source string, text string"
+    )
+    row = zipf_stats(df, "text", group_col="source", top_k=3).first()
+    assert row["n_tokens"] == 7 and row["vocab_size"] == 3
+    assert abs(row["type_token_ratio"] - 3 / 7) < 1e-12
+    assert abs(row["hapax_frac"] - 1 / 3) < 1e-12
+    # OLS slope of ln(freq) on ln(rank) over (1,4),(2,2),(3,1)
+    import math
+
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(c) for c in (4, 2, 1)]
+    n = 3
+    mx, my = sum(xs) / n, sum(ys) / n
+    mxy = sum(x * y for x, y in zip(xs, ys)) / n
+    mxx = sum(x * x for x in xs) / n
+    expect = (mxy - mx * my) / (mxx - mx * mx)
+    assert abs(row["zipf_slope"] - expect) < 1e-9
+    assert row["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_source_divergence_symmetry_and_zero(spark):
+    import math
+
+    from data_pipeline_framework_spark.functions.text import (
+        source_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z"), ("c", "q q q q")],
+        "source string, text string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["js_divergence"]
+        for r in source_divergence(df).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # identical distributions -> JS 0
+    assert abs(out[("a", "b")]) < 1e-12
+    # disjoint vocabularies -> near the ln(2) ceiling, and symmetric
+    assert out[("a", "c")] > 0.2  # smoothing on tiny counts pulls toward uniform
+    assert abs(out[("a", "c")] - out[("b", "c")]) < 1e-12
+    assert all(v <= math.log(2) + 1e-9 for v in out.values())

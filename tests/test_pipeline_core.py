@@ -352,3 +352,38 @@ def test_quality_filtering_yaml_example(spark, sf_dir, tmp_path,
         F.min("entropy_bits"), F.max("entropy_bits")).first()
     assert stats[0] >= 2.0 and stats[1] <= 5.5
     assert result.validation[0]["status"] == "PASS"
+
+
+def test_privacy_release_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
+    """the shipped examples/privacy_release.yaml runs end-to-end:
+    k-anonymity suppression drops every sub-k quasi-identifier class."""
+    out = str(tmp_path / "pr_out")
+    monkeypatch.setenv("PR_INPUT", f"{sf_dir}/customer.parquet")
+    monkeypatch.setenv("PR_OUT", out)
+    result = Pipeline.from_yaml(
+        "examples/privacy_release.yaml", spark).run()
+    assert result.status == "success", result.error
+    back = spark.read.parquet(out)
+    assert back.count() == result.rows_written > 0
+    # every surviving class has >= 5 members
+    sizes = back.groupBy("c_nationkey", "c_mktsegment").count()
+    assert sizes.filter("count < 5").count() == 0
+    assert result.validation[0]["status"] == "PASS"
+
+
+def test_embedding_curation_yaml_example(spark, sf_dir, tmp_path,
+                                         monkeypatch):
+    """the shipped examples/embedding_curation.yaml runs end-to-end:
+    SemDeDup filter -> per-cell coverage sample."""
+    out = str(tmp_path / "ec_out")
+    monkeypatch.setenv("EC_INPUT", f"{sf_dir}/embeddings.parquet")
+    monkeypatch.setenv("EC_OUT", out)
+    result = Pipeline.from_yaml(
+        "examples/embedding_curation.yaml", spark).run()
+    assert result.status == "success", result.error
+    back = spark.read.parquet(out)
+    assert {"vec_id", "cell", "proto_cos"} <= set(back.columns)
+    n = back.count()
+    assert 0 < n == result.rows_written
+    # at most k_per_cell rows per cell
+    assert back.groupBy("cell").count().filter("count > 16").count() == 0

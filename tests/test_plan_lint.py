@@ -55,6 +55,10 @@ _BNL_OK = {
     "dsir_importance_scores",  # broadcast 1-row target/raw gram totals
     "collocation_pmi_pairs",  # broadcast 1-row T1/T2 corpus totals
     "ann_recall_report",  # brute-force arm broadcasts the bounded query side
+    "hybrid_rrf_search",  # bm25 arm's broadcast 1-row (N, avgdl) stats
+    "source_js_divergence",  # broadcast bounded source-pair grid (a
+    # handful of rows) crossed with the vocab — sources are few by
+    # construction, the cross side is the BROADCAST side
 }
 
 # queries whose operators legitimately run vectorized Python
@@ -75,6 +79,8 @@ _ARROW_OK = {
     "heavy_hitters_suppliers",  # bounded per-partition MG summaries
     "heavy_hitters_by_flag",    # same, grouped
     "ann_recall_report",  # IVF arm's Arrow-batched cell assignment
+    "image_dhash_dedup",   # byte-level PNG decode is inherently Python
+    "audio_fingerprint_dedup",  # byte-level waveform decode, same
 }
 
 
