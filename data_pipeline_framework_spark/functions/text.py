@@ -1160,6 +1160,11 @@ def source_divergence(
     srcs = [r[0] for r in totals.select("__g").orderBy("__g").collect()]
     pairs = [(x, y) for i, x in enumerate(srcs) for y in srcs[i + 1:]]
     spark = df.sparkSession
+    if not pairs:  # zero or one source: no pairs, typed empty result
+        counts.unpersist()
+        return spark.createDataFrame(
+            [], "source_a string, source_b string, js_divergence double"
+        )
     pair_df = spark.createDataFrame(pairs, ["source_a", "source_b"])
     vocab = counts.select("__t").distinct()
     grid = pair_df.crossJoin(vocab)
@@ -1197,7 +1202,15 @@ def source_divergence(
     contrib = 0.5 * F.col("__p") * F.log(F.col("__p") / m) + 0.5 * F.col(
         "__q"
     ) * F.log(F.col("__q") / m)
-    return (
+    out = (
         joined.groupBy("source_a", "source_b")
         .agg(F.sum(contrib).alias("js_divergence"))
     )
+    # Swap caches (the semantic_dedup pattern): the pair table is tiny
+    # (#source-pairs rows), so materialize it eagerly and release the
+    # vocab-sized counts cache — repeated sweeps don't accumulate
+    # executor storage.
+    out = out.persist()
+    out.count()
+    counts.unpersist()
+    return out

@@ -1219,3 +1219,14 @@ def test_source_divergence_symmetry_and_zero(spark):
     assert out[("a", "c")] > 0.2  # smoothing on tiny counts pulls toward uniform
     assert abs(out[("a", "c")] - out[("b", "c")]) < 1e-12
     assert all(v <= math.log(2) + 1e-9 for v in out.values())
+
+
+def test_source_divergence_single_source_empty(spark):
+    from data_pipeline_framework_spark.functions.text import (
+        source_divergence,
+    )
+
+    df = spark.createDataFrame([("a", "x y")], "source string, text string")
+    out = source_divergence(df)
+    assert out.count() == 0
+    assert out.columns == ["source_a", "source_b", "js_divergence"]
