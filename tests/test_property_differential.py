@@ -432,3 +432,41 @@ def test_pack_contexts_matches_python_reference(spark, texts, L):
         .collect()
     )
     assert got == sorted(_py_pack(texts, L))
+
+
+# --- hamming_hash_pairs: pigeonhole completeness -------------------------
+
+_hashes = st.lists(
+    st.integers(0, (1 << 56) - 1), min_size=2, max_size=24, unique=True
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(hs=_hashes, max_h=st.integers(1, 4))
+def test_hamming_hash_pairs_matches_bruteforce(spark, hs, max_h):
+    """The banded-bucket join must find EXACTLY the brute-force Hamming
+    pairs: completeness is the pigeonhole guarantee (n_blocks =
+    max_hamming+1 contiguous blocks -> any pair within max_hamming
+    shares at least one block verbatim), soundness is the exact
+    bit_count(xor) verify."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        hamming_hash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(hs)), "id long, h long"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_hash_pairs(
+            df, "id", "h", bits=56, max_hamming=max_h
+        ).collect()
+    )
+    want = sorted(
+        (i, j, bin(hs[i] ^ hs[j]).count("1"))
+        for i in range(len(hs))
+        for j in range(i + 1, len(hs))
+        if bin(hs[i] ^ hs[j]).count("1") <= max_h
+    )
+    assert got == want
