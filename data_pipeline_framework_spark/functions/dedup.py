@@ -940,7 +940,7 @@ def hamming_hash_pairs(
     Generalizes simhash_pairs' inline blocking (kept for its public
     signature); reference has no fingerprint-family dedup at all
     (closest: pandas drop_duplicates in
-    src/data_pipeline/processing/data_cleaner.py).
+    src/data_pipeline/utils/data_cleaner.py).
     """
     n_blocks = n_blocks or (max_hamming + 1)
     width = -(-bits // n_blocks)  # ceil: blocks cover all `bits`

@@ -8,7 +8,7 @@ shuffle whose result is one row per equivalence class, bounded by the
 attribute-domain product, never the corpus. No UDFs.
 
 Extension surface: the reference's governance layer stops at quality
-metrics and PII redaction (src/data_pipeline/utils/data_quality.py);
+metrics and PII redaction (src/data_pipeline/utils/quality_monitor.py);
 re-identification auditing is the release-gate complement.
 """
 

@@ -690,7 +690,7 @@ def remove_boilerplate_lines(
     (pos, line) structs per document, so output text is deterministic.
 
     Reference anchor: the reference's cleaning ops are per-row pandas
-    (reference src/data_pipeline/processing/data_cleaner.py) and have
+    (reference src/data_pipeline/utils/data_cleaner.py) and have
     no cross-document step; this is the corpus-level generalization a
     100 TB curation pipeline needs.
 
@@ -966,7 +966,7 @@ def char_entropy(
     mash, repeated-char padding, and base64/hex blobs all sit far from
     natural text (English prose ~4.1 bits/char), so curation configs
     threshold on it before spending anything heavier (reference quality
-    checks: src/data_pipeline/utils/data_quality.py's
+    checks: src/data_pipeline/utils/quality_monitor.py's
     validity/consistency family; this is the corpus-curation analogue).
 
     Shape: one per-row projection (plus `_spread`'s repartition when —
