@@ -40,6 +40,20 @@ _DEFAULT_CONF: dict[str, str] = {
     # Read TIMESTAMP(NANOS) parquet columns as nanosecond longs instead of
     # erroring; sources.readers.read_parquet converts them to timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate rewrites `explode(expr)` into
+    # `Filter(size(expr) > 0) -> Generate(explode(expr))`, SUBSTITUTING the
+    # generator input into the filter. For a stored array column that skips
+    # empty rows cheaply; for the COMPUTED arrays on every curation hot
+    # path here (tokenize->shingle->hash chains, winnowing fingerprints,
+    # chunk windows) it re-evaluates the whole pipeline per row — and the
+    # inferred filter lands BELOW the parallelism-spreading exchange, so
+    # the duplicate pass also runs on the narrow pre-repartition scan
+    # (measured: source_overlap 15s -> 4s at sf0.1; winnowing previously
+    # needed a per-site explode_outer workaround for the same rule). The
+    # empty-array skip is worthless to us (size()>0 never reaches parquet
+    # stats), so drop the rule engine-wide.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

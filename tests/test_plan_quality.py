@@ -334,3 +334,25 @@ def test_centroid_similarity_scoring_is_pure_projection(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_generate_input_substitution(spark, sf_dir):
+    """InferFiltersFromGenerate is excluded in get_spark: a computed-array
+    explode must NOT grow a size()>0 filter that re-evaluates the whole
+    producer chain below the Generate (and below the parallelism-spreading
+    exchange). Regression guard for the 5x source_overlap slowdown."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_framework_spark.functions.dedup import shingled_docs
+    from data_pipeline_framework_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    sh = shingled_docs(docs, "doc_id", "text", n=3, carry=("source",))
+    exploded = sh.select("source", F.explode("__sh").alias("__h"))
+    plan = exploded._jdf.queryExecution().executedPlan().toString()
+    # the tokenize split appears exactly once (the binding projection);
+    # a substituted filter would duplicate it
+    assert plan.count("split(lower(") == 1, plan
+    assert "Filter (size(transform" not in plan, plan
