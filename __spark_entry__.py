@@ -1314,6 +1314,23 @@ def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-dup decontamination against a held-out reference corpus
+    (here: every 20th doc plays the eval set): reference band table
+    broadcast, candidates from the cross band join (never train x ref),
+    exact Jaccard >= 0.5, best reference match per contaminated doc.
+    The fuzzy complement to benchmark_decontamination's exact n-grams."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ref = docs.filter(F.col("doc_id") % 20 == 0)
+    out = DD.cross_corpus_neardup(train, ref, threshold=0.5)
+    return out.select(
+        "doc_id", "ref_id", _r(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
 def corpus_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus-health report per source: token count, vocabulary size,
     type-token ratio, hapax fraction, and the Zipf slope over the top
@@ -5647,6 +5664,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_quality_scores": classifier_quality_scores,
         "classifier_threshold_sweep": classifier_threshold_sweep,
         "corpus_zipf_stats": corpus_zipf_stats,
+        "cross_corpus_decontamination": cross_corpus_decontamination,
         "source_js_divergence": source_js_divergence,
         "bigram_logprob_scores": bigram_logprob_scores,
         "document_chunks": document_chunks,
@@ -5962,6 +5980,72 @@ def _pca_oracle() -> str:
                {proj(0)} AS abs_pc1,
                {proj(1)} AS abs_pc2
         FROM lineitem
+    """
+
+
+def _cross_corpus_oracle() -> str:
+    """DuckDB twin of cross_corpus_decontamination: the minhash pipeline
+    replayed over the train/reference split, band join across the two
+    band tables, exact Jaccard, best reference match per train doc."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        LSH_BANDS, MINHASH_P, MINHASH_PARAMS,
+    )
+
+    k = len(MINHASH_PARAMS)
+    rows = k // LSH_BANDS
+    mins = ",\n                   ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+
+    def bands(sig: str) -> str:
+        return "\n                UNION ALL\n                ".join(
+            f"SELECT doc_id, {b} AS band, concat_ws('_', "
+            + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+            + f") AS key FROM {sig}"
+            for b in range(LSH_BANDS)
+        )
+
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {_DD_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents)
+        ),
+        tr AS (SELECT * FROM d WHERE doc_id % 20 <> 0),
+        rf AS (SELECT * FROM d WHERE doc_id % 20 = 0),
+        sigt AS (
+            SELECT doc_id, {mins}
+            FROM (SELECT doc_id, unnest(sh) AS h FROM tr) GROUP BY doc_id
+        ),
+        sigr AS (
+            SELECT doc_id, {mins}
+            FROM (SELECT doc_id, unnest(sh) AS h FROM rf) GROUP BY doc_id
+        ),
+        bandst AS ({bands('sigt')}),
+        bandsr AS ({bands('sigr')}),
+        cand AS (
+            SELECT DISTINCT t.doc_id AS ida, r.doc_id AS idb
+            FROM bandst t JOIN bandsr r
+              ON t.band = r.band AND t.key = r.key
+        ),
+        verified AS (
+            SELECT ida, idb,
+                   len(list_intersect(x.sh, y.sh))
+                     / (len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh))) AS j
+            FROM cand JOIN tr x ON cand.ida = x.doc_id
+                      JOIN rf y ON cand.idb = y.doc_id
+        ),
+        best AS (
+            SELECT ida, idb, j,
+                   row_number() OVER (
+                       PARTITION BY ida ORDER BY j DESC, idb
+                   ) AS rn
+            FROM verified WHERE j >= 0.5
+        )
+        SELECT ida AS doc_id, CAST(idb AS BIGINT) AS ref_id,
+               FLOOR(j * 1e4 + 0.5) / 1e4 AS jaccard
+        FROM best WHERE rn = 1
     """
 
 
@@ -8061,6 +8145,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f GROUP BY fp HAVING COUNT(*) > 1
         """,
         "minhash_neardup": _minhash_oracle(),
+        "cross_corpus_decontamination": _cross_corpus_oracle(),
         "split_leakage_pairs": _split_leakage_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "pagerank_weighted_trade": _pagerank_oracle(weighted=True),

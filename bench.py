@@ -167,6 +167,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "corpus_zipf_stats",
     "source_js_divergence",
+    "cross_corpus_decontamination",
 ]
 
 

@@ -178,14 +178,20 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingled: DataFrame, id_col: str, threshold: float
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    threshold: float,
+    shingled_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs: join each side's distinct shingle
-    array back in, intersect/union sizes, filter by threshold."""
+    array back in, intersect/union sizes, filter by threshold. Pass
+    ``shingled_b`` when id_b comes from a different corpus (cross-corpus
+    dedup); default is the self-join case."""
     sa = shingled.select(
         F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
     )
-    sb = shingled.select(
+    sb = (shingled if shingled_b is None else shingled_b).select(
         F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
@@ -982,3 +988,69 @@ def hamming_hash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def cross_corpus_neardup(
+    train: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n: int = 3,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """Flag training documents that NEAR-duplicate a reference corpus
+    (held-out eval sets, benchmark dumps): the fuzzy complement to
+    decontamination.py's exact n-gram scrub — paraphrased or lightly
+    edited eval leakage survives exact n-grams but not shingle Jaccard.
+
+    Shape: both corpora shingle + minhash once; the reference's band
+    table is BROADCAST (eval sets are small by construction — the same
+    asymmetry decontamination exploits), so candidates come from a
+    map-side band-key equi-join, never train x reference; exact Jaccard
+    verifies candidates on the full shingle sets. Set
+    broadcast_reference=False when the reference is another full corpus.
+
+    Output: one row per contaminated train doc —
+    (id_col, ref_id, jaccard) with ref_id the best-matching reference
+    doc (highest jaccard, ties to the lowest ref id).
+    """
+    tr = shingled_docs(_spread(train), id_col, text_col, n).persist()
+    rf = shingled_docs(reference, id_col, text_col, n).persist()
+    tr_sig = tr.select(id_col, *minhash_signature_cols())
+    rf_sig = rf.select(id_col, *minhash_signature_cols())
+    tb = band_keys(tr_sig, id_col)
+    rb = band_keys(rf_sig, id_col)
+    if broadcast_reference:
+        rb = F.broadcast(rb)
+    cand = (
+        tb.alias("t")
+        .join(
+            rb.alias("r"),
+            (F.col("t.band") == F.col("r.band"))
+            & (F.col("t.key") == F.col("r.key")),
+        )
+        .select(
+            F.col(f"t.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_verify(cand, tr, id_col, threshold, shingled_b=rf)
+    best = (
+        verified.groupBy("id_a")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"),
+                    (-F.col("id_b")).alias("__negb"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            F.col("id_a").alias(id_col),
+            (-F.col("__m.__negb")).cast("long").alias("ref_id"),
+            F.col("__m.jaccard").alias("jaccard"),
+        )
+    )
+    return best

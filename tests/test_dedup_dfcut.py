@@ -122,3 +122,31 @@ def test_connected_components_vs_bfs(spark):
     ).collect()
     assert len(labels) == 121
     assert {r["component"] for r in labels} == {0}
+
+
+def test_cross_corpus_neardup(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        cross_corpus_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [
+            (1, base + " extra tail words"),          # near-dup of ref 100
+            (2, "completely unrelated text about astrophysics and quasars"
+                " spinning in deep space far away"),
+            (3, base + " extra tail words"),          # also near ref 100
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, base + " extra tail words indeed"),
+         (200, "numbers one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           cross_corpus_neardup(train, ref, threshold=0.5).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["ref_id"] == 100 and out[1]["jaccard"] >= 0.5
+    # clean doc 2 untouched; one row per contaminated doc (best match)
+    assert out[3]["ref_id"] == 100
