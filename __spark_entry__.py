@@ -1314,6 +1314,27 @@ def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_best_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality-aware canonicalization: near-dup clusters (minhash pairs
+    -> connected components) keep their HIGHEST-n_chars member instead
+    of the min id — the cleanest capture survives, not the luckiest id.
+    Oracle: recursive-CTE reachability + per-component ranking."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    pairs = DD.minhash_dedup_pairs(
+        docs.select("doc_id", "text"), "doc_id", "text", threshold=0.7
+    )
+    out = DD.canonical_by_quality(
+        pairs,
+        docs.select("doc_id", F.col("n_chars").alias("qual")),
+        quality_col="qual",
+    )
+    return out.select("doc_id", "component", "qual", "keep")
+
+
 def cross_corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """near-dup decontamination against a held-out reference corpus
     (here: every 20th doc plays the eval set): reference band table
@@ -5665,6 +5686,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_threshold_sweep": classifier_threshold_sweep,
         "corpus_zipf_stats": corpus_zipf_stats,
         "cross_corpus_decontamination": cross_corpus_decontamination,
+        "cluster_best_exemplar": cluster_best_exemplar,
         "source_js_divergence": source_js_divergence,
         "bigram_logprob_scores": bigram_logprob_scores,
         "document_chunks": document_chunks,
@@ -6170,6 +6192,37 @@ def _neardup_clusters_oracle() -> str:
         SELECT node, component,
                COUNT(*) OVER (PARTITION BY component) AS cluster_size
         FROM labels
+    """
+
+
+def _best_exemplar_oracle() -> str:
+    """Recursive-CTE twin of cluster_best_exemplar: the neardup_clusters
+    labels joined to n_chars, canonical = highest n_chars (ties to the
+    lowest id) per component."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte_body()},
+        pairs AS (SELECT ida AS u, idb AS v FROM verified WHERE j >= 0.7),
+        sym AS (
+            SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS n FROM sym),
+        reach(n, l) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT s.u, r.l FROM sym s JOIN reach r ON s.v = r.n
+        ),
+        labels AS (
+            SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n
+        ),
+        q AS (
+            SELECT labels.node, labels.component, d.n_chars AS qual
+            FROM labels JOIN documents d ON labels.node = d.doc_id
+        )
+        SELECT node AS doc_id, component, qual,
+               row_number() OVER (
+                   PARTITION BY component ORDER BY qual DESC, node
+               ) = 1 AS keep
+        FROM q
     """
 
 
@@ -8146,6 +8199,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_neardup": _minhash_oracle(),
         "cross_corpus_decontamination": _cross_corpus_oracle(),
+        "cluster_best_exemplar": _best_exemplar_oracle(),
         "split_leakage_pairs": _split_leakage_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "pagerank_weighted_trade": _pagerank_oracle(weighted=True),

@@ -168,6 +168,7 @@ HEADLINE = [
     "corpus_zipf_stats",
     "source_js_divergence",
     "cross_corpus_decontamination",
+    "cluster_best_exemplar",
 ]
 
 

@@ -1054,3 +1054,45 @@ def cross_corpus_neardup(
         )
     )
     return best
+
+
+def canonical_by_quality(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Choose each near-dup cluster's canonical document by QUALITY
+    rather than by minimum id: connected components over the verified
+    pairs, then the highest-quality member (ties to the lowest id)
+    represents the cluster. What real curation keeps — when ten crawls
+    capture the same article, you want the cleanest capture, not the
+    one that happened to get the smallest id.
+
+    Shape: the CC rounds (bounded, see connected_components) plus ONE
+    quality join on the node key and one window per component —
+    components are near-dup clusters, so partition sizes are small by
+    construction.
+
+    Output: one row per clustered doc — (id_col, component,
+    quality_col, keep) with keep marking the chosen canonical.
+    """
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs)
+    q = quality.select(
+        F.col(id_col).alias("node"), F.col(quality_col).alias("__q")
+    )
+    j = labels.join(q, "node")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("__q"), F.asc("node")
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .select(
+            F.col("node").alias(id_col),
+            "component",
+            F.col("__q").alias(quality_col),
+            (F.col("__rn") == 1).alias("keep"),
+        )
+    )

@@ -150,3 +150,26 @@ def test_cross_corpus_neardup(spark):
     assert out[1]["ref_id"] == 100 and out[1]["jaccard"] >= 0.5
     # clean doc 2 untouched; one row per contaminated doc (best match)
     assert out[3]["ref_id"] == 100
+
+
+def test_canonical_by_quality(spark):
+    from data_pipeline_framework_spark.functions.dedup import (
+        canonical_by_quality,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0), (7, 5.0), (8, 5.0)],
+        "doc_id long, quality double",
+    )
+    out = {r["doc_id"]: r for r in
+           canonical_by_quality(pairs, quality).collect()}
+    assert len(out) == 5
+    # chain 1-2-3 is one component; best quality (2) is canonical
+    comp = out[1]["component"]
+    assert out[2]["component"] == comp and out[3]["component"] == comp
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    # quality tie in {7,8} -> lowest id wins
+    assert out[7]["keep"] and not out[8]["keep"]
