@@ -399,3 +399,27 @@ def test_audio_fingerprints_short_clip_zero(spark):
     )
     row = MM.audio_fingerprints(df, n_frames=32).first()
     assert row["afp"] == 0
+
+
+def test_dhash_images_general_shapes(spark):
+    rng = np.random.default_rng(3)
+    # 16x16 grayscale: 15 bits/row, capped at max_bits=56 -> bits from
+    # the first 3 rows + 11 bits of row 4, row-major
+    big = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    # RGB 8x8: hashed on the channel mean
+    rgb = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [
+        (0, MM.encode_png(big), "png"),
+        (1, MM.encode_ppm(rgb), "ppm"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary, format string")
+    got = {r["id"]: r["dhash"] for r in MM.dhash_images(df).collect()}
+    bits = (big.astype(np.float64)[:, :-1] > big.astype(np.float64)[:, 1:])
+    flat = bits.ravel()[:56]
+    expect = sum(1 << k for k, b in enumerate(flat) if b)
+    assert got[0] == expect
+    gray = rgb.astype(np.float64).mean(axis=2)
+    bits3 = (gray[:, :-1] > gray[:, 1:]).ravel()[:56]
+    expect3 = sum(1 << k for k, b in enumerate(bits3) if b)
+    assert got[1] == expect3
+    assert 0 <= got[0] < (1 << 56) and 0 <= got[1] < (1 << 56)
