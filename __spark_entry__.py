@@ -4238,7 +4238,8 @@ def media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup: embeddings quantize to REAL 8x8 PNGs, the
     distributed dHash kernel (operators/multimodal.py:dhash_images)
-    decodes them back and fingerprints adjacent-pixel gradients; pairs
+    decodes them back, box-resizes to the fixed 7x9 grid with integer
+    area weights and fingerprints adjacent-cell gradients; pairs
     within Hamming<=3 come from the banded-bucket equi-join
     (functions/dedup.py:hamming_hash_pairs — never all-pairs); the
     keep-list drops every image with a smaller-id near-dup. The oracle
@@ -7335,15 +7336,47 @@ _SHARD_MANIFEST_ORACLE = f"""
 """
 
 
-# dHash bit terms for the image_dhash_dedup oracle: bit k = r*7+c set iff
-# quantized px[r*8+c] > px[r*8+c+1] (row-major adjacent-column gradient,
-# exactly operators/multimodal.py:dhash_images on an 8x8 grid).
-_DHASH_BITS_SQL = " + ".join(
-    f"CASE WHEN p[{r * 8 + c + 1}] > p[{r * 8 + c + 2}]"
-    f" THEN {1 << (r * 7 + c)} ELSE 0 END"
-    for r in range(8)
-    for c in range(7)
-)
+# dHash oracle terms (operators/multimodal.py:dhash_images, resize grid):
+# the 8x8 quantized image box-resizes to a 7x9 grid with INTEGER
+# area-overlap weights (multimodal.box_resize_weights — exact in both
+# numpy float64 and DuckDB), then bit r*8+c is set iff g[r][c] > g[r][c+1].
+def _dhash_oracle_sql() -> tuple[str, str]:
+    def weights(n_in: int, n_out: int) -> list[list[int]]:
+        return [
+            [
+                max(
+                    0,
+                    min((i + 1) * n_in, (j + 1) * n_out)
+                    - max(i * n_in, j * n_out),
+                )
+                for j in range(n_in)
+            ]
+            for i in range(n_out)
+        ]
+
+    wr, wc = weights(8, 7), weights(8, 9)
+    cells = []
+    for r in range(7):
+        for c in range(9):
+            terms = [
+                f"{wr[r][j] * wc[c][k]}*p[{j * 8 + k + 1}]"
+                for j in range(8)
+                if wr[r][j]
+                for k in range(8)
+                if wc[c][k]
+            ]
+            cells.append(" + ".join(terms))
+    grid = "list_value(" + ", ".join(cells) + ")"
+    bits = " + ".join(
+        f"CASE WHEN g[{r * 9 + c + 1}] > g[{r * 9 + c + 2}]"
+        f" THEN {1 << (r * 8 + c)} ELSE 0 END"
+        for r in range(7)
+        for c in range(8)
+    )
+    return grid, bits
+
+
+_DHASH_GRID_SQL, _DHASH_BITS_SQL = _dhash_oracle_sql()
 
 
 # audio-fingerprint bit terms: bit i set iff frame i+1 energy > frame i
@@ -9113,9 +9146,11 @@ def oracle_sql() -> dict[str, str]:
                                      + 1.0) * 127.5), 0), 255) AS BIGINT)
                        ) AS p
                 FROM embeddings
+            ), grid AS (
+                SELECT vec_id, {_DHASH_GRID_SQL} AS g FROM px
             ), sig AS (
                 SELECT vec_id, CAST({_DHASH_BITS_SQL} AS BIGINT) AS dhash
-                FROM px
+                FROM grid
             ), blocks AS (
                 SELECT vec_id, dhash, blk,
                        (dhash >> (blk * 14)) & 16383 AS key

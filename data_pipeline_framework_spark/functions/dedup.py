@@ -947,10 +947,30 @@ def hamming_hash_pairs(
     signature); reference has no fingerprint-family dedup at all
     (closest: pandas drop_duplicates in
     src/data_pipeline/utils/data_cleaner.py).
+
+    Block layout: the `bits` positions split into n_blocks CONTIGUOUS
+    near-equal blocks (edges floor(b*bits/n_blocks)), so every block is
+    non-empty and intersects [0, bits) for ANY parameter combo — a
+    uniform ceil width would push whole blocks past `bits` when
+    (n_blocks-1)*ceil(bits/n_blocks) >= bits (e.g. bits=10, n_blocks=9),
+    making their key 0 for every row and silently degenerating the
+    candidate equi-join to all-pairs. n_blocks is clamped to `bits`;
+    the pigeonhole guarantee needs n_blocks >= max_hamming+1 blocks, so
+    max_hamming >= bits is rejected (every pair would match anyway).
     """
     n_blocks = n_blocks or (max_hamming + 1)
-    width = -(-bits // n_blocks)  # ceil: blocks cover all `bits`
-    mask = (1 << width) - 1
+    if max_hamming >= bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bits={bits}: every pair is "
+            "within the ball; blocking cannot bound candidates"
+        )
+    n_blocks = min(n_blocks, bits)
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} < max_hamming+1={max_hamming + 1}: "
+            "pigeonhole recall guarantee would not hold"
+        )
+    edges = [b * bits // n_blocks for b in range(n_blocks + 1)]
     blocks = sig.select(
         id_col,
         hash_col,
@@ -958,8 +978,8 @@ def hamming_hash_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("blk"),
-                    F.shiftright(hash_col, b * width)
-                    .bitwiseAND(F.lit(mask))
+                    F.shiftright(hash_col, edges[b])
+                    .bitwiseAND(F.lit((1 << (edges[b + 1] - edges[b])) - 1))
                     .alias("key"),
                 )
                 for b in range(n_blocks)
@@ -1037,20 +1057,24 @@ def cross_corpus_neardup(
         .distinct()
     )
     verified = jaccard_verify(cand, tr, id_col, threshold, shingled_b=rf)
+    # row_number over (jaccard desc, ref id asc) rather than a
+    # max(struct(jaccard, -id)) trick: negation assumes numeric ids
+    # (string ids would implicit-cast to double and null out), and the
+    # window returns id_b UNCHANGED, preserving arbitrary id types.
+    # Partitions are per contaminated train doc — bounded by that doc's
+    # candidate count, never corpus-sized.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("jaccard"), F.asc("id_b")
+    )
     best = (
-        verified.groupBy("id_a")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("jaccard"),
-                    (-F.col("id_b")).alias("__negb"),
-                )
-            ).alias("__m")
-        )
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .select(
             F.col("id_a").alias(id_col),
-            (-F.col("__m.__negb")).cast("long").alias("ref_id"),
-            F.col("__m.jaccard").alias("jaccard"),
+            F.col("id_b").alias("ref_id"),
+            "jaccard",
         )
     )
     return best

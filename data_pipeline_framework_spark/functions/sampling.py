@@ -163,7 +163,20 @@ def _bucketed_cumsum_offset(
     yields the same cumulative sum. Per-bucket totals are a bounded
     collect (<= n_buckets rows); the in-bucket window is partitioned,
     so no stage sees more than ~1/n_buckets of the data.
+
+    The input is PERSISTED here (memory-and-disk): this function scans
+    it three times (split points, bucket totals, final offsets), and
+    callers feed it expensive upstream projections (the BPE encode in
+    bpe_shard_packing costs more than the cumsum itself) — without the
+    cache every pass re-runs that projection. Callers should pass the
+    NARROW (order, token) projection, so the cached footprint is two
+    numeric columns per row; the cache is released by Spark's
+    ContextCleaner once the plan is unreachable (the repo's bounded-
+    cache convention for multi-pass operators).
     """
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
     [row] = df.select(
         F.expr(

@@ -1064,10 +1064,17 @@ def zipf_stats(
     natural-language corpus sits near -1; boilerplate-heavy or
     template-generated corpora drift far from it).
 
-    Shape: one (group, token) count shuffle, then a bounded per-group
-    top-k window (top_k rows per group survive) and one tiny aggregate.
-    The slope is computed from explicit moment sums — the same formula
-    any external replayer uses, no engine-specific regression function.
+    Shape: one (group, token) count shuffle, then a TWO-STAGE top-k —
+    stage 1 pre-prunes to the top_k of each (group, hash-bucket) slice
+    (n_buckets parallel windows, each sorting only ~vocab/n_buckets
+    rows), stage 2 ranks the surviving <= top_k * n_buckets rows per
+    group. Any global top-k token is by construction in its bucket's
+    top-k, so the result is identical to a single vocab-wide sort while
+    no partition ever sorts more than a 1/n_buckets slice of the
+    vocabulary — the same bound the repo's other cell-blocked windows
+    carry. The slope is computed from explicit moment sums — the same
+    formula any external replayer uses, no engine-specific regression
+    function.
 
     Output: [group_col,] n_tokens, vocab_size, type_token_ratio,
     hapax_frac, zipf_slope.
@@ -1075,6 +1082,7 @@ def zipf_stats(
     from pyspark.sql import Window
 
     keys = [group_col] if group_col else []
+    n_buckets = 64
     toks = df.select(
         *keys, F.explode(tokens(text_col)).alias("__t")
     )
@@ -1086,12 +1094,21 @@ def zipf_stats(
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("__hapax"),
     )
+    order = [F.desc("__c"), F.asc("__t")]
+    wb = Window.partitionBy(
+        *keys, F.pmod(F.hash("__t"), F.lit(n_buckets))
+    ).orderBy(*order)
+    pruned = (
+        counts.withColumn("__rb", F.row_number().over(wb))
+        .filter(F.col("__rb") <= top_k)
+        .drop("__rb")
+    )
     if keys:
-        w = Window.partitionBy(*keys).orderBy(F.desc("__c"), F.asc("__t"))
+        w = Window.partitionBy(*keys).orderBy(*order)
     else:
-        w = Window.partitionBy().orderBy(F.desc("__c"), F.asc("__t"))
+        w = Window.partitionBy().orderBy(*order)
     ranked = (
-        counts.withColumn("__r", F.row_number().over(w))
+        pruned.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= top_k)
         .select(
             *keys,
@@ -1137,11 +1154,17 @@ def source_divergence(
     JS is symmetric and bounded by ln 2, so scores are comparable
     across corpus sizes.
 
-    Distributions are add-``smooth`` smoothed over the UNION vocabulary
-    of each pair, computed from one (source, token) count shuffle; the
-    pair join is per-token on the bounded per-source count table (rows
-    = vocab x sources, never the corpus), and sources are few by
-    construction, so the pair expansion is bounded.
+    Distributions are add-``smooth`` smoothed over the GLOBAL shared
+    vocabulary (every token seen in ANY source), computed from one
+    (source, token) count shuffle; the pair join is per-token on the
+    bounded per-source count table (rows = vocab x sources, never the
+    corpus), and sources are few by construction, so the pair expansion
+    is bounded. Note the global-vocabulary convention deliberately:
+    tokens absent from BOTH sources of a pair still contribute when the
+    sources' totals differ (their smoothed masses differ), so adding an
+    unrelated source can shift an existing pair's JS value. The shared
+    grid keeps every pair's distribution a true probability vector over
+    one common support — the convention the DuckDB oracle replays.
 
     Output: source_a, source_b, js_divergence (one row per unordered
     pair, a < b).

@@ -561,23 +561,58 @@ def audio_features(
     return _map_batches(df, schema, feats)
 
 
+def dhash_grid_dims(max_bits: int) -> tuple[int, int]:
+    """(rows, cols) of the dHash comparison grid: rows * cols ==
+    max_bits with rows the largest divisor <= sqrt(max_bits) — 56 ->
+    (7, 8), 64 -> (8, 8)."""
+    r = math.isqrt(max_bits)
+    while max_bits % r:
+        r -= 1
+    return r, max_bits // r
+
+
+def box_resize_weights(n_in: int, n_out: int) -> np.ndarray:
+    """INTEGER area-overlap weights for a 1-D box resize (the PIL
+    BOX-filter kernel scaled to integers): output cell i covers
+    [i*n_in, (i+1)*n_in) and input pixel j covers [j*n_out, (j+1)*n_out)
+    on a common grid of n_in*n_out units, so weight[i, j] is their
+    (integer) overlap. Integer weights keep every grid value exact in
+    float64, which is what lets the DuckDB oracle replay the hash
+    bit-for-bit — no float-resize rounding can flip a comparison."""
+    i = np.arange(n_out)
+    j = np.arange(n_in)
+    lo = np.maximum.outer(i * n_in, j * n_out)
+    hi = np.minimum.outer((i + 1) * n_in, (j + 1) * n_out)
+    return np.maximum(hi - lo, 0).astype(np.float64)
+
+
 def dhash_images(
     df: DataFrame,
     content_col: str = "content",
     fmt_col: str = "format",
     max_bits: int = 56,
+    resize: bool = True,
 ) -> DataFrame:
     """Difference-hash (dHash) perceptual fingerprint per image.
 
-    Bit k = 1 iff px[r,c] > px[r,c+1] on the grayscale grid (channel
-    mean for RGB), row-major (k = r*(W-1)+c), capped at ``max_bits`` so
-    the hash packs into one BIGINT column. Re-encodes and low-amplitude
-    noise leave the hash inside a small Hamming ball, so image-level
-    near-dup detection reduces to the same banded-bucket equi-join used
-    for text SimHash (functions/dedup.py:hamming_hash_pairs) — never
-    all-pairs, so a billion-image corpus shuffles only (id, block-key)
-    rows. Parity note: the reference's media handling stops at content
-    metadata (src/data_pipeline/utils/*); perceptual dedup is the
+    The decoded grayscale image (channel SUM for RGB — comparisons are
+    scale-invariant, and integer sums stay float64-exact) is first
+    block-averaged down to a fixed (rows, cols+1) grid with
+    rows * cols == max_bits (dhash_grid_dims; 56 -> a 7x9 grid), then
+    bit k = 1 iff grid[r, c] > grid[r, c+1], row-major (k = r*cols + c).
+    The fixed-grid downsample is what makes the hash PERCEPTUAL: a
+    rescaled or re-encoded copy of the same image lands on (near-)
+    identical grid averages, so copies collide regardless of native
+    resolution. ``resize=False`` keeps the legacy native-resolution
+    mode (adjacent-pixel gradients capped at max_bits — only sensible
+    for fixed-size thumbnail corpora).
+
+    Hashes pack into one BIGINT, so image-level near-dup detection
+    reduces to the same banded-bucket equi-join used for text SimHash
+    (functions/dedup.py:hamming_hash_pairs) — never all-pairs, so a
+    billion-image corpus shuffles only (id, block-key) rows. Parity
+    note: the reference's media handling stops at content metadata
+    (src/data_pipeline/utils/*); perceptual dedup is the
     multimodal-corpus extension BASELINE.json calls for.
 
     Arrow-batched mapInPandas: byte-level codec work is inherently
@@ -586,16 +621,23 @@ def dhash_images(
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField("dhash", T.LongType())]
     )
+    rows_n, cols_n = dhash_grid_dims(max_bits)
 
     def hashes(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for blob, fmt in zip(pdf[content_col], pdf[fmt_col]):
             img = _decode(bytes(blob), fmt).astype(np.float64)
             if img.ndim == 3:
-                img = img.mean(axis=2)
+                img = img.sum(axis=2)
             if img.ndim == 1:
                 img = img.reshape(1, -1)
-            bits = (img[:, :-1] > img[:, 1:]).ravel()[:max_bits]
+            if resize:
+                wr = box_resize_weights(img.shape[0], rows_n)
+                wc = box_resize_weights(img.shape[1], cols_n + 1)
+                grid = wr @ img @ wc.T
+                bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+            else:
+                bits = (img[:, :-1] > img[:, 1:]).ravel()[:max_bits]
             h = 0
             for k, b in enumerate(bits):
                 if b:

@@ -150,6 +150,35 @@ def test_cross_corpus_neardup(spark):
     assert out[1]["ref_id"] == 100 and out[1]["jaccard"] >= 0.5
     # clean doc 2 untouched; one row per contaminated doc (best match)
     assert out[3]["ref_id"] == 100
+    # id type preserved: long in, long out (no silent cast)
+    sch = dict(cross_corpus_neardup(train, ref, threshold=0.5).dtypes)
+    assert sch["ref_id"] == "bigint"
+
+
+def test_cross_corpus_neardup_string_ids(spark):
+    """Arbitrary (non-numeric) doc ids flow through unchanged — the
+    best-match pick is a row_number window, not a numeric negation."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        cross_corpus_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [("tr-a", base + " extra tail words"),
+         ("tr-b", "completely unrelated text about astrophysics and"
+                  " quasars spinning in deep space far away")],
+        "doc_id string, text string",
+    )
+    ref = spark.createDataFrame(
+        [("ref-x", base + " extra tail words indeed"),
+         ("ref-y", base + " extra tail words indeed")],  # tie on jaccard
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           cross_corpus_neardup(train, ref, threshold=0.5).collect()}
+    assert set(out) == {"tr-a"}
+    # ties break to the LOWEST ref id, and the string id survives intact
+    assert out["tr-a"]["ref_id"] == "ref-x"
 
 
 def test_canonical_by_quality(spark):

@@ -44,6 +44,54 @@ def test_exact_when_capacity_covers_keyspace(spark, lineitem):
         assert cnt == want[k]
 
 
+def test_engines_agree_in_exact_regime(spark, lineitem):
+    """auto must pick the JVM exact path when capacity covers the key
+    space, and all three engines return the identical summary there."""
+    distinct = lineitem.select("l_suppkey").distinct().count()
+    cap = distinct + 10
+    want = sorted(
+        (r["l_suppkey"], r["cnt"], r["err"])
+        for r in heavy_hitters(
+            lineitem, "l_suppkey", capacity=cap, engine="mg"
+        ).collect()
+    )
+    for eng in ("auto", "exact"):
+        got = sorted(
+            (r["l_suppkey"], r["cnt"], r["err"])
+            for r in heavy_hitters(
+                lineitem, "l_suppkey", capacity=cap, engine=eng
+            ).collect()
+        )
+        assert got == want, eng
+    # the exact engine's plan carries no Python stage
+    plan = heavy_hitters(
+        lineitem, "l_suppkey", capacity=cap, engine="exact"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+    with pytest.raises(ValueError):
+        heavy_hitters(lineitem, "l_suppkey", capacity=cap, engine="nope")
+
+
+def test_exact_engine_valid_summary_above_capacity(spark, lineitem):
+    """Forced exact engine under compaction still satisfies the summary
+    contract (sandwich bound, retention, bounded output) — the cost is
+    the full-cardinality shuffle, not correctness."""
+    cap = 7
+    hh = heavy_hitters(lineitem, "l_suppkey", capacity=cap, engine="exact")
+    rows = hh.collect()
+    assert len(rows) <= cap
+    want = _exact(lineitem, "l_suppkey")[()]
+    n = sum(want.values())
+    for r in rows:
+        true = want[r["l_suppkey"]]
+        assert r["cnt"] <= true <= r["cnt"] + r["err"], r
+    kept = {r["l_suppkey"] for r in rows}
+    for k, c in want.items():
+        if c > n / (cap + 1):
+            assert k in kept, (k, c)
+
+
 def test_bounds_and_retention_under_compaction(spark, lineitem):
     cap = 7  # far below distinct suppkeys: compaction must fire
     hh = heavy_hitters(lineitem, "l_suppkey", capacity=cap)

@@ -313,6 +313,50 @@ def test_ppm_16bit_and_unsupported():
                       + np.array([1], dtype="<u4").tobytes() + bytes(20))
 
 
+def _dhash_reference(img: np.ndarray, rows: int = 7, cols: int = 8) -> int:
+    """Independent dHash reference: continuous box resize of the
+    grayscale image to a (rows, cols+1) grid using exact Fraction
+    areas, then row-major adjacent-cell comparisons."""
+    from fractions import Fraction
+
+    if img.ndim == 3:
+        gray = [
+            [Fraction(int(img[r, c].sum())) for c in range(img.shape[1])]
+            for r in range(img.shape[0])
+        ]
+    else:
+        gray = [
+            [Fraction(int(img[r, c])) for c in range(img.shape[1])]
+            for r in range(img.shape[0])
+        ]
+    h_in, w_in = len(gray), len(gray[0])
+
+    def cell(r: int, c: int, n_rows: int, n_cols: int) -> Fraction:
+        r0, r1 = Fraction(r * h_in, n_rows), Fraction((r + 1) * h_in, n_rows)
+        c0, c1 = Fraction(c * w_in, n_cols), Fraction((c + 1) * w_in, n_cols)
+        total = Fraction(0)
+        for i in range(h_in):
+            ov_r = min(r1, i + 1) - max(r0, i)
+            if ov_r <= 0:
+                continue
+            for j in range(w_in):
+                ov_c = min(c1, j + 1) - max(c0, j)
+                if ov_c > 0:
+                    total += ov_r * ov_c * gray[i][j]
+        return total
+
+    grid = [
+        [cell(r, c, rows, cols + 1) for c in range(cols + 1)]
+        for r in range(rows)
+    ]
+    h = 0
+    for r in range(rows):
+        for c in range(cols):
+            if grid[r][c] > grid[r][c + 1]:
+                h |= 1 << (r * cols + c)
+    return h
+
+
 def test_dhash_images_and_hamming_pairs(spark):
     from data_pipeline_framework_spark.functions.dedup import (
         hamming_hash_pairs,
@@ -337,15 +381,9 @@ def test_dhash_images_and_hamming_pairs(spark):
     # exact duplicate -> identical hash; independent image -> far away
     assert got[0] == got[3]
     assert bin(got[0] ^ got[2]).count("1") > 3
-    # reference hash computed directly from pixels (row-major gradient)
-    expect = 0
-    k = 0
-    for r in range(8):
-        for c in range(7):
-            if base[r, c] > base[r, c + 1]:
-                expect |= 1 << k
-            k += 1
-    assert got[0] == expect
+    # reference hash from an independent continuous-area box resize to
+    # the fixed 7x9 grid (Fraction arithmetic, no shared code path)
+    assert got[0] == _dhash_reference(base)
 
     pairs = hamming_hash_pairs(
         sig, "id", "dhash", bits=56, max_hamming=3, n_blocks=4
@@ -403,10 +441,9 @@ def test_audio_fingerprints_short_clip_zero(spark):
 
 def test_dhash_images_general_shapes(spark):
     rng = np.random.default_rng(3)
-    # 16x16 grayscale: 15 bits/row, capped at max_bits=56 -> bits from
-    # the first 3 rows + 11 bits of row 4, row-major
+    # 16x16 grayscale and RGB 8x8 (hashed on the channel sum) both
+    # box-resize to the same fixed 7x9 grid before differencing
     big = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
-    # RGB 8x8: hashed on the channel mean
     rgb = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
     rows = [
         (0, MM.encode_png(big), "png"),
@@ -414,12 +451,34 @@ def test_dhash_images_general_shapes(spark):
     ]
     df = spark.createDataFrame(rows, "id long, content binary, format string")
     got = {r["id"]: r["dhash"] for r in MM.dhash_images(df).collect()}
-    bits = (big.astype(np.float64)[:, :-1] > big.astype(np.float64)[:, 1:])
-    flat = bits.ravel()[:56]
-    expect = sum(1 << k for k, b in enumerate(flat) if b)
-    assert got[0] == expect
-    gray = rgb.astype(np.float64).mean(axis=2)
-    bits3 = (gray[:, :-1] > gray[:, 1:]).ravel()[:56]
-    expect3 = sum(1 << k for k, b in enumerate(bits3) if b)
-    assert got[1] == expect3
+    assert got[0] == _dhash_reference(big)
+    assert got[1] == _dhash_reference(rgb)
     assert 0 <= got[0] < (1 << 56) and 0 <= got[1] < (1 << 56)
+
+
+def test_dhash_rescaled_copy_collides(spark):
+    """The perceptual property the fixed-grid downsample buys: a
+    nearest-neighbor 2x upscale of the same image hashes IDENTICALLY
+    (box averages over the piecewise-constant upscale are proportional
+    to the original's), while the legacy no-resize mode sees only the
+    top-left strip and never collides across resolutions."""
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    up2 = np.kron(base, np.ones((2, 2), dtype=np.uint8))
+    rows = [
+        (0, MM.encode_png(base), "png"),
+        (1, MM.encode_png(up2), "png"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary, format string")
+    got = {r["id"]: r["dhash"] for r in MM.dhash_images(df).collect()}
+    assert got[0] == got[1]
+
+    # legacy mode: native-resolution adjacent-pixel bits, capped
+    legacy = {
+        r["id"]: r["dhash"]
+        for r in MM.dhash_images(df, resize=False).collect()
+    }
+    bits = (base.astype(np.float64)[:, :-1] > base.astype(np.float64)[:, 1:])
+    flat = bits.ravel()[:56]
+    assert legacy[0] == sum(1 << k for k, b in enumerate(flat) if b)
+    assert legacy[0] != legacy[1]

@@ -81,6 +81,13 @@ _ARROW_OK = {
     "ann_recall_report",  # IVF arm's Arrow-batched cell assignment
     "image_dhash_dedup",   # byte-level PNG decode is inherently Python
     "audio_fingerprint_dedup",  # byte-level waveform decode, same
+    # learned-BPE encode: Arrow-batched per-distinct-word fast path is
+    # the default above ARROW_MERGE_THRESHOLD merges (the chained JVM
+    # replace scales with merge count; the oracle still replays it)
+    "bpe_token_counts",
+    "bpe_vocab_usage",
+    "bpe_shard_packing",
+    "bpe_fertility_by_lang",
 }
 
 

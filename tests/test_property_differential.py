@@ -470,3 +470,38 @@ def test_hamming_hash_pairs_matches_bruteforce(spark, hs, max_h):
         if bin(hs[i] ^ hs[j]).count("1") <= max_h
     )
     assert got == want
+
+
+def test_hamming_hash_pairs_narrow_bits_block_layout(spark):
+    """Parameter combos where a uniform ceil-width layout would push a
+    whole block past `bits` (bits=10, max_hamming=8 -> 9 blocks) must
+    still be complete AND non-degenerate: the floor-edge layout keeps
+    every block inside [0, bits). Degenerate requests raise."""
+    import pytest as _pytest
+
+    from data_pipeline_framework_spark.functions.dedup import (
+        hamming_hash_pairs,
+    )
+
+    hs = [0b0000000000, 0b1111111111, 0b0000001111, 0b1010101010]
+    df = spark.createDataFrame(list(enumerate(hs)), "id long, h long")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_hash_pairs(
+            df, "id", "h", bits=10, max_hamming=8
+        ).collect()
+    )
+    want = sorted(
+        (i, j, bin(hs[i] ^ hs[j]).count("1"))
+        for i in range(len(hs))
+        for j in range(i + 1, len(hs))
+        if bin(hs[i] ^ hs[j]).count("1") <= 8
+    )
+    assert got == want
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        hamming_hash_pairs(df, "id", "h", bits=10, max_hamming=10)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_hash_pairs(
+            df, "id", "h", bits=10, max_hamming=4, n_blocks=3
+        )

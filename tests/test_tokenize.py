@@ -243,6 +243,45 @@ def test_chunk_documents_with_tokenizer(spark):
     assert all(r["n_tokens"] <= 5 for r in rows)
 
 
+def test_engines_agree_on_packaged_merges(spark, sf_dir):
+    """The Arrow fast path and the JVM chained-replace reference are
+    the SAME function: identical counts and token arrays on the
+    packaged 48-merge table over real corpus text, the tricky edge
+    strings, and null — and engine='auto' dispatches by merge count."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        ARROW_MERGE_THRESHOLD,
+    )
+    from data_pipeline_framework_spark.sources import read_table
+
+    assert len(default_merges()) >= ARROW_MERGE_THRESHOLD
+    assert BPETokenizer().resolved_engine == "arrow"
+    assert BPETokenizer(MERGES).resolved_engine == "jvm"
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    extra = spark.createDataFrame(
+        [(10_000 + i, t) for i, t in enumerate(TRICKY)]
+        + [(99_999, None)],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(extra)
+    jvm = BPETokenizer(engine="jvm")
+    arrow = BPETokenizer(engine="arrow")
+    bad = df.select(
+        "doc_id",
+        jvm.count_expr("text").alias("nj"),
+        arrow.count_expr("text").alias("na"),
+        jvm.tokens_expr("text").alias("tj"),
+        arrow.tokens_expr("text").alias("ta"),
+    ).filter(
+        (F.col("nj") != F.col("na")) | (F.col("tj") != F.col("ta"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
 def test_bpe_tokenize_roundtrips_count(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TRICKY) if t.strip()], ["id", "text"]
