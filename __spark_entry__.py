@@ -2599,27 +2599,33 @@ def _pagerank_oracle(iters: int = 4, d: float = 0.85,
     """DuckDB twin of pagerank_trade_graph / pagerank_weighted_trade:
     the same rounds as chained CTEs — same init, same dangling
     redistribution, same damping; weighted mode aggregates parallel
-    edges by quantity and carries rank * w / out_strength."""
+    edges by quantity and carries rank * w / out_strength.
+
+    Every round CTE is AS MATERIALIZED: each r{t} is referenced twice
+    by round t+1 (contribution join + dangling scan), so DuckDB's
+    default CTE inlining re-evaluates the whole prefix per reference —
+    exponential in iteration count (the weighted oracle cost 303 s of
+    pure DuckDB at sf0.01 before this; ~5 s after, same result)."""
     if weighted:
-        edges_cte = """edges AS (
+        edges_cte = """edges AS MATERIALIZED (
                 SELECT CAST(l_suppkey AS BIGINT) AS src,
                        CAST(o_custkey + 1000000 AS BIGINT) AS dst,
                        SUM(CAST(l_quantity AS DOUBLE)) AS w
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                 GROUP BY 1, 2
             )"""
-        deg_cte = "deg AS (SELECT src, SUM(w) AS deg FROM edges GROUP BY src)"
+        deg_cte = "deg AS MATERIALIZED (SELECT src, SUM(w) AS deg FROM edges GROUP BY src)"
         contrib = "SUM((r.rank * e.w) / dg.deg)"
     else:
-        edges_cte = """edges AS (
+        edges_cte = """edges AS MATERIALIZED (
                 SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
                        CAST(o_custkey + 1000000 AS BIGINT) AS dst
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             )"""
-        deg_cte = "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)"
+        deg_cte = "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)"
         contrib = "SUM(r.rank / dg.deg)"
     ctes = [edges_cte,
-            """nodes AS (
+            """nodes AS MATERIALIZED (
                 SELECT src AS id FROM edges
                 UNION SELECT dst FROM edges
             )""",
@@ -2629,19 +2635,19 @@ def _pagerank_oracle(iters: int = 4, d: float = 0.85,
                       FROM nodes CROSS JOIN nn)"""]
     for t in range(1, iters + 1):
         p = f"r{t - 1}"
-        ctes.append(f"""c{t} AS (
+        ctes.append(f"""c{t} AS MATERIALIZED (
                 SELECT e.dst AS id, {contrib} AS s
                 FROM edges e
                 JOIN {p} r ON e.src = r.id
                 JOIN deg dg ON e.src = dg.src
                 GROUP BY e.dst
             )""")
-        ctes.append(f"""g{t} AS (
+        ctes.append(f"""g{t} AS MATERIALIZED (
                 SELECT COALESCE(SUM(rank), 0.0) AS dm
                 FROM {p} r LEFT JOIN deg dg ON r.id = dg.src
                 WHERE dg.src IS NULL
             )""")
-        ctes.append(f"""r{t} AS (
+        ctes.append(f"""r{t} AS MATERIALIZED (
                 SELECT nodes.id,
                        {1.0 - d} / nn.n
                        + {d} * (COALESCE(c.s, 0.0) + g.dm / nn.n) AS rank

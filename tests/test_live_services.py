@@ -6,8 +6,9 @@ covers via sqlite3 / fake clients / file streams. They skip cleanly
 when the services aren't reachable, so CI containers without them stay
 green; any user with docker can run:
 
-    docker run -d -p 5432:5432 -e POSTGRES_PASSWORD=pg postgres:16
-    docker run -d -p 9092:9092 apache/kafka:3.8.0
+    docker compose -f docker-compose.live.yml up -d
+    # (or: docker run -d -p 5432:5432 -e POSTGRES_PASSWORD=pg postgres:16
+    #      docker run -d -p 9092:9092 apache/kafka:3.8.0)
 
     export DPF_TEST_PG_URL="jdbc:postgresql://localhost:5432/postgres"
     export DPF_TEST_PG_USER=postgres DPF_TEST_PG_PASSWORD=pg

@@ -5,11 +5,25 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 row count, sorted column names, and order-insensitive values
 (exact for non-floats, tiny-tolerance + bitwise-report for floats).
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--changed] [sf_dir] [query ...]
+
+``--changed`` is the inner-loop mode: each query gets a content
+fingerprint (its own source + its oracle SQL + the bytes of every
+engine module file its source references, transitively through the
+package's relative imports) and queries whose fingerprint already
+passed at this sf_dir are skipped. The cache (.check_cache.json, git-
+ignored) updates on every pass, so a full run primes it and subsequent
+edits re-verify only what the edit can have touched. The FULL gate
+(no flag) stays the round-final artifact — --changed is for commits
+in between.
 """
 
 from __future__ import annotations
 
+import hashlib
+import inspect
+import json
+import re
 import sys
 import time
 from pathlib import Path
@@ -18,7 +32,11 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+ROOT = Path(__file__).resolve().parent.parent
+PKG = ROOT / "data_pipeline_framework_spark"
+CACHE_PATH = ROOT / ".check_cache.json"
+
+sys.path.insert(0, str(ROOT))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -83,9 +101,101 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     return problems
 
 
+# --------------------------------------------------------------- --changed
+
+_PKG_RE = re.compile(r"data_pipeline_framework_spark((?:\.[a-zA-Z_]\w*)+)")
+_REL_RE = re.compile(r"^\s*from\s+(\.+)([a-zA-Z_][\w\.]*)?\s+import", re.M)
+
+
+def _module_file(base: Path, dotted: str) -> Path | None:
+    parts = [p for p in dotted.split(".") if p]
+    for k in range(len(parts), 0, -1):
+        p = base.joinpath(*parts[:k]).with_suffix(".py")
+        if p.exists():
+            return p
+        p = base.joinpath(*parts[:k]) / "__init__.py"
+        if p.exists():
+            return p
+    return None
+
+
+def _dep_closure(src: str) -> set[Path]:
+    """Engine module files referenced by ``src``, expanded transitively
+    through the package's own absolute and relative imports."""
+    seen: set[Path] = set()
+    stack = [
+        f
+        for m in _PKG_RE.findall(src)
+        if (f := _module_file(PKG, m)) is not None
+    ]
+    while stack:
+        f = stack.pop()
+        if f in seen:
+            continue
+        seen.add(f)
+        body = f.read_text(encoding="utf-8")
+        for m in _PKG_RE.findall(body):
+            nf = _module_file(PKG, m)
+            if nf is not None and nf not in seen:
+                stack.append(nf)
+        for dots, mod in _REL_RE.findall(body):
+            base = f.parent
+            for _ in range(len(dots) - 1):
+                base = base.parent
+            nf = (
+                _module_file(base, mod) if mod else base / "__init__.py"
+            )
+            if nf is not None and nf.exists() and nf not in seen:
+                stack.append(nf)
+    return seen
+
+
+def _fingerprints(entrymod, qs: dict, oracles: dict) -> dict[str, str]:
+    """name -> sha256 over the query's source, its oracle SQL, shared
+    entry helpers, and every (transitively) referenced engine file."""
+    helpers = ""
+    for h in ("_t", "_r", "_spread"):
+        obj = getattr(entrymod, h, None)
+        if obj is not None:
+            try:
+                helpers += inspect.getsource(obj)
+            except (OSError, TypeError):
+                pass
+    file_sha: dict[Path, str] = {}
+    out: dict[str, str] = {}
+    for name, fn in qs.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = repr(fn)
+        h = hashlib.sha256()
+        h.update(src.encode())
+        h.update(oracles.get(name, "").encode())
+        h.update(helpers.encode())
+        for f in sorted(_dep_closure(src)):
+            if f not in file_sha:
+                file_sha[f] = hashlib.sha256(f.read_bytes()).hexdigest()
+            h.update(f"{f}:{file_sha[f]}".encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def _load_cache() -> dict:
+    if CACHE_PATH.exists():
+        try:
+            return json.loads(CACHE_PATH.read_text())
+        except (OSError, json.JSONDecodeError):
+            pass
+    return {}
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    changed_only = "--changed" in argv
+    if changed_only:
+        argv.remove("--changed")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -110,9 +220,18 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = n_weak = 0
+    fps = _fingerprints(entrymod, qs, oracles)
+    cache = _load_cache()
+    n_pass = n_fail = n_weak = n_skip = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if (
+            changed_only
+            and cache.get(name, {}).get("fp") == fps[name]
+            and sf_dir in cache.get(name, {}).get("passed", [])
+        ):
+            n_skip += 1
             continue
         t0 = time.time()
         try:
@@ -136,10 +255,22 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
             n_fail += 1
+            cache.pop(name, None)
         else:
             print(f"pass  {name}: rows={len(spdf)} [{time.time()-t0:.1f}s]")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+            ent = cache.setdefault(name, {})
+            if ent.get("fp") != fps[name]:
+                ent["fp"] = fps[name]
+                ent["passed"] = []
+            if sf_dir not in ent.setdefault("passed", []):
+                ent["passed"].append(sf_dir)
+    try:
+        CACHE_PATH.write_text(json.dumps(cache, indent=0, sort_keys=True))
+    except OSError:
+        pass
+    skipped = f", {n_skip} skipped (unchanged)" if changed_only else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only){skipped}")
     return 1 if n_fail else 0
 
 
