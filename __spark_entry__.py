@@ -1698,6 +1698,42 @@ def bpe_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_bpe_tokens", "token_offset", "shard")
 
 
+def length_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """padding-efficient dynamic batching
+    (functions/sampling.py:pack_length_batches): docs bucket by
+    floor(log2(len)), shard by portable hash, and pack into batches
+    that fit a 4000-token pad-to-max budget; the manifest reports each
+    batch's fill and padding fraction. Oracle replays bucket, shard,
+    ordering, and the integer rows-per-batch cut exactly."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        pack_length_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = pack_length_batches(
+        docs, "doc_id", "n_chars", batch_tokens=4000, n_shards=8
+    )
+    tok = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+    return (
+        out.groupBy("len_bucket", "shard", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(tok).alias("max_len"),
+            F.sum(tok).alias("sum_len"),
+        )
+        .withColumn(
+            "padding_frac",
+            _r(
+                1.0
+                - F.col("sum_len")
+                / (F.col("n_docs") * F.col("max_len")),
+                6,
+            ),
+        )
+        .orderBy("len_bucket", "shard", "batch")
+    )
+
+
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style eval-set decontamination: per corpus doc, the count and
     fraction of its word 8-grams that also occur in the (broadcast) eval
@@ -2968,6 +3004,24 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", "period_offset", "n_users", "cohort_size",
         _r(F.col("retention"), 6).alias("retention"),
     )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-order Markov transitions over each user's ordered event
+    stream (operators/funnels.py:event_transitions): counts and
+    P(next | current) per (from, to) pair — one user-key shuffle, then
+    a #types^2-row aggregate. Oracle replays the lead window (ts,
+    event_id ordering), the pair counts, and the per-from normalization
+    exactly."""
+    from data_pipeline_framework_spark.operators import funnels as FN
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = FN.event_transitions(ev, tiebreak_col="event_id")
+    return out.select(
+        "from_type", "to_type", "n", _r(F.col("prob"), 6).alias("prob")
+    ).orderBy("from_type", "to_type")
 
 
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5682,6 +5736,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_priorities": drift_psi_priorities,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shard_packing": token_shard_packing,
+        "length_batch_packing": length_batch_packing,
         "bpe_token_counts": bpe_token_counts,
         "bpe_shard_packing": bpe_shard_packing,
         "bpe_vocab_usage": bpe_vocab_usage,
@@ -5765,6 +5820,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_user_stages": funnel_user_stages,
         "funnel_conversion_events": funnel_conversion_events,
         "cohort_retention_weekly": cohort_retention_weekly,
+        "event_transition_matrix": event_transition_matrix,
         "clean_standardize": clean_standardize,
         "phone_standardization": phone_standardization,
         "email_validation": email_validation,
@@ -7929,6 +7985,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(token_offset / 2000) AS BIGINT) AS shard
             FROM o
         """,
+        "length_batch_packing": """
+            WITH d AS (
+                SELECT doc_id,
+                       GREATEST(CAST(n_chars AS BIGINT), 1) AS tok,
+                       CAST(FLOOR(LOG2(GREATEST(CAST(n_chars AS BIGINT),
+                                                1))) AS INT) AS len_bucket,
+                       CAST((CAST(('0x' || substr(md5('lbatch'
+                                 || CAST(doc_id AS VARCHAR)), 1, 13))
+                                 AS BIGINT) % 1000000) % 8
+                            AS INT) AS shard,
+                       n_chars
+                FROM documents
+            ), w AS (
+                SELECT *,
+                       MAX(tok) OVER (PARTITION BY len_bucket, shard)
+                           AS mx,
+                       ROW_NUMBER() OVER (PARTITION BY len_bucket, shard
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM d
+            ), b AS (
+                SELECT *,
+                       (rn - 1) // GREATEST(1,
+                           CAST(FLOOR(4000.0 / mx) AS BIGINT)) AS batch
+                FROM w
+            )
+            SELECT len_bucket, shard, batch,
+                   COUNT(*) AS n_docs,
+                   MAX(tok) AS max_len,
+                   CAST(SUM(tok) AS BIGINT) AS sum_len,
+                   FLOOR((1.0 - CAST(SUM(tok) AS DOUBLE)
+                          / (COUNT(*) * MAX(tok))) * 1e6 + 0.5) / 1e6
+                       AS padding_frac
+            FROM b
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
         "bpe_token_counts": f"""
             WITH s AS (
                 SELECT doc_id, {_bpe_stream_sql()} AS st FROM documents
@@ -8512,6 +8604,25 @@ def oracle_sql() -> dict[str, str]:
         "funnel_user_stages": _FUNNEL_STAGES_ORACLE,
         "funnel_conversion_events": _FUNNEL_CONVERSION_ORACLE,
         "cohort_retention_weekly": _COHORT_ORACLE,
+        "event_transition_matrix": """
+            WITH seq AS (
+                SELECT event_type AS from_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_type
+                FROM events
+            ), pairs AS (
+                SELECT from_type, to_type, COUNT(*) AS n
+                FROM seq WHERE to_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   FLOOR(CAST(n AS DOUBLE)
+                         / SUM(n) OVER (PARTITION BY from_type)
+                         * 1e6 + 0.5) / 1e6 AS prob
+            FROM pairs
+            ORDER BY from_type, to_type
+        """,
         "ewm_smoothing": """
             SELECT event_id, user_id,
                    FLOOR(list_reduce(

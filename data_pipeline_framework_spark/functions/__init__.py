@@ -16,6 +16,7 @@ from .sampling import (  # noqa: F401
     hash_split,
     mixture_sample,
     pack_contexts,
+    pack_length_batches,
     pack_shards,
     stratified_hash_sample,
     weighted_sample,

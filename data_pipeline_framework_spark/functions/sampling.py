@@ -222,6 +222,90 @@ def _bucketed_cumsum_offset(
     ).drop("__bkt")
 
 
+def pack_length_batches(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    batch_tokens: int,
+    n_shards: int = 32,
+    seed: str = "lbatch",
+) -> DataFrame:
+    """Padding-efficient dynamic batching: assign each document to a
+    training batch so that every batch fits ``batch_tokens`` when its
+    rows are padded to the batch's longest member — the cost model of
+    fixed-shape accelerator steps (cost = rows x max_len, not
+    sum(len)). Batching uniformly by id wastes 30-60% of a batch on
+    padding when lengths are skewed; grouping similar lengths first is
+    the standard fix (what dynamic-batching data loaders do), here as a
+    deterministic, engine-replayable assignment.
+
+    Algorithm (every step a pure column expression or a bounded
+    window):
+      1. length bucket = floor(log2(max(tokens, 1))) — power-of-two
+         length classes, data-independent (no quantile probe).
+      2. shard = portable id hash mod ``n_shards`` — the parallelism
+         unit; batches never cross shards, so no window ever sorts
+         more than a 1/n_shards slice of one length bucket, and the
+         assignment is reproducible across runs/partitionings/engines.
+      3. within (bucket, shard), order tokens desc (id tie-break),
+         rows_per_batch = max(1, batch_tokens // slice_max_len), batch
+         = row_number div rows_per_batch. Descending order puts each
+         batch's max first, so early batches are the fullest.
+
+    Output: input columns + len_bucket, shard, batch, batch_max_len,
+    batch_n_docs, padding_frac (1 - sum(len) / (n * max_len), the
+    fraction of the padded batch that is padding). A document longer
+    than ``batch_tokens`` gets a singleton batch (padding_frac 0).
+
+    No reference counterpart (its loaders are pandas row loops); this
+    is the training-data scale path alongside pack_shards (contiguous
+    token budget) and pack_contexts (concat-and-cut).
+    """
+    if batch_tokens <= 0:
+        raise ValueError("batch_tokens must be positive")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    tok = F.greatest(F.col(token_col).cast("long"), F.lit(1))
+    out = df.withColumn(
+        "len_bucket", F.floor(F.log2(tok)).cast("int")
+    ).withColumn(
+        "shard",
+        F.pmod(_bucket(id_col, seed), F.lit(n_shards)).cast("int"),
+    )
+    slice_w = Window.partitionBy("len_bucket", "shard")
+    order_w = slice_w.orderBy(
+        F.col(token_col).desc(), F.col(id_col).asc()
+    )
+    out = (
+        out.withColumn("__max", F.max(tok).over(slice_w))
+        .withColumn(
+            "__rpb",
+            F.greatest(
+                F.lit(1), (F.lit(batch_tokens) / F.col("__max")).cast("long")
+            ),
+        )
+        .withColumn(
+            "batch",
+            ((F.row_number().over(order_w) - 1) / F.col("__rpb"))
+            .cast("long"),
+        )
+    )
+    batch_w = Window.partitionBy("len_bucket", "shard", "batch")
+    return (
+        out.withColumn("batch_max_len", F.max(tok).over(batch_w))
+        .withColumn(
+            "batch_n_docs", F.count(F.lit(1)).over(batch_w).cast("long")
+        )
+        .withColumn(
+            "padding_frac",
+            1.0
+            - F.sum(tok).over(batch_w)
+            / (F.col("batch_n_docs") * F.col("batch_max_len")),
+        )
+        .drop("__max", "__rpb")
+    )
+
+
 def pack_contexts(
     df: DataFrame,
     id_col: str,

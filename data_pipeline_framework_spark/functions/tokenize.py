@@ -66,6 +66,7 @@ __all__ = [
     "load_merges",
     "save_merges",
     "train_bpe_merges",
+    "train_bpe_merges_distributed",
 ]
 
 _NORM_RE = "[^a-z0-9]+"
@@ -412,6 +413,86 @@ def train_bpe_merges(
             m = _merge_once(sym, *best)
             nxt[m] = nxt.get(m, 0) + c
         vocab = nxt
+    return merges
+
+
+def train_bpe_merges_distributed(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 96,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Frequency-greedy BPE training over the FULL corpus as Spark
+    rounds — the scale path next to train_bpe_merges' bounded driver
+    sample. Pytest pins that both trainers produce the identical merges
+    list when the sample covers the corpus.
+
+    State is the distinct-WORD frequency table ((wrapped '(c)(c)'
+    stream, count) — Zipf-bounded: distinct words, never corpus rows),
+    computed once. Each round is:
+      1. one groupBy over exploded adjacent-token pairs (each pair
+         occurrence weighted by the word's count — including
+         overlapping occurrences, exactly like the driver trainer),
+      2. a 1-row argmax collect (count desc, pair lexicographic — the
+         driver trainer's tie-break),
+      3. one JVM string replace applying the merge (leftmost-
+         nonoverlapping, the module's encode discipline), persisted so
+         round t+1 scans the merged table, with round t's cache
+         released (bounded executor storage).
+    Driver memory is O(1) per round; at 100 TB the per-round shuffle is
+    the distinct-pair table, not the corpus.
+    """
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    words = (
+        df.select(
+            F.explode(
+                F.split(_normalize(F.col(text_col)), " ")
+            ).alias("__w")
+        )
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(_wrap(F.col("__w")).alias("__s"), "__c")
+    )
+    words = words.persist()
+    words.count()
+    state = words
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        toks = F.split(
+            F.regexp_replace(F.col("__s"), r"^\(|\)$", ""), r"\)\("
+        )
+        base = state.select(toks.alias("__t"), "__c").filter(
+            F.size("__t") >= 2
+        )
+        pairs = base.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1), "
+                    "i -> struct(element_at(__t, i) AS a, "
+                    "element_at(__t, i + 1) AS b))"
+                )
+            ).alias("__p"),
+            "__c",
+        ).groupBy("__p.a", "__p.b").agg(F.sum("__c").alias("__n"))
+        top = pairs.orderBy(
+            F.desc("__n"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top or top[0]["__n"] < min_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        nxt = state.select(
+            F.replace(
+                F.col("__s"), F.lit(f"({a})({b})"), F.lit(f"({a}{b})")
+            ).alias("__s"),
+            "__c",
+        ).persist()
+        nxt.count()
+        state.unpersist()
+        state = nxt
+    state.unpersist()
     return merges
 
 

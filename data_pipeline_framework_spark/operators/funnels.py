@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stages", "funnel_conversion", "cohort_retention"]
+__all__ = [
+    "cohort_retention",
+    "event_transitions",
+    "funnel_conversion",
+    "funnel_stages",
+]
 
 
 def funnel_stages(
@@ -223,4 +228,53 @@ def cohort_retention(
         "n_users",
         size.alias("cohort_size"),
         (F.col("n_users") / size).alias("retention"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's ordered
+    event stream: for every (from_type, to_type) pair, the number of
+    adjacent occurrences and the conditional probability
+    P(next = to | current = from). The third table-stakes
+    event-sequence query next to funnels and cohorts — "where do users
+    go after X" — and the input to journey/path analysis.
+
+    Shape: ONE shuffle on the user key (the lead window), then a
+    transition-pair groupBy whose cardinality is #event-types squared —
+    tiny at any corpus size. Per-user ordering ties break on
+    ``tiebreak_col`` (pass the event id for full determinism). The
+    per-row probability divides by a from-type total computed in the
+    same aggregate via a window over the bounded transition table — no
+    second scan.
+
+    Reference parity: none (its event path stops at windowed stream
+    aggregates); scale-ops extension like funnels/cohorts.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.sum("n").over(total)).alias("prob"),
     )

@@ -147,6 +147,73 @@ def test_pack_shards_hand_checked(spark):
     assert out[5]["token_offset"] == 2400
 
 
+def test_pack_length_batches_properties(spark):
+    """Every batch fits the pad-to-max budget (unless a single doc
+    alone exceeds it), batches never cross (bucket, shard), padding is
+    in [0, 1), and the assignment is invariant to input partitioning."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        pack_length_batches,
+    )
+
+    rows = [(i, (i * 37) % 900 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_length_batches(
+        df, "doc_id", "n_tok", batch_tokens=2000, n_shards=4
+    )
+    got = out.collect()
+    assert len(got) == 400
+    by_batch: dict = {}
+    for r in got:
+        key = (r["len_bucket"], r["shard"], r["batch"])
+        by_batch.setdefault(key, []).append(r)
+    for key, members in by_batch.items():
+        n = len(members)
+        mx = max(m["n_tok"] for m in members)
+        assert all(m["batch_max_len"] == mx for m in members)
+        assert all(m["batch_n_docs"] == n for m in members)
+        # padded cost fits the budget, or the batch is a singleton
+        # whose lone doc exceeds it
+        assert n * mx <= 2000 or n == 1
+        pf = members[0]["padding_frac"]
+        assert 0.0 <= pf < 1.0
+        # docs in one batch share the length bucket by construction
+        assert len({m["len_bucket"] for m in members}) == 1
+    # deterministic across partitionings
+    re = {
+        (r["doc_id"]): (r["len_bucket"], r["shard"], r["batch"])
+        for r in pack_length_batches(
+            df.repartition(13), "doc_id", "n_tok",
+            batch_tokens=2000, n_shards=4,
+        ).collect()
+    }
+    base = {
+        r["doc_id"]: (r["len_bucket"], r["shard"], r["batch"])
+        for r in got
+    }
+    assert re == base
+    # length-grouped batching wastes less padding than id-order batching
+    import math
+
+    ordered = sorted(rows, key=lambda t: t[0])
+    naive_pad = 0
+    for i in range(0, len(ordered), 8):
+        chunk = [t[1] for t in ordered[i:i + 8]]
+        naive_pad += len(chunk) * max(chunk) - sum(chunk)
+    packed_pad = sum(
+        len(m) * max(x["n_tok"] for x in m) - sum(x["n_tok"] for x in m)
+        for m in by_batch.values()
+    )
+    assert packed_pad < naive_pad
+
+    with pytest.raises(ValueError):
+        pack_length_batches(df, "doc_id", "n_tok", batch_tokens=0)
+    with pytest.raises(ValueError):
+        pack_length_batches(
+            df, "doc_id", "n_tok", batch_tokens=10, n_shards=0
+        )
+    assert math.isfinite(packed_pad)
+
+
 def test_psi_drift_zero_and_shifted(spark):
     from data_pipeline_framework_spark.functions.profiling import psi_drift
 

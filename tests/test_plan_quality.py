@@ -296,11 +296,20 @@ def test_heavy_hitters_no_extra_shuffle_beyond_summary_agg(spark, sf_dir):
     from data_pipeline_framework_spark.sources import read_table
 
     li = read_table(spark, sf_dir, "lineitem").select("l_suppkey")
-    hh = heavy_hitters(li, "l_suppkey", capacity=64)
+    # engine pinned to MG: auto would take the JVM-exact path here (the
+    # fixture keyspace fits capacity) — this test asserts the
+    # bounded-state pipeline's shape specifically
+    hh = heavy_hitters(li, "l_suppkey", capacity=64, engine="mg")
     plan = _plan(hh)
     assert "MapInPandas" in plan          # bounded per-partition state
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row err sentinel
+
+    # the auto-selected exact path here is pure JVM: no Python stage,
+    # no cartesian, same guarantees asserted in test_heavy_hitters.py
+    exact_plan = _plan(heavy_hitters(li, "l_suppkey", capacity=64))
+    assert "MapInPandas" not in exact_plan
+    assert "CartesianProduct" not in exact_plan
 
 
 def test_char_entropy_is_pure_projection(spark, sf_dir):

@@ -132,6 +132,33 @@ def test_training_deterministic_and_prefix_stable(spark):
     assert all(len(a) and len(b) for a, b in m20)
 
 
+def test_distributed_trainer_matches_driver_trainer(spark):
+    """The full-corpus Spark trainer and the driver-sample trainer are
+    the SAME algorithm: identical merges (same greedy choices, same
+    count-desc/pair-lexicographic tie-break, same min-count stop) when
+    the driver sample covers the whole corpus."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        train_bpe_merges_distributed,
+    )
+
+    texts = [
+        "the theory of the thing", "then the sand and the sea",
+        "toss the thread through", "thin threads thin the throng",
+        "ssssss and the sand again", "123 theme and sand 123",
+    ] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    want = train_bpe_merges(
+        df, "text", n_merges=16, max_train_docs=10_000, order_col="id"
+    )
+    got = train_bpe_merges_distributed(df, "text", n_merges=16)
+    assert got == want
+    # early stop below min_count mirrors the driver trainer
+    tiny = spark.createDataFrame([(1, "ab xy")], ["id", "text"])
+    assert train_bpe_merges_distributed(tiny, "text", n_merges=8) == []
+
+
 def test_merges_roundtrip(tmp_path):
     p = str(tmp_path / "m.txt")
     save_merges(MERGES, p)

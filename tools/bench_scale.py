@@ -14,6 +14,12 @@ Usage:  python tools/make_scale_data.py          # once
 Env: SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_sf1),
      SPARK_GRAFT_SF_DIR (small side, default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS.
+
+Optional third decade: if SPARK_GRAFT_SCALE10_DIR is set and exists
+(tools/make_scale_data.py <dir> 100 builds it, ~1.7 GB), the cheapest
+headliners also run there and the output gains a "probe_sf10" section —
+turning the per-query scaling exponents into a 3-point series
+(sf0.1 -> sf1 -> sf10) for the queries cheap enough to probe.
 """
 
 from __future__ import annotations
@@ -42,6 +48,23 @@ SCALE_SKIP = {
 }
 # only gate queries whose small-SF time is above this (else overhead noise)
 MIN_MEASURABLE_SEC = 0.35
+
+# third-decade probe set: cheap headliners spanning the main physical
+# shapes (scan-agg, window, join, dedup, text, media, streaming twin)
+PROBE_SF10 = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "grouped_agg_multi",
+    "window_ranking",
+    "window_running",
+    "date_parts",
+    "dedup_first_per_key",
+    "rolling_stats",
+    "text_statistics",
+    "doc_fingerprints",
+    "tumbling_window_agg",
+]
 
 
 def _run(spark, qs, names, sf_dir, runs=2):
@@ -141,6 +164,29 @@ def main() -> None:
         "skipped": SCALE_SKIP,
         "queries": per_query,
     }
+
+    sf10 = os.environ.get("SPARK_GRAFT_SCALE10_DIR")
+    if sf10 and os.path.isdir(sf10):
+        probes = [n for n in PROBE_SF10 if n in qs]
+        t_sf10 = _run(spark, qs, probes, sf10)
+        probe = {}
+        for n in probes:
+            a, c = t_small[n], t_sf10[n]
+            probe[n] = {
+                "t_small": a,
+                "t_mid": t_big.get(n),
+                "t_sf10": c,
+                # two-decade exponent sf0.1 -> sf10 (factor^2 data)
+                "exponent_2dec": round(
+                    math.log(max(c, 1e-3) / max(a, 1e-3))
+                    / math.log(factor * factor), 3),
+            }
+        result["probe_sf10"] = {
+            "dir": sf10,
+            "factor_vs_small": factor * factor,
+            "queries": probe,
+        }
+
     with open(out_path, "w", encoding="utf-8") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps({k: result[k] for k in (
