@@ -3024,6 +3024,45 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("from_type", "to_type")
 
 
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most-common user journeys (operators/funnels.py:top_paths): each
+    user's first 4 event types in (ts, event_id) order joined into a
+    path string, counted, top-15. Oracle replays the rank cut, the
+    ordered string_agg, and the tie-break exactly."""
+    from data_pipeline_framework_spark.operators import funnels as FN
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return FN.top_paths(
+        ev, tiebreak_col="event_id", max_steps=4, k=15
+    ).select("path", "n_users")
+
+
+def supplier_price_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-group OLS (operators/features.py:grouped_ols): fit extended
+    price on quantity per (suppkey mod 25) group from closed-form
+    moment sums — one map-side-combinable aggregation, no per-group
+    loops. Oracle recomputes slope/intercept/r2 from the same six
+    sums."""
+    from data_pipeline_framework_spark.operators.features import (
+        grouped_ols,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_suppkey"), F.lit(25)).alias("grp"),
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_extendedprice").cast("double").alias("ep"),
+    )
+    out = grouped_ols(li, ["grp"], "q", "ep")
+    return out.select(
+        "grp", "n",
+        _r(F.col("slope"), 4).alias("slope"),
+        _r(F.col("intercept"), 4).alias("intercept"),
+        _r(F.col("r2"), 6).alias("r2"),
+    ).orderBy("grp")
+
+
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: fixed seeded codebook (same
     cells as ann_ivf_topk), within-cell cosine >= 0.35 against a lower
@@ -5821,6 +5860,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion_events": funnel_conversion_events,
         "cohort_retention_weekly": cohort_retention_weekly,
         "event_transition_matrix": event_transition_matrix,
+        "top_event_paths": top_event_paths,
+        "supplier_price_trends": supplier_price_trends,
         "clean_standardize": clean_standardize,
         "phone_standardization": phone_standardization,
         "email_validation": email_validation,
@@ -8622,6 +8663,55 @@ def oracle_sql() -> dict[str, str]:
                          * 1e6 + 0.5) / 1e6 AS prob
             FROM pairs
             ORDER BY from_type, to_type
+        """,
+        "top_event_paths": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events
+            ), p AS (
+                SELECT user_id,
+                       string_agg(event_type, ' > ' ORDER BY rn) AS path
+                FROM r WHERE rn <= 4 GROUP BY user_id
+            )
+            SELECT path, COUNT(*) AS n_users FROM p
+            GROUP BY 1
+            ORDER BY n_users DESC, path
+            LIMIT 15
+        """,
+        "supplier_price_trends": """
+            WITH m AS (
+                SELECT l_suppkey % 25 AS grp,
+                       COUNT(*) AS n,
+                       SUM(q) AS sx, SUM(ep) AS sy, SUM(q * ep) AS sxy,
+                       SUM(q * q) AS sxx, SUM(ep * ep) AS syy
+                FROM (SELECT l_suppkey,
+                             CAST(l_quantity AS DOUBLE) AS q,
+                             CAST(l_extendedprice AS DOUBLE) AS ep
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_extendedprice IS NOT NULL)
+                GROUP BY 1
+            ), f AS (
+                SELECT grp, n,
+                       CASE WHEN n >= 2 THEN
+                           (sxy - sx * sy / n)
+                           / NULLIF(sxx - sx * sx / n, 0) END AS slope,
+                       sx, sy, sxy, sxx, syy
+                FROM m
+            )
+            SELECT grp, n,
+                   FLOOR(slope * 1e4 + 0.5) / 1e4 AS slope,
+                   FLOOR((sy - slope * sx) / n * 1e4 + 0.5) / 1e4
+                       AS intercept,
+                   FLOOR(CASE WHEN n >= 2 THEN
+                             (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                             / NULLIF((sxx - sx * sx / n)
+                                      * (syy - sy * sy / n), 0) END
+                         * 1e6 + 0.5) / 1e6 AS r2
+            FROM f
+            ORDER BY grp
         """,
         "ewm_smoothing": """
             SELECT event_id, user_id,

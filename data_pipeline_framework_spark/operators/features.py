@@ -216,3 +216,56 @@ def create_aggregation_features(
         for fn in funcs:
             cols[f"{col}_{fn}_by_{suffix}"] = fns[fn](col).over(w)
     return df.withColumns(cols)
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of y on x from closed-form
+    moment sums — slope, intercept, Pearson r^2, n. The "fit a line per
+    key" primitive (per-SKU price elasticity, per-source quality trend,
+    per-series drift) that pandas does with groupby-apply loops; here
+    it is ONE aggregation: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is a
+    plain SUM, so the whole fit is a single map-side-combinable shuffle
+    keyed on the group — no per-group collect, no UDF, and any engine
+    replays it from the same six sums.
+
+    Degenerate groups (n < 2 or zero x-variance) return NULL slope/
+    intercept/r2 via try_divide rather than erroring — at 100 TB some
+    group always is.
+
+    Reference parity: none (its feature engineering stops at
+    polynomial/ratio/interaction transforms,
+    reference transformations/feature_engineering.py); scale-ops
+    extension.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    var_x_n = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    var_y_n = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    slope = F.when(n >= 2, F.try_divide(cov_n, var_x_n))
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    r2 = F.when(
+        n >= 2, F.try_divide(cov_n * cov_n, var_x_n * var_y_n)
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

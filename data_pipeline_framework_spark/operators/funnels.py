@@ -27,6 +27,7 @@ __all__ = [
     "event_transitions",
     "funnel_conversion",
     "funnel_stages",
+    "top_paths",
 ]
 
 
@@ -277,4 +278,65 @@ def event_transitions(
         "to_type",
         "n",
         (F.col("n") / F.sum("n").over(total)).alias("prob"),
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    max_steps: int = 5,
+    k: int = 20,
+    sep: str = " > ",
+) -> DataFrame:
+    """Most-common user journeys: each user's first ``max_steps`` event
+    types in time order, joined into a path string, counted across
+    users, top-``k`` (ties break on the path string). The classic
+    path-analysis readout next to funnels (which need the steps known
+    up front — this discovers them).
+
+    Shape: one user-key shuffle (rank window + per-user aggregation
+    share it), then a paths groupBy whose cardinality is bounded by
+    #type-sequences, and a top-k. The per-user array holds at most
+    ``max_steps`` elements — state is capped regardless of how many
+    events a hot user has (the rank filter cuts BEFORE the
+    collect_list). Deterministic: ties in ``ts_col`` break on
+    ``tiebreak_col``, and the collected (rank, type) structs are
+    array_sort-ed before joining, so the path never depends on
+    partitioning.
+    """
+    if max_steps < 1:
+        raise ValueError("max_steps must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    firsts = (
+        events.select(
+            user_col,
+            F.col(type_col).alias("__t"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") <= max_steps)
+    )
+    paths = firsts.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rn", "__t"))),
+                lambda s: s["__t"],
+            ),
+            sep,
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(int(k))
     )

@@ -214,3 +214,83 @@ def test_funnel_stages_ansi_safe(spark):
         assert len(out) == 1 and out[0]["stages_completed"] == 3
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_event_transitions_hand_checked(spark):
+    from data_pipeline_framework_spark.operators.funnels import (
+        event_transitions,
+    )
+
+    rows = [
+        (1, _ev(1, 0, "a")[1], 10, "a"), (1, _ev(1, 1, "b")[1], 11, "b"),
+        (1, _ev(1, 2, "a")[1], 12, "a"),
+        (2, _ev(2, 0, "a")[1], 20, "a"), (2, _ev(2, 1, "a")[1], 21, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in event_transitions(df, tiebreak_col="event_id").collect()
+    }
+    # user1: a->b, b->a; user2: a->a. from 'a': {b:1, a:1} -> prob .5
+    assert got[("a", "b")] == (1, 0.5)
+    assert got[("a", "a")] == (1, 0.5)
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_top_paths_hand_checked(spark):
+    from data_pipeline_framework_spark.operators.funnels import top_paths
+
+    rows = [
+        (1, _ev(1, 0, "v")[1], 1, "v"), (1, _ev(1, 1, "c")[1], 2, "c"),
+        (1, _ev(1, 2, "p")[1], 3, "p"), (1, _ev(1, 3, "x")[1], 4, "x"),
+        (2, _ev(2, 0, "v")[1], 5, "v"), (2, _ev(2, 1, "c")[1], 6, "c"),
+        (2, _ev(2, 2, "p")[1], 7, "p"),
+        (3, _ev(3, 0, "v")[1], 8, "v"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = [
+        (r["path"], r["n_users"])
+        for r in top_paths(
+            df, tiebreak_col="event_id", max_steps=3, k=5
+        ).collect()
+    ]
+    # users 1 and 2 share the first-3 path; the max_steps cut drops x
+    assert got[0] == ("v > c > p", 2)
+    assert ("v", 1) in got
+    assert len(got) == 2
+    # assignment invariant to partitioning
+    re = top_paths(
+        df.repartition(7), tiebreak_col="event_id", max_steps=3, k=5
+    ).collect()
+    assert [(r["path"], r["n_users"]) for r in re] == got
+
+    with pytest.raises(ValueError):
+        top_paths(df, max_steps=0)
+    with pytest.raises(ValueError):
+        top_paths(df, k=0)
+
+
+def test_grouped_ols_hand_checked(spark):
+    from data_pipeline_framework_spark.operators.features import grouped_ols
+
+    rows = (
+        # group "lin": exact line y = 3x + 2 -> slope 3, r2 1
+        [("lin", float(x), 3.0 * x + 2.0) for x in range(10)]
+        # group "flat": zero x-variance -> NULL slope/r2
+        + [("flat", 1.0, float(y)) for y in range(5)]
+        # group "one": single point -> NULLs (n < 2)
+        + [("one", 2.0, 7.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    assert got["lin"]["n"] == 10
+    assert got["lin"]["slope"] == pytest.approx(3.0)
+    assert got["lin"]["intercept"] == pytest.approx(2.0)
+    assert got["lin"]["r2"] == pytest.approx(1.0)
+    assert got["flat"]["slope"] is None and got["flat"]["r2"] is None
+    assert got["one"]["slope"] is None and got["one"]["n"] == 1
