@@ -169,6 +169,11 @@ HEADLINE = [
     "source_js_divergence",
     "cross_corpus_decontamination",
     "cluster_best_exemplar",
+    # round-5 additions
+    "length_batch_packing",
+    "event_transition_matrix",
+    "top_event_paths",
+    "supplier_price_trends",
 ]
 
 

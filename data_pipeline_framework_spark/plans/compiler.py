@@ -999,6 +999,65 @@ def _op_hamming_dedup(params: Mapping, ctx) -> OpFn:
     return fn
 
 
+def _op_pack_length_batches(params: Mapping, ctx) -> OpFn:
+    """Padding-efficient dynamic batching — `{"type":
+    "pack_length_batches", "id_column": c, "token_column": t,
+    "batch_tokens": N, "n_shards": 32}`."""
+    from ..functions.sampling import pack_length_batches
+
+    return lambda df: pack_length_batches(
+        df,
+        params["id_column"],
+        params["token_column"],
+        int(params["batch_tokens"]),
+        n_shards=int(params.get("n_shards", 32)),
+    )
+
+
+def _op_event_transitions(params: Mapping, ctx) -> OpFn:
+    """Markov event transitions — `{"type": "event_transitions",
+    "user_column": u, "type_column": t, "ts_column": ts,
+    "tiebreak_column": id}`."""
+    from ..operators.funnels import event_transitions
+
+    return lambda df: event_transitions(
+        df,
+        user_col=params.get("user_column", "user_id"),
+        type_col=params.get("type_column", "event_type"),
+        ts_col=params.get("ts_column", "ts"),
+        tiebreak_col=params.get("tiebreak_column"),
+    )
+
+
+def _op_top_paths(params: Mapping, ctx) -> OpFn:
+    """Top user journeys — `{"type": "top_paths", "user_column": u,
+    "type_column": t, "ts_column": ts, "max_steps": 5, "k": 20}`."""
+    from ..operators.funnels import top_paths
+
+    return lambda df: top_paths(
+        df,
+        user_col=params.get("user_column", "user_id"),
+        type_col=params.get("type_column", "event_type"),
+        ts_col=params.get("ts_column", "ts"),
+        tiebreak_col=params.get("tiebreak_column"),
+        max_steps=int(params.get("max_steps", 5)),
+        k=int(params.get("k", 20)),
+    )
+
+
+def _op_grouped_ols(params: Mapping, ctx) -> OpFn:
+    """Per-group OLS trend — `{"type": "grouped_ols", "group_columns":
+    [...], "x_column": x, "y_column": y}`."""
+    from ..operators.features import grouped_ols
+
+    return lambda df: grouped_ols(
+        df,
+        list(params.get("group_columns", [])),
+        params["x_column"],
+        params["y_column"],
+    )
+
+
 def _op_diversity_sample(params: Mapping, ctx) -> OpFn:
     """Coverage sampling — `{"type": "diversity_sample", "id_column": c,
     "vector_column": v, "k_per_cell": 2, "n_cells": 8, "seed": 7}`.
@@ -1114,6 +1173,10 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "diversity_sample": _op_diversity_sample,
     "threshold_sweep": _op_threshold_sweep,
     "k_anonymity": _op_k_anonymity,
+    "pack_length_batches": _op_pack_length_batches,
+    "event_transitions": _op_event_transitions,
+    "top_paths": _op_top_paths,
+    "grouped_ols": _op_grouped_ols,
 }
 
 

@@ -657,3 +657,57 @@ def test_op_diversity_sample_and_threshold_sweep(spark):
     ])
     rows = sweep(scores).collect()
     assert len(rows) == 4 and {r["tp"] for r in rows} <= {0, 1, 2}
+
+
+def test_op_round5_analytics_ops(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, 1, "view"), (1, t0 + dt.timedelta(minutes=1), 2, "buy"),
+         (2, t0, 3, "view"), (2, t0 + dt.timedelta(minutes=2), 4, "view")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    trans = compile_ops([
+        {"type": "event_transitions",
+         "params": {"tiebreak_column": "event_id"}},
+    ])(ev)
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in trans.collect()}
+    assert got == {("view", "buy"): 1, ("view", "view"): 1}
+
+    paths = compile_ops([
+        {"type": "top_paths",
+         "params": {"tiebreak_column": "event_id", "max_steps": 2, "k": 5}},
+    ])(ev)
+    assert {(r["path"], r["n_users"]) for r in paths.collect()} == {
+        ("view > buy", 1), ("view > view", 1)
+    }
+
+    pts = spark.createDataFrame(
+        [("a", float(x), 2.0 * x + 1.0) for x in range(6)],
+        "g string, x double, y double",
+    )
+    ols = compile_ops([
+        {"type": "grouped_ols",
+         "params": {"group_columns": ["g"], "x_column": "x",
+                    "y_column": "y"}},
+    ])(pts)
+    row = ols.collect()[0]
+    assert row["slope"] == pytest.approx(2.0)
+
+    docs = spark.createDataFrame(
+        [(i, (i * 13) % 300 + 1) for i in range(50)],
+        "doc_id long, n_tok long",
+    )
+    batches = compile_ops([
+        {"type": "pack_length_batches",
+         "params": {"id_column": "doc_id", "token_column": "n_tok",
+                    "batch_tokens": 600, "n_shards": 2}},
+    ])(docs)
+    rows = batches.collect()
+    assert len(rows) == 50
+    assert all(
+        r["batch_n_docs"] * r["batch_max_len"] <= 600
+        or r["batch_n_docs"] == 1
+        for r in rows
+    )
