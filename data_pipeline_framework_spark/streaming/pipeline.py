@@ -816,3 +816,95 @@ def funnel_stream(
         "ts array<long>, st array<string>",
         "update", GroupStateTimeout.NoTimeout,
     )
+
+
+def transitions_stream(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of operators.funnels.event_transitions: per-user
+    first-order transition counts maintained across micro-batches via
+    applyInPandasWithState.
+
+    State per user = that user's (ts, tiebreak, type) events seen so
+    far; each batch re-derives the user's adjacent-pair counts over the
+    merged, time-sorted buffer, so the emission is EXACTLY the batch
+    operator's answer on the events seen so far — a late event that
+    lands between two already-seen ones re-splices the adjacency
+    instead of being appended (a last-event-only state would emit a
+    phantom transition). State is bounded by the user's own event
+    count and lives in the Spark state store (partitioned by user,
+    RocksDB-spillable — no driver state).
+
+    Emits, per user per batch in which that user had events, one row
+    per (from_type, to_type) with the user's CURRENT count plus a
+    monotone ``events_seen`` version column (update semantics — the
+    snapshot with the largest events_seen per user is that user's
+    latest; a late arrival can legitimately DECREASE a pair count by
+    re-splicing adjacency, so version-select rather than max-n). The
+    global matrix is a downstream groupBy over the latest per-user
+    snapshots; a pytest pins the availableNow replay equal to the
+    batch operator.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    user_field = df.schema[user_col]
+    out_schema = T.StructType([
+        user_field,
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("events_seen", T.LongType()),
+    ])
+
+    def run(key, pdfs, state):
+        ts_list, tb_list, ty_list = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+            if state.exists
+            else ([], [], [])
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            t = (pdf[ts_col].astype("datetime64[ns]").astype("int64")
+                 // 1000)
+            ts_list.extend(int(x) for x in t)
+            if tiebreak_col is not None:
+                tb_list.extend(int(x) for x in pdf[tiebreak_col])
+            else:
+                tb_list.extend(0 for _ in range(len(pdf)))
+            ty_list.extend(str(s) for s in pdf[type_col])
+        order = sorted(
+            range(len(ts_list)),
+            key=lambda i: (ts_list[i], tb_list[i], ty_list[i]),
+        )
+        counts: dict = {}
+        for a, b in zip(order, order[1:]):
+            pair = (ty_list[a], ty_list[b])
+            counts[pair] = counts.get(pair, 0) + 1
+        state.update((ts_list, tb_list, ty_list))
+        if not counts:
+            yield pd.DataFrame({
+                user_col: [], "from_type": [], "to_type": [],
+                "n": [], "events_seen": [],
+            })
+            return
+        items = sorted(counts.items())
+        yield pd.DataFrame({
+            user_col: [key[0]] * len(items),
+            "from_type": [p[0] for p, _ in items],
+            "to_type": [p[1] for p, _ in items],
+            "n": [int(n) for _, n in items],
+            "events_seen": [len(ts_list)] * len(items),
+        })
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        run, out_schema,
+        "ts array<long>, tb array<long>, ty array<string>",
+        "update", GroupStateTimeout.NoTimeout,
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_pipeline_framework_spark import streaming as ST
 from data_pipeline_framework_spark.operators import timeseries as TS
@@ -787,6 +788,43 @@ def test_funnel_stream_matches_batch_twin(spark, events, stream_dir):
         .collect()
     }
     assert buffered == truth
+
+
+def test_transitions_stream_matches_batch_twin(spark, events, stream_dir):
+    """stateful streaming transitions: per user, the snapshot with the
+    largest events_seen (the version column) aggregated across users
+    equals the batch event_transitions counts — late/out-of-order
+    events re-splice adjacency inside the buffer instead of appending
+    phantom transitions."""
+    from data_pipeline_framework_spark.operators.funnels import (
+        event_transitions,
+    )
+
+    sdf = ST.read_stream_files(
+        spark, str(stream_dir / "in"), schema=events.schema,
+        max_files_per_trigger=1,
+    )
+    streamed = ST.transitions_stream(sdf, tiebreak_col="event_id")
+    got = _run_to_memory(
+        spark, streamed, "t_transitions", stream_dir, output_mode="update"
+    )
+    latest = got.withColumn(
+        "__mx", F.max("events_seen").over(Window.partitionBy("user_id"))
+    ).filter(F.col("events_seen") == F.col("__mx"))
+    final = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in latest.groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    want = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(
+            events, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert final == want
+    assert sum(want.values()) > 0  # non-vacuous
 
 
 def test_bloom_dedup_stream_two_batches_and_replay(spark, tmp_path):
