@@ -331,6 +331,29 @@ def test_product_analytics_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
     assert result.validation[0]["status"] == "PASS"
 
 
+def test_journey_analysis_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
+    """the shipped examples/journey_analysis.yaml runs end-to-end:
+    NANOS-normalizing parquet source -> top_paths op -> parquet."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "ja_out")
+    monkeypatch.setenv("EVENTS_INPUT", f"{sf_dir}/events.parquet")
+    monkeypatch.setenv("PATHS_OUT", out)
+    result = Pipeline.from_yaml(
+        "examples/journey_analysis.yaml", spark
+    ).run()
+    assert result.status == "success", result.error
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["n_users"] >= 1 and r["path"] for r in rows)
+    # counts are non-increasing in rank order
+    ns = [r["n_users"] for r in back.orderBy(
+        F.desc("n_users"), "path").collect()]
+    assert ns == sorted(ns, reverse=True)
+    assert result.validation[0]["status"] == "PASS"
+
+
 def test_quality_filtering_yaml_example(spark, sf_dir, tmp_path,
                                         monkeypatch):
     """the shipped examples/quality_filtering.yaml runs end-to-end:
