@@ -3063,6 +3063,25 @@ def supplier_price_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grp")
 
 
+def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order-invariant dataset fingerprint
+    (functions/profiling.py:dataset_fingerprint): 52-bit md5 row hashes
+    over sorted string-cast columns XOR-aggregated to one row — any
+    engine, partitioning, or row order replays it exactly, which is the
+    point (snapshot reproducibility tracking). Oracle recomputes the
+    row hashes and the XOR fold from scratch."""
+    from data_pipeline_framework_spark.functions.profiling import (
+        dataset_fingerprint,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return dataset_fingerprint(
+        li,
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_returnflag", "l_linestatus"],
+    )
+
+
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: fixed seeded codebook (same
     cells as ann_ivf_topk), within-cell cosine >= 0.35 against a lower
@@ -5862,6 +5881,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": event_transition_matrix,
         "top_event_paths": top_event_paths,
         "supplier_price_trends": supplier_price_trends,
+        "corpus_fingerprint": corpus_fingerprint,
         "clean_standardize": clean_standardize,
         "phone_standardization": phone_standardization,
         "email_validation": email_validation,
@@ -8680,6 +8700,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_users DESC, path
             LIMIT 15
         """,
+        "corpus_fingerprint": (lambda _sh: f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(6 AS INTEGER) AS n_cols,
+                   '{_sh}' AS schema_hash,
+                   COALESCE(bit_xor(CAST(('0x' || substr(md5(
+                       CAST(l_linenumber AS VARCHAR) || chr(31)
+                       || l_linestatus || chr(31)
+                       || CAST(l_orderkey AS VARCHAR) || chr(31)
+                       || CAST(l_partkey AS VARCHAR) || chr(31)
+                       || l_returnflag || chr(31)
+                       || CAST(l_suppkey AS VARCHAR)), 1, 13))
+                       AS BIGINT)), 0) AS content_xor
+            FROM lineitem
+        """)(__import__("hashlib").md5(
+            ("l_linenumber:int;l_linestatus:string;l_orderkey:bigint;"
+             "l_partkey:bigint;l_returnflag:string;l_suppkey:bigint")
+            .encode()).hexdigest()[:13]),
         "supplier_price_trends": """
             WITH m AS (
                 SELECT l_suppkey % 25 AS grp,

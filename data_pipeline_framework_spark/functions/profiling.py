@@ -1035,3 +1035,62 @@ def threshold_sweep(
         rec.alias("recall"),
         f1.alias("f1"),
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    sep: str = "\x1f",
+    null_token: str = "\x00",
+) -> DataFrame:
+    """Order-invariant dataset fingerprint: ONE row of
+    (n_rows, n_cols, schema_hash, content_xor) identifying a dataset's
+    exact content regardless of row order, partitioning, or file
+    layout. The reproducibility primitive a training pipeline logs next
+    to every materialized corpus snapshot: two snapshots with equal
+    fingerprints are byte-identical in content; a changed fingerprint
+    pinpoints silent drift (a re-run that "should" be identical).
+
+    Mechanics: each row hashes to the portable 52-bit md5 hash of its
+    ``sep``-joined string-cast column values (sorted column order,
+    nulls as ``null_token`` so NULL and '' differ), and the dataset
+    hash is the bit-XOR aggregate — commutative, so any engine,
+    partitioning, or row order replays it exactly, and XOR (unlike a
+    modular sum) cannot overflow. schema_hash covers the sorted
+    (name, type) list, so a type migration changes the fingerprint
+    even when values print identically.
+
+    One scan, map-side-combinable, no shuffle beyond the 1-row
+    aggregate. Caveat: string casts of floating-point columns are not
+    portable across engines — fingerprint floats after explicit
+    rounding, or exclude them (the default uses every column; pass
+    ``columns`` to restrict).
+    """
+    from .text import hash52
+
+    cols = sorted(columns or df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(sep))
+        parts.append(
+            F.coalesce(F.col(c).cast("string"), F.lit(null_token))
+        )
+    row_hash = hash52(F.concat(*parts))
+    schema_str = ";".join(
+        f"{c}:{df.schema[c].dataType.simpleString()}" for c in cols
+    )
+    import hashlib as _hashlib
+
+    schema_hash = _hashlib.md5(schema_str.encode()).hexdigest()[:13]
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(len(cols)).cast("int").alias("n_cols"),
+        F.lit(schema_hash).alias("schema_hash"),
+        F.coalesce(
+            F.bit_xor(row_hash), F.lit(0).cast("bigint")
+        ).alias("content_xor"),
+    )

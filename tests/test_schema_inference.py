@@ -118,3 +118,55 @@ def test_approx_distincts_close_and_flags_sane(spark, sf_dir):
                 0.05 * e["n_distinct"], 2
             )
         assert a["pk_candidate"] == e["pk_candidate"]  # holds at rsd=0.01
+
+
+def test_dataset_fingerprint_invariance_and_sensitivity(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_framework_spark.functions.profiling import (
+        dataset_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "")],
+        "id long, v string",
+    )
+    base = dataset_fingerprint(df).collect()[0]
+    assert base["n_rows"] == 4 and base["n_cols"] == 2
+
+    # row order / partitioning invariant
+    shuffled = dataset_fingerprint(
+        df.orderBy(F.desc("id")).repartition(7)
+    ).collect()[0]
+    assert tuple(shuffled) == tuple(base)
+
+    # one changed value flips the content hash, not the schema hash
+    changed = dataset_fingerprint(
+        df.withColumn("v", F.when(F.col("id") == 1, "z")
+                      .otherwise(F.col("v")))
+    ).collect()[0]
+    assert changed["content_xor"] != base["content_xor"]
+    assert changed["schema_hash"] == base["schema_hash"]
+
+    # NULL and '' are distinct content
+    swapped = dataset_fingerprint(
+        df.withColumn("v", F.when(F.col("id") == 3, "")
+                      .when(F.col("id") == 4, F.lit(None).cast("string"))
+                      .otherwise(F.col("v")))
+    ).collect()[0]
+    assert swapped["content_xor"] != base["content_xor"]
+
+    # a type migration flips the schema hash even if values print alike
+    cast = dataset_fingerprint(
+        df.withColumn("id", F.col("id").cast("int"))
+    ).collect()[0]
+    assert cast["schema_hash"] != base["schema_hash"]
+    assert cast["content_xor"] == base["content_xor"]
+
+    # empty input: well-defined zero fingerprint
+    empty = dataset_fingerprint(df.filter(F.lit(False))).collect()[0]
+    assert empty["n_rows"] == 0 and empty["content_xor"] == 0
+
+    with _pytest.raises(ValueError):
+        dataset_fingerprint(df, ["nope"])
