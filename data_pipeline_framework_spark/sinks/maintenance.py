@@ -105,3 +105,122 @@ def table_stats(spark: SparkSession, path: str) -> dict:
         "avg_file_bytes": int(sum(sizes) / len(sizes)) if sizes else 0,
         "small_file_ratio": small / len(sizes) if sizes else 0.0,
     }
+
+
+def scd2_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    effective_col: str,
+    compare_cols: list[str] | None = None,
+) -> dict:
+    """Type-2 slowly-changing-dimension merge into the parquet history
+    table at ``path``: instead of overwriting a key's row
+    (merge_parquet, SCD1), every change CLOSES the key's current
+    version (valid_to = the change's effective timestamp,
+    is_current = false) and appends a new open version — the full
+    change history stays queryable ("what did this dimension row say
+    when that order shipped?").
+
+    History schema = payload columns + (valid_from, valid_to,
+    is_current); an empty/new table bootstraps it. Semantics, applied
+    uniformly by merging each key's OPEN version into its batch of
+    updates as one effective-ordered sequence:
+      * consecutive duplicates (equal ``compare_cols``, null-safe) are
+        dropped — an update identical to the current version, or to
+        the previous update in the batch, creates no spurious version
+        (exact equality is transitive, so adjacent-pair comparison
+        equals compare-against-last-kept);
+      * every kept version closes at the NEXT kept version's effective
+        timestamp; the last stays open;
+      * already-closed history rows pass through untouched.
+    Updates are expected at-or-after the key's current valid_from; an
+    earlier (late-arriving) effective still merges deterministically —
+    it simply sorts before the current version in the chain.
+
+    Shape: ONE key-partitioned window over (open versions ∪ batch
+    updates) — bounded by batch size + one row per touched key — plus
+    the table rewrite every keyed parquet merge without a table format
+    costs; partition on a stable key prefix to bound it at scale.
+    """
+    from pyspark.sql.window import Window
+
+    live = _local(path)
+    meta = ["valid_from", "valid_to", "is_current"]
+    if live.exists():
+        hist = spark.read.parquet(path)
+        for m in meta:
+            if m not in hist.columns:
+                raise ValueError(f"not an SCD2 table (missing {m})")
+        payload = [c for c in hist.columns if c not in meta]
+    else:
+        payload = list(updates.columns)
+        hist = None
+    missing = [c for c in payload if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing columns: {missing}")
+    cmp_cols = compare_cols or [
+        c for c in payload if c not in keys and c != effective_col
+    ]
+
+    ups = (
+        updates.select(*payload)
+        .dropDuplicates(keys + [effective_col])
+        .withColumn("__eff", F.col(effective_col))
+    )
+    if hist is not None:
+        closed = hist.filter(~F.col("is_current")).select(*payload, *meta)
+        open_cur = hist.filter(F.col("is_current")).select(
+            *payload, F.col("valid_from").alias("__eff")
+        )
+        # only keys touched by this batch enter the re-chaining window;
+        # untouched open rows pass through like closed history
+        batch_keys = ups.select(*keys).distinct()
+        touched = open_cur.join(F.broadcast(batch_keys), keys, "left_semi")
+        untouched = (
+            open_cur.join(F.broadcast(batch_keys), keys, "left_anti")
+            .select(
+                *payload,
+                F.col("__eff").alias("valid_from"),
+                F.lit(None).cast(
+                    hist.schema["valid_to"].dataType
+                ).alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+        seq = touched.unionByName(ups)
+    else:
+        closed = untouched = None
+        seq = ups
+
+    w = Window.partitionBy(*keys).orderBy(F.col("__eff").asc())
+    same_as_prev = F.lit(True)
+    for c in cmp_cols:
+        same_as_prev = same_as_prev & F.col(c).eqNullSafe(
+            F.lag(c).over(w)
+        )
+    kept = (
+        seq.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__dup", (F.col("__rn") > 1) & same_as_prev
+        )
+        .filter(~F.col("__dup"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col("__eff").asc())
+    chained = kept.select(
+        *payload,
+        F.col("__eff").alias("valid_from"),
+        F.lead("__eff").over(w2).alias("valid_to"),
+        F.lead("__eff").over(w2).isNull().alias("is_current"),
+    )
+    merged = chained
+    if closed is not None:
+        merged = closed.unionByName(untouched).unionByName(chained)
+    tmp = live.with_name(live.name + "__tmp")
+    merged.write.mode("overwrite").parquet(str(tmp))
+    if live.exists():
+        _swap(tmp, live)
+    else:
+        tmp.rename(live)
+    return {"path": path, "keys": keys, "effective": effective_col}

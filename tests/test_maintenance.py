@@ -98,3 +98,72 @@ def test_merge_parquet_partitioned_layout(spark, tmp_path):
     ) == ["bucket=0", "bucket=1", "bucket=2"]
     got = {r["id"]: r["score"] for r in spark.read.parquet(path).collect()}
     assert len(got) == 61 and got[7] == 700.0 and got[100] == 1.0
+
+
+def test_scd2_merge_full_lifecycle(spark, tmp_path):
+    """SCD2 history semantics: bootstrap, change closes the old
+    version, identical update is a no-op, a no-op followed by a real
+    change in ONE batch still records the change, and multi-update
+    chains get back-to-back validity windows."""
+    import datetime as dt
+
+    from data_pipeline_framework_spark.sinks.maintenance import scd2_merge
+
+    path = str(tmp_path / "dim_customer")
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+
+    def hist():
+        rows = spark.read.parquet(path).collect()
+        return sorted(
+            (r["id"], r["city"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in rows
+        )
+
+    # bootstrap
+    u1 = spark.createDataFrame(
+        [(1, "berlin", t(1)), (2, "paris", t(1))],
+        "id long, city string, eff timestamp",
+    )
+    scd2_merge(spark, path, u1, ["id"], "eff")
+    assert hist() == [
+        (1, "berlin", t(1), None, True),
+        (2, "paris", t(1), None, True),
+    ]
+
+    # change for key 1 closes the old version; no-op for key 2
+    u2 = spark.createDataFrame(
+        [(1, "munich", t(5)), (2, "paris", t(5))],
+        "id long, city string, eff timestamp",
+    )
+    scd2_merge(spark, path, u2, ["id"], "eff")
+    assert hist() == [
+        (1, "berlin", t(1), t(5), False),
+        (1, "munich", t(5), None, True),
+        (2, "paris", t(1), None, True),
+    ]
+
+    # one batch: no-op at t6 THEN a real change at t7, plus a brand-new
+    # key with two distinct versions -> back-to-back windows
+    u3 = spark.createDataFrame(
+        [(1, "munich", t(6)), (1, "hamburg", t(7)),
+         (3, "rome", t(6)), (3, "milan", t(8))],
+        "id long, city string, eff timestamp",
+    )
+    scd2_merge(spark, path, u3, ["id"], "eff")
+    assert hist() == [
+        (1, "berlin", t(1), t(5), False),
+        (1, "hamburg", t(7), None, True),
+        (1, "munich", t(5), t(7), False),   # the t6 no-op left no trace
+        (2, "paris", t(1), None, True),
+        (3, "milan", t(8), None, True),
+        (3, "rome", t(6), t(8), False),
+    ]
+
+    # untouched keys (2) never re-chained; closed rows pass through
+    with pytest.raises(ValueError):
+        scd2_merge(
+            spark, path,
+            spark.createDataFrame([(9,)], "id long"),
+            ["id"], "eff",
+        )
