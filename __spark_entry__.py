@@ -2820,6 +2820,27 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def token_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generic set-similarity join (functions/dedup.py:
+    set_similarity_pairs) applied to each doc's distinct token set at
+    Jaccard >= 0.75 — the array-column API, not the text pipeline.
+    max_df=None here: exact candidate generation so the oracle is an
+    exact twin (the df-cut recall bound is pytest-covered); fine at
+    gate scale, use the cut on real corpora."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+    from data_pipeline_framework_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    out = DD.set_similarity_pairs(
+        docs, "doc_id", "toks", threshold=0.75, max_df=None
+    )
+    return out.select(
+        "id_a", "id_b", _r(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
 def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import dedup as DD
 
@@ -5863,6 +5884,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": neardup_clusters,
         "corpus_curation": corpus_curation,
         "ngram_jaccard_neardup": ngram_jaccard_neardup,
+        "token_set_similarity": token_set_similarity,
         "simhash_sigs": simhash_sigs,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -8799,6 +8821,23 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(inter / (sz_a + sz_b - inter) * 1e4 + 0.5) / 1e4
                        AS jaccard
             FROM c WHERE inter / (sz_a + sz_b - inter) >= 0.5
+        """,
+        "token_set_similarity": f"""
+            WITH d AS (
+                SELECT doc_id, list_distinct({_DD_TOKS}) AS s
+                FROM documents
+            ),
+            e AS (SELECT doc_id, len(s) AS sz, unnest(s) AS t FROM d),
+            c AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS inter
+                FROM e a JOIN e b ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   FLOOR(inter / (sz_a + sz_b - inter) * 1e4 + 0.5) / 1e4
+                       AS jaccard
+            FROM c WHERE inter / (sz_a + sz_b - inter) >= 0.75
         """,
         "simhash_sigs": _simhash_oracle(),
         "ann_cosine_topk": """

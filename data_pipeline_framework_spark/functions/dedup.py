@@ -1120,3 +1120,36 @@ def canonical_by_quality(
             (F.col("__rn") == 1).alias("keep"),
         )
     )
+
+
+def set_similarity_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float = 0.5,
+    max_df: float | int | None = 0.05,
+    min_df_cut: int = 5,
+) -> DataFrame:
+    """Generic set-similarity self-join over ANY array column — tag
+    sets, entity mentions, precomputed shingle ids, cluster member
+    lists — not just text: pairs with exact Jaccard >= ``threshold``.
+
+    The machinery is the proven n-gram pipeline applied to the caller's
+    own sets: elements are array_distinct-ed, candidates come from the
+    df-cut inverted index (ngram_candidate_pairs — one hot element
+    shared by 1% of 10^9 rows would otherwise emit ~10^14 candidate
+    rows), and Jaccard is verified EXACTLY on the full sets, so the cut
+    only loses pairs whose every shared element is ultra-common.
+    Rows with empty/null sets never pair.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sh = (
+        df.select(
+            id_col, F.array_distinct(F.col(set_col)).alias("__sh")
+        )
+        .filter(F.col("__sh").isNotNull() & (F.size("__sh") > 0))
+        .persist()
+    )
+    cand = ngram_candidate_pairs(sh, id_col, max_df, min_df_cut)
+    return jaccard_verify(cand, sh, id_col, threshold)

@@ -202,3 +202,59 @@ def test_canonical_by_quality(spark):
     assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
     # quality tie in {7,8} -> lowest id wins
     assert out[7]["keep"] and not out[8]["keep"]
+
+
+def test_set_similarity_pairs_generic_arrays(spark):
+    """the generic array-column API: exact Jaccard over tag sets,
+    empty/null sets never pair, and the df-cut suppresses a hot
+    element's candidate blowup while exact verification keeps every
+    pair that shares any non-hot element."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        set_similarity_pairs,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "c"]),       # duplicates collapse
+        (2, ["a", "b", "c"]),            # jaccard(1,2) = 1.0
+        (3, ["a", "b", "x"]),            # jaccard(1,3) = 0.5
+        (4, ["z"]),
+        (5, []),                         # never pairs
+        (6, None),                       # never pairs
+    ]
+    df = spark.createDataFrame(rows, "id long, tags array<string>")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_pairs(
+            df, "id", "tags", threshold=0.5, max_df=None
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.5 and got[(2, 3)] == 0.5
+    assert all(5 not in p and 6 not in p and 4 not in p for p in got)
+
+    # df-cut: 'hot' is in every row; pairs sharing ONLY 'hot' are not
+    # candidates, but pairs sharing a rare element verify exactly
+    hot = [(i, ["hot", f"rare{i % 2}"]) for i in range(10)]
+    hdf = spark.createDataFrame(hot, "id long, tags array<string>")
+    cut = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_pairs(
+            hdf, "id", "tags", threshold=0.9, max_df=2, min_df_cut=1
+        ).collect()
+    }
+    # rare0/rare1 each appear 5x (df=5 > cut 2) -> everything cut: the
+    # bound holds even when it costs recall (documented trade)
+    assert cut == set()
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in set_similarity_pairs(
+            hdf, "id", "tags", threshold=0.9, max_df=6, min_df_cut=1
+        ).collect()
+    }
+    # rare elements survive the cut; identical-set pairs found with
+    # their exact jaccard of 1.0 (they share 'hot' too, verified on
+    # FULL sets even though 'hot' never generated candidates)
+    assert loose == {
+        (a, b) for a in range(10) for b in range(a + 1, 10)
+        if a % 2 == b % 2
+    }
