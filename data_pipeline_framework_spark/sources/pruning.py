@@ -161,3 +161,25 @@ def read_parquet_pruned(
     if not kept:
         return df.limit(0)
     return df
+
+
+def fast_row_count(path: str | Path, max_workers: int = 16) -> int:
+    """Exact table row count from parquet footers only — no data pages
+    read, no Spark job. COUNT(*) over a raw parquet directory is the
+    most common "is the snapshot complete?" check in an ingest
+    pipeline, and the footer already carries the answer: metadata cost
+    is a few KB per file (thread-pooled like file_column_stats) versus
+    a full scan's task-per-split schedule. Engines with aggregate
+    pushdown do this internally for simple counts; this surfaces it for
+    raw directories and as a cheap pre-flight before planning a big
+    job. Counts deleted/late files at call time — re-check at the
+    correctness boundary if the directory mutates concurrently."""
+    import pyarrow.parquet as pq
+
+    files = _list_files(path)
+
+    def one(f: str) -> int:
+        return pq.ParquetFile(f).metadata.num_rows
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return sum(ex.map(one, files))

@@ -176,3 +176,17 @@ def test_pipeline_prune_with_source_file_column(spark, ranged_table, tmp_path):
     result = Pipeline.from_yaml(p, spark).run()
     assert result.status == "success", result.error
     assert "_source_file" in spark.read.parquet(out).columns
+
+
+def test_fast_row_count_matches_scan(spark, tmp_path):
+    from data_pipeline_framework_spark.sources.pruning import (
+        fast_row_count,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(0, 12345).repartition(7).write.parquet(p)
+    assert fast_row_count(p) == 12345
+    assert fast_row_count(p) == spark.read.parquet(p).count()
+    # single file and glob forms
+    one = sorted(str(f) for f in __import__("pathlib").Path(p).rglob("*.parquet"))[0]
+    assert 0 < fast_row_count(one) < 12345
