@@ -174,6 +174,11 @@ HEADLINE = [
     "event_transition_matrix",
     "top_event_paths",
     "supplier_price_trends",
+    "corpus_fingerprint",
+    # token_set_similarity is deliberately NOT a headliner: its gate
+    # query runs the exact (uncut) candidate mode, which is quadratic
+    # in hot-token postings — correct at sf0.01 gate scale, wrong to
+    # time at sf0.1 (the df-cut mode is the scale path)
 ]
 
 
