@@ -124,25 +124,29 @@ def scd2_merge(
     when that order shipped?").
 
     History schema = payload columns + (valid_from, valid_to,
-    is_current); an empty/new table bootstraps it. Semantics, applied
-    uniformly by merging each key's OPEN version into its batch of
-    updates as one effective-ordered sequence:
-      * consecutive duplicates (equal ``compare_cols``, null-safe) are
-        dropped — an update identical to the current version, or to
-        the previous update in the batch, creates no spurious version
-        (exact equality is transitive, so adjacent-pair comparison
-        equals compare-against-last-kept);
-      * every kept version closes at the NEXT kept version's effective
-        timestamp; the last stays open;
-      * already-closed history rows pass through untouched.
-    Updates are expected at-or-after the key's current valid_from; an
-    earlier (late-arriving) effective still merges deterministically —
-    it simply sorts before the current version in the chain.
+    is_current); an empty/new table bootstraps it. Semantics: each
+    TOUCHED key's full stored version list merges with its batch
+    updates into one effective-ordered sequence, consecutive
+    duplicates (equal ``compare_cols``, null-safe) are suppressed, and
+    every kept version closes at the next kept version's effective
+    timestamp (the last stays open). Re-chaining the whole per-key
+    list — not just the open version — buys the SCD2 invariant that a
+    key's validity windows NEVER overlap, even for late-arriving
+    updates whose effective timestamp predates the current open
+    version: the resulting history reads as if all surviving versions
+    had been applied at once. (A duplicate suppressed in an earlier
+    batch is gone — a later back-dated change does not resurrect it —
+    and a back-dated update equal to the then-current value can
+    retroactively fold a later stored version away; both are the
+    at-once reading of the surviving version multiset.) Two updates
+    with the same (key, effective) keep an arbitrary one — give
+    simultaneous changes distinct effective timestamps.
 
-    Shape: ONE key-partitioned window over (open versions ∪ batch
-    updates) — bounded by batch size + one row per touched key — plus
-    the table rewrite every keyed parquet merge without a table format
-    costs; partition on a stable key prefix to bound it at scale.
+    Shape: ONE key-partitioned window over (touched keys' stored
+    versions ∪ batch updates) — bounded by batch size + version counts
+    of touched keys only; untouched keys' rows pass through verbatim —
+    plus the table rewrite every keyed parquet merge without a table
+    format costs; partition on a stable key prefix to bound it.
     """
     from pyspark.sql.window import Window
 
@@ -169,29 +173,16 @@ def scd2_merge(
         .dropDuplicates(keys + [effective_col])
         .withColumn("__eff", F.col(effective_col))
     )
+    untouched = None
     if hist is not None:
-        closed = hist.filter(~F.col("is_current")).select(*payload, *meta)
-        open_cur = hist.filter(F.col("is_current")).select(
-            *payload, F.col("valid_from").alias("__eff")
-        )
-        # only keys touched by this batch enter the re-chaining window;
-        # untouched open rows pass through like closed history
         batch_keys = ups.select(*keys).distinct()
-        touched = open_cur.join(F.broadcast(batch_keys), keys, "left_semi")
-        untouched = (
-            open_cur.join(F.broadcast(batch_keys), keys, "left_anti")
-            .select(
-                *payload,
-                F.col("__eff").alias("valid_from"),
-                F.lit(None).cast(
-                    hist.schema["valid_to"].dataType
-                ).alias("valid_to"),
-                F.lit(True).alias("is_current"),
-            )
+        untouched = hist.join(F.broadcast(batch_keys), keys, "left_anti")
+        touched = (
+            hist.join(F.broadcast(batch_keys), keys, "left_semi")
+            .select(*payload, F.col("valid_from").alias("__eff"))
         )
         seq = touched.unionByName(ups)
     else:
-        closed = untouched = None
         seq = ups
 
     w = Window.partitionBy(*keys).orderBy(F.col("__eff").asc())
@@ -202,9 +193,7 @@ def scd2_merge(
         )
     kept = (
         seq.withColumn("__rn", F.row_number().over(w))
-        .withColumn(
-            "__dup", (F.col("__rn") > 1) & same_as_prev
-        )
+        .withColumn("__dup", (F.col("__rn") > 1) & same_as_prev)
         .filter(~F.col("__dup"))
     )
     w2 = Window.partitionBy(*keys).orderBy(F.col("__eff").asc())
@@ -214,9 +203,11 @@ def scd2_merge(
         F.lead("__eff").over(w2).alias("valid_to"),
         F.lead("__eff").over(w2).isNull().alias("is_current"),
     )
-    merged = chained
-    if closed is not None:
-        merged = closed.unionByName(untouched).unionByName(chained)
+    merged = (
+        untouched.select(*payload, *meta).unionByName(chained)
+        if untouched is not None
+        else chained
+    )
     tmp = live.with_name(live.name + "__tmp")
     merged.write.mode("overwrite").parquet(str(tmp))
     if live.exists():

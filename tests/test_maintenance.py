@@ -167,3 +167,91 @@ def test_scd2_merge_full_lifecycle(spark, tmp_path):
             spark.createDataFrame([(9,)], "id long"),
             ["id"], "eff",
         )
+
+
+def test_scd2_merge_random_batches_match_reference(spark, tmp_path):
+    """randomized differential: arbitrary update batches applied through
+    scd2_merge must produce exactly the history a sequential reference
+    state machine produces (same chain, same windows, same no-op
+    suppression) — regardless of how updates split across batches."""
+    import datetime as dt
+    import random
+
+    from data_pipeline_framework_spark.sinks.maintenance import scd2_merge
+
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"dim_{seed}")
+        # unique effective day per key across the whole test: equal
+        # (key, eff) pairs across batches are documented-ambiguous
+        days = {k: rng.sample(range(1, 29), 12) for k in (1, 2, 3)}
+        ptr = {k: 0 for k in days}
+        model: dict = {}  # key -> list of (city, eff) kept versions
+
+        def ref_merge(batch):
+            by_key: dict = {}
+            for k, city, eff in batch:
+                by_key.setdefault(k, []).append((city, eff))
+            for k, ups in by_key.items():
+                # at-once semantics: the key's full surviving version
+                # list merges with the batch and re-deduplicates
+                seq = sorted(model.get(k, []) + ups, key=lambda t: t[1])
+                out = []
+                for city, eff in seq:
+                    if out and out[-1][0] == city:
+                        continue
+                    out.append((city, eff))
+                model[k] = out
+
+        def expected():
+            rows = []
+            for k, versions in model.items():
+                for i, (city, eff) in enumerate(versions):
+                    nxt = versions[i + 1][1] if i + 1 < len(versions) else None
+                    rows.append((
+                        k, city, dt.datetime(2024, 1, eff),
+                        dt.datetime(2024, 1, nxt) if nxt else None,
+                        nxt is None,
+                    ))
+            return sorted(rows)
+
+        for _ in range(4):
+            batch = []
+            for k in (1, 2, 3):
+                for _ in range(rng.randrange(0, 3)):
+                    city = rng.choice(["w", "x", "y", "z"])
+                    eff = days[k][ptr[k]]
+                    ptr[k] += 1
+                    batch.append((k, city, eff))
+            if not batch:
+                batch = [(1, "w", days[1][ptr[1]])]
+                ptr[1] += 1
+            df = spark.createDataFrame(
+                [(k, c, dt.datetime(2024, 1, e)) for k, c, e in batch],
+                "id long, city string, eff timestamp",
+            )
+            scd2_merge(spark, path, df, ["id"], "eff")
+            ref_merge(batch)
+            got = sorted(
+                (r["id"], r["city"], r["valid_from"], r["valid_to"],
+                 r["is_current"])
+                for r in spark.read.parquet(path).collect()
+            )
+            assert got == expected(), f"seed={seed}"
+            # windows never overlap per key, exactly one open version
+            per_key: dict = {}
+            for row in got:
+                per_key.setdefault(row[0], []).append(row)
+            for vs in per_key.values():
+                vs.sort(key=lambda r: r[2])
+                assert sum(1 for r in vs if r[4]) == 1
+                for a, b in zip(vs, vs[1:]):
+                    assert a[3] == b[2]  # contiguous, non-overlapping
+            # replaying the same batch is a no-op (idempotent merge)
+            scd2_merge(spark, path, df, ["id"], "eff")
+            again = sorted(
+                (r["id"], r["city"], r["valid_from"], r["valid_to"],
+                 r["is_current"])
+                for r in spark.read.parquet(path).collect()
+            )
+            assert again == got, f"seed={seed} replay"

@@ -505,3 +505,166 @@ def test_hamming_hash_pairs_narrow_bits_block_layout(spark):
         hamming_hash_pairs(
             df, "id", "h", bits=10, max_hamming=4, n_blocks=3
         )
+
+
+# --- round-5 operators: differential properties --------------------------
+
+_ols_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(-30, 30),
+        st.integers(-30, 30),
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_ols_rows)
+def test_grouped_ols_matches_numpy(spark, rows):
+    """closed-form moment sums must agree with numpy's lstsq line fit
+    on every group with n >= 2 and nonzero x-variance; degenerate
+    groups yield NULLs."""
+    import numpy as np
+
+    from data_pipeline_framework_spark.operators.features import (
+        grouped_ols,
+    )
+
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    by_g: dict = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, pts in by_g.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        r = got[g]
+        assert r["n"] == len(pts)
+        if len(pts) < 2 or np.var(xs) == 0:
+            assert r["slope"] is None
+            continue
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert r["slope"] == pytest.approx(slope, rel=1e-9, abs=1e-9)
+        assert r["intercept"] == pytest.approx(
+            intercept, rel=1e-9, abs=1e-9
+        )
+        if np.var(ys) > 0:
+            rr = np.corrcoef(xs, ys)[0, 1] ** 2
+            assert r["r2"] == pytest.approx(rr, rel=1e-9, abs=1e-9)
+
+
+_batch_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(0, 600)),
+    min_size=1, max_size=40, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_batch_rows, budget=st.integers(1, 1500))
+def test_pack_length_batches_invariants(spark, rows, budget):
+    """every row lands in exactly one batch; every batch fits the
+    pad-to-max budget or is a singleton; per-batch stats agree with a
+    direct recomputation."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        pack_length_batches,
+    )
+
+    df = spark.createDataFrame(rows, "id long, n long")
+    out = pack_length_batches(
+        df, "id", "n", batch_tokens=budget, n_shards=3
+    ).collect()
+    assert sorted(r["id"] for r in out) == sorted(t[0] for t in rows)
+    groups: dict = {}
+    for r in out:
+        groups.setdefault(
+            (r["len_bucket"], r["shard"], r["batch"]), []
+        ).append(r)
+    for members in groups.values():
+        mx = max(max(m["n"], 1) for m in members)
+        tot = sum(max(m["n"], 1) for m in members)
+        k = len(members)
+        assert k * mx <= budget or k == 1
+        assert all(m["batch_max_len"] == mx for m in members)
+        assert all(m["batch_n_docs"] == k for m in members)
+        assert members[0]["padding_frac"] == pytest.approx(
+            1.0 - tot / (k * mx)
+        )
+
+
+_set_rows = st.lists(
+    st.lists(st.integers(0, 8), max_size=6),
+    min_size=2, max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sets=_set_rows, thr=st.sampled_from([0.3, 0.5, 0.8]))
+def test_set_similarity_matches_bruteforce(spark, sets, thr):
+    """uncut candidate generation + exact verify must equal the
+    brute-force all-pairs Jaccard at any threshold."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        set_similarity_pairs,
+    )
+
+    rows = [(i, s) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, "id long, s array<long>")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_pairs(
+            df, "id", "s", threshold=thr, max_df=None
+        ).collect()
+    }
+    want = {}
+    for i, a in enumerate(sets):
+        for j in range(i + 1, len(sets)):
+            sa, sb = set(a), set(sets[j])
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= thr:
+                want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50),
+                  st.one_of(st.none(), st.integers(-5, 5))),
+        min_size=1, max_size=20,
+    ),
+    seed=st.integers(0, 10),
+)
+def test_dataset_fingerprint_permutation_invariant(spark, rows, seed):
+    """any permutation/partitioning of the same multiset of rows yields
+    the identical fingerprint; appending one extra row changes it."""
+    import random as _random
+
+    from data_pipeline_framework_spark.functions.profiling import (
+        dataset_fingerprint,
+    )
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    base = dataset_fingerprint(df).collect()[0]
+    perm = list(rows)
+    _random.Random(seed).shuffle(perm)
+    pdf = spark.createDataFrame(perm, "a long, b long").repartition(5)
+    again = dataset_fingerprint(pdf).collect()[0]
+    assert tuple(base) == tuple(again)
+    more = dataset_fingerprint(
+        spark.createDataFrame(rows + [(999, 999)], "a long, b long")
+    ).collect()[0]
+    assert more["content_xor"] != base["content_xor"] or (
+        # XOR self-cancellation: adding a row identical to an existing
+        # one flips its hash OUT; (999,999) is outside the generator
+        # domain so this branch never triggers — kept as documentation
+        False
+    )
