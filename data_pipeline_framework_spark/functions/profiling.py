@@ -1042,6 +1042,7 @@ def dataset_fingerprint(
     columns: list[str] | None = None,
     sep: str = "\x1f",
     null_token: str = "\x00",
+    portable: bool = True,
 ) -> DataFrame:
     """Order-invariant dataset fingerprint: ONE row of
     (n_rows, n_cols, schema_hash, content_xor) identifying a dataset's
@@ -1065,6 +1066,14 @@ def dataset_fingerprint(
     portable across engines — fingerprint floats after explicit
     rounding, or exclude them (the default uses every column; pass
     ``columns`` to restrict).
+
+    ``portable=False`` switches the row hash from the md5-based
+    portable hash to Spark's native xxhash64 directly over the typed
+    columns (no string casts at all) — ~3x cheaper per row and exact
+    for floats too, but only comparable between Spark-computed
+    fingerprints (the md5 mode is what external engines — and the
+    DuckDB oracle — can replay). Same-mode comparisons are the normal
+    use (snapshot vs re-run of the same pipeline).
     """
     from .text import hash52
 
@@ -1072,14 +1081,17 @@ def dataset_fingerprint(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
-    parts: list[Column] = []
-    for i, c in enumerate(cols):
-        if i:
-            parts.append(F.lit(sep))
-        parts.append(
-            F.coalesce(F.col(c).cast("string"), F.lit(null_token))
-        )
-    row_hash = hash52(F.concat(*parts))
+    if portable:
+        parts: list[Column] = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(F.lit(sep))
+            parts.append(
+                F.coalesce(F.col(c).cast("string"), F.lit(null_token))
+            )
+        row_hash = hash52(F.concat(*parts))
+    else:
+        row_hash = F.xxhash64(*[F.col(c) for c in cols])
     schema_str = ";".join(
         f"{c}:{df.schema[c].dataType.simpleString()}" for c in cols
     )

@@ -170,3 +170,18 @@ def test_dataset_fingerprint_invariance_and_sensitivity(spark):
 
     with _pytest.raises(ValueError):
         dataset_fingerprint(df, ["nope"])
+
+    # native xxhash64 mode: same invariance/sensitivity properties,
+    # no string casts (floats fingerprint exactly), Spark-only values
+    fast = dataset_fingerprint(df, portable=False).collect()[0]
+    fast2 = dataset_fingerprint(
+        df.orderBy(F.desc("id")).repartition(3), portable=False
+    ).collect()[0]
+    assert tuple(fast) == tuple(fast2)
+    assert fast["content_xor"] != base["content_xor"]  # different hash
+    fast_changed = dataset_fingerprint(
+        df.withColumn("v", F.when(F.col("id") == 1, "z")
+                      .otherwise(F.col("v"))),
+        portable=False,
+    ).collect()[0]
+    assert fast_changed["content_xor"] != fast["content_xor"]
