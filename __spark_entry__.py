@@ -68,6 +68,7 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 
     run.__name__ = getattr(fn, "__name__", "query")
     run.__doc__ = fn.__doc__
+    run.__wrapped__ = fn  # tools/check.py --changed fingerprints this
     return run
 
 
@@ -8726,15 +8727,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(6 AS INTEGER) AS n_cols,
                    '{_sh}' AS schema_hash,
-                   COALESCE(bit_xor(CAST(('0x' || substr(md5(
-                       CAST(l_linenumber AS VARCHAR) || chr(31)
-                       || l_linestatus || chr(31)
-                       || CAST(l_orderkey AS VARCHAR) || chr(31)
-                       || CAST(l_partkey AS VARCHAR) || chr(31)
-                       || l_returnflag || chr(31)
-                       || CAST(l_suppkey AS VARCHAR)), 1, 13))
-                       AS BIGINT)), 0) AS content_xor
-            FROM lineitem
+                   COALESCE(bit_xor(h), 0) AS content_xor,
+                   CAST(COALESCE(SUM(h) % 4503599627370496, 0)
+                        AS BIGINT) AS content_sum
+            FROM (
+                SELECT CAST(('0x' || substr(md5(
+                           CAST(l_linenumber AS VARCHAR) || chr(31)
+                           || l_linestatus || chr(31)
+                           || CAST(l_orderkey AS VARCHAR) || chr(31)
+                           || CAST(l_partkey AS VARCHAR) || chr(31)
+                           || l_returnflag || chr(31)
+                           || CAST(l_suppkey AS VARCHAR)), 1, 13))
+                       AS BIGINT) AS h
+                FROM lineitem
+            )
         """)(__import__("hashlib").md5(
             ("l_linenumber:int;l_linestatus:string;l_orderkey:bigint;"
              "l_partkey:bigint;l_returnflag:string;l_suppkey:bigint")

@@ -157,8 +157,10 @@ def heavy_hitters(
     * ``auto`` (default) — one cheap approx_count_distinct probe (a
       partial-aggregated scan, no wide shuffle) picks ``exact`` when
       the largest per-group estimate fits ``capacity``, else ``mg``.
-      Pass ``engine="mg"`` explicitly to skip the probe scan when you
-      already know the cardinality dwarfs capacity."""
+      The probe is a FULL extra pass over the input (cheap relative to
+      the Python summary path it can save, but real): on corpora where
+      you already know the cardinality regime, pass ``engine="mg"``
+      (or ``"exact"``) explicitly and skip it."""
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
     if engine not in ("auto", "mg", "exact"):

@@ -1055,11 +1055,18 @@ def dataset_fingerprint(
     Mechanics: each row hashes to the portable 52-bit md5 hash of its
     ``sep``-joined string-cast column values (sorted column order,
     nulls as ``null_token`` so NULL and '' differ), and the dataset
-    hash is the bit-XOR aggregate — commutative, so any engine,
-    partitioning, or row order replays it exactly, and XOR (unlike a
-    modular sum) cannot overflow. schema_hash covers the sorted
-    (name, type) list, so a type migration changes the fingerprint
-    even when values print identically.
+    hash is TWO commutative folds — bit-XOR (content_xor) plus an
+    exact decimal sum mod 2^52 (content_sum) — so any engine,
+    partitioning, or row order replays both exactly. The second fold
+    exists because XOR alone is blind to even-multiplicity changes
+    (a row pair {X, X} swapped for {Y, Y} XOR-cancels); the modular
+    sum separates those, and the decimal(38) accumulator is exact to
+    ~10^22 rows, so neither fold can overflow or wrap engine-
+    dependently. schema_hash covers the sorted (name, type) list, so
+    a type migration changes the fingerprint even when values print
+    identically. Equal fingerprints mean identical content up to hash
+    collision — engineered to be vanishingly unlikely, not
+    cryptographic.
 
     One scan, map-side-combinable, no shuffle beyond the 1-row
     aggregate. Caveat: string casts of floating-point columns are not
@@ -1068,12 +1075,15 @@ def dataset_fingerprint(
     ``columns`` to restrict).
 
     ``portable=False`` switches the row hash from the md5-based
-    portable hash to Spark's native xxhash64 directly over the typed
-    columns (no string casts at all) — ~3x cheaper per row and exact
-    for floats too, but only comparable between Spark-computed
+    portable hash to Spark's native xxhash64 over the typed columns
+    (no string casts at all) — ~3x cheaper per row and exact for
+    floats too, but only comparable between Spark-computed
     fingerprints (the md5 mode is what external engines — and the
-    DuckDB oracle — can replay). Same-mode comparisons are the normal
-    use (snapshot vs re-run of the same pipeline).
+    DuckDB oracle — can replay). xxhash64 SKIPS null columns (so
+    (null, v) and (v, null) would hash alike); each column is
+    interleaved with its isNull flag to keep null position
+    distinguishing. Same-mode comparisons are the normal use
+    (snapshot vs re-run of the same pipeline).
     """
     from .text import hash52
 
@@ -1091,7 +1101,14 @@ def dataset_fingerprint(
             )
         row_hash = hash52(F.concat(*parts))
     else:
-        row_hash = F.xxhash64(*[F.col(c) for c in cols])
+        # interleave isNull flags: xxhash64 leaves the running hash
+        # unchanged for a null column, so without the flags a value
+        # migrating across a null neighbor would be invisible
+        parts2: list[Column] = []
+        for c in cols:
+            parts2.append(F.col(c))
+            parts2.append(F.col(c).isNull())
+        row_hash = F.xxhash64(*parts2)
     schema_str = ";".join(
         f"{c}:{df.schema[c].dataType.simpleString()}" for c in cols
     )
@@ -1105,4 +1122,11 @@ def dataset_fingerprint(
         F.coalesce(
             F.bit_xor(row_hash), F.lit(0).cast("bigint")
         ).alias("content_xor"),
+        F.coalesce(
+            F.pmod(
+                F.sum(row_hash.cast("decimal(38,0)")),
+                F.lit(1 << 52).cast("decimal(38,0)"),
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("content_sum"),
     )

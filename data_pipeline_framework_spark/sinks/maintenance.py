@@ -138,9 +138,12 @@ def scd2_merge(
     batch is gone — a later back-dated change does not resurrect it —
     and a back-dated update equal to the then-current value can
     retroactively fold a later stored version away; both are the
-    at-once reading of the surviving version multiset.) Two updates
-    with the same (key, effective) keep an arbitrary one — give
-    simultaneous changes distinct effective timestamps.
+    at-once reading of the surviving version multiset.) An update whose
+    effective timestamp EQUALS a stored version's valid_from replaces
+    that version deterministically (the correction case: re-stating a
+    key at the same effective time); two updates inside one batch with
+    the same (key, effective) keep an arbitrary one — give simultaneous
+    changes distinct effective timestamps.
 
     Shape: ONE key-partitioned window over (touched keys' stored
     versions ∪ batch updates) — bounded by batch size + version counts
@@ -180,6 +183,14 @@ def scd2_merge(
         touched = (
             hist.join(F.broadcast(batch_keys), keys, "left_semi")
             .select(*payload, F.col("valid_from").alias("__eff"))
+        )
+        # an update at a stored version's exact effective REPLACES it —
+        # otherwise the two rows tie in the window order and the kept
+        # one would be partition-dependent
+        touched = touched.join(
+            F.broadcast(ups.select(*keys, "__eff").distinct()),
+            keys + ["__eff"],
+            "left_anti",
         )
         seq = touched.unionByName(ups)
     else:

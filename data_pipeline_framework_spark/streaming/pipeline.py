@@ -875,7 +875,12 @@ def transitions_stream(
                  // 1000)
             ts_list.extend(int(x) for x in t)
             if tiebreak_col is not None:
-                tb_list.extend(int(x) for x in pdf[tiebreak_col])
+                # keep native values: int() coercion would crash on
+                # string event ids and silently order numeric strings
+                # numerically where the batch twin orders them
+                # lexicographically. Tiebreak values must be non-null
+                # and of one orderable type (ids are).
+                tb_list.extend(pdf[tiebreak_col].tolist())
             else:
                 tb_list.extend(0 for _ in range(len(pdf)))
             ty_list.extend(str(s) for s in pdf[type_col])
@@ -903,8 +908,13 @@ def transitions_stream(
             "events_seen": [len(ts_list)] * len(items),
         })
 
+    tb_type = (
+        df.schema[tiebreak_col].dataType.simpleString()
+        if tiebreak_col is not None
+        else "long"
+    )
     return df.groupBy(user_col).applyInPandasWithState(
         run, out_schema,
-        "ts array<long>, tb array<long>, ty array<string>",
+        f"ts array<long>, tb array<{tb_type}>, ty array<string>",
         "update", GroupStateTimeout.NoTimeout,
     )

@@ -255,3 +255,39 @@ def test_scd2_merge_random_batches_match_reference(spark, tmp_path):
                 for r in spark.read.parquet(path).collect()
             )
             assert again == got, f"seed={seed} replay"
+
+
+def test_scd2_merge_same_effective_correction(spark, tmp_path):
+    """an update at a stored version's exact effective timestamp
+    REPLACES that version deterministically (re-statement), never a
+    partition-dependent coin flip."""
+    import datetime as dt
+
+    from data_pipeline_framework_spark.sinks.maintenance import scd2_merge
+
+    path = str(tmp_path / "dim_fix")
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    scd2_merge(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "berlin", t(1)), (1, "munich", t(5))],
+            "id long, city string, eff timestamp",
+        ),
+        ["id"], "eff",
+    )
+    # correction: key 1 at t5 was actually hamburg
+    scd2_merge(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "hamburg", t(5))], "id long, city string, eff timestamp"
+        ),
+        ["id"], "eff",
+    )
+    got = sorted(
+        (r["city"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert got == [
+        ("berlin", t(1), t(5), False),
+        ("hamburg", t(5), None, True),
+    ]

@@ -167,6 +167,18 @@ def test_dataset_fingerprint_invariance_and_sensitivity(spark):
     # empty input: well-defined zero fingerprint
     empty = dataset_fingerprint(df.filter(F.lit(False))).collect()[0]
     assert empty["n_rows"] == 0 and empty["content_xor"] == 0
+    assert empty["content_sum"] == 0
+
+    # XOR alone cancels even-multiplicity changes; the modular-sum fold
+    # separates {X, X} from {Y, Y}
+    xx = dataset_fingerprint(
+        spark.createDataFrame([(1, "x"), (1, "x")], "id long, v string")
+    ).collect()[0]
+    yy = dataset_fingerprint(
+        spark.createDataFrame([(2, "y"), (2, "y")], "id long, v string")
+    ).collect()[0]
+    assert xx["content_xor"] == 0 and yy["content_xor"] == 0  # the trap
+    assert xx["content_sum"] != yy["content_sum"]             # the fix
 
     with _pytest.raises(ValueError):
         dataset_fingerprint(df, ["nope"])
@@ -185,3 +197,15 @@ def test_dataset_fingerprint_invariance_and_sensitivity(spark):
         portable=False,
     ).collect()[0]
     assert fast_changed["content_xor"] != fast["content_xor"]
+
+    # xxhash64 skips nulls; the interleaved isNull flags keep a value
+    # migrating across a null neighbor visible: (null, 7) != (7, null)
+    a = dataset_fingerprint(
+        spark.createDataFrame([(None, 7)], "x long, y long"),
+        portable=False,
+    ).collect()[0]
+    b = dataset_fingerprint(
+        spark.createDataFrame([(7, None)], "x long, y long"),
+        portable=False,
+    ).collect()[0]
+    assert a["content_xor"] != b["content_xor"]

@@ -827,6 +827,47 @@ def test_transitions_stream_matches_batch_twin(spark, events, stream_dir):
     assert sum(want.values()) > 0  # non-vacuous
 
 
+def test_transitions_stream_string_tiebreak(spark, tmp_path):
+    """string event ids flow through the state natively — no int()
+    coercion — and ordering matches the batch twin's lexicographic
+    string order ('10' < '9')."""
+    import datetime as dt
+
+    from data_pipeline_framework_spark.operators.funnels import (
+        event_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "10", "a"),   # same ts: ties break on the STRING id
+        (1, t0, "9", "b"),
+        (1, t0 + dt.timedelta(minutes=1), "x", "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id string,"
+              " event_type string"
+    )
+    d = tmp_path / "in"
+    ev.write.parquet(str(d))
+    sdf = ST.read_stream_files(
+        spark, str(d), schema=ev.schema, max_files_per_trigger=1
+    )
+    got_df = _run_to_memory(
+        spark, ST.transitions_stream(sdf, tiebreak_col="event_id"),
+        "t_trans_str", tmp_path, output_mode="update",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n"] for r in got_df.collect()
+    }
+    want = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(
+            ev, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == want == {("a", "b"): 1, ("b", "c"): 1}
+
+
 def test_bloom_dedup_stream_two_batches_and_replay(spark, tmp_path):
     """Real availableNow stream, one file per micro-batch: batch 1's
     keys are unseen, batch 2's repeats are flagged (no false

@@ -167,7 +167,10 @@ def main() -> None:
 
     sf10 = os.environ.get("SPARK_GRAFT_SCALE10_DIR")
     if sf10 and os.path.isdir(sf10):
-        probes = [n for n in PROBE_SF10 if n in qs]
+        # filter against t_small (not qs): a probe outside the
+        # headliner set would otherwise KeyError after the
+        # expensive two-SF runs already completed
+        probes = [n for n in PROBE_SF10 if n in t_small]
         t_sf10 = _run(spark, qs, probes, sf10)
         probe = {}
         for n in probes:

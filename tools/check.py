@@ -150,29 +150,56 @@ def _dep_closure(src: str) -> set[Path]:
     return seen
 
 
+def _entry_helper_sources(entrymod) -> dict[str, str]:
+    """name -> source for every function/constant-builder defined at the
+    entry module's top level — queries call shared helpers (_t, _r,
+    _inject_urls, _cells_for, ...) whose edits must invalidate dependent
+    fingerprints too."""
+    out: dict[str, str] = {}
+    for name in dir(entrymod):
+        obj = getattr(entrymod, name, None)
+        if not inspect.isfunction(obj):
+            continue
+        if getattr(obj, "__module__", None) != entrymod.__name__:
+            continue
+        try:
+            out[name] = inspect.getsource(obj)
+        except (OSError, TypeError):
+            pass
+    return out
+
+
 def _fingerprints(entrymod, qs: dict, oracles: dict) -> dict[str, str]:
-    """name -> sha256 over the query's source, its oracle SQL, shared
-    entry helpers, and every (transitively) referenced engine file."""
-    helpers = ""
-    for h in ("_t", "_r", "_spread"):
-        obj = getattr(entrymod, h, None)
-        if obj is not None:
-            try:
-                helpers += inspect.getsource(obj)
-            except (OSError, TypeError):
-                pass
+    """name -> sha256 over the query's UNWRAPPED source (queries() hands
+    out _pinned wrappers; __wrapped__ reaches the real body), its oracle
+    SQL, every entry-module helper the body references (transitively
+    among helpers), and every (transitively) referenced engine file."""
+    helper_src = _entry_helper_sources(entrymod)
+    helper_names = sorted(helper_src)
     file_sha: dict[Path, str] = {}
     out: dict[str, str] = {}
     for name, fn in qs.items():
+        target = getattr(fn, "__wrapped__", fn)
         try:
-            src = inspect.getsource(fn)
+            src = inspect.getsource(target)
         except (OSError, TypeError):
-            src = repr(fn)
+            src = repr(target)
+        # expand referenced entry helpers transitively (word match on
+        # the helper's exact name)
+        blob, seen, frontier = src, set(), [src]
+        while frontier:
+            body = frontier.pop()
+            for hname in helper_names:
+                if hname in seen or hname == name:
+                    continue
+                if re.search(rf"\b{re.escape(hname)}\b", body):
+                    seen.add(hname)
+                    blob += helper_src[hname]
+                    frontier.append(helper_src[hname])
         h = hashlib.sha256()
-        h.update(src.encode())
+        h.update(blob.encode())
         h.update(oracles.get(name, "").encode())
-        h.update(helpers.encode())
-        for f in sorted(_dep_closure(src)):
+        for f in sorted(_dep_closure(blob)):
             if f not in file_sha:
                 file_sha[f] = hashlib.sha256(f.read_bytes()).hexdigest()
             h.update(f"{f}:{file_sha[f]}".encode())
