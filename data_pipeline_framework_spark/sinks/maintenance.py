@@ -107,63 +107,28 @@ def table_stats(spark: SparkSession, path: str) -> dict:
     }
 
 
-def scd2_merge(
-    spark: SparkSession,
-    path: str,
+
+def scd2_plan(
+    hist: DataFrame | None,
     updates: DataFrame,
     keys: list[str],
     effective_col: str,
     compare_cols: list[str] | None = None,
-) -> dict:
-    """Type-2 slowly-changing-dimension merge into the parquet history
-    table at ``path``: instead of overwriting a key's row
-    (merge_parquet, SCD1), every change CLOSES the key's current
-    version (valid_to = the change's effective timestamp,
-    is_current = false) and appends a new open version — the full
-    change history stays queryable ("what did this dimension row say
-    when that order shipped?").
-
-    History schema = payload columns + (valid_from, valid_to,
-    is_current); an empty/new table bootstraps it. Semantics: each
-    TOUCHED key's full stored version list merges with its batch
-    updates into one effective-ordered sequence, consecutive
-    duplicates (equal ``compare_cols``, null-safe) are suppressed, and
-    every kept version closes at the next kept version's effective
-    timestamp (the last stays open). Re-chaining the whole per-key
-    list — not just the open version — buys the SCD2 invariant that a
-    key's validity windows NEVER overlap, even for late-arriving
-    updates whose effective timestamp predates the current open
-    version: the resulting history reads as if all surviving versions
-    had been applied at once. (A duplicate suppressed in an earlier
-    batch is gone — a later back-dated change does not resurrect it —
-    and a back-dated update equal to the then-current value can
-    retroactively fold a later stored version away; both are the
-    at-once reading of the surviving version multiset.) An update whose
-    effective timestamp EQUALS a stored version's valid_from replaces
-    that version deterministically (the correction case: re-stating a
-    key at the same effective time); two updates inside one batch with
-    the same (key, effective) keep an arbitrary one — give simultaneous
-    changes distinct effective timestamps.
-
-    Shape: ONE key-partitioned window over (touched keys' stored
-    versions ∪ batch updates) — bounded by batch size + version counts
-    of touched keys only; untouched keys' rows pass through verbatim —
-    plus the table rewrite every keyed parquet merge without a table
-    format costs; partition on a stable key prefix to bound it.
-    """
+) -> DataFrame:
+    """Lazy SCD2 merge plan (the semantics documented on scd2_merge):
+    returns the full new history DataFrame for ``hist`` (None
+    bootstraps) merged with ``updates``. Split out so the batch writer
+    and the streaming foreachBatch twin share one implementation."""
     from pyspark.sql.window import Window
 
-    live = _local(path)
     meta = ["valid_from", "valid_to", "is_current"]
-    if live.exists():
-        hist = spark.read.parquet(path)
+    if hist is not None:
         for m in meta:
             if m not in hist.columns:
                 raise ValueError(f"not an SCD2 table (missing {m})")
         payload = [c for c in hist.columns if c not in meta]
     else:
         payload = list(updates.columns)
-        hist = None
     missing = [c for c in payload if c not in updates.columns]
     if missing:
         raise ValueError(f"updates missing columns: {missing}")
@@ -214,11 +179,59 @@ def scd2_merge(
         F.lead("__eff").over(w2).alias("valid_to"),
         F.lead("__eff").over(w2).isNull().alias("is_current"),
     )
-    merged = (
-        untouched.select(*payload, *meta).unionByName(chained)
-        if untouched is not None
-        else chained
-    )
+    if untouched is not None:
+        meta_cols = ["valid_from", "valid_to", "is_current"]
+        return untouched.select(*payload, *meta_cols).unionByName(chained)
+    return chained
+
+
+def scd2_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    effective_col: str,
+    compare_cols: list[str] | None = None,
+) -> dict:
+    """Type-2 slowly-changing-dimension merge into the parquet history
+    table at ``path``: instead of overwriting a key's row
+    (merge_parquet, SCD1), every change CLOSES the key's current
+    version (valid_to = the change's effective timestamp,
+    is_current = false) and appends a new open version — the full
+    change history stays queryable ("what did this dimension row say
+    when that order shipped?").
+
+    History schema = payload columns + (valid_from, valid_to,
+    is_current); an empty/new table bootstraps it. Semantics: each
+    TOUCHED key's full stored version list merges with its batch
+    updates into one effective-ordered sequence, consecutive
+    duplicates (equal ``compare_cols``, null-safe) are suppressed, and
+    every kept version closes at the next kept version's effective
+    timestamp (the last stays open). Re-chaining the whole per-key
+    list — not just the open version — buys the SCD2 invariant that a
+    key's validity windows NEVER overlap, even for late-arriving
+    updates whose effective timestamp predates the current open
+    version: the resulting history reads as if all surviving versions
+    had been applied at once. (A duplicate suppressed in an earlier
+    batch is gone — a later back-dated change does not resurrect it —
+    and a back-dated update equal to the then-current value can
+    retroactively fold a later stored version away; both are the
+    at-once reading of the surviving version multiset.) An update whose
+    effective timestamp EQUALS a stored version's valid_from replaces
+    that version deterministically (the correction case: re-stating a
+    key at the same effective time); two updates inside one batch with
+    the same (key, effective) keep an arbitrary one — give simultaneous
+    changes distinct effective timestamps.
+
+    Shape: ONE key-partitioned window over (touched keys' stored
+    versions ∪ batch updates) — bounded by batch size + version counts
+    of touched keys only; untouched keys' rows pass through verbatim —
+    plus the table rewrite every keyed parquet merge without a table
+    format costs; partition on a stable key prefix to bound it.
+    """
+    live = _local(path)
+    hist = spark.read.parquet(path) if live.exists() else None
+    merged = scd2_plan(hist, updates, keys, effective_col, compare_cols)
     tmp = live.with_name(live.name + "__tmp")
     merged.write.mode("overwrite").parquet(str(tmp))
     if live.exists():

@@ -918,3 +918,68 @@ def transitions_stream(
         f"ts array<long>, tb array<{tb_type}>, ty array<string>",
         "update", GroupStateTimeout.NoTimeout,
     )
+
+
+def scd2_batch_fn(
+    state_path: str,
+    keys: list[str],
+    effective_col: str,
+    compare_cols: list[str] | None = None,
+) -> Callable:
+    """Continuous SCD2 dimension maintenance over a CDC stream: each
+    micro-batch of change records merges into the persisted type-2
+    history (sinks/maintenance.scd2_plan — close-and-append versioning,
+    non-overlapping validity windows, no-op suppression), so the
+    queryable dimension history stays current per batch instead of
+    being rebuilt by a nightly job.
+
+    Exactly-once under replay, the rollup_batch_fn pattern: the
+    micro-batch id travels as a commit marker inside the atomically
+    swapped state dir — a re-delivered batch (crash between sink write
+    and checkpoint commit) is detected and skipped. scd2_plan's merge
+    is additionally idempotent for identical re-delivered updates, so
+    even a marker loss degrades to a no-op re-merge rather than
+    duplicate versions.
+
+    Usage:
+        write_stream(cdc_df, foreach_batch=scd2_batch_fn(...),
+                     checkpoint=...)
+    """
+    from ..operators.rollup import _read_commit, _write_commit
+    from ..sinks.maintenance import scd2_plan
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = path.getFileSystem(conf)
+        tmp = state_path.rstrip("/") + "__swap"
+        old = state_path.rstrip("/") + "__old"
+        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+        old_path = jvm.org.apache.hadoop.fs.Path(old)
+        # crash recovery: a committed swap dir finishes its rename; a
+        # dangling old dir rolls back
+        if not fs.exists(path):
+            if fs.exists(tmp_path) and _read_commit(fs, jvm, tmp) is not None:
+                fs.rename(tmp_path, path)
+            elif fs.exists(old_path):
+                fs.rename(old_path, path)
+        if fs.exists(old_path):
+            fs.delete(old_path, True)
+        if fs.exists(path):
+            last = _read_commit(fs, jvm, state_path)
+            if last is not None and last >= int(batch_id):
+                return  # replayed batch: already merged
+        hist = spark.read.parquet(state_path) if fs.exists(path) else None
+        merged = scd2_plan(
+            hist, batch_df, keys, effective_col, compare_cols
+        )
+        merged.write.mode("overwrite").parquet(tmp)
+        _write_commit(fs, jvm, tmp, int(batch_id))
+        if fs.exists(path):
+            fs.rename(path, old_path)
+        fs.rename(tmp_path, path)
+        fs.delete(old_path, True)
+
+    return run_batch

@@ -940,3 +940,56 @@ def test_bloom_dedup_within_batch_first_wins(spark, tmp_path):
     got = {r["rid"]: r["maybe_seen"]
            for r in spark.read.parquet(str(tmp_path / "o")).collect()}
     assert got == {1: False, 2: True, 3: False}
+
+
+def test_scd2_stream_matches_batch_merges_and_replay(spark, tmp_path):
+    """CDC stream through scd2_batch_fn: final history equals applying
+    the same files as sequential scd2_merge batches, and a checkpointed
+    replay changes nothing (commit-marker exactly-once)."""
+    import datetime as dt
+
+    from data_pipeline_framework_spark.sinks.maintenance import scd2_merge
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    f1 = [(1, "berlin", t(1)), (2, "paris", t(1))]
+    f2 = [(1, "munich", t(5)), (2, "paris", t(5)), (3, "rome", t(6))]
+    schema = "id long, city string, eff timestamp"
+    d = tmp_path / "cdc_in"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(
+        str(d / "f1")
+    )
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(
+        str(d / "f2")
+    )
+
+    state = str(tmp_path / "dim_stream")
+    ck = str(tmp_path / "ckpt_scd2")
+    for _ in range(2):  # second run replays from checkpoint: no change
+        sdf = ST.read_stream_files(
+            spark, str(d) + "/*", schema=spark.createDataFrame(
+                f1, schema
+            ).schema, max_files_per_trigger=1,
+        )
+        q = ST.write_stream(
+            sdf, foreach_batch=ST.scd2_batch_fn(state, ["id"], "eff"),
+            checkpoint=ck, trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+    got = sorted(
+        (r["id"], r["city"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in spark.read.parquet(state).collect()
+    )
+
+    batch_state = str(tmp_path / "dim_batch")
+    scd2_merge(spark, batch_state,
+               spark.createDataFrame(f1, schema), ["id"], "eff")
+    scd2_merge(spark, batch_state,
+               spark.createDataFrame(f2, schema), ["id"], "eff")
+    want = sorted(
+        (r["id"], r["city"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in spark.read.parquet(batch_state).collect()
+    )
+    assert got == want
+    assert (1, "berlin", t(1), t(5), False) in got  # a real closure
