@@ -3104,6 +3104,30 @@ def corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_decontamination_flags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """embedding-space eval decontamination
+    (functions/similarity.py:semantic_decontamination): train vectors
+    (vec_id >= 40) whose cosine to any broadcast eval vector
+    (vec_id < 40) reaches 0.3, with the best-matching eval id. One
+    map-side pass, no shuffle; oracle mirrors the dot/norm op order so
+    raw doubles agree to the 6-decimal rounding."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        semantic_decontamination,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_decontamination(
+        emb.filter("vec_id >= 40"),
+        emb.filter("vec_id < 40"),
+        threshold=0.3,
+    )
+    return out.select(
+        "vec_id", "ref_id", _r(F.col("cosine"), 6).alias("cosine")
+    ).orderBy("vec_id")
+
+
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: fixed seeded codebook (same
     cells as ann_ivf_topk), within-cell cosine >= 0.35 against a lower
@@ -5895,6 +5919,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_search": hybrid_rrf_search,
         "keyword_extraction": keyword_extraction,
         "semantic_dedup_keep": semantic_dedup_keep,
+        "semantic_decontamination_flags": semantic_decontamination_flags,
         "diverse_prototype_sample": diverse_prototype_sample,
         "k_anonymity_audit": k_anonymity_audit,
         "anonymity_risk_summary": anonymity_risk_summary,
@@ -8625,6 +8650,30 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle(),
         "hybrid_rrf_search": _hybrid_rrf_oracle(),
         "keyword_extraction": _KEYWORD_ORACLE,
+        "semantic_decontamination_flags": """
+            WITH q AS (
+                SELECT vec_id AS rid, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 40
+            ), c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id >= 40
+            ), s AS (
+                SELECT c.vec_id, q.rid,
+                       list_dot_product(qv, v)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(v, v))) AS cos
+                FROM c, q
+            ), best AS (
+                SELECT vec_id, rid, cos,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, rid) AS rn
+                FROM s WHERE cos >= 0.3
+            )
+            SELECT vec_id, rid AS ref_id,
+                   FLOOR(cos * 1e6 + 0.5) / 1e6 AS cosine
+            FROM best WHERE rn = 1
+            ORDER BY vec_id
+        """,
         "semantic_dedup_keep": _semantic_dedup_oracle(),
         "diverse_prototype_sample": _diversity_sample_oracle(),
         "k_anonymity_audit": """

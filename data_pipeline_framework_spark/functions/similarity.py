@@ -1165,3 +1165,52 @@ def diversity_sample(
         .filter(F.col("rank") <= k_per_cell)
         .select(id_col, "cell", "proto_cos", "rank")
     )
+
+
+def semantic_decontamination(
+    train: DataFrame,
+    reference: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: flag every training
+    vector whose cosine similarity to ANY reference (eval) vector
+    reaches ``threshold`` — the semantic complement to the exact n-gram
+    scrub (decontamination.py) and the shingle-Jaccard fuzzy match
+    (dedup.cross_corpus_neardup). Paraphrased or translated eval
+    leakage survives both lexical nets; an embedding match doesn't.
+
+    Shape: the reference side is an eval set — small by construction —
+    so it BROADCASTS and the whole check is one map-side pass over the
+    training corpus (per train row: max cosine over the broadcast eval
+    vectors, a dim-bounded loop in codegen). No shuffle, no join state,
+    linear in corpus size; grow the reference beyond broadcast size
+    and you want the banded/celled pipelines instead.
+
+    Output: one row per CONTAMINATED train vector —
+    (id_col, ref_id, cosine) with ref_id the best-matching reference
+    vector (highest cosine, ties to the lowest ref id).
+    """
+    ref = reference.select(
+        F.col(id_col).alias("__rid"), F.col(vec_col).alias("__rv")
+    )
+    t = train.select(id_col, vec_col)
+    joined = t.join(F.broadcast(ref))
+    cos = cosine(F.col(vec_col), F.col("__rv"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__cos"), F.asc("__rid")
+    )
+    return (
+        joined.withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__rid").alias("ref_id"),
+            F.col("__cos").alias("cosine"),
+        )
+    )

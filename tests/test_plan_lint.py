@@ -56,6 +56,7 @@ _BNL_OK = {
     "collocation_pmi_pairs",  # broadcast 1-row T1/T2 corpus totals
     "ann_recall_report",  # brute-force arm broadcasts the bounded query side
     "hybrid_rrf_search",  # bm25 arm's broadcast 1-row (N, avgdl) stats
+    "semantic_decontamination_flags",  # broadcast bounded eval side
     "source_js_divergence",  # broadcast bounded source-pair grid (a
     # handful of rows) crossed with the vocab — sources are few by
     # construction, the cross side is the BROADCAST side

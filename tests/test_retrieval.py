@@ -277,3 +277,35 @@ def test_rrf_fuse_ranks_and_scores(spark):
     assert len(out) == 3
     # deterministic tie-break: docs 1 and 4 tie (1/61 each) -> lower id first
     assert by_id[1]["rank"] == 2 and 4 in by_id and by_id[4]["rank"] == 3
+
+
+def test_semantic_decontamination_geometry(spark):
+    """hand-checked: unit vectors at known angles — only the train
+    vector within the cosine threshold of an eval vector is flagged,
+    with the best (highest-cosine) eval id and ties to the lowest id."""
+    import math
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        semantic_decontamination,
+    )
+
+    def at(theta):  # unit vector in the plane
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    ref = spark.createDataFrame(
+        [(0, at(0.0)), (1, at(0.05))],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [(10, at(0.06)),   # cos vs ref1 ~ 0.99995 -> flagged, best=1
+         (11, at(1.2)),    # cos ~ 0.36 vs ref0 -> below 0.9
+         (12, at(0.0))],   # identical to ref0 -> flagged, best=0
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in semantic_decontamination(
+        train, ref, threshold=0.9
+    ).collect()}
+    assert set(got) == {10, 12}
+    assert got[10]["ref_id"] == 1
+    assert got[12]["ref_id"] == 0
+    assert got[12]["cosine"] == pytest.approx(1.0)
