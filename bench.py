@@ -175,6 +175,7 @@ HEADLINE = [
     "top_event_paths",
     "supplier_price_trends",
     "corpus_fingerprint",
+    "semantic_decontamination_flags",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to
