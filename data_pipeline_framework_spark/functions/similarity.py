@@ -1192,12 +1192,22 @@ def semantic_decontamination(
     (id_col, ref_id, cosine) with ref_id the best-matching reference
     vector (highest cosine, ties to the lowest ref id).
     """
+    # norms precomputed ONCE per side (identical IEEE expression to the
+    # inline cosine — same ops on the same operands — so oracle floats
+    # are unchanged; the per-pair work drops to one dot product)
     ref = reference.select(
-        F.col(id_col).alias("__rid"), F.col(vec_col).alias("__rv")
+        F.col(id_col).alias("__rid"),
+        F.col(vec_col).alias("__rv"),
+        _norm(F.col(vec_col)).alias("__rnorm"),
     )
-    t = train.select(id_col, vec_col)
+    t = train.select(
+        id_col, vec_col, _norm(F.col(vec_col)).alias("__tnorm")
+    )
     joined = t.join(F.broadcast(ref))
-    cos = cosine(F.col(vec_col), F.col("__rv"))
+    cos = F.try_divide(
+        _dot(F.col(vec_col), F.col("__rv")),
+        F.col("__tnorm") * F.col("__rnorm"),
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy(
