@@ -49,18 +49,23 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. The query side is
     broadcast (it is small by construction); ranking tie-breaks on corpus
-    id for determinism."""
+    id for determinism. Norms are hoisted to one per row — the identical
+    IEEE expression the inline cosine would compute, so oracle floats
+    are unchanged while per-pair work drops to one dot product."""
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", _norm(F.col("__qv")))
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
-    )
+    ).withColumn("__cn", _norm(F.col("__cv")))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        F.try_divide(
+            _dot(F.col("__qv"), F.col("__cv")),
+            F.col("__qn") * F.col("__cn"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
