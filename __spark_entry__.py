@@ -9520,6 +9520,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, CAST({_AFP_BITS_SQL} AS BIGINT) AS afp
                 FROM e
             ), blocks AS (
+                -- NOTE: this uniform 11-bit block layout intentionally
+                -- differs from the engine's floor-edge layout
+                -- (hamming_hash_pairs: block starts 0/10/20 for
+                -- bits=31, n_blocks=3). Both candidate generators are
+                -- pigeonhole-COMPLETE for radius 2 over 3 blocks and
+                -- every candidate passes an exact bit_count verify, so
+                -- the final dedup sets agree even though the
+                -- intermediate bucket keys do not. Do not "fix" either
+                -- side to match the other.
                 SELECT vec_id, afp, blk,
                        (afp >> (blk * 11)) & 2047 AS key
                 FROM sig, (SELECT unnest(range(3)) AS blk)

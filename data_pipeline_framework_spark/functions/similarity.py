@@ -1187,15 +1187,20 @@ def semantic_decontamination(
     leakage survives both lexical nets; an embedding match doesn't.
 
     Shape: the reference side is an eval set — small by construction —
-    so it BROADCASTS and the whole check is one map-side pass over the
-    training corpus (per train row: max cosine over the broadcast eval
-    vectors, a dim-bounded loop in codegen). No shuffle, no join state,
-    linear in corpus size; grow the reference beyond broadcast size
-    and you want the banded/celled pipelines instead.
+    so it BROADCASTS and the corpus scan is one map-side pass over the
+    training corpus (per train row: cosine vs each broadcast eval
+    vector, a dim-bounded loop in codegen). The only shuffle is the
+    per-id best-match argmax over the CONTAMINATED subset — a hash
+    aggregate with map-side partial combine (min over a struct), so
+    the shuffle carries at most one row per contaminated train id, not
+    per contaminated pair, and nothing is sorted. Linear in corpus
+    size; grow the reference beyond broadcast size and you want the
+    banded/celled pipelines instead.
 
     Output: one row per CONTAMINATED train vector —
     (id_col, ref_id, cosine) with ref_id the best-matching reference
-    vector (highest cosine, ties to the lowest ref id).
+    vector (highest cosine, ties to the lowest ref id; the argmax is
+    min(struct(-cosine, ref_id)), which realizes exactly that order).
     """
     # norms precomputed ONCE per side (identical IEEE expression to the
     # inline cosine — same ops on the same operands — so oracle floats
@@ -1213,19 +1218,27 @@ def semantic_decontamination(
         _dot(F.col(vec_col), F.col("__rv")),
         F.col("__tnorm") * F.col("__rnorm"),
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("__cos"), F.asc("__rid")
-    )
+    # argmax via min(struct(-cos, rid, cos)): smallest -cos = largest
+    # cos, ties break to the lowest rid; the third field just carries
+    # the original cosine back out (it can only be compared when
+    # (-cos, rid) ties, i.e. never across distinct ref rows). A struct
+    # min is a plain hash aggregate — partial (map-side) combine, one
+    # shuffled row per contaminated id, no window sort.
+    best = F.min(
+        F.struct(
+            (-F.col("__cos")).alias("neg"),
+            F.col("__rid").alias("rid"),
+            F.col("__cos").alias("cos"),
+        )
+    ).alias("__best")
     return (
         joined.withColumn("__cos", cos)
         .filter(F.col("__cos") >= threshold)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(best)
         .select(
             id_col,
-            F.col("__rid").alias("ref_id"),
-            F.col("__cos").alias("cosine"),
+            F.col("__best.rid").alias("ref_id"),
+            F.col("__best.cos").alias("cosine"),
         )
     )

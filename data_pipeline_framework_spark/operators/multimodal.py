@@ -564,7 +564,8 @@ def audio_features(
 def dhash_grid_dims(max_bits: int) -> tuple[int, int]:
     """(rows, cols) of the dHash comparison grid: rows * cols ==
     max_bits with rows the largest divisor <= sqrt(max_bits) — 56 ->
-    (7, 8), 64 -> (8, 8)."""
+    (7, 8), 63 -> (7, 9). dhash_images caps max_bits at 63 (signed
+    int64 packing)."""
     r = math.isqrt(max_bits)
     while max_bits % r:
         r -= 1
@@ -617,7 +618,17 @@ def dhash_images(
 
     Arrow-batched mapInPandas: byte-level codec work is inherently
     per-blob Python, everything after the hash column is JVM-side.
+
+    ``max_bits`` is capped at 63: the hash packs into a SIGNED int64
+    column, and the fixed-grid resize emits exactly max_bits bits, so
+    a 64-bit grid would deterministically set bit 63 and overflow the
+    Arrow LongType conversion. 63 = a 7x9 comparison grid, the classic
+    dHash density.
     """
+    if not (1 <= max_bits <= 63):
+        raise ValueError(
+            f"max_bits must be in [1, 63] (signed int64 packing), got {max_bits}"
+        )
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField("dhash", T.LongType())]
     )

@@ -114,11 +114,19 @@ def scd2_plan(
     keys: list[str],
     effective_col: str,
     compare_cols: list[str] | None = None,
+    broadcast_key_limit: int = 2_000_000,
 ) -> DataFrame:
     """Lazy SCD2 merge plan (the semantics documented on scd2_merge):
     returns the full new history DataFrame for ``hist`` (None
     bootstraps) merged with ``updates``. Split out so the batch writer
-    and the streaming foreachBatch twin share one implementation."""
+    and the streaming foreachBatch twin share one implementation.
+
+    The update batch's key set is broadcast into the history joins only
+    when the batch is small (``updates.count() <= broadcast_key_limit``
+    — one cheap narrow scan, right for CDC micro-batches where the hint
+    saves three shuffles of the full history). A large backfill merge
+    skips the hint and lets AQE pick the join strategy, so a
+    billion-key update can't blow the executor broadcast budget."""
     from pyspark.sql.window import Window
 
     meta = ["valid_from", "valid_to", "is_current"]
@@ -135,6 +143,13 @@ def scd2_plan(
     cmp_cols = compare_cols or [
         c for c in payload if c not in keys and c != effective_col
     ]
+    if not cmp_cols:
+        raise ValueError(
+            "no attribute columns to compare: the payload is only keys "
+            "+ effective_col, so every later version would be suppressed "
+            "as a consecutive duplicate; pass compare_cols explicitly or "
+            "add attribute columns"
+        )
 
     ups = (
         updates.select(*payload)
@@ -143,17 +158,19 @@ def scd2_plan(
     )
     untouched = None
     if hist is not None:
+        small_batch = updates.count() <= broadcast_key_limit
+        hint = F.broadcast if small_batch else (lambda d: d)
         batch_keys = ups.select(*keys).distinct()
-        untouched = hist.join(F.broadcast(batch_keys), keys, "left_anti")
+        untouched = hist.join(hint(batch_keys), keys, "left_anti")
         touched = (
-            hist.join(F.broadcast(batch_keys), keys, "left_semi")
+            hist.join(hint(batch_keys), keys, "left_semi")
             .select(*payload, F.col("valid_from").alias("__eff"))
         )
         # an update at a stored version's exact effective REPLACES it —
         # otherwise the two rows tie in the window order and the kept
         # one would be partition-dependent
         touched = touched.join(
-            F.broadcast(ups.select(*keys, "__eff").distinct()),
+            hint(ups.select(*keys, "__eff").distinct()),
             keys + ["__eff"],
             "left_anti",
         )

@@ -291,3 +291,66 @@ def test_scd2_merge_same_effective_correction(spark, tmp_path):
         ("berlin", t(1), t(5), False),
         ("hamburg", t(5), None, True),
     ]
+
+
+def test_scd2_plan_empty_compare_cols_raises(spark):
+    """payload consisting only of keys + effective_col leaves nothing
+    to compare — same_as_prev would degenerate to lit(True) and every
+    later version would be silently suppressed; must refuse instead."""
+    import datetime as dt
+
+    from data_pipeline_framework_spark.sinks.maintenance import scd2_plan
+
+    ups = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "id long, eff timestamp"
+    )
+    with pytest.raises(ValueError, match="no attribute columns"):
+        scd2_plan(None, ups, ["id"], "eff")
+
+
+def test_scd2_plan_broadcast_gated_by_batch_size(spark, tmp_path):
+    """the update batch's key set broadcasts only for small batches:
+    above broadcast_key_limit the hint is dropped so a huge backfill
+    can't blow the executor broadcast budget. Plan-asserted both ways
+    with auto-broadcast disabled so only the explicit hint can produce
+    a BroadcastHashJoin."""
+    import datetime as dt
+
+    from data_pipeline_framework_spark.sinks.maintenance import (
+        scd2_merge,
+        scd2_plan,
+    )
+
+    path = str(tmp_path / "dim_bcast")
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    scd2_merge(
+        spark, path,
+        spark.createDataFrame(
+            [(i, f"c{i}", t(1)) for i in range(50)],
+            "id long, city string, eff timestamp",
+        ),
+        ["id"], "eff",
+    )
+    hist = spark.read.parquet(path)
+    ups = spark.createDataFrame(
+        [(i, f"n{i}", t(5)) for i in range(50)],
+        "id long, city string, eff timestamp",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = scd2_plan(hist, ups, ["id"], "eff")
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_small
+
+        big = scd2_plan(
+            hist, ups, ["id"], "eff", broadcast_key_limit=10
+        )
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big
+        # and the gated plan still produces the identical history
+        a = sorted(map(tuple, small.collect()))
+        b = sorted(map(tuple, big.collect()))
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -267,6 +267,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
+            cache.pop(name, None)
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(spdf)} (no oracle) [{time.time()-t0:.1f}s]")
@@ -277,6 +278,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
+            cache.pop(name, None)
             continue
         problems = compare(name, spdf, opdf)
         if problems:
