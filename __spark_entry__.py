@@ -5401,6 +5401,28 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_count_32k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """learned-BPE token counts with the PRODUCTION-SCALE 32,768-merge
+    vocabulary (resources/bpe_merges_32k.txt, trained on public
+    stdlib+pyspark source text by tools/train_bpe_32k.py). Exercises the
+    rank-priority Arrow encode — the only engine whose cost is flat in
+    merge count (measured 0.44 s vs 0.41 s for the 48-merge table at
+    sf0.1). Oracle: the SEQUENTIAL chained-replace spec replayed per
+    DISTINCT word in DuckDB via one list_reduce fold over the ordered
+    merges list — a different algorithm than the engine's rank-priority
+    encode, so the hash match is a genuine cross-check of the
+    equivalence, not a replay."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        bpe_token_count,
+        merges_32k,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_token_count(docs, "text", merges=merges_32k()).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
 def _cells_for(emb) -> int:
     """IVF contract: cell count grows with the corpus (Σ cell² work
     stays ~linear). Anchored at 8 cells for the 500-vector sf0.01
@@ -5842,6 +5864,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shard_packing": token_shard_packing,
         "length_batch_packing": length_batch_packing,
         "bpe_token_counts": bpe_token_counts,
+        "bpe_token_count_32k": bpe_token_count_32k,
         "bpe_shard_packing": bpe_shard_packing,
         "bpe_vocab_usage": bpe_vocab_usage,
         "benchmark_decontamination": benchmark_decontamination,
@@ -6023,6 +6046,65 @@ def _bpe_stream_sql() -> str:
     )
 
     return bpe_stream_sql("text")
+
+
+def _bpe32k_count_oracle() -> str:
+    """Value oracle for the 32,768-merge vocabulary. A chained-replace
+    twin (one nested replace per merge, the 48-merge oracles' shape)
+    would be a 32K-deep expression; instead this replays the SAME
+    sequential one-pass-per-merge spec per DISTINCT word with a single
+    list_reduce fold over the rank-ordered merges list, then joins the
+    per-word token counts back to per-doc word multiplicities (merges
+    never cross a word boundary, so per-word == whole-stream encoding —
+    the module's documented spec). The engine side uses rank-priority
+    encoding, a different algorithm, so this is a genuine cross-check."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        merges_32k,
+    )
+
+    vals = ", ".join(
+        f"({i},'{a} {b}')" for i, (a, b) in enumerate(merges_32k())
+    )
+    return f"""
+        WITH mt(i, p) AS (VALUES {vals}),
+        ml AS (SELECT list(p ORDER BY i) AS l FROM mt),
+        w AS (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+            FROM documents
+        ),
+        wc AS (
+            SELECT doc_id, w, count(*) AS n FROM w
+            WHERE w <> '' GROUP BY 1, 2
+        ),
+        dw AS (SELECT DISTINCT w FROM wc),
+        enc AS (
+            SELECT w,
+                   list_reduce(
+                       list_prepend(
+                           regexp_replace(w, '([a-z0-9])', '(\\1)', 'g'),
+                           (SELECT l FROM ml)),
+                       (acc, x) -> replace(acc,
+                           '(' || split_part(x, ' ', 1) || ')('
+                               || split_part(x, ' ', 2) || ')',
+                           '(' || split_part(x, ' ', 1)
+                               || split_part(x, ' ', 2) || ')')
+                   ) AS s
+            FROM dw
+        ),
+        fin AS (
+            SELECT w, length(s) - length(replace(s, '(', '')) AS toks
+            FROM enc
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(sum(wc.n * fin.toks), 0) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents d
+        LEFT JOIN wc ON wc.doc_id = d.doc_id
+        LEFT JOIN fin ON fin.w = wc.w
+        GROUP BY d.doc_id
+    """
 _DD_HASH = "CAST(('0x' || substr(md5({x}), 1, 13)) AS BIGINT)"
 _DD_SHINGLES = f"""
     list_distinct(list_transform(
@@ -8139,6 +8221,7 @@ def oracle_sql() -> dict[str, str]:
                                  0) AS BIGINT) AS n_bpe_tokens
             FROM s
         """,
+        "bpe_token_count_32k": _bpe32k_count_oracle(),
         "bpe_shard_packing": f"""
             WITH s AS (
                 SELECT doc_id, {_bpe_stream_sql()} AS st FROM documents

@@ -32,6 +32,7 @@ _WIDE = {
     "stratified_sample_docs", "token_shard_packing", "kmeans_lloyd",
     "benchmark_decontamination", "domain_quota_cap",
     "duplicate_span_flags", "bpe_token_counts", "bpe_shard_packing",
+    "bpe_token_count_32k",
     "media_jpeg_roundtrip", "keyword_extraction", "semantic_dedup_keep",
     "holt_trend_smoothing", "funnel_user_stages",
     "bloom_url_membership", "duplicate_span_removal",
@@ -176,6 +177,8 @@ HEADLINE = [
     "supplier_price_trends",
     "corpus_fingerprint",
     "semantic_decontamination_flags",
+    # round-6 additions
+    "bpe_token_count_32k",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to
@@ -282,6 +285,17 @@ def main() -> None:
         }
 
     print(json.dumps(payload))
+
+    # durable copy: the driver's BENCH artifact truncates stdout to a
+    # ~2000-char tail, which preserves only the last ~30 per-query
+    # timings. Write the complete payload to a committed file so every
+    # number survives for cross-round comparison.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

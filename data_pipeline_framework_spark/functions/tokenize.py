@@ -64,9 +64,11 @@ __all__ = [
     "bpe_tokenize",
     "default_merges",
     "load_merges",
+    "merges_32k",
     "save_merges",
     "train_bpe_merges",
     "train_bpe_merges_distributed",
+    "train_bpe_merges_from_counts",
 ]
 
 _NORM_RE = "[^a-z0-9]+"
@@ -107,11 +109,83 @@ def _encode_word(word: str, merges: tuple[tuple[str, str], ...]) -> str:
     wrap chars as '(c)(c)', then one leftmost-nonoverlapping replace
     per merge in rank order — str.replace has exactly the semantics of
     Spark's `replace`, and merges never cross the word boundary, so
-    per-word encoding equals whole-stream encoding."""
+    per-word encoding equals whole-stream encoding. Cost is linear in
+    merge count; the SPEC reference, not the production encode (see
+    _word_tokens)."""
     s = "".join(f"({ch})" for ch in word)
     for a, b in merges:
         s = s.replace(f"({a})({b})", f"({a}{b})")
     return s
+
+
+def _table_safe(merges: Iterable[tuple[str, str]]) -> bool:
+    """True iff no merge's PRODUCT equals a multi-char OPERAND of an
+    earlier merge. For such tables the sequential one-pass-per-merge
+    spec equals rank-priority encoding (_encode_word_ranked): a pass
+    for merge r can only become re-applicable if a LATER merge creates
+    one of r's operands, which is exactly what this check rules out.
+    Every table produced by this module's trainers is safe by
+    construction (a merge's operands are tokens that already exist at
+    its training round, and its product is new)."""
+    ops_multi: set[str] = set()
+    for a, b in merges:
+        if a + b in ops_multi:
+            return False
+        if len(a) > 1:
+            ops_multi.add(a)
+        if len(b) > 1:
+            ops_multi.add(b)
+    return True
+
+
+def _encode_word_ranked(
+    word: str,
+    merges: tuple[tuple[str, str], ...],
+    ranks: dict[tuple[str, str], int],
+) -> list[str]:
+    """Rank-priority encode of ONE word: repeatedly find the
+    lowest-rank merge whose pair is present and apply it to all
+    leftmost-nonoverlapping occurrences. O(len(word)^2) and — the
+    point — INDEPENDENT of merge-table size, so a 32K-merge production
+    vocab encodes as fast as the packaged 48-merge one. Equals the
+    sequential chained-replace spec whenever the table passes
+    _table_safe (pytest pins the equivalence on trained tables and on
+    random corpora)."""
+    sym: list[str] = list(word)
+    while len(sym) > 1:
+        best = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        out: list[str] = []
+        i = 0
+        n = len(sym)
+        while i < n:
+            if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def _word_tokens(
+    word: str,
+    merges: tuple[tuple[str, str], ...],
+    ranks: dict[tuple[str, str], int] | None,
+) -> list[str]:
+    """Token list for one word: the rank-priority fast path when the
+    table is safe (ranks is not None), else the sequential spec."""
+    if ranks is not None:
+        return _encode_word_ranked(word, merges, ranks)
+    enc = _encode_word(word, merges)
+    return enc[1:-1].split(")(") if enc else []
 
 
 class BPETokenizer:
@@ -145,6 +219,17 @@ class BPETokenizer:
         if engine not in ("auto", "jvm", "arrow"):
             raise ValueError(f"unknown engine: {engine!r}")
         self.engine = engine
+        # rank-priority fast path (flat in merge count) is valid only
+        # for safe tables; an unsafe user-supplied table falls back to
+        # the sequential chained-replace spec per word. Duplicate pairs
+        # keep their FIRST rank (later duplicates are no-ops).
+        if _table_safe(self.merges):
+            ranks: dict[tuple[str, str], int] = {}
+            for i, p in enumerate(self.merges):
+                ranks.setdefault((p[0], p[1]), i)
+            self._ranks: dict[tuple[str, str], int] | None = ranks
+        else:
+            self._ranks = None
 
     @property
     def resolved_engine(self) -> str:
@@ -190,6 +275,7 @@ class BPETokenizer:
         from pyspark.sql.functions import pandas_udf
 
         merges = tuple(self.merges)
+        ranks = self._ranks
 
         def _cnt(s):
             cache: dict[str, int] = {}
@@ -197,7 +283,7 @@ class BPETokenizer:
             def wc(w: str) -> int:
                 n = cache.get(w)
                 if n is None:
-                    n = _encode_word(w, merges).count("(")
+                    n = len(_word_tokens(w, merges, ranks))
                     cache[w] = n
                 return n
 
@@ -214,6 +300,7 @@ class BPETokenizer:
         from pyspark.sql.functions import pandas_udf
 
         merges = tuple(self.merges)
+        ranks = self._ranks
 
         def _toks(s):
             cache: dict[str, list[str]] = {}
@@ -221,8 +308,7 @@ class BPETokenizer:
             def wt(w: str) -> list[str]:
                 t = cache.get(w)
                 if t is None:
-                    enc = _encode_word(w, merges)
-                    t = enc[1:-1].split(")(") if enc else []
+                    t = _word_tokens(w, merges, ranks)
                     cache[w] = t
                 return t
 
@@ -366,6 +452,87 @@ def _merge_once(sym: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+def train_bpe_merges_from_counts(
+    words: Counter[str] | dict[str, int],
+    n_merges: int,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Frequency-greedy BPE over a word-frequency table. Semantics are
+    the classic loop — each round counts every adjacent symbol pair
+    (overlaps included, weighted by word count), picks the best by
+    (count desc, pair asc), and applies one leftmost-nonoverlapping
+    merge pass — but implemented INCREMENTALLY so a production-size
+    vocabulary (32K+ merges) trains in minutes, not days:
+
+    * an inverted index pair -> {word ids containing it} restricts each
+      round's update to the words the chosen pair actually touches,
+    * pair counts are maintained by signed deltas from those words only,
+    * the argmax is a lazy max-heap keyed (-count, pair) — stale
+      entries (count changed since push) are discarded on pop, so the
+      pop order realizes exactly the classic tie-break.
+
+    A naive round is O(|vocab| * avg_len); this is O(touched words)
+    per round, which for Zipfian text shrinks geometrically with rank.
+    Output is IDENTICAL to the naive loop (pytest-pinned)."""
+    import heapq
+
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    syms: list[tuple[str, ...]] = []
+    cnts: list[int] = []
+    for w, c in words.items():
+        if w:
+            syms.append(tuple(w))
+            cnts.append(int(c))
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wid, sym in enumerate(syms):
+        c = cnts[wid]
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            index.setdefault(p, set()).add(wid)
+    heap = [(-n, p) for p, n in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:
+                best = p
+                break
+        if best is None or pair_counts[best] < min_count:
+            break
+        merges.append(best)
+        changed: set[tuple[str, str]] = set()
+        for wid in list(index.get(best, ())):
+            sym = syms[wid]
+            c = cnts[wid]
+            new = _merge_once(sym, *best)
+            syms[wid] = new
+            old_p = Counter(zip(sym, sym[1:]))
+            new_p = Counter(zip(new, new[1:]))
+            for p in old_p.keys() | new_p.keys():
+                d = new_p.get(p, 0) - old_p.get(p, 0)
+                if d:
+                    pair_counts[p] = pair_counts.get(p, 0) + d * c
+                    changed.add(p)
+                if new_p.get(p, 0) == 0:
+                    index.get(p, set()).discard(wid)
+                elif old_p.get(p, 0) == 0:
+                    index.setdefault(p, set()).add(wid)
+        for p in changed:
+            n = pair_counts.get(p, 0)
+            if n > 0:
+                heapq.heappush(heap, (-n, p))
+            else:
+                pair_counts.pop(p, None)
+                index.pop(p, None)
+    return merges
+
+
 def train_bpe_merges(
     df: DataFrame,
     text_col: str,
@@ -377,7 +544,8 @@ def train_bpe_merges(
     (orderBy(order_col).limit(max_train_docs) — a TakeOrdered, so the
     sample and therefore the merges are stable across partitionings).
     Driver memory is bounded by the sample's word-frequency table, not
-    the corpus. Ties break (count desc, pair asc)."""
+    the corpus. Ties break (count desc, pair asc). The greedy loop is
+    the incremental train_bpe_merges_from_counts."""
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
     sample = df.select(F.col(text_col).alias("__t"))
@@ -393,27 +561,7 @@ def train_bpe_merges(
     for r in rows:
         if r["__n"]:
             words.update(r["__n"].split(" "))
-    vocab: dict[tuple[str, ...], int] = {
-        tuple(w): c for w, c in words.items() if w
-    }
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: Counter[tuple[str, str]] = Counter()
-        for sym, c in vocab.items():
-            for i in range(len(sym) - 1):
-                pairs[(sym[i], sym[i + 1])] += c
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pairs[best] < 2:
-            break
-        merges.append(best)
-        nxt: dict[tuple[str, ...], int] = {}
-        for sym, c in vocab.items():
-            m = _merge_once(sym, *best)
-            nxt[m] = nxt.get(m, 0) + c
-        vocab = nxt
-    return merges
+    return train_bpe_merges_from_counts(words, n_merges)
 
 
 def train_bpe_merges_distributed(
@@ -514,12 +662,10 @@ def load_merges(path: str) -> list[tuple[str, str]]:
     return out
 
 
-def default_merges() -> list[tuple[str, str]]:
-    """The packaged merges table (trained once on the sf0.001 documents
-    sample by tools/train_bpe.py and committed as a resource)."""
+def _packaged_merges(name: str) -> list[tuple[str, str]]:
     ref = _importlib_resources.files(
         "data_pipeline_framework_spark.resources"
-    ).joinpath("bpe_merges.txt")
+    ).joinpath(name)
     out: list[tuple[str, str]] = []
     for line in ref.read_text(encoding="utf-8").splitlines():
         if not line or line.startswith("#"):
@@ -527,6 +673,23 @@ def default_merges() -> list[tuple[str, str]]:
         a, b = line.split(" ")
         out.append((a, b))
     return out
+
+
+def default_merges() -> list[tuple[str, str]]:
+    """The packaged merges table (trained once on the sf0.001 documents
+    sample by tools/train_bpe.py and committed as a resource)."""
+    return _packaged_merges("bpe_merges.txt")
+
+
+def merges_32k() -> list[tuple[str, str]]:
+    """The packaged PRODUCTION-SCALE merges table: 32,768 merges trained
+    by tools/train_bpe_32k.py on the public Python-stdlib + PySpark
+    source corpus (~22M words, 262K distinct). Three orders of magnitude
+    bigger than default_merges — the realistic-vocab regime where the
+    rank-priority Arrow encode (flat in merge count) is the only viable
+    engine; agreement with the sequential chained-replace spec is
+    pytest-pinned on this exact table."""
+    return _packaged_merges("bpe_merges_32k.txt")
 
 
 # ------------------------------------------------------------ DataFrame API

@@ -320,3 +320,138 @@ def test_bpe_tokenize_roundtrips_count(spark):
     a = {r["id"]: r["n"] for r in out.collect()}
     b = {r["id"]: r["n_bpe_tokens"] for r in cnt.collect()}
     assert a == b
+
+
+# --------------------------------------------------- production-scale vocab
+
+
+def _naive_train(words, n_merges, min_count=2):
+    """The classic O(|vocab|) per-round greedy loop — the reference the
+    incremental trainer must reproduce exactly."""
+    from collections import Counter
+
+    from data_pipeline_framework_spark.functions.tokenize import (
+        _merge_once,
+    )
+
+    vocab = {tuple(w): c for w, c in words.items() if w}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_count:
+            break
+        merges.append(best)
+        nxt = {}
+        for sym, c in vocab.items():
+            m = _merge_once(sym, *best)
+            nxt[m] = nxt.get(m, 0) + c
+        vocab = nxt
+    return merges
+
+
+def test_incremental_trainer_matches_naive_loop():
+    """train_bpe_merges_from_counts (heap + inverted index) must be
+    bit-identical to the naive loop — counts, tie-breaks, stop
+    condition — across random corpora with heavy pair collisions."""
+    import random
+    from collections import Counter
+
+    from data_pipeline_framework_spark.functions.tokenize import (
+        train_bpe_merges_from_counts,
+    )
+
+    rng = random.Random(20240815)
+    for trial in range(12):
+        alpha = "ab" if trial % 3 == 0 else "abcde"
+        words = Counter()
+        for _ in range(rng.randint(5, 150)):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 12))
+            )
+            words[w] += rng.randint(1, 5)
+        nm = rng.randint(1, 64)
+        assert train_bpe_merges_from_counts(words, nm) == _naive_train(
+            words, nm
+        ), f"trial {trial}"
+
+
+def test_ranked_encode_equals_sequential_spec_on_32k_table():
+    """the rank-priority fast path (flat in merge count) must produce
+    the EXACT token sequence of the sequential one-pass-per-merge spec
+    on the committed 32,768-merge production table — checked on real
+    corpus words and on adversarial synthetic ones."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        _encode_word,
+        _encode_word_ranked,
+        _table_safe,
+        merges_32k,
+    )
+
+    table = merges_32k()
+    assert len(table) == 32_768
+    assert _table_safe(table)
+    merges = tuple(table)
+    ranks = {}
+    for i, p in enumerate(merges):
+        ranks.setdefault(p, i)
+
+    words = [
+        "lorem", "ipsum", "shipping", "warehouse", "analytics",
+        "tokenization", "pretraining", "deduplication", "connection",
+        "configuration", "serialization", "x", "qq", "3290a",
+        "aaaaaaaa", "abababab", "datasetfingerprint", "zzzzzzzzzz",
+        "internationalization", "supercalifragilistic",
+    ]
+    for w in words:
+        seq = _encode_word(w, merges)
+        seq_toks = seq[1:-1].split(")(") if seq else []
+        assert _encode_word_ranked(w, merges, ranks) == seq_toks, w
+
+
+def test_unsafe_table_falls_back_to_sequential():
+    """a user table where a later merge produces an earlier merge's
+    operand is NOT rank-priority-safe: the tokenizer must detect it and
+    use the sequential spec (rank-priority would over-merge)."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        _table_safe,
+        _word_tokens,
+    )
+
+    unsafe = [("ab", "c"), ("a", "b")]
+    assert not _table_safe(unsafe)
+    tok = BPETokenizer(unsafe, engine="arrow")
+    assert tok._ranks is None
+    # sequential: pass 0 finds no (ab, c); pass 1 makes [ab, c] -> 2
+    # tokens. rank-priority would continue to [abc] -> 1 token.
+    assert _word_tokens("abc", tuple(unsafe), None) == ["ab", "c"]
+
+
+def test_32k_vocab_spark_count_matches_driver_reference(spark):
+    """end-to-end: the Arrow rank-priority engine under Spark returns
+    the sequential-spec count for every row, on the production table."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        merges_32k,
+    )
+
+    table = merges_32k()
+    texts = [
+        ("Lorem ipsum dolor sit amet, consectetur adipiscing elit!",),
+        ("Warehouse shipping manifest #3290A — priority: HIGH",),
+        ("",),
+        (None,),
+        ("the quick brown fox jumps over the lazy dog",),
+    ]
+    df = spark.createDataFrame(texts, "text string")
+    got = [
+        r["n_bpe_tokens"]
+        for r in bpe_token_count(df, "text", merges=table)
+        .select("n_bpe_tokens").collect()
+    ]
+    want = [len(py_encode(t[0], table)) for t in texts]
+    assert got == want
