@@ -2905,12 +2905,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding near-dup pairs (cosine >= 0.35) with LSH candidates then
-    exact rerank (rows-only: plane constants live in engine code)."""
+    """embedding near-dup pairs (cosine >= 0.35): LSH-block candidates
+    then exact rerank, with corpus-adaptive signature width
+    (_planes_for) so candidate volume stays linear in corpus size.
+    Oracle replays the same planes + block keys via a CASE on count."""
     from data_pipeline_framework_spark.functions import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.embedding_neardup_pairs(emb, threshold=0.35, dim=64)
+    out = SIM.embedding_neardup_pairs(
+        emb, threshold=0.35, dim=64, n_planes=_planes_for(emb)
+    )
     return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
 
 
@@ -5438,6 +5442,23 @@ def _cells_for(emb) -> int:
 # — the literal expression is O(n_cells*dim) per row and outgrows codegen
 
 
+def _planes_for(emb) -> int:
+    """LSH contract (the twin of _cells_for): signature bits per block
+    grow ~log2 with the corpus so bucket populations — and therefore
+    per-block candidate pairs — stay LINEAR in corpus size instead of
+    quadratic. Anchored at 16 planes (4 blocks x 4 bits) for the
+    500-vector sf0.01 fixture so the statically generated oracles stay
+    bit-exact where the driver checks them; sf0.1's 2000 vectors get
+    24 planes (4 x 6 bits), sf1's 20K get 40, sf10's 200K get 52 —
+    the oracle replays the rule with a CASE on corpus count for the
+    gate SFs (see _lsh_blocks_sql)."""
+    import math
+
+    n = emb.count()
+    bits = 4 + max(0, math.ceil(math.log2(max(n, 500) / 500)))
+    return 4 * bits
+
+
 def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """contrastive hard-negative mining: per anchor vector the top-3
     nearest different-label vectors within its codebook cell (the
@@ -5586,7 +5607,9 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = SIM.embedding_neardup_pairs(emb, threshold=0.35, dim=64)
+    pairs = SIM.embedding_neardup_pairs(
+        emb, threshold=0.35, dim=64, n_planes=_planes_for(emb)
+    )
     labels = DD.connected_components(pairs)
     w = Window.partitionBy("component")
     return labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
@@ -6646,23 +6669,44 @@ def _ann_lsh_oracle() -> str:
     """
 
 
-def _embedding_neardup_oracle() -> str:
-    """DuckDB twin of queries()['embedding_neardup']: block-bucket
-    self-join candidates, exact cosine >= 0.35."""
+def _lsh_blocks_sql() -> str:
+    """csig/cb CTE fragment with CORPUS-ADAPTIVE signature width,
+    mirroring queries' _planes_for at the gate SFs: <= 500 vectors ->
+    16 planes / 4-bit block keys (sf0.001, sf0.01), <= 2000 -> 24
+    planes / 6-bit keys (sf0.1). Larger SFs are bench-only and never
+    oracle-compared; the Python rule keeps growing there. Expects a
+    preceding CTE ``c(vec_id, v)``."""
     from data_pipeline_framework_spark.functions.similarity import hyperplanes
 
-    sig = _lsh_sig_sql(hyperplanes(64, 16, seed=42))
+    sig16 = _lsh_sig_sql(hyperplanes(64, 16, seed=42))
+    sig24 = _lsh_sig_sql(hyperplanes(64, 24, seed=42))
     return f"""
-        WITH c AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        nsel AS (
+            SELECT count(*) <= 500 AS small FROM embeddings
         ), csig AS (
-            SELECT vec_id, v, {sig} AS sig FROM c
+            SELECT vec_id, v,
+                   CASE WHEN (SELECT small FROM nsel)
+                        THEN {sig16} ELSE {sig24} END AS sig,
+                   CASE WHEN (SELECT small FROM nsel)
+                        THEN 4 ELSE 6 END AS bits
+            FROM c
         ), blks AS (
             SELECT unnest([0, 1, 2, 3]) AS blk
         ), cb AS (
-            SELECT vec_id, v, blk, (sig >> (blk * 4)) & 15 AS key
+            SELECT vec_id, v, blk,
+                   (sig >> (blk * bits)) & ((1 << bits) - 1) AS key
             FROM csig, blks
-        ), cand AS (
+        )"""
+
+
+def _embedding_neardup_oracle() -> str:
+    """DuckDB twin of queries()['embedding_neardup']: block-bucket
+    self-join candidates (corpus-adaptive signature width, see
+    _lsh_blocks_sql), exact cosine >= 0.35."""
+    return f"""
+        WITH c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), {_lsh_blocks_sql()}, cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
             FROM cb a JOIN cb b
               ON a.blk = b.blk AND a.key = b.key AND a.vec_id < b.vec_id
@@ -6678,23 +6722,13 @@ def _embedding_neardup_oracle() -> str:
 
 
 def _semantic_clusters_oracle() -> str:
-    """Embedding near-dup pairs chained into recursive-CTE
-    reachability: component = min vec_id reachable via pairs with
-    cosine >= 0.35."""
-    from data_pipeline_framework_spark.functions.similarity import hyperplanes
-
-    sig = _lsh_sig_sql(hyperplanes(64, 16, seed=42))
+    """Embedding near-dup pairs (corpus-adaptive signature width, see
+    _lsh_blocks_sql) chained into recursive-CTE reachability:
+    component = min vec_id reachable via pairs with cosine >= 0.35."""
     return f"""
         WITH RECURSIVE c AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        ), csig AS (
-            SELECT vec_id, v, {sig} AS sig FROM c
-        ), blks AS (
-            SELECT unnest([0, 1, 2, 3]) AS blk
-        ), cb AS (
-            SELECT vec_id, v, blk, (sig >> (blk * 4)) & 15 AS key
-            FROM csig, blks
-        ), cand AS (
+        ), {_lsh_blocks_sql()}, cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
             FROM cb a JOIN cb b
               ON a.blk = b.blk AND a.key = b.key AND a.vec_id < b.vec_id

@@ -295,11 +295,32 @@ def ivf_index(
     return assigned, centers
 
 
+def _mean_assigned_dist(assigned: DataFrame, centers) -> float:
+    """Mean squared-L2 distance from each indexed vector to its
+    assigned centroid — ONE map-side aggregate (centroid looked up from
+    a literal array by cell id), no joins, no driver funnel."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+    cv = F.element_at(cent_lit, F.col("__cell") + 1)
+    d2 = (
+        _dot(F.col("__v"), F.col("__v"))
+        - 2.0 * _dot(F.col("__v"), cv)
+        + _dot(cv, cv)
+    )
+    row = assigned.agg(
+        F.avg(d2).alias("m"), F.count(F.lit(1)).alias("n")
+    ).first()
+    return float(row["m"] or 0.0)
+
+
 def write_ivf_index(
     index: tuple[DataFrame, list[list[float]]], path: str, mode: str = "overwrite"
 ) -> None:
     """Persist an ivf_index: assignments parquet `partitionBy("__cell")` +
-    the codebook as a one-row-per-cell parquet sidecar.
+    the codebook as a one-row-per-cell parquet sidecar + a stats sidecar
+    recording the TRAINING-TIME mean assigned distance (the staleness
+    baseline append_ivf_index compares against).
 
     Cell-partitioned layout is the at-scale probe story: a query touching
     nprobe cells scans ONLY those cells' files — Spark partition pruning,
@@ -311,6 +332,10 @@ def write_ivf_index(
         [(i, list(map(float, c))) for i, c in enumerate(centers)],
         "cell int, center array<double>",
     ).coalesce(1).write.mode(mode).parquet(f"{path}/codebook")
+    base = _mean_assigned_dist(assigned, centers)
+    spark.createDataFrame(
+        [(float(base),)], "baseline_mean_dist double"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/stats")
 
 
 def read_ivf_index(
@@ -322,6 +347,74 @@ def read_ivf_index(
     codebook = spark.read.parquet(f"{path}/codebook").orderBy("cell").collect()
     centers = [list(r["center"]) for r in codebook]
     return assigned, centers
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    retrain_ratio: float = 1.25,
+) -> dict:
+    """Incrementally grow a persisted IVF index — the continuous-crawl
+    path that was missing: a pipeline ingesting new embeddings every
+    hour must not retrain + re-assign the whole corpus per batch.
+
+    New vectors are assigned with the EXISTING codebook (one Arrow
+    map-side pass, exactly ivf_index's assignment stage) and appended
+    into the cell-partitioned layout, so searches through the updated
+    index are IDENTICAL to a from-scratch rebuild with the same
+    codebook (pytest-pinned). Cost is O(new batch), never O(corpus).
+
+    Drift control: the stats sidecar stores the training-time mean
+    squared distance to the assigned centroid. Each append recomputes
+    the mean over the batch; the returned ``staleness_ratio`` =
+    batch_mean / baseline_mean. A drifting corpus lands its new
+    vectors ever farther from the frozen centroids, inflating the
+    ratio — ``retrain_recommended`` fires above ``retrain_ratio``
+    (default 1.25), the documented retrain trigger: rebuild with
+    ivf_index + write_ivf_index, which resets the baseline.
+
+    Returns {n_added, baseline_mean_dist, batch_mean_dist,
+    staleness_ratio, retrain_recommended}.
+    """
+    existing, centers = read_ivf_index(spark, path)
+    assigned, _ = ivf_index(
+        new_corpus, id_col=id_col, vec_col=vec_col, centers=centers
+    )
+    assigned = assigned.persist()
+    n_added = assigned.count()
+    batch_mean = _mean_assigned_dist(assigned, centers)
+    assigned.write.mode("append").partitionBy("__cell").parquet(
+        f"{path}/cells"
+    )
+    assigned.unpersist()
+    try:
+        stats = spark.read.parquet(f"{path}/stats").first()
+        baseline = float(stats["baseline_mean_dist"])
+    except Exception:
+        # index written before the stats sidecar existed: baseline it
+        # once from the pre-append assignments (one-time O(corpus))
+        baseline = _mean_assigned_dist(
+            existing.select(
+                F.col(id_col),
+                F.col("__v"),
+                F.col("__cell").cast("int").alias("__cell"),
+            ),
+            centers,
+        )
+        spark.createDataFrame(
+            [(float(baseline),)], "baseline_mean_dist double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    ratio = (batch_mean / baseline) if baseline > 0 else float("inf")
+    return {
+        "n_added": int(n_added),
+        "baseline_mean_dist": baseline,
+        "batch_mean_dist": float(batch_mean),
+        "staleness_ratio": float(ratio),
+        "retrain_recommended": bool(ratio > retrain_ratio),
+    }
 
 
 def ivf_topk(

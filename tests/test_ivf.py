@@ -208,3 +208,90 @@ def test_semantic_dedup_arrow_assignment_matches_literal(spark):
         | (F.col("l.keep") != F.col("a.keep"))
     ).count() == 0
     lit.unpersist(); arw.unpersist()
+
+
+def test_append_ivf_index_matches_rebuild_and_flags_drift(spark, tmp_path):
+    """incremental append: (1) searching the appended index returns
+    EXACTLY what a from-scratch rebuild with the same codebook returns,
+    (2) an in-distribution batch reads ~1.0 staleness, (3) a drifted
+    batch trips the retrain trigger."""
+    import random
+
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    rng = random.Random(5)
+    base_rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)
+    ]
+    new_rows = [
+        (1000 + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(80)
+    ]
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_inc")
+    idx = SIM.ivf_index(base, n_cells=4, seed=11)
+    SIM.write_ivf_index(idx, path)
+
+    rep = SIM.append_ivf_index(spark, path, new)
+    assert rep["n_added"] == 80
+    # same distribution -> mean distance comparable to training time
+    assert 0.7 < rep["staleness_ratio"] < 1.3
+    assert not rep["retrain_recommended"]
+
+    # search through the updated index == rebuild with the SAME codebook
+    # over the union corpus
+    union = base.unionByName(new)
+    rebuilt = SIM.ivf_index(union, centers=idx[1])
+    loaded = SIM.read_ivf_index(spark, path)
+    qs = union.limit(4).selectExpr("vec_id as query_id", "embedding")
+    a = SIM.ivf_topk(union, qs, k=5, nprobe=2, index=loaded)
+    b = SIM.ivf_topk(union, qs, k=5, nprobe=2, index=rebuilt)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+    # and the appended rows actually landed in the persisted layout
+    assert loaded[0].count() == 380
+
+    # drifted batch (shifted far off every centroid) -> retrain fires
+    drifted = spark.createDataFrame(
+        [
+            (2000 + i, [rng.gauss(25, 1) for _ in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rep2 = SIM.append_ivf_index(spark, path, drifted)
+    assert rep2["staleness_ratio"] > 1.25
+    assert rep2["retrain_recommended"]
+
+
+def test_append_ivf_index_baselines_legacy_index(spark, tmp_path):
+    """an index persisted WITHOUT the stats sidecar (pre-lifecycle
+    layout) gets baselined from its existing assignments on first
+    append instead of failing."""
+    import random
+    import shutil
+
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    rng = random.Random(9)
+    base = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_legacy")
+    SIM.write_ivf_index(SIM.ivf_index(base, n_cells=4, seed=3), path)
+    shutil.rmtree(f"{path}/stats")  # simulate the old layout
+
+    new = spark.createDataFrame(
+        [(500 + i, [rng.gauss(0, 1) for _ in range(20)][:8]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    rep = SIM.append_ivf_index(spark, path, new)
+    assert rep["n_added"] == 30
+    assert 0.5 < rep["staleness_ratio"] < 1.5
+    # sidecar now exists for subsequent appends
+    assert spark.read.parquet(f"{path}/stats").count() == 1

@@ -36,16 +36,14 @@ import bench  # noqa: E402  (repo-root bench.py: HEADLINE + _WIDE)
 
 # exponent gate: anything >= this on a measurable query is a scaling bug
 MAX_EXPONENT = 1.2
-# Skipped at scale, with the reason recorded in the JSON — NOT a silent
-# cap: make_scale_data replicates every embedding 10x with an epsilon
-# perturbation, so each vector gains ~10 genuine near-duplicates and the
-# TRUE near-dup pair set grows ~100x per decade. A correct near-dup
-# clustering must emit all of them: its cost is output-bound and
-# super-linear BY CONSTRUCTION of the synthetic, telling us nothing
-# about engine scaling.
-SCALE_SKIP = {
-    "semantic_clusters": "output 100x/decade by replication construction",
-}
+# Nothing is skipped at scale any more: round 5 skipped
+# semantic_clusters because make_scale_data's epsilon-shifted embedding
+# copies made the TRUE near-dup pair set grow ~100x per decade (output-
+# bound by construction). The synthetic now rotates each copy (pairwise
+# structure preserved within a copy, cross-copy similarity is noise), so
+# true pairs grow linearly and the query's exponent measures the ENGINE
+# (with its corpus-adaptive LSH signature width), not the construction.
+SCALE_SKIP: dict[str, str] = {}
 # only gate queries whose small-SF time is above this (else overhead noise)
 MIN_MEASURABLE_SEC = 0.35
 

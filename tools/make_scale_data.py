@@ -82,9 +82,20 @@ def main() -> None:
                     "ELSE text || ' copysalt' || i END AS text"
                 )
             elif t == "embeddings" and c == "embedding":
+                # copy i = the vector CIRCULARLY ROTATED by 7*i dims.
+                # Rotation is a permutation (orthogonal), so every
+                # within-copy pairwise cosine — and therefore the true
+                # near-dup pair set — is preserved exactly per copy,
+                # while cross-copy cosines of 64-dim gaussians drop to
+                # ~N(0, 1/8) noise, far below the 0.35 thresholds. True
+                # pairs grow K-fold (linear, like a real corpus with a
+                # constant dup rate). The previous epsilon-shift made
+                # every copy a near-dup of its original, a 45-pairs-
+                # per-vector clique growing K^2-fold that measured the
+                # CONSTRUCTION, not the engine (round-5 verdict item 2).
                 sel.append(
-                    "list_transform(embedding, "
-                    "x -> x + CAST(i AS FLOAT) * 0.001) AS embedding"
+                    "list_concat(embedding[(i * 7) % 64 + 1 : 64], "
+                    "embedding[1 : (i * 7) % 64]) AS embedding"
                 )
             else:
                 sel.append(c)
