@@ -7051,23 +7051,43 @@ _KEYWORD_ORACLE = f"""
 """
 
 
-def _diversity_sample_oracle() -> str:
-    """DuckDB twin of queries()['diverse_prototype_sample']: the
-    semantic-dedup assignment CTE (literal-centroid argmin, ties to the
-    lowest cell), centroid cosine in the same dot/sqrt op order as
-    ann_cosine_topk, per-cell rank by (cosine desc, id)."""
+def _adaptive_cent_sql() -> str:
+    """cent CTE fragment mirroring queries' _cells_for at the gate SFs:
+    the 8-cell seeded codebook at <= 500 vectors (sf0.001/sf0.01), the
+    32-cell one at <= 2000 (sf0.1). Larger SFs are bench-only and never
+    oracle-compared; the Python rule keeps growing there."""
     from data_pipeline_framework_spark.functions.similarity import fixed_codebook
 
-    cents = fixed_codebook(64, n_cells=8, seed=7)
-    cent_rows = ", ".join(
-        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(cents)
+    rows8 = ", ".join(
+        f"({i}, {_sql_dlist(c)})"
+        for i, c in enumerate(fixed_codebook(64, n_cells=8, seed=7))
     )
+    rows32 = ", ".join(
+        f"({i}, {_sql_dlist(c)})"
+        for i, c in enumerate(fixed_codebook(64, n_cells=32, seed=7))
+    )
+    return f"""cent8(cell, cv) AS (VALUES {rows8}),
+        cent32(cell, cv) AS (VALUES {rows32}),
+        cent_sel AS (SELECT count(*) <= 500 AS small FROM embeddings),
+        cent AS (
+            SELECT * FROM cent8 WHERE (SELECT small FROM cent_sel)
+            UNION ALL
+            SELECT * FROM cent32 WHERE NOT (SELECT small FROM cent_sel)
+        )"""
+
+
+def _diversity_sample_oracle() -> str:
+    """DuckDB twin of queries()['diverse_prototype_sample']: the
+    semantic-dedup assignment CTE (centroid argmin, ties to the
+    lowest cell; corpus-adaptive codebook, see _adaptive_cent_sql),
+    centroid cosine in the same dot/sqrt op order as ann_cosine_topk,
+    per-cell rank by (cosine desc, id)."""
     d2 = (
         "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
         " + list_dot_product(cent.cv, cent.cv)"
     )
     return f"""
-        WITH cent(cell, cv) AS (VALUES {cent_rows}),
+        WITH {_adaptive_cent_sql()},
         c AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ), cassign AS (
@@ -7099,15 +7119,10 @@ def _diversity_sample_oracle() -> str:
 
 
 def _semantic_dedup_oracle() -> str:
-    """DuckDB twin of queries()['semantic_dedup_keep']: literal-centroid
-    argmin assignment (ties to the lowest cell, as the struct array_min),
-    within-cell lower-id pairing at cosine >= 0.35."""
-    from data_pipeline_framework_spark.functions.similarity import fixed_codebook
-
-    cents = fixed_codebook(64, n_cells=8, seed=7)
-    cent_rows = ", ".join(
-        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(cents)
-    )
+    """DuckDB twin of queries()['semantic_dedup_keep']: centroid argmin
+    assignment (ties to the lowest cell, as the struct array_min;
+    corpus-adaptive codebook, see _adaptive_cent_sql), within-cell
+    lower-id pairing at cosine >= 0.35."""
     d2 = (
         "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
         " + list_dot_product(cent.cv, cent.cv)"
@@ -7118,7 +7133,7 @@ def _semantic_dedup_oracle() -> str:
         "sqrt(list_dot_product(b.v, b.v)))"
     )
     return f"""
-        WITH cent(cell, cv) AS (VALUES {cent_rows}),
+        WITH {_adaptive_cent_sql()},
         c AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ), cassign AS (
@@ -7352,15 +7367,9 @@ _FERTILITY_ORACLE_TMPL = """
 
 
 def _hard_negative_oracle() -> str:
-    """DuckDB twin of hard_negative_pairs: same literal-centroid argmin
-    cells, within-cell different-label pairing, cosine-desc/id-asc
-    ranking, top 3."""
-    from data_pipeline_framework_spark.functions.similarity import fixed_codebook
-
-    cents = fixed_codebook(64, n_cells=8, seed=7)
-    cent_rows = ", ".join(
-        f"({i}, {_sql_dlist(c)})" for i, c in enumerate(cents)
-    )
+    """DuckDB twin of hard_negative_pairs: same centroid-argmin cells
+    (corpus-adaptive codebook, see _adaptive_cent_sql), within-cell
+    different-label pairing, cosine-desc/id-asc ranking, top 3."""
     d2 = (
         "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
         " + list_dot_product(cent.cv, cent.cv)"
@@ -7371,7 +7380,7 @@ def _hard_negative_oracle() -> str:
         "sqrt(list_dot_product(b.v, b.v)))"
     )
     return f"""
-        WITH cent(cell, cv) AS (VALUES {cent_rows}),
+        WITH {_adaptive_cent_sql()},
         c AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         ), cassign AS (

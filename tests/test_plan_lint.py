@@ -89,6 +89,10 @@ _ARROW_OK = {
     "bpe_vocab_usage",
     "bpe_shard_packing",
     "bpe_fertility_by_lang",
+    # 32,768-merge production vocab: rank-priority per-distinct-word
+    # encode (flat in merge count) — a 32K-deep JVM replace chain is
+    # not a plan, it's a stack overflow
+    "bpe_token_count_32k",
 }
 
 

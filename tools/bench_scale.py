@@ -62,6 +62,10 @@ PROBE_SF10 = [
     "text_statistics",
     "doc_fingerprints",
     "tumbling_window_agg",
+    # shuffle-bound dedup family at 100x: banded-bucket candidate
+    # generation + exact verify — the round-5 verdict's stretch ask so
+    # the three-decade series also covers a shuffle-heavy shape
+    "minhash_neardup",
 ]
 
 
