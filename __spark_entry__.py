@@ -4926,12 +4926,21 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
+        # money sums to a fixed 2-decimal rounding go through DECIMAL:
+        # prices/discounts are 2-decimal values, so the per-row term is
+        # exact in decimal(38,4) and the SUM is exact integer
+        # arithmetic — order-independent, so Spark's partial-agg order
+        # and DuckDB's scan order cannot straddle the rounding boundary
+        # (a double sum did, once in 175 groups, at the sf0.1 gate)
         .agg(F.sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)")
+               - F.col("l_discount").cast("decimal(18,2)"))
         ).alias("__p"))
     )
     return out.select(
-        "nation", "o_year", _r(F.col("__p"), 2).alias("profit")
+        "nation", "o_year",
+        _r(F.col("__p").cast("double"), 2).alias("profit"),
     )
 
 
@@ -9820,9 +9829,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
         "q9_product_profit": """
+            -- exact-decimal money sum (order-independent), mirroring
+            -- the engine's decimal(18,2) casts term for term
             SELECT n_name AS nation,
                    CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 1e2 + 0.5)
+                   FLOOR(CAST(SUM(
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))
+                   ) AS DOUBLE) * 1e2 + 0.5)
                        / 1e2 AS profit
             FROM lineitem
             JOIN part     ON l_partkey = p_partkey

@@ -1283,12 +1283,14 @@ def semantic_decontamination(
     so it BROADCASTS and the corpus scan is one map-side pass over the
     training corpus (per train row: cosine vs each broadcast eval
     vector, a dim-bounded loop in codegen). The only shuffle is the
-    per-id best-match argmax over the CONTAMINATED subset — a hash
-    aggregate with map-side partial combine (min over a struct), so
-    the shuffle carries at most one row per contaminated train id, not
-    per contaminated pair, and nothing is sorted. Linear in corpus
-    size; grow the reference beyond broadcast size and you want the
-    banded/celled pipelines instead.
+    per-id best-match argmax over the CONTAMINATED subset — a
+    partial_min(struct) aggregate with map-side combine (plan-checked:
+    Spark picks SortAggregate for struct min, so partitions key-sort
+    the contaminated rows, but the exchange carries at most ONE row
+    per contaminated train id, never per pair, and no per-group
+    cosine ordering is materialized the way the former row_number
+    window did). Linear in corpus size; grow the reference beyond
+    broadcast size and you want the banded/celled pipelines instead.
 
     Output: one row per CONTAMINATED train vector —
     (id_col, ref_id, cosine) with ref_id the best-matching reference
@@ -1297,18 +1299,26 @@ def semantic_decontamination(
     """
     # norms precomputed ONCE per side (identical IEEE expression to the
     # inline cosine — same ops on the same operands — so oracle floats
-    # are unchanged; the per-pair work drops to one dot product)
+    # are unchanged; the per-pair work drops to one dot product).
+    # cast("array<double>") BEFORE any arithmetic, like every sibling
+    # op: float32 inputs are exact in double, so products/sums match a
+    # double-computing oracle bitwise — without it, float32 product
+    # rounding (~1e-8) straddles the 1e-6 oracle rounding once per few
+    # thousand rows (found by the first full sf0.1 gate)
+    rv = F.col(vec_col).cast("array<double>")
     ref = reference.select(
         F.col(id_col).alias("__rid"),
-        F.col(vec_col).alias("__rv"),
-        _norm(F.col(vec_col)).alias("__rnorm"),
+        rv.alias("__rv"),
+        _norm(rv).alias("__rnorm"),
     )
     t = train.select(
-        id_col, vec_col, _norm(F.col(vec_col)).alias("__tnorm")
+        F.col(id_col),
+        rv.alias("__tv"),
+        _norm(rv).alias("__tnorm"),
     )
     joined = t.join(F.broadcast(ref))
     cos = F.try_divide(
-        _dot(F.col(vec_col), F.col("__rv")),
+        _dot(F.col("__tv"), F.col("__rv")),
         F.col("__tnorm") * F.col("__rnorm"),
     )
     # argmax via min(struct(-cos, rid, cos)): smallest -cos = largest

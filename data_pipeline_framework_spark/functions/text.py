@@ -385,9 +385,17 @@ def classifier_weights(n_buckets: int = 64, seed: int = 13) -> list[float]:
     """Deterministic pseudo-trained weight vector in [-1, 1] (Knuth
     multiplicative mixing) — stands in for a trained linear model's
     weights in tests and driver queries; real use passes trained
-    weights straight into hashed_classifier_score."""
+    weights straight into hashed_classifier_score.
+
+    Weights sit on the DYADIC 2^-20 grid, so every weight — and every
+    partial sum of up to 2^33 of them — is exactly representable in
+    float64. That makes hashed_classifier_score's per-doc weight sum
+    EXACT and therefore order-independent: Spark's partial-aggregate
+    order and DuckDB's scan order produce bit-identical margins (a
+    10^-6-grid version of these weights straddled a rounding boundary
+    at sf0.1 — one doc in 5000)."""
     return [
-        (((i + seed) * 2654435761) % 2000001) / 1000000.0 - 1.0
+        (((i + seed) * 2654435761) % 2097153) / 1048576.0 - 1.0
         for i in range(n_buckets)
     ]
 

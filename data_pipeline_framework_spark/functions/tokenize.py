@@ -10,10 +10,16 @@ chain of plain JVM string `replace` expressions with an exact
 DuckDB-replayable SQL twin (`bpe_count_sql` / `bpe_tokens_sql`) so the
 oracle gate can value-check it; above `ARROW_MERGE_THRESHOLD` merges
 the default switches to an Arrow-batched per-distinct-word encode
-(normalization stays JVM-side) because the chained-replace cost grows
-linearly with merge count — a production 32k-merge vocab needs the
-cached path. Both engines compute the identical encoding and a pytest
-pins their agreement on the packaged merges.
+(normalization stays JVM-side). For rank-priority-safe tables — every
+table this module's trainers produce (`_table_safe`) — that encode is
+`_encode_word_ranked`, whose cost is O(word_len^2) INDEPENDENT of
+merge-table size, so the packaged 32,768-merge production vocabulary
+(`merges_32k`, trained by tools/train_bpe_32k.py) encodes at the same
+speed as the 48-merge one (measured 0.44 s vs 0.41 s at sf0.1); unsafe
+user tables fall back to the sequential chained-replace spec per word.
+All engines compute the identical encoding — pytests pin JVM==Arrow on
+the packaged merges and ranked==sequential on the 32K table and on
+randomized trained tables.
 
 Tokenizer spec ("ranked-merge BPE", fully deterministic):
 
@@ -98,9 +104,11 @@ def _stream(text_col: Column, merges: list[tuple[str, str]]) -> Column:
 # encode: each JVM merge is a FULL-STRING replace pass over the ~3x-expanded
 # "(c)(c)" stream, so chained-replace cost grows linearly with merge count
 # (a realistic 32k-merge vocab would scan the corpus 32k times), while the
-# Arrow path encodes each DISTINCT word once per batch behind a cache and
-# is flat in merge count for Zipfian text. Measured crossover on the
-# packaged 48-merge table at sf0.1: 2.2 s (JVM) vs ~0.4 s (Arrow).
+# Arrow path encodes each DISTINCT word once per batch behind a cache —
+# and, for safe tables, via the rank-priority algorithm whose per-word
+# cost does not depend on vocab size at all. Measured crossover on the
+# packaged 48-merge table at sf0.1: 2.2 s (JVM) vs ~0.4 s (Arrow); the
+# 32,768-merge table measures 0.44 s, flat.
 ARROW_MERGE_THRESHOLD = 16
 
 
@@ -341,8 +349,14 @@ class BPETokenizer:
         return out
 
     def ids_expr(self, col: Column | str) -> Column:
-        """Encode to int token ids: tokens_expr mapped through the vocab
-        as a literal map — stays a narrow JVM projection."""
+        """Encode to int token ids. JVM engine: tokens_expr mapped
+        through the vocab as a literal map — a narrow JVM projection
+        (fine at the small-table sizes that engine serves). Arrow
+        engine: ids come straight out of the per-distinct-word encode —
+        a 32K-entry literal create_map would be a megabyte-scale
+        expression tree, the dict lookup is free inside the UDF."""
+        if self.resolved_engine == "arrow":
+            return self._ids_expr_arrow(col)
         v = self.vocab()
         m = F.create_map(
             *[x for t, i in v.items() for x in (F.lit(t), F.lit(i))]
@@ -353,6 +367,41 @@ class BPETokenizer:
                 F.element_at(m, t), F.lit(-1)
             ).cast("int"),
         )
+
+    def _ids_expr_arrow(self, col: Column | str) -> Column:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        merges = tuple(self.merges)
+        ranks = self._ranks
+        vocab = self.vocab()
+
+        def _ids(s):
+            cache: dict[str, list[int]] = {}
+
+            def wi(w: str) -> list[int]:
+                t = cache.get(w)
+                if t is None:
+                    t = [
+                        vocab.get(tok, -1)
+                        for tok in _word_tokens(w, merges, ranks)
+                    ]
+                    cache[w] = t
+                return t
+
+            def go(t):
+                if not t:
+                    return []
+                out: list[int] = []
+                for w in t.split(" "):
+                    out.extend(wi(w))
+                return out
+
+            return s.map(go)
+
+        _ids.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        c = F.col(col) if isinstance(col, str) else col
+        return pandas_udf(_ids, "array<int>")(_normalize(c))
 
     # ---- SQL twins (DuckDB dialect) ----
 

@@ -455,3 +455,30 @@ def test_32k_vocab_spark_count_matches_driver_reference(spark):
     ]
     want = [len(py_encode(t[0], table)) for t in texts]
     assert got == want
+
+
+def test_ids_expr_agrees_across_engines_and_32k(spark):
+    """token ids: the Arrow path (ids computed inside the UDF) must
+    equal the JVM literal-map path on the packaged merges, and must
+    work at 32K vocab scale where a literal map is not viable."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        merges_32k,
+    )
+
+    df = spark.createDataFrame(
+        [("the sand and glass",), ("",), (None,)], "text string"
+    )
+    jvm = BPETokenizer(MERGES, engine="jvm")
+    arrow = BPETokenizer(MERGES, engine="arrow")
+    a = [r[0] for r in df.select(jvm.ids_expr("text")).collect()]
+    b = [r[0] for r in df.select(arrow.ids_expr("text")).collect()]
+    assert a == b
+
+    big = BPETokenizer(merges_32k())  # auto -> arrow
+    assert big.resolved_engine == "arrow"
+    ids = [r[0] for r in df.select(big.ids_expr("text")).collect()]
+    toks = [r[0] for r in df.select(big.tokens_expr("text")).collect()]
+    vocab = big.vocab()
+    assert ids == [[vocab.get(t, -1) for t in row] for row in toks]
+    # every id resolves (merge products are always in the vocab)
+    assert all(i >= 0 for row in ids for i in row)
