@@ -5438,11 +5438,15 @@ def bpe_token_count_32k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cells_for(emb) -> int:
     """IVF contract: cell count grows with the corpus (Σ cell² work
-    stays ~linear). Anchored at 8 cells for the 500-vector sf0.01
-    fixture, so the statically generated DuckDB oracles — which pin
-    n_cells=8 — stay bit-exact where the driver checks them."""
-    n = emb.count()
-    return max(8, (n // 500) * 8)
+    stays ~linear). The rule lives in the library
+    (similarity.adaptive_cells, anchored at 8 cells for the 500-vector
+    sf0.01 fixture); the oracles follow via the corpus-count CASE in
+    _adaptive_cent_sql."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        adaptive_cells,
+    )
+
+    return adaptive_cells(emb.count())
 
 
 # oracle-checked cell count (sf0.01's 500 vectors): at and below this the
@@ -5455,17 +5459,18 @@ def _planes_for(emb) -> int:
     """LSH contract (the twin of _cells_for): signature bits per block
     grow ~log2 with the corpus so bucket populations — and therefore
     per-block candidate pairs — stay LINEAR in corpus size instead of
-    quadratic. Anchored at 16 planes (4 blocks x 4 bits) for the
+    quadratic. The rule lives in the library
+    (similarity.adaptive_planes, anchored at 16 planes for the
     500-vector sf0.01 fixture so the statically generated oracles stay
-    bit-exact where the driver checks them; sf0.1's 2000 vectors get
+    bit-exact where the driver checks them); sf0.1's 2000 vectors get
     24 planes (4 x 6 bits), sf1's 20K get 40, sf10's 200K get 52 —
     the oracle replays the rule with a CASE on corpus count for the
     gate SFs (see _lsh_blocks_sql)."""
-    import math
+    from data_pipeline_framework_spark.functions.similarity import (
+        adaptive_planes,
+    )
 
-    n = emb.count()
-    bits = 4 + max(0, math.ceil(math.log2(max(n, 500) / 500)))
-    return 4 * bits
+    return adaptive_planes(emb.count())
 
 
 def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

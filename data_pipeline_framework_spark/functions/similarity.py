@@ -77,6 +77,41 @@ def cosine_topk(
     )
 
 
+def adaptive_planes(
+    n_vectors: int,
+    n_blocks: int = 4,
+    anchor: int = 500,
+    anchor_bits: int = 4,
+) -> int:
+    """LSH signature width for a corpus of ``n_vectors``: bits per
+    block grow ~log2(n / anchor) above the anchor population, so the
+    expected bucket population — and with it per-block candidate
+    PAIRS — stays bounded as the corpus grows. Fixed-width signatures
+    make banded self-joins quadratic (n^2 / 2^bits per block); this
+    rule keeps them linear. 500 -> 16 planes, 2K -> 24, 20K -> 40,
+    200K -> 52, 100 TB-scale corpora keep fitting a BIGINT until
+    ~2^59 vectors. Recall per true pair decays as bits grow (p^bits
+    per block) — raise n_blocks alongside if recall is the binding
+    constraint."""
+    import math
+
+    bits = anchor_bits + max(
+        0, math.ceil(math.log2(max(n_vectors, anchor) / anchor))
+    )
+    return n_blocks * bits
+
+
+def adaptive_cells(
+    n_vectors: int, anchor: int = 500, anchor_cells: int = 8
+) -> int:
+    """IVF / SemDeDup cell count for a corpus of ``n_vectors``: cells
+    grow linearly with the corpus so the per-cell population — and the
+    within-cell pairwise work (Σ cell²) — stays bounded. 500 -> 8
+    cells, 2K -> 32, 1M -> 16K (the FAISS ballpark of sqrt-to-linear
+    sizing for flat quantizers at these populations)."""
+    return max(anchor_cells, (n_vectors // anchor) * anchor_cells)
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Seeded gaussian hyperplanes as plain literals (identical on every
     executor — no runtime randomness)."""
