@@ -76,10 +76,21 @@ def main() -> None:
                     " AS s_name"
                 )
             elif t == "documents" and c == "text":
-                # near- (not exact-) duplicate copies
+                # copy i = every token suffixed with the copy id — an
+                # INJECTIVE per-copy token renaming, the text analog of
+                # the embedding rotation: within-copy shingle sets map
+                # bijectively to copy 0's, so every within-copy Jaccard
+                # (and the true near-dup pair set) is preserved
+                # EXACTLY per copy, while cross-copy shingle overlap is
+                # zero. True pairs grow K-fold like a real corpus. The
+                # previous single-salt-token suffix left copies mutual
+                # near-dups (~K-cliques): minhash at K=100 spent 301 s
+                # verifying a quadratic TRUE pair set — measuring the
+                # construction, not the engine.
                 sel.append(
                     "CASE WHEN i = 0 THEN text "
-                    "ELSE text || ' copysalt' || i END AS text"
+                    "ELSE regexp_replace(text, '(\\S+)', "
+                    "'\\1c' || CAST(i AS VARCHAR), 'g') END AS text"
                 )
             elif t == "embeddings" and c == "embedding":
                 # copy i = the vector CIRCULARLY ROTATED by 7*i dims.
