@@ -115,3 +115,46 @@ def test_short_series_and_empty_groups(spark):
         _mk(spark, [7.0]), "value", "ts", group_by=["user_id"]
     ).collect()
     assert len(out) == 1 and out[0]["value_hat"] == 7.0
+
+
+def test_batched_path_matches_scalar_spec_randomized(spark):
+    """The time-step-major batched kernel must be bit-identical to the
+    sequential per-series recurrence for ragged series lengths (incl.
+    length-1), shuffled input order, and appended forecasts."""
+    import random
+
+    rng = random.Random(0xB0)
+    series = {
+        uid: [rng.uniform(-50, 50) for _ in range(rng.randint(1, 40))]
+        for uid in range(1, 51)
+    }
+    rows = [
+        (uid, i, T0 + dt.timedelta(hours=i), v)
+        for uid, ys in series.items()
+        for i, v in enumerate(ys)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = holt_winters(
+        df, "value", "ts", alpha=0.3, beta=0.1,
+        group_by=["user_id"], forecast_periods=2,
+    ).collect()
+    hist = {}
+    fc = {}
+    for r in out:
+        if r["event_id"] is None:
+            fc.setdefault(r["user_id"], []).append((r["ts"], r["value_hat"]))
+        else:
+            hist[(r["user_id"], r["event_id"])] = r["value_hat"]
+    for uid, ys in series.items():
+        want, l, b = _holt_ref(ys)
+        for i, w in enumerate(want):
+            assert hist[(uid, i)] == w, (uid, i)
+        got_fc = [v for _, v in sorted(fc[uid])]
+        assert got_fc == [l + 1 * b, l + 2 * b], uid
+        if len(ys) >= 2:  # forecast timestamps extrapolate the cadence
+            assert sorted(fc[uid])[0][0] == T0 + dt.timedelta(
+                hours=len(ys)
+            )
