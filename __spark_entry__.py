@@ -775,6 +775,25 @@ def drift_psi_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_drift_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact two-sample Kolmogorov-Smirnov test: l_extendedprice of
+    returned vs regular lineitems. Integer ECDF arithmetic end to end
+    (division only at the comparison), so the statistic is exact and
+    the oracle replays it bit-for-bit; asymptotic p-value via the
+    mirrored 100-term Kolmogorov series fold."""
+    from data_pipeline_framework_spark.functions.profiling import ks_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R")
+    b = li.filter(F.col("l_returnflag") == "N")
+    out = ks_drift(a, b, "l_extendedprice")
+    return out.select(
+        _r(F.col("ks_stat"), 6).alias("ks_stat"),
+        _r(F.col("p_value"), 6).alias("p_value"),
+        "n_a", "n_b", "at_value",
+    )
+
+
 def drift_psi_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """categorical drift: PSI over order-priority shares, early vs late
     orders; full-outer category join so one-sided categories count."""
@@ -5896,6 +5915,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": gopher_repetition,
         "kmeans_lloyd": kmeans_lloyd,
         "drift_psi_prices": drift_psi_prices,
+        "ks_drift_prices": ks_drift_prices,
         "drift_psi_priorities": drift_psi_priorities,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shard_packing": token_shard_packing,
@@ -8173,6 +8193,59 @@ def oracle_sql() -> dict[str, str]:
                               / (coalesce(frac_b, 0.0) + 1e-6))
                          * 1e6 + 0.5) / 1e6 AS psi_term
             FROM fa FULL OUTER JOIN fb USING (category)
+        """,
+        "ks_drift_prices": """
+            WITH a AS (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                       count(*) AS ca
+                FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+            ), b AS (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                       count(*) AS cb
+                FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1
+            ), j AS (
+                SELECT coalesce(a.v, b.v) AS v,
+                       coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                FROM a FULL JOIN b ON a.v = b.v
+            ), t AS (
+                SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                       CAST(sum(cb) AS DOUBLE) AS nb
+                FROM j
+            ), c AS (
+                SELECT v,
+                       sum(ca) OVER (ORDER BY v) AS cum_a,
+                       sum(cb) OVER (ORDER BY v) AS cum_b
+                FROM j
+            ), d AS (
+                SELECT v,
+                       abs(CAST(cum_a AS DOUBLE) / na
+                           - CAST(cum_b AS DOUBLE) / nb) AS dd
+                FROM c, t
+            ), top AS (
+                SELECT dd, v FROM d ORDER BY dd DESC, v LIMIT 1
+            ), lamb AS (
+                -- Stephens small-sample correction, then the 100-term
+                -- Kolmogorov series as a left fold (matches Spark's
+                -- F.aggregate init 0.0: 0.0 + t1 == t1 bit-exact)
+                SELECT dd, v, na, nb,
+                       (sqrt(na * nb / (na + nb)) + 0.12
+                        + 0.11 / sqrt(na * nb / (na + nb))) * dd AS lam
+                FROM top, t
+            )
+            SELECT FLOOR(dd * 1e6 + 0.5) / 1e6 AS ks_stat,
+                   FLOOR((CASE WHEN lam < 0.2 THEN 1.0
+                          ELSE greatest(0.0, least(1.0,
+                       2.0 * list_reduce(
+                           list_transform(range(1, 101), k ->
+                               (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                               * exp(-2.0 * CAST(k * k AS DOUBLE)
+                                     * lam * lam)),
+                           (acc, x) -> acc + x))) END)
+                       * 1e6 + 0.5) / 1e6 AS p_value,
+                   CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   v AS at_value
+            FROM lamb
         """,
         "drift_psi_prices": """
             WITH binned AS (

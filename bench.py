@@ -179,6 +179,7 @@ HEADLINE = [
     "semantic_decontamination_flags",
     # round-6 additions
     "bpe_token_count_32k",
+    "ks_drift_prices",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to

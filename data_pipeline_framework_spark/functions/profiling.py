@@ -1130,3 +1130,135 @@ def dataset_fingerprint(
             F.lit(0).cast("bigint"),
         ).alias("content_sum"),
     )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    column: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test between two
+    snapshots of a numeric column — the nonparametric complement to
+    `psi_drift` (no binning choice; sensitive to any distributional
+    difference, not just mass shifts across fixed edges).
+
+    Statistic: D = max over pooled distinct values v of
+    |ECDF_a(v) - ECDF_b(v)| — exact, because the two-sample D is
+    attained at an observed point. p-value is the standard asymptotic
+    Kolmogorov series with the Stephens small-sample correction:
+    lambda = (sqrt(ne) + 0.12 + 0.11/sqrt(ne)) * D with
+    ne = n_a*n_b/(n_a+n_b), p = 2 * sum_{k=1..100} (-1)^(k-1)
+    exp(-2 k^2 lambda^2), clamped to [0, 1]. For lambda < 0.2 the
+    truncated alternating series has not converged (at lambda = 0 its
+    partial sums oscillate 1,0,1,...), while the true survival value
+    is 1 within 5e-13 — so that region short-circuits to p = 1; for
+    lambda >= 0.2 the k=100 tail term is exp(-800), i.e. the series
+    is exact to double precision.
+
+    Distribution strategy (no single-partition window anywhere):
+      1. per side, ONE groupBy(value) count — the pooled distinct-value
+         table is the working set, never raw rows;
+      2. approximate quantile cut points split the value axis into
+         `n_buckets` ranges; per-bucket count totals (a bounded
+         <= n_buckets-row collect) become literal prefix offsets;
+      3. cumulative counts are a window per bucket partition plus the
+         bucket's offset — integer arithmetic throughout, so the ECDFs
+         (and D) are exact and engine-portable; the single division per
+         row happens after the integer cumsum.
+    Output: ONE row (ks_stat, p_value, n_a, n_b, at_value) where
+    at_value is the smallest value attaining D.
+    """
+    from pyspark.sql import Window
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        v = F.col(column).cast("double")
+        return (
+            df.select(v.alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    j = (
+        counts(df_a, "ca")
+        .join(counts(df_b, "cb"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = j.agg(
+        F.percentile_approx("v", F.array(*[F.lit(p) for p in probs]), 100)
+        .alias("cuts")
+    ).first()
+    cuts = sorted(set(cuts_row["cuts"] or []))
+    bkt = F.lit(0)
+    for c in cuts:
+        bkt = bkt + F.when(F.col("v") > F.lit(float(c)), 1).otherwise(0)
+    jb = j.withColumn("__b", bkt)
+    # bounded collect: one row per bucket -> literal prefix offsets
+    totals = {
+        r["__b"]: (r["sa"], r["sb"])
+        for r in jb.groupBy("__b")
+        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+        .collect()
+    }
+    n_a = sum(t[0] for t in totals.values())
+    n_b = sum(t[1] for t in totals.values())
+    if n_a == 0 or n_b == 0:
+        raise ValueError("ks_drift requires non-empty samples on both sides")
+    off_a: dict[int, int] = {}
+    off_b: dict[int, int] = {}
+    run_a = run_b = 0
+    for b in sorted(totals):
+        off_a[b], off_b[b] = run_a, run_b
+        run_a += totals[b][0]
+        run_b += totals[b][1]
+    map_a = F.create_map(
+        *[x for b in sorted(totals)
+          for x in (F.lit(b), F.lit(off_a[b]).cast("long"))]
+    )
+    map_b = F.create_map(
+        *[x for b in sorted(totals)
+          for x in (F.lit(b), F.lit(off_b[b]).cast("long"))]
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = jb.select(
+        "v",
+        (
+            F.abs(
+                (map_a[F.col("__b")] + F.sum("ca").over(w))
+                .cast("double") / F.lit(float(n_a))
+                - (map_b[F.col("__b")] + F.sum("cb").over(w))
+                .cast("double") / F.lit(float(n_b))
+            )
+        ).alias("d"),
+    )
+    top = d.orderBy(F.desc("d"), F.asc("v")).limit(1)
+    ne = F.lit(float(n_a)) * n_b / (n_a + n_b)
+    lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * F.col("d")
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.when(k % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.exp(F.lit(-2.0) * (k * k).cast("double") * lam * lam),
+    )
+    return top.select(
+        F.col("d").alias("ks_stat"),
+        F.when(lam < 0.2, F.lit(1.0))
+        .otherwise(
+            F.greatest(F.lit(0.0), F.least(F.lit(1.0), 2.0 * series))
+        )
+        .alias("p_value"),
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.col("v").alias("at_value"),
+    )

@@ -1297,3 +1297,61 @@ def test_source_divergence_single_source_empty(spark):
     out = source_divergence(df)
     assert out.count() == 0
     assert out.columns == ["source_a", "source_b", "js_divergence"]
+
+
+def test_ks_drift_matches_naive_and_properties(spark):
+    import math
+    import random
+
+    from data_pipeline_framework_spark.functions.profiling import ks_drift
+
+    rng = random.Random(17)
+    xs = [rng.gauss(0.0, 1.0) for _ in range(400)]
+    ys = [rng.gauss(0.6, 1.3) for _ in range(300)]
+
+    def naive_ks(sa, sb):
+        pooled = sorted(set(sa) | set(sb))
+        na, nb = len(sa), len(sb)
+        best, at = -1.0, None
+        for v in pooled:
+            d = abs(sum(1 for x in sa if x <= v) / na
+                    - sum(1 for x in sb if x <= v) / nb)
+            if d > best + 1e-15:
+                best, at = d, v
+        return best, at
+
+    a = spark.createDataFrame([(x,) for x in xs], "v double")
+    b = spark.createDataFrame([(y,) for y in ys], "v double")
+    row = ks_drift(a, b, "v", n_buckets=8).first()
+    want_d, want_at = naive_ks(xs, ys)
+    assert row["ks_stat"] == pytest.approx(want_d, abs=1e-12)
+    assert row["at_value"] == pytest.approx(want_at, abs=1e-12)
+    assert row["n_a"] == 400 and row["n_b"] == 300
+    # asymptotic p-value: replicate the series formula
+    ne = 400 * 300 / 700
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * row["ks_stat"]
+    p = 2 * sum((-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+                for k in range(1, 101))
+    assert row["p_value"] == pytest.approx(max(0.0, min(1.0, p)), abs=1e-12)
+    # strongly shifted samples: confidently rejected
+    assert row["p_value"] < 1e-6
+
+    # identical samples -> D = 0, p = 1 (clamped)
+    same = ks_drift(a, a, "v").first()
+    assert same["ks_stat"] == 0.0 and same["p_value"] == 1.0
+
+    # disjoint supports -> D = 1
+    lo = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    hi = spark.createDataFrame(
+        [(float(i + 1000),) for i in range(50)], "v double"
+    )
+    assert ks_drift(lo, hi, "v").first()["ks_stat"] == 1.0
+
+
+def test_ks_drift_rejects_empty_side(spark):
+    from data_pipeline_framework_spark.functions.profiling import ks_drift
+
+    a = spark.createDataFrame([(1.0,)], "v double")
+    e = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError):
+        ks_drift(a, e, "v")
