@@ -1598,6 +1598,30 @@ def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e0.join(e1, "doc_id").select("doc_id", "pos_epoch0", "pos_epoch1")
 
 
+def luhn_pan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-verified payment-card detection — the checksum tier above
+    pii_redaction's shape-only regexes. The corpus has no card-shaped
+    digit runs, so each doc gets two key-derived candidates (a 15-digit
+    '4'-prefix run and a dash-separated 16-digit '5412' run) injected
+    identically in the oracle; validity then varies pseudo-randomly
+    (~1 in 10 passes Luhn), so the hash pins the whole fold."""
+    from data_pipeline_framework_spark.operators.cleaning import (
+        luhn_pan_scan,
+    )
+
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" card 4"),
+        F.lpad(((d * 7919) % (10 ** 14)).cast("string"), 14, "0"),
+        F.lit(" acct 5412-"),
+        F.lpad(((d * 104729) % (10 ** 12)).cast("string"), 12, "0"),
+        F.lit(" end"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", txt.alias("t"))
+    return luhn_pan_scan(docs, "t", id_cols=["doc_id"])
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub before a corpus ships: count+replace email/SSN/phone in
     one codegen projection. The testdata carries no PII-shaped text, so
@@ -5949,6 +5973,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_stats": corpus_split_stats,
         "mixture_sample_docs": mixture_sample_docs,
         "pii_redaction": pii_redaction,
+        "luhn_pan_audit": luhn_pan_audit,
         "language_scores": language_scores,
         "doc_fingerprints": doc_fingerprints,
         "dedup_exact_groups": dedup_exact_groups,
@@ -8586,6 +8611,58 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_frequencies": _cms_oracle(),
         "corpus_split_stats": _SPLIT_ORACLE,
         "mixture_sample_docs": _MIXTURE_ORACLE,
+        "luhn_pan_audit": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' card 4'
+                       || lpad(CAST((doc_id * 7919) % 100000000000000
+                               AS VARCHAR), 14, '0')
+                       || ' acct 5412-'
+                       || lpad(CAST((doc_id * 104729) % 1000000000000
+                               AS VARCHAR), 12, '0')
+                       || ' end' AS t
+                FROM documents
+            ), cands AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(t,
+                           '[0-9][0-9 \\-]*[0-9]')) AS c
+                FROM injected
+            ), norm AS (
+                SELECT doc_id,
+                       regexp_replace(c, '[ \\-]', '', 'g') AS p
+                FROM cands
+            ), f AS (
+                SELECT doc_id, p, length(p) AS n
+                FROM norm WHERE length(p) BETWEEN 13 AND 19
+            ), luhn AS (
+                SELECT doc_id, p, n,
+                       list_reduce(list_transform(range(1, n + 1), i ->
+                           CASE WHEN i % 2 = 1
+                           THEN CAST(substr(reverse(p), CAST(i AS INT), 1)
+                                AS INT)
+                           ELSE CASE
+                             WHEN CAST(substr(reverse(p), CAST(i AS INT), 1)
+                                  AS INT) * 2 > 9
+                             THEN CAST(substr(reverse(p), CAST(i AS INT), 1)
+                                  AS INT) * 2 - 9
+                             ELSE CAST(substr(reverse(p), CAST(i AS INT), 1)
+                                  AS INT) * 2
+                           END END),
+                           (acc, x) -> acc + x) AS s
+                FROM f
+            )
+            SELECT doc_id,
+                   substr(p, 1, 6) || repeat('*', n - 10)
+                   || substr(p, n - 3, 4) AS pan_masked,
+                   CASE WHEN p LIKE '4%' THEN 'visa'
+                        WHEN regexp_matches(p, '^5[1-5]') THEN 'mastercard'
+                        WHEN regexp_matches(p, '^3[47]') THEN 'amex'
+                        WHEN regexp_matches(p, '^6(011|5)') THEN 'discover'
+                        ELSE 'other' END AS pan_network,
+                   CAST(n AS INT) AS pan_len,
+                   (s % 10 = 0) AS luhn_valid
+            FROM luhn
+        """,
         "pii_redaction": """
             WITH base AS (
                 SELECT c_custkey,

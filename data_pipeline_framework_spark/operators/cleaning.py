@@ -274,3 +274,75 @@ def redact_pii(
             total = total + extra
         out.append(total.cast("long").alias(count_col))
     return df.select(*out)
+
+
+def luhn_pan_scan(
+    df: DataFrame,
+    column: str,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Payment-card-number (PAN) detection with Luhn checksum
+    verification — the high-precision tier above `redact_pii`'s
+    shape-only credit-card regex: a 16-digit string is only flagged
+    `luhn_valid` if its mod-10 check digit is consistent, which cuts
+    false positives on order numbers / tracking codes by ~90% (only 1
+    in 10 random digit strings passes Luhn).
+
+    Candidates are MAXIMAL runs of digits, spaces, and dashes whose
+    digit count is 13-19 after separator stripping (maximal-run
+    extraction is unambiguous across regex engines — no lookbehind,
+    which distributed SQL oracles lack). Runs of adjacent
+    space-separated numbers merge and are rejected by the length gate;
+    that trades recall on pathological layouts for engine-portable
+    determinism. The checksum is one fold over the digit string —
+    pure column expressions, codegen, zero shuffle, zero UDFs.
+
+    Output: one row per candidate (id_cols or all input columns kept)
+    with `pan_masked` (first 6 + stars + last 4 — the raw PAN never
+    leaves the expression), `pan_network` (prefix classification),
+    `pan_len`, `luhn_valid`.
+    """
+    keep = id_cols if id_cols is not None else list(df.columns)
+    cand = F.explode(
+        F.regexp_extract_all(
+            F.col(column), F.lit(r"[0-9][0-9 \-]*[0-9]"), F.lit(0)
+        )
+    ).alias("__cand")
+    base = df.select(*keep, cand)
+    norm = F.regexp_replace(F.col("__cand"), r"[ \-]", "")
+    n = F.length(norm)
+    rev = F.reverse(norm)
+    digit = lambda i: F.substring(rev, i, F.lit(1)).cast("int")  # noqa: E731
+    luhn_sum = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(i % 2 == 1, digit(i)).otherwise(
+            F.when(digit(i) * 2 > 9, digit(i) * 2 - 9)
+            .otherwise(digit(i) * 2)
+        ),
+    )
+    network = (
+        F.when(norm.startswith("4"), "visa")
+        .when(norm.rlike("^5[1-5]"), "mastercard")
+        .when(norm.rlike("^3[47]"), "amex")
+        .when(norm.rlike("^6(011|5)"), "discover")
+        .otherwise("other")
+    )
+    return (
+        base.withColumn("__norm", norm)
+        .filter(F.length("__norm").between(13, 19))
+        .select(
+            *keep,
+            F.concat(
+                F.substring("__norm", 1, 6),
+                F.repeat(F.lit("*"), F.length("__norm") - 10),
+                F.substring(
+                    F.col("__norm"), F.length("__norm") - 3, F.lit(4)
+                ),
+            ).alias("pan_masked"),
+            network.alias("pan_network"),
+            F.length("__norm").cast("int").alias("pan_len"),
+            (luhn_sum % 10 == 0).alias("luhn_valid"),
+        )
+    )

@@ -1355,3 +1355,35 @@ def test_ks_drift_rejects_empty_side(spark):
     e = spark.createDataFrame([], "v double")
     with pytest.raises(ValueError):
         ks_drift(a, e, "v")
+
+
+def test_luhn_pan_scan_textbook_vectors(spark):
+    from data_pipeline_framework_spark.operators.cleaning import (
+        luhn_pan_scan,
+    )
+
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 thanks"),   # valid visa
+        (2, "card 4111-1111-1111-1112 declined"),     # bad check digit
+        (3, "amex 378282246310005 works"),            # valid amex (15)
+        (4, "mc 5555555555554444 ok"),                # valid mastercard
+        (5, "order 123456789012 too short"),          # 12 digits dropped
+        (6, "big 12345678901234567890 run"),          # 20 digits dropped
+        (7, "no digits here"),
+        (8, "discover 6011111111111117 yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in luhn_pan_scan(df, "text", id_cols=["doc_id"]).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 8}  # 5/6/7 produce no candidates
+    assert out[1]["luhn_valid"] and out[1]["pan_network"] == "visa"
+    assert out[1]["pan_masked"] == "411111******1111"
+    assert not out[2]["luhn_valid"]
+    assert out[3]["pan_network"] == "amex" and out[3]["pan_len"] == 15
+    assert out[3]["pan_masked"] == "378282*****0005"
+    assert out[4]["pan_network"] == "mastercard" and out[4]["luhn_valid"]
+    assert out[8]["pan_network"] == "discover" and out[8]["luhn_valid"]
+    # the raw PAN never appears in the output schema
+    assert "pan_masked" in out[1] and "__norm" not in out[1]
