@@ -2912,6 +2912,30 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCMatrix-style ratio-margin bitext mining between the even-id
+    (source) and odd-id (target) halves of the embedding table: each
+    candidate cosine is normalized by the mean of both endpoints'
+    4-NN neighborhoods, and only mutual-best pairs survive. The k-NN
+    means fold in rank order on both engines, so the margin doubles
+    hash-match at the 6-decimal rounding."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        margin_bitext_mine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    out = margin_bitext_mine(src, tgt, k=4, mutual=True)
+    return out.select(
+        "src_id", "tgt_id",
+        _r(F.col("cosine"), 6).alias("cosine"),
+        _r(F.col("src_knn_avg"), 6).alias("src_knn_avg"),
+        _r(F.col("tgt_knn_avg"), 6).alias("tgt_knn_avg"),
+        _r(F.col("margin"), 6).alias("margin"),
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (rows-only check; recall vs brute
     force is unit-tested in tests/test_similarity.py)."""
@@ -6017,6 +6041,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_set_similarity": token_set_similarity,
         "simhash_sigs": simhash_sigs,
         "ann_cosine_topk": ann_cosine_topk,
+        "bitext_margin_pairs": bitext_margin_pairs,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "embedding_neardup": embedding_neardup,
@@ -8908,29 +8933,66 @@ def oracle_sql() -> dict[str, str]:
         "pca_projection": _pca_oracle(),
         "neardup_clusters": _neardup_clusters_oracle(),
         "corpus_curation": _curation_oracle(),
-        "ann_cosine_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                FROM embeddings WHERE vec_id < 5
-            ), c AS (
-                SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-            ), scored AS (
-                SELECT q.query_id, c.vec_id,
-                       list_dot_product(q.qv, c.cv) /
-                       (sqrt(list_dot_product(q.qv, q.qv)) *
-                        sqrt(list_dot_product(c.cv, c.cv))) AS cos_raw
-                FROM q, c
-            ), ranked AS (
-                SELECT query_id, vec_id, cos_raw,
-                       row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY cos_raw DESC, vec_id
-                       ) AS rank
-                FROM scored
+        # (ann_cosine_topk's oracle lives in the ANN section below)
+        "bitext_margin_pairs": """
+            WITH s AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 2 = 0
+            ), tt AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 2 = 1
+            ), fs AS (
+                -- one scored table serves both directions: IEEE multiply
+                -- is commutative, so cos(s,t) == cos(t,s) bit-exactly
+                SELECT s.vec_id AS src_id, tt.vec_id AS tgt_id,
+                       list_dot_product(s.v, tt.v)
+                       / (sqrt(list_dot_product(s.v, s.v))
+                          * sqrt(list_dot_product(tt.v, tt.v))) AS cos
+                FROM s, tt
+            ), fk AS (
+                SELECT * FROM (
+                    SELECT src_id, tgt_id, cos,
+                           row_number() OVER (PARTITION BY src_id
+                               ORDER BY cos DESC, tgt_id) AS rank
+                    FROM fs) WHERE rank <= 4
+            ), bk AS (
+                SELECT * FROM (
+                    SELECT src_id, tgt_id, cos,
+                           row_number() OVER (PARTITION BY tgt_id
+                               ORDER BY cos DESC, src_id) AS rank
+                    FROM fs) WHERE rank <= 4
+            ), sa AS (
+                SELECT src_id,
+                       list_reduce(array_agg(cos ORDER BY rank),
+                                   (a, x) -> a + x) / count(*) AS src_knn
+                FROM fk GROUP BY 1
+            ), ta AS (
+                SELECT tgt_id,
+                       list_reduce(array_agg(cos ORDER BY rank),
+                                   (a, x) -> a + x) / count(*) AS tgt_knn
+                FROM bk GROUP BY 1
+            ), cand AS (
+                SELECT fk.src_id, fk.tgt_id, fk.cos, sa.src_knn, ta.tgt_knn,
+                       fk.cos / ((sa.src_knn + ta.tgt_knn) * 0.5) AS margin
+                FROM fk JOIN sa USING (src_id) JOIN ta USING (tgt_id)
+            ), bs AS (
+                SELECT *, row_number() OVER (PARTITION BY src_id
+                    ORDER BY margin DESC, tgt_id) AS r
+                FROM cand
+            ), bt AS (
+                SELECT src_id, tgt_id,
+                       row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY margin DESC, src_id) AS r
+                FROM cand
             )
-            SELECT query_id, vec_id,
-                   FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS cosine, rank
-            FROM ranked WHERE rank <= 10
+            SELECT b.src_id, b.tgt_id,
+                   FLOOR(b.cos * 1e6 + 0.5) / 1e6 AS cosine,
+                   FLOOR(b.src_knn * 1e6 + 0.5) / 1e6 AS src_knn_avg,
+                   FLOOR(b.tgt_knn * 1e6 + 0.5) / 1e6 AS tgt_knn_avg,
+                   FLOOR(b.margin * 1e6 + 0.5) / 1e6 AS margin
+            FROM bs b JOIN bt ON b.src_id = bt.src_id
+                              AND b.tgt_id = bt.tgt_id AND bt.r = 1
+            WHERE b.r = 1
         """,
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),

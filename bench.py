@@ -182,6 +182,7 @@ HEADLINE = [
     "bpe_token_count_32k",
     "ks_drift_prices",
     "luhn_pan_audit",
+    "bitext_margin_pairs",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to

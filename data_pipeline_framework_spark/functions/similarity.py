@@ -1380,3 +1380,112 @@ def semantic_decontamination(
             F.col("__best.cos").alias("cosine"),
         )
     )
+
+
+def margin_bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mutual: bool = True,
+) -> DataFrame:
+    """Parallel-pair mining by ratio-margin scoring (the public
+    CCMatrix / Artetxe-Schwenk criterion): a candidate pair (x, y)
+    scores margin = cos(x, y) / (0.5 * (mean cos of x to its k nearest
+    targets + mean cos of y to its k nearest sources)). The
+    normalization cancels hubness — a target that is "close to
+    everything" inflates its neighbors' mean too, so only pairs that
+    are close RELATIVE to their neighborhoods rank high. This is the
+    standard mining step that pairs sentences across languages in a
+    shared embedding space before translation-pair training.
+
+    Candidates are each source's k nearest targets (forward mining);
+    `mutual=True` keeps only pairs where the target also ranks the
+    source as its best candidate — the high-precision setting.
+
+    The k-NN means fold in rank order (array_sort then one aggregate),
+    so the float sum is deterministic and an external oracle replays
+    it exactly. Built on `cosine_topk` (one side broadcast); swap in
+    `ivf_topk` for corpus-scale mining where brute force won't do.
+
+    Output: (src_id, tgt_id, cosine, src_knn_avg, tgt_knn_avg, margin)
+    — one row per source (forward best) or per mutual pair.
+    """
+    from pyspark.sql import Window
+
+    fwd = cosine_topk(
+        tgt,
+        src.select(F.col(id_col).alias("query_id"), vec_col),
+        k=k, id_col=id_col, vec_col=vec_col,
+    )
+    bwd = cosine_topk(
+        src,
+        tgt.select(F.col(id_col).alias("query_id"), vec_col),
+        k=k, id_col=id_col, vec_col=vec_col,
+    )
+
+    def knn_mean(topk: DataFrame, out: str) -> DataFrame:
+        # rank-ordered fold: identical float order on every engine
+        return topk.groupBy("query_id").agg(
+            (
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct("rank", "cosine"))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["cosine"],
+                )
+                / F.count(F.lit(1))
+            ).alias(out)
+        )
+
+    src_avg = knn_mean(fwd, "src_knn_avg").withColumnRenamed(
+        "query_id", "src_id"
+    )
+    tgt_avg = knn_mean(bwd, "tgt_knn_avg").withColumnRenamed(
+        "query_id", "tgt_id"
+    )
+    cand = (
+        fwd.select(
+            F.col("query_id").alias("src_id"),
+            F.col(id_col).alias("tgt_id"),
+            "cosine",
+        )
+        .join(src_avg, "src_id")
+        .join(tgt_avg, "tgt_id")
+        .withColumn(
+            "margin",
+            F.try_divide(
+                F.col("cosine"),
+                (F.col("src_knn_avg") + F.col("tgt_knn_avg")) * 0.5,
+            ),
+        )
+    )
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    best = cand.withColumn("__r", F.row_number().over(w_src)).filter(
+        F.col("__r") == 1
+    ).drop("__r")
+    if not mutual:
+        return best.select(
+            "src_id", "tgt_id", "cosine",
+            "src_knn_avg", "tgt_knn_avg", "margin",
+        )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin"), F.asc("src_id")
+    )
+    best_t = (
+        cand.withColumn("__r", F.row_number().over(w_tgt))
+        .filter(F.col("__r") == 1)
+        .select(F.col("src_id").alias("__bs"), F.col("tgt_id").alias("__bt"))
+    )
+    return best.join(
+        best_t,
+        (best["src_id"] == best_t["__bs"])
+        & (best["tgt_id"] == best_t["__bt"]),
+    ).select(
+        "src_id", "tgt_id", "cosine",
+        "src_knn_avg", "tgt_knn_avg", "margin",
+    )

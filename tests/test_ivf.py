@@ -295,3 +295,51 @@ def test_append_ivf_index_baselines_legacy_index(spark, tmp_path):
     assert 0.5 < rep["staleness_ratio"] < 1.5
     # sidecar now exists for subsequent appends
     assert spark.read.parquet(f"{path}/stats").count() == 1
+
+
+def test_margin_bitext_mining_finds_planted_pairs(spark):
+    import random
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        margin_bitext_mine,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+
+    def vec():
+        return [rng.gauss(0.0, 1.0) for _ in range(dim)]
+
+    # planted true pairs: tgt = src + tiny noise; decoys are independent
+    srcs, tgts = [], []
+    for i in range(6):
+        v = vec()
+        srcs.append((i, v))
+        tgts.append((100 + i, [x + rng.gauss(0, 0.01) for x in v]))
+    for i in range(6, 20):
+        srcs.append((i, vec()))
+        tgts.append((100 + i, vec()))
+    src = spark.createDataFrame(
+        srcs, "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        tgts, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["src_id"]: r
+        for r in margin_bitext_mine(src, tgt, k=4, mutual=True).collect()
+    }
+    # every planted pair is mined mutual-best with a dominant margin
+    for i in range(6):
+        assert i in out and out[i]["tgt_id"] == 100 + i
+        assert out[i]["cosine"] > 0.99
+        assert out[i]["margin"] > 1.5
+    # margins of true pairs dominate whatever decoys survive mutuality
+    decoy_margins = [r["margin"] for s, r in out.items() if s >= 6]
+    true_margins = [out[i]["margin"] for i in range(6)]
+    if decoy_margins:
+        assert min(true_margins) > max(decoy_margins)
+    # forward-only mode emits exactly one row per source
+    fwd = margin_bitext_mine(src, tgt, k=4, mutual=False)
+    assert fwd.count() == 20
+    assert fwd.select("src_id").distinct().count() == 20
