@@ -2913,20 +2913,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCMatrix-style ratio-margin bitext mining between the even-id
-    (source) and odd-id (target) halves of the embedding table: each
+    """CCMatrix-style ratio-margin bitext mining between the id%8==0
+    (source) and id%8==1 (target) slices of the embedding table: each
     candidate cosine is normalized by the mean of both endpoints'
     4-NN neighborhoods, and only mutual-best pairs survive. The k-NN
     means fold in rank order on both engines, so the margin doubles
-    hash-match at the 6-decimal rounding."""
+    hash-match at the 6-decimal rounding. method='auto' with
+    brute_max=2048 resolves to exact brute top-k at every gate SF
+    (slices of 3/25/250 vectors — what the oracle replays) and to the
+    adaptive-cells IVF engine on the 10x scale synthetic (2500-vector
+    slices), so the measured scaling exponent covers the probe-limited
+    path a real mining corpus would run."""
     from data_pipeline_framework_spark.functions.similarity import (
         margin_bitext_mine,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    src = emb.filter(F.col("vec_id") % 2 == 0)
-    tgt = emb.filter(F.col("vec_id") % 2 == 1)
-    out = margin_bitext_mine(src, tgt, k=4, mutual=True)
+    src = emb.filter(F.col("vec_id") % 8 == 0)
+    tgt = emb.filter(F.col("vec_id") % 8 == 1)
+    out = margin_bitext_mine(src, tgt, k=4, mutual=True, brute_max=2048)
     return out.select(
         "src_id", "tgt_id",
         _r(F.col("cosine"), 6).alias("cosine"),
@@ -8937,10 +8942,10 @@ def oracle_sql() -> dict[str, str]:
         "bitext_margin_pairs": """
             WITH s AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v
-                FROM embeddings WHERE vec_id % 2 = 0
+                FROM embeddings WHERE vec_id % 8 = 0
             ), tt AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v
-                FROM embeddings WHERE vec_id % 2 = 1
+                FROM embeddings WHERE vec_id % 8 = 1
             ), fs AS (
                 -- one scored table serves both directions: IEEE multiply
                 -- is commutative, so cos(s,t) == cos(t,s) bit-exactly

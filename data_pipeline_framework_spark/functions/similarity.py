@@ -1389,6 +1389,10 @@ def margin_bitext_mine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mutual: bool = True,
+    method: str = "auto",
+    nprobe: int = 4,
+    seed: int = 42,
+    brute_max: int = 4096,
 ) -> DataFrame:
     """Parallel-pair mining by ratio-margin scoring (the public
     CCMatrix / Artetxe-Schwenk criterion): a candidate pair (x, y)
@@ -1406,24 +1410,47 @@ def margin_bitext_mine(
 
     The k-NN means fold in rank order (array_sort then one aggregate),
     so the float sum is deterministic and an external oracle replays
-    it exactly. Built on `cosine_topk` (one side broadcast); swap in
-    `ivf_topk` for corpus-scale mining where brute force won't do.
+    it exactly.
+
+    `method`: the top-k engine per direction. "brute" is exact
+    `cosine_topk` (O(|src|*|tgt|) scored pairs — correct and
+    oracle-replayable, quadratic); "ivf" builds a seeded-kmeans IVF
+    index per side (`adaptive_cells` sizing, so per-cell candidate
+    work stays bounded as the corpora grow) and probes `nprobe` cells
+    per query — the corpus-scale path, approximate with tunable
+    recall. "auto" (default) picks brute up to `brute_max` vectors on
+    the larger side (one bounded count() each), IVF above — the same
+    data-probed engine dispatch as heavy_hitters. True pairs sit at
+    high cosine, exactly where IVF recall concentrates, so mining
+    quality degrades far slower than raw k-NN recall.
 
     Output: (src_id, tgt_id, cosine, src_knn_avg, tgt_knn_avg, margin)
     — one row per source (forward best) or per mutual pair.
     """
     from pyspark.sql import Window
 
-    fwd = cosine_topk(
-        tgt,
-        src.select(F.col(id_col).alias("query_id"), vec_col),
-        k=k, id_col=id_col, vec_col=vec_col,
-    )
-    bwd = cosine_topk(
-        src,
-        tgt.select(F.col(id_col).alias("query_id"), vec_col),
-        k=k, id_col=id_col, vec_col=vec_col,
-    )
+    if method not in ("auto", "brute", "ivf"):
+        raise ValueError(f"unknown method {method!r}")
+    n_src = n_tgt = None
+    if method == "auto":
+        n_src, n_tgt = src.count(), tgt.count()
+        method = "brute" if max(n_src, n_tgt) <= brute_max else "ivf"
+    src_q = src.select(F.col(id_col).alias("query_id"), vec_col)
+    tgt_q = tgt.select(F.col(id_col).alias("query_id"), vec_col)
+    if method == "brute":
+        fwd = cosine_topk(tgt, src_q, k=k, id_col=id_col, vec_col=vec_col)
+        bwd = cosine_topk(src, tgt_q, k=k, id_col=id_col, vec_col=vec_col)
+    else:
+        if n_src is None:
+            n_src, n_tgt = src.count(), tgt.count()
+        fwd = ivf_topk(
+            tgt, src_q, k=k, id_col=id_col, vec_col=vec_col,
+            n_cells=adaptive_cells(n_tgt), nprobe=nprobe, seed=seed,
+        )
+        bwd = ivf_topk(
+            src, tgt_q, k=k, id_col=id_col, vec_col=vec_col,
+            n_cells=adaptive_cells(n_src), nprobe=nprobe, seed=seed,
+        )
 
     def knn_mean(topk: DataFrame, out: str) -> DataFrame:
         # rank-ordered fold: identical float order on every engine

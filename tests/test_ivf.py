@@ -343,3 +343,44 @@ def test_margin_bitext_mining_finds_planted_pairs(spark):
     fwd = margin_bitext_mine(src, tgt, k=4, mutual=False)
     assert fwd.count() == 20
     assert fwd.select("src_id").distinct().count() == 20
+
+
+def test_margin_bitext_ivf_engine_recovers_planted_pairs(spark):
+    import random
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        margin_bitext_mine,
+    )
+
+    rng = random.Random(23)
+    dim = 16
+
+    def vec():
+        return [rng.gauss(0.0, 1.0) for _ in range(dim)]
+
+    srcs, tgts = [], []
+    for i in range(8):
+        v = vec()
+        srcs.append((i, v))
+        tgts.append((100 + i, [x + rng.gauss(0, 0.01) for x in v]))
+    for i in range(8, 40):
+        srcs.append((i, vec()))
+        tgts.append((100 + i, vec()))
+    src = spark.createDataFrame(srcs, "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(tgts, "vec_id long, embedding array<double>")
+    # force the IVF arm at toy size via brute_max=0
+    out = {
+        r["src_id"]: r
+        for r in margin_bitext_mine(
+            src, tgt, k=4, mutual=True, method="auto", brute_max=0
+        ).collect()
+    }
+    # a near-identical pair lands in the same probed cell: all planted
+    # pairs are recovered mutual-best even on the approximate engine
+    for i in range(8):
+        assert i in out and out[i]["tgt_id"] == 100 + i, i
+        assert out[i]["cosine"] > 0.99
+    import pytest
+
+    with pytest.raises(ValueError):
+        margin_bitext_mine(src, tgt, method="nope")

@@ -60,6 +60,8 @@ _BNL_OK = {
     "source_js_divergence",  # broadcast bounded source-pair grid (a
     # handful of rows) crossed with the vocab — sources are few by
     # construction, the cross side is the BROADCAST side
+    "bitext_margin_pairs",  # cosine_topk arms broadcast one mining side
+    # (the documented brute-force baseline; ivf_topk is the scale path)
 }
 
 # queries whose operators legitimately run vectorized Python
