@@ -1188,9 +1188,16 @@ def ks_drift(
             F.coalesce("ca", F.lit(0)).alias("ca"),
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
+        # three actions read this frame (cut points, bucket totals, the
+        # final statistic) — persist so the counts join runs once
+        .persist()
     )
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts_row = j.agg(
+    # cut points only BALANCE the buckets (the statistic is invariant to
+    # them), so a 10% sample feeds the sketch: bucket sizes wobble ±30%,
+    # sketch-insert CPU drops 10x. An empty sample (tiny input) degrades
+    # to one bucket — still correct, just one window partition.
+    cuts_row = j.sample(fraction=0.1, seed=42).agg(
         F.percentile_approx("v", F.array(*[F.lit(p) for p in probs]), 100)
         .alias("cuts")
     ).first()
