@@ -17,7 +17,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Queries that return O(input) rows: count() them instead of collecting.
+# Queries that return O(input) rows: force them through the noop sink
+# instead of collecting. count() is NOT a valid forcing action here —
+# Catalyst prunes columns a count doesn't need, which deletes pure
+# projections and even whole Window operators from the plan (verified:
+# window_ranking's count-plan is a bare parquet scan), so count-based
+# timings measured a degenerate query. The noop writer computes every
+# output column JVM-side and discards rows without a driver transfer.
 _WIDE = {
     "date_parts", "window_ranking", "window_offsets", "window_running",
     "melt_part", "dedup_first_per_key", "select_transform",
@@ -190,6 +196,14 @@ HEADLINE = [
 ]
 
 
+def run_action(name: str, df) -> None:
+    """Benchmark forcing action: full computation, bounded driver."""
+    if name in _WIDE:
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.collect()
+
+
 def _sf_of(sf_dir: str):
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = sf.lstrip("_")
@@ -235,10 +249,7 @@ def main() -> None:
         for _ in range(runs):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
-            if name in _WIDE:
-                df.count()
-            else:
-                df.collect()
+            run_action(name, df)
             best = min(best, time.perf_counter() - t0)
             # queries persist intermediates (LSH candidates, IVF index,
             # ...); drop them so one query's cache doesn't tax the next
@@ -276,7 +287,7 @@ def main() -> None:
             for _ in range(runs):
                 t0 = time.perf_counter()
                 df = qs[name](spark, extra_dir)
-                df.count() if name in _WIDE else df.collect()
+                run_action(name, df)
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()

@@ -76,10 +76,9 @@ def _run(spark, qs, names, sf_dir, runs=2):
         for _ in range(runs):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
-            if name in bench._WIDE:
-                df.count()
-            else:
-                df.collect()
+            # noop-sink forcing (see bench.run_action): count() lets the
+            # optimizer prune projections/windows and times a bare scan
+            bench.run_action(name, df)
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
