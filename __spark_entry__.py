@@ -781,12 +781,15 @@ def ks_drift_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     (division only at the comparison), so the statistic is exact and
     the oracle replays it bit-for-bit; asymptotic p-value via the
     mirrored 100-term Kolmogorov series fold."""
-    from data_pipeline_framework_spark.functions.profiling import ks_drift
+    from data_pipeline_framework_spark.functions.profiling import (
+        ks_drift_split,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "R")
-    b = li.filter(F.col("l_returnflag") == "N")
-    out = ks_drift(a, b, "l_extendedprice")
+    out = ks_drift_split(
+        li, "l_extendedprice",
+        F.col("l_returnflag") == "R", F.col("l_returnflag") == "N",
+    )
     return out.select(
         _r(F.col("ks_stat"), 6).alias("ks_stat"),
         _r(F.col("p_value"), 6).alias("p_value"),

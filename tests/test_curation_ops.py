@@ -1387,3 +1387,30 @@ def test_luhn_pan_scan_textbook_vectors(spark):
     assert out[8]["pan_network"] == "discover" and out[8]["luhn_valid"]
     # the raw PAN never appears in the output schema
     assert "pan_masked" in out[1] and "__norm" not in out[1]
+
+
+def test_ks_drift_split_matches_two_frame_form(spark):
+    import random
+
+    from data_pipeline_framework_spark.functions.profiling import (
+        ks_drift,
+        ks_drift_split,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (rng.choice(["R", "N", "A"]), rng.gauss(0.0, 1.0))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "flag string, v double")
+    two = ks_drift(
+        df.filter(F.col("flag") == "R"),
+        df.filter(F.col("flag") == "N"),
+        "v",
+    ).first()
+    one = ks_drift_split(
+        df, "v", F.col("flag") == "R", "flag = 'N'"
+    ).first()
+    assert one.asDict() == two.asDict()
+    # 'A' rows belong to neither side
+    assert one["n_a"] + one["n_b"] < 500
