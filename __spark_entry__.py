@@ -797,6 +797,22 @@ def ks_drift_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median/MAD robust outliers over event values (Iglewicz-Hoaglin
+    robust z > 3.5) — the resistant complement to the IQR/zscore rules;
+    both medians come from the exact-selection percentile kernel, whose
+    interpolation mirrors DuckDB's quantile_cont."""
+    from data_pipeline_framework_spark.functions.profiling import (
+        robust_outliers_mad,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = robust_outliers_mad(ev, "value", threshold=3.5)
+    return out.select(
+        "event_id", "value", _r(F.col("robust_z"), 4).alias("robust_z")
+    )
+
+
 def drift_psi_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """categorical drift: PSI over order-priority shares, early vs late
     orders; full-outer category join so one-sided categories count."""
@@ -5972,6 +5988,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd": kmeans_lloyd,
         "drift_psi_prices": drift_psi_prices,
         "ks_drift_prices": ks_drift_prices,
+        "robust_outliers_events": robust_outliers_events,
         "drift_psi_priorities": drift_psi_priorities,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shard_packing": token_shard_packing,
@@ -8251,6 +8268,20 @@ def oracle_sql() -> dict[str, str]:
                               / (coalesce(frac_b, 0.0) + 1e-6))
                          * 1e6 + 0.5) / 1e6 AS psi_term
             FROM fa FULL OUTER JOIN fb USING (category)
+        """,
+        "robust_outliers_events": """
+            WITH m AS (
+                SELECT quantile_cont(value, 0.5) AS med
+                FROM events WHERE value IS NOT NULL
+            ), d AS (
+                SELECT quantile_cont(abs(value - med), 0.5) AS mad
+                FROM events, m WHERE value IS NOT NULL
+            )
+            SELECT event_id, value,
+                   FLOOR(abs(value - med) / (1.4826 * mad)
+                         * 1e4 + 0.5) / 1e4 AS robust_z
+            FROM events, m, d
+            WHERE abs(value - med) / (1.4826 * mad) > 3.5
         """,
         "ks_drift_prices": """
             WITH a AS (

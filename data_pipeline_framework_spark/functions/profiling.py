@@ -1311,3 +1311,49 @@ def _ks_from_value_counts(j: DataFrame, n_buckets: int) -> DataFrame:
         F.lit(n_b).cast("long").alias("n_b"),
         F.col("v").alias("at_value"),
     )
+
+
+def robust_outliers_mad(
+    df: DataFrame,
+    column: str,
+    threshold: float = 3.5,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Median/MAD robust outlier detection — the resistant complement
+    to the IQR and z-score rules (a single extreme value moves a mean
+    and stddev arbitrarily far, but moves a median and MAD not at
+    all). robust_z = |x - median| / (scale * MAD) with the standard
+    1.4826 consistency constant (makes MAD estimate sigma under
+    normality); rows with robust_z > threshold (3.5 is the Iglewicz-
+    Hoaglin recommendation) are returned with their score.
+
+    Both medians come from the sketch-bracketed exact-selection kernel
+    (`percentiles_from_meta`) — two bounded extra scans, no
+    single-task percentile merge, the same scale path the profiler
+    uses. A constant column has MAD 0; the score try_divides to null
+    and no row flags (documented degenerate case)."""
+    col = F.col(column).cast("double")
+    probs = [0.5]
+    row = df.agg(*percentile_meta_aggs([column], probs)).first()
+    meta = {
+        column: (row[f"{column}__n"], row[f"{column}__min"],
+                 row[f"{column}__max"], row[f"{column}__b"])
+    }
+    med = percentiles_from_meta(df, [column], probs, meta)[column][0]
+    if med is None:
+        raise ValueError(f"robust_outliers_mad: no non-null {column!r}")
+    dev = df.select(F.abs(col - F.lit(float(med))).alias("__dev"))
+    drow = dev.agg(*percentile_meta_aggs(["__dev"], probs)).first()
+    dmeta = {
+        "__dev": (drow["__dev__n"], drow["__dev__min"],
+                  drow["__dev__max"], drow["__dev__b"])
+    }
+    mad = percentiles_from_meta(dev, ["__dev"], probs, dmeta)["__dev"][0]
+    z = F.try_divide(
+        F.abs(col - F.lit(float(med))),
+        F.lit(float(scale)) * F.lit(float(mad)),
+    )
+    return (
+        df.withColumn("robust_z", z)
+        .filter(F.col("robust_z") > threshold)
+    )

@@ -1414,3 +1414,42 @@ def test_ks_drift_split_matches_two_frame_form(spark):
     assert one.asDict() == two.asDict()
     # 'A' rows belong to neither side
     assert one["n_a"] + one["n_b"] < 500
+
+
+def test_robust_outliers_mad_hand_checked(spark):
+    from data_pipeline_framework_spark.functions.profiling import (
+        robust_outliers_mad,
+    )
+
+    vals = [float(v) for v in range(1, 10)] + [100.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, value double")
+    out = robust_outliers_mad(df, "value", threshold=3.5).collect()
+
+    def q50(xs):
+        xs = sorted(xs)
+        t = (len(xs) - 1) * 0.5
+        lo, hi = int(t), -(-t // 1)
+        f = t - lo
+        return xs[lo] * (1 - f) + xs[int(hi)] * f
+
+    med = q50(vals)
+    mad = q50([abs(v - med) for v in vals])
+    want = {
+        i: abs(v - med) / (1.4826 * mad)
+        for i, v in enumerate(vals)
+        if abs(v - med) / (1.4826 * mad) > 3.5
+    }
+    got = {r["id"]: r["robust_z"] for r in out}
+    assert set(got) == set(want) == {9}  # only the planted 100.0
+    assert got[9] == pytest.approx(want[9], rel=1e-12)
+
+    # constant column: MAD 0 -> no outliers (null score filtered)
+    const = spark.createDataFrame([(i, 5.0) for i in range(8)],
+                                  "id long, value double")
+    assert robust_outliers_mad(const, "value").count() == 0
+
+    # all-null column raises
+    nulls = spark.createDataFrame([(1, None)], "id long, value double")
+    with pytest.raises(ValueError):
+        robust_outliers_mad(nulls, "value")
