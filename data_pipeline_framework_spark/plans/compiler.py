@@ -1127,6 +1127,70 @@ def _op_k_anonymity(params: Mapping, ctx) -> OpFn:
     return fn
 
 
+def _op_ks_drift(params: Mapping, ctx) -> OpFn:
+    """Exact two-sample KS drift — `{"type": "ks_drift", "column": c,
+    "side_a": "<sql predicate>", "side_b": "<sql predicate>",
+    "n_buckets": 64}`. One scan builds both samples' value counts;
+    output is the one-row (ks_stat, p_value, n_a, n_b, at_value)."""
+    from ..functions.profiling import ks_drift_split
+
+    def fn(df: DataFrame) -> DataFrame:
+        return ks_drift_split(
+            df, params["column"], params["side_a"], params["side_b"],
+            n_buckets=int(params.get("n_buckets", 64)),
+        )
+
+    return fn
+
+
+def _op_luhn_scan(params: Mapping, ctx) -> OpFn:
+    """Luhn-verified PAN detection — `{"type": "luhn_scan",
+    "column": c, "id_columns": [...]}`; emits masked candidates only."""
+    from ..operators.cleaning import luhn_pan_scan
+
+    def fn(df: DataFrame) -> DataFrame:
+        return luhn_pan_scan(
+            df, params["column"], id_cols=params.get("id_columns")
+        )
+
+    return fn
+
+
+def _op_robust_outliers(params: Mapping, ctx) -> OpFn:
+    """Median/MAD outlier filter — `{"type": "robust_outliers",
+    "column": c, "threshold": 3.5}`; keeps flagged rows + robust_z."""
+    from ..functions.profiling import robust_outliers_mad
+
+    def fn(df: DataFrame) -> DataFrame:
+        return robust_outliers_mad(
+            df, params["column"],
+            threshold=float(params.get("threshold", 3.5)),
+        )
+
+    return fn
+
+
+def _op_bitext_mine(params: Mapping, ctx) -> OpFn:
+    """Ratio-margin bitext mining — `{"type": "bitext_mine",
+    "side_a": "<sql>", "side_b": "<sql>", "k": 4, "mutual": true,
+    "id_column": ..., "vector_column": ..., "method": "auto"}`.
+    Both sides are predicate slices of the incoming frame."""
+    from ..functions.similarity import margin_bitext_mine
+
+    def fn(df: DataFrame) -> DataFrame:
+        return margin_bitext_mine(
+            df.filter(params["side_a"]),
+            df.filter(params["side_b"]),
+            k=int(params.get("k", 4)),
+            id_col=params.get("id_column", "vec_id"),
+            vec_col=params.get("vector_column", "embedding"),
+            mutual=bool(params.get("mutual", True)),
+            method=params.get("method", "auto"),
+        )
+
+    return fn
+
+
 OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "select": _op_select,
     "filter": _op_filter,
@@ -1177,6 +1241,10 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "event_transitions": _op_event_transitions,
     "top_paths": _op_top_paths,
     "grouped_ols": _op_grouped_ols,
+    "ks_drift": _op_ks_drift,
+    "luhn_scan": _op_luhn_scan,
+    "robust_outliers": _op_robust_outliers,
+    "bitext_mine": _op_bitext_mine,
 }
 
 

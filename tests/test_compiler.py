@@ -711,3 +711,49 @@ def test_op_round5_analytics_ops(spark):
         or r["batch_n_docs"] == 1
         for r in rows
     )
+
+
+def test_op_round6_analytics_ops(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [("R" if i % 2 else "N", rng.gauss(0, 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "flag string, v double")
+    ks = compile_ops([
+        {"type": "ks_drift",
+         "params": {"column": "v", "side_a": "flag = 'R'",
+                    "side_b": "flag = 'N'", "n_buckets": 4}},
+    ])(df)
+    row = ks.first()
+    assert 0.0 <= row["ks_stat"] <= 1.0 and row["n_a"] == 150
+
+    pans = spark.createDataFrame(
+        [(1, "card 4111 1111 1111 1111 ok")], "id long, text string"
+    )
+    out = compile_ops([
+        {"type": "luhn_scan",
+         "params": {"column": "text", "id_columns": ["id"]}},
+    ])(pans).first()
+    assert out["luhn_valid"] and out["pan_network"] == "visa"
+
+    vals = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(list(range(1, 10)) + [99])],
+        "id long, value double",
+    )
+    flagged = compile_ops([
+        {"type": "robust_outliers", "params": {"column": "value"}},
+    ])(vals).collect()
+    assert [r["id"] for r in flagged] == [9]
+
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    vecs += [(100 + i, [x + rng.gauss(0, 0.01) for x in v])
+             for i, v in vecs[:5]]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    mined = compile_ops([
+        {"type": "bitext_mine",
+         "params": {"side_a": "vec_id < 100", "side_b": "vec_id >= 100",
+                    "k": 3}},
+    ])(emb)
+    got = {r["src_id"]: r["tgt_id"] for r in mined.collect()}
+    for i in range(5):
+        assert got[i] == 100 + i
