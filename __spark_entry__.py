@@ -797,6 +797,23 @@ def ks_drift_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-source Gini concentration of document lengths — the corpus
+    balance diagnostic next to per-source counts. Moment sums stay in
+    long arithmetic (exact, order-independent); the two divisions run
+    in double on the exact sums, so the oracle replays the value
+    bit-for-bit."""
+    from data_pipeline_framework_spark.functions.profiling import (
+        gini_coefficient,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    out = gini_coefficient(docs, "n_chars", group_by=["source"])
+    return out.select(
+        "source", "n", "total", _r(F.col("gini"), 6).alias("gini")
+    )
+
+
 def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """median/MAD robust outliers over event values (Iglewicz-Hoaglin
     robust z > 3.5) — the resistant complement to the IQR/zscore rules;
@@ -5989,6 +6006,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_prices": drift_psi_prices,
         "ks_drift_prices": ks_drift_prices,
         "robust_outliers_events": robust_outliers_events,
+        "length_gini_by_source": length_gini_by_source,
         "drift_psi_priorities": drift_psi_priorities,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shard_packing": token_shard_packing,
@@ -8268,6 +8286,26 @@ def oracle_sql() -> dict[str, str]:
                               / (coalesce(frac_b, 0.0) + 1e-6))
                          * 1e6 + 0.5) / 1e6 AS psi_term
             FROM fa FULL OUTER JOIN fb USING (category)
+        """,
+        "length_gini_by_source": """
+            WITH ranked AS (
+                SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars) AS i
+                FROM documents
+            ), g AS (
+                SELECT source, count(*) AS n, sum(n_chars) AS total,
+                       sum(i * n_chars) AS si
+                FROM ranked GROUP BY source
+            )
+            SELECT source, n, CAST(total AS BIGINT) AS total,
+                   FLOOR((CASE WHEN total = 0 THEN 0.0
+                          ELSE (2.0 * CAST(si AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                               - (CAST(n AS DOUBLE) + 1.0)
+                                 / CAST(n AS DOUBLE) END)
+                         * 1e6 + 0.5) / 1e6 AS gini
+            FROM g
         """,
         "robust_outliers_events": """
             WITH m AS (

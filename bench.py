@@ -190,6 +190,7 @@ HEADLINE = [
     "luhn_pan_audit",
     "bitext_margin_pairs",
     "robust_outliers_events",
+    "length_gini_by_source",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to

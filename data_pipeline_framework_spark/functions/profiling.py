@@ -1357,3 +1357,59 @@ def robust_outliers_mad(
         df.withColumn("robust_z", z)
         .filter(F.col("robust_z") > threshold)
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    column: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Gini concentration per group — the standard inequality measure a
+    corpus dashboard puts next to per-source counts (is one crawl
+    domain contributing half the tokens? are a few customers half the
+    revenue?). 0 = perfectly even, ->1 = fully concentrated.
+
+    G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over ascending
+    x_i, i = 1..n — the exact sample formula, tie-order invariant
+    (equal values commute inside sum(i * x_i)), computed as one
+    per-group rank window plus one grouped aggregation. The moment
+    sums stay in integer/long arithmetic when the column is integral
+    (exact, order-independent); the two divisions happen in double on
+    the exact sums, so an external oracle replays the value
+    bit-for-bit. Negative values make Gini ill-defined and raise.
+    Output: group keys + n, total, gini. Scale note: ranks are a
+    window per GROUP partition — with no group_by the single global
+    window is the bottleneck; at corpus scale group (by source,
+    domain, shard) or rank via a distributed-ntile pass first.
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_by or [])
+    col = F.col(column)
+    neg = df.filter(col < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            f"gini_coefficient: {column!r} has negative values"
+        )
+    ranked = df.select(*keys, col.alias("__x")).withColumn(
+        "__i", F.row_number().over(
+            Window.partitionBy(*[F.col(k) for k in keys])
+            .orderBy(F.col("__x"))
+        )
+    )
+    g = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__si"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        (F.lit(2.0) * F.col("__si").cast("double"))
+        / (n * F.col("total").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return g.select(
+        *keys, "n", "total",
+        F.when(F.col("total") == 0, F.lit(0.0)).otherwise(gini)
+        .alias("gini"),
+    )

@@ -1453,3 +1453,28 @@ def test_robust_outliers_mad_hand_checked(spark):
     nulls = spark.createDataFrame([(1, None)], "id long, value double")
     with pytest.raises(ValueError):
         robust_outliers_mad(nulls, "value")
+
+
+def test_gini_coefficient_known_values(spark):
+    from data_pipeline_framework_spark.functions.profiling import (
+        gini_coefficient,
+    )
+
+    rows = (
+        [("even", 10)] * 5                      # perfectly even -> 0
+        + [("conc", 0)] * 4 + [("conc", 100)]   # one holder has all
+        + [("mix", v) for v in (1, 2, 3, 4)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r["g"]: r for r in
+           gini_coefficient(df, "x", group_by=["g"]).collect()}
+    assert out["even"]["gini"] == pytest.approx(0.0, abs=1e-12)
+    # sample formula: max concentration with n=5 -> (n-1)/n = 0.8
+    assert out["conc"]["gini"] == pytest.approx(0.8, abs=1e-12)
+    # hand: x=(1,2,3,4): G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    assert out["mix"]["gini"] == pytest.approx(0.25, abs=1e-12)
+    assert out["mix"]["n"] == 4 and out["mix"]["total"] == 10
+
+    neg = spark.createDataFrame([("a", -1)], "g string, x long")
+    with pytest.raises(ValueError):
+        gini_coefficient(neg, "x", group_by=["g"])
