@@ -814,6 +814,27 @@ def length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gini_concentration_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNGROUPED Gini over lineitem price cents — exercises the
+    distributed global-rank path (distinct-value counts + bucketed
+    literal prefix offsets, window per bucket partition, decimal(38,0)
+    moment sum; NO single-partition window). Prices are rounded to
+    integer cents so every sum is exact and the one IEEE-double
+    division replays bit-for-bit in the oracle."""
+    from data_pipeline_framework_spark.functions.profiling import (
+        gini_coefficient,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint").alias("cents")
+    )
+    out = gini_coefficient(li, "cents")
+    return out.select(
+        "n", "total", _r(F.col("gini"), 6).alias("gini")
+    )
+
+
 def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """median/MAD robust outliers over event values (Iglewicz-Hoaglin
     robust z > 3.5) — the resistant complement to the IQR/zscore rules;
@@ -6007,6 +6028,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_prices": ks_drift_prices,
         "robust_outliers_events": robust_outliers_events,
         "length_gini_by_source": length_gini_by_source,
+        "gini_concentration_prices": gini_concentration_prices,
         "drift_psi_priorities": drift_psi_priorities,
         "stratified_sample_docs": stratified_sample_docs,
         "token_shard_packing": token_shard_packing,
@@ -8292,7 +8314,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source, n_chars,
                        row_number() OVER (PARTITION BY source
                            ORDER BY n_chars) AS i
-                FROM documents
+                FROM documents WHERE n_chars IS NOT NULL
             ), g AS (
                 SELECT source, count(*) AS n, sum(n_chars) AS total,
                        sum(i * n_chars) AS si
@@ -8301,6 +8323,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n, CAST(total AS BIGINT) AS total,
                    FLOOR((CASE WHEN total = 0 THEN 0.0
                           ELSE (2.0 * CAST(si AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                               - (CAST(n AS DOUBLE) + 1.0)
+                                 / CAST(n AS DOUBLE) END)
+                         * 1e6 + 0.5) / 1e6 AS gini
+            FROM g
+        """,
+        "gini_concentration_prices": """
+            WITH x AS (
+                SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), r AS (
+                SELECT v, row_number() OVER (ORDER BY v) AS i FROM x
+            ), g AS (
+                SELECT count(*) AS n, sum(v) AS total, 2 * sum(i * v) AS si2
+                FROM r
+            )
+            SELECT n, CAST(total AS BIGINT) AS total,
+                   FLOOR((CASE WHEN total = 0 THEN 0.0
+                          ELSE CAST(si2 AS DOUBLE)
                                / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
                                - (CAST(n AS DOUBLE) + 1.0)
                                  / CAST(n AS DOUBLE) END)

@@ -1228,88 +1228,107 @@ def ks_drift_split(
 
 def _ks_from_value_counts(j: DataFrame, n_buckets: int) -> DataFrame:
     """Shared KS tail: (v, ca, cb) per pooled distinct value -> the
-    one-row statistic. See ks_drift for the distribution strategy."""
+    one-row statistic. See ks_drift for the distribution strategy.
+    EAGER: the result is one row, so it is materialized here and the
+    persisted distinct-value frame unpersisted before returning —
+    otherwise every call would leak a cached frame into a long-lived
+    session (the other persisting kernels in this file unpersist the
+    same way)."""
     from pyspark.sql import Window
 
+    spark = j.sparkSession
     # three actions read this frame (cut points, bucket totals, the
-    # final statistic) — persist so the counts build runs once
+    # final statistic) — persist so the counts build runs once, then
+    # unpersist in the finally below once the statistic is collected
     j = j.persist()
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    # cut points only BALANCE the buckets (the statistic is invariant to
-    # them), so a 10% sample feeds the sketch: bucket sizes wobble ±30%,
-    # sketch-insert CPU drops 10x. An empty sample (tiny input) degrades
-    # to one bucket — still correct, just one window partition.
-    cuts_row = j.sample(fraction=0.1, seed=42).agg(
-        F.percentile_approx("v", F.array(*[F.lit(p) for p in probs]), 100)
-        .alias("cuts")
-    ).first()
-    cuts = sorted(set(cuts_row["cuts"] or []))
-    bkt = F.lit(0)
-    for c in cuts:
-        bkt = bkt + F.when(F.col("v") > F.lit(float(c)), 1).otherwise(0)
-    jb = j.withColumn("__b", bkt)
-    # bounded collect: one row per bucket -> literal prefix offsets
-    totals = {
-        r["__b"]: (r["sa"], r["sb"])
-        for r in jb.groupBy("__b")
-        .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
-        .collect()
-    }
-    n_a = sum(t[0] for t in totals.values())
-    n_b = sum(t[1] for t in totals.values())
-    if n_a == 0 or n_b == 0:
-        raise ValueError("ks_drift requires non-empty samples on both sides")
-    off_a: dict[int, int] = {}
-    off_b: dict[int, int] = {}
-    run_a = run_b = 0
-    for b in sorted(totals):
-        off_a[b], off_b[b] = run_a, run_b
-        run_a += totals[b][0]
-        run_b += totals[b][1]
-    map_a = F.create_map(
-        *[x for b in sorted(totals)
-          for x in (F.lit(b), F.lit(off_a[b]).cast("long"))]
-    )
-    map_b = F.create_map(
-        *[x for b in sorted(totals)
-          for x in (F.lit(b), F.lit(off_b[b]).cast("long"))]
-    )
-    w = (
-        Window.partitionBy("__b")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    d = jb.select(
-        "v",
-        (
-            F.abs(
-                (map_a[F.col("__b")] + F.sum("ca").over(w))
-                .cast("double") / F.lit(float(n_a))
-                - (map_b[F.col("__b")] + F.sum("cb").over(w))
-                .cast("double") / F.lit(float(n_b))
+    try:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        # cut points only BALANCE the buckets (the statistic is invariant
+        # to them), so a 10% sample feeds the sketch: bucket sizes wobble
+        # ±30%, sketch-insert CPU drops 10x. An empty sample (tiny input)
+        # degrades to one bucket — still correct, one window partition.
+        cuts_row = j.sample(fraction=0.1, seed=42).agg(
+            F.percentile_approx(
+                "v", F.array(*[F.lit(p) for p in probs]), 100
+            ).alias("cuts")
+        ).first()
+        cuts = sorted(set(cuts_row["cuts"] or []))
+        bkt = F.lit(0)
+        for c in cuts:
+            bkt = bkt + F.when(F.col("v") > F.lit(float(c)), 1).otherwise(0)
+        jb = j.withColumn("__b", bkt)
+        # bounded collect: one row per bucket -> literal prefix offsets
+        totals = {
+            r["__b"]: (r["sa"], r["sb"])
+            for r in jb.groupBy("__b")
+            .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
+            .collect()
+        }
+        n_a = sum(t[0] for t in totals.values())
+        n_b = sum(t[1] for t in totals.values())
+        if n_a == 0 or n_b == 0:
+            raise ValueError(
+                "ks_drift requires non-empty samples on both sides"
             )
-        ).alias("d"),
-    )
-    top = d.orderBy(F.desc("d"), F.asc("v")).limit(1)
-    ne = F.lit(float(n_a)) * n_b / (n_a + n_b)
-    lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * F.col("d")
-    series = F.aggregate(
-        F.sequence(F.lit(1), F.lit(100)),
-        F.lit(0.0),
-        lambda acc, k: acc
-        + F.when(k % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
-        * F.exp(F.lit(-2.0) * (k * k).cast("double") * lam * lam),
-    )
-    return top.select(
-        F.col("d").alias("ks_stat"),
-        F.when(lam < 0.2, F.lit(1.0))
-        .otherwise(
-            F.greatest(F.lit(0.0), F.least(F.lit(1.0), 2.0 * series))
+        off_a: dict[int, int] = {}
+        off_b: dict[int, int] = {}
+        run_a = run_b = 0
+        for b in sorted(totals):
+            off_a[b], off_b[b] = run_a, run_b
+            run_a += totals[b][0]
+            run_b += totals[b][1]
+        map_a = F.create_map(
+            *[x for b in sorted(totals)
+              for x in (F.lit(b), F.lit(off_a[b]).cast("long"))]
         )
-        .alias("p_value"),
-        F.lit(n_a).cast("long").alias("n_a"),
-        F.lit(n_b).cast("long").alias("n_b"),
-        F.col("v").alias("at_value"),
+        map_b = F.create_map(
+            *[x for b in sorted(totals)
+              for x in (F.lit(b), F.lit(off_b[b]).cast("long"))]
+        )
+        w = (
+            Window.partitionBy("__b")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        d = jb.select(
+            "v",
+            (
+                F.abs(
+                    (map_a[F.col("__b")] + F.sum("ca").over(w))
+                    .cast("double") / F.lit(float(n_a))
+                    - (map_b[F.col("__b")] + F.sum("cb").over(w))
+                    .cast("double") / F.lit(float(n_b))
+                )
+            ).alias("d"),
+        )
+        top = d.orderBy(F.desc("d"), F.asc("v")).limit(1)
+        ne = F.lit(float(n_a)) * n_b / (n_a + n_b)
+        lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * F.col("d")
+        series = F.aggregate(
+            F.sequence(F.lit(1), F.lit(100)),
+            F.lit(0.0),
+            lambda acc, k: acc
+            + F.when(k % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * F.exp(F.lit(-2.0) * (k * k).cast("double") * lam * lam),
+        )
+        row = top.select(
+            F.col("d").alias("ks_stat"),
+            F.when(lam < 0.2, F.lit(1.0))
+            .otherwise(
+                F.greatest(F.lit(0.0), F.least(F.lit(1.0), 2.0 * series))
+            )
+            .alias("p_value"),
+            F.col("v").alias("at_value"),
+        ).first()
+    finally:
+        j.unpersist()
+    return spark.createDataFrame(
+        [(
+            float(row["ks_stat"]), float(row["p_value"]),
+            int(n_a), int(n_b), float(row["at_value"]),
+        )],
+        "ks_stat double, p_value double, n_a bigint, n_b bigint, "
+        "at_value double",
     )
 
 
@@ -1363,6 +1382,8 @@ def gini_coefficient(
     df: DataFrame,
     column: str,
     group_by: list[str] | None = None,
+    n_buckets: int = 64,
+    _debug_plans: list | None = None,
 ) -> DataFrame:
     """Gini concentration per group — the standard inequality measure a
     corpus dashboard puts next to per-source counts (is one crawl
@@ -1371,27 +1392,50 @@ def gini_coefficient(
 
     G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over ascending
     x_i, i = 1..n — the exact sample formula, tie-order invariant
-    (equal values commute inside sum(i * x_i)), computed as one
-    per-group rank window plus one grouped aggregation. The moment
-    sums stay in integer/long arithmetic when the column is integral
-    (exact, order-independent); the two divisions happen in double on
-    the exact sums, so an external oracle replays the value
-    bit-for-bit. Negative values make Gini ill-defined and raise.
-    Output: group keys + n, total, gini. Scale note: ranks are a
-    window per GROUP partition — with no group_by the single global
-    window is the bottleneck; at corpus scale group (by source,
-    domain, shard) or rank via a distributed-ntile pass first.
+    (equal values commute inside sum(i * x_i)). Nulls are excluded
+    BEFORE ranking, so n, total, and the moment sum all range over the
+    same non-null sample (ranking nulls would silently inflate every
+    rank while the sums skipped them).
+
+    Grouped: one per-group rank window plus one grouped aggregation.
+    The moment sums stay in integer/long arithmetic when the column is
+    integral (exact, order-independent); the two divisions happen in
+    double on the exact sums, so an external oracle replays the value
+    bit-for-bit. The negative-value guard rides the SAME aggregation
+    (a min(x) assert folded into the gini expression — no extra scan)
+    and therefore surfaces at action time as a Spark error carrying
+    "has negative values", not as an eager ValueError.
+
+    Ungrouped (group_by=None): there is no group key to partition a
+    rank window by, so ranks are derived WITHOUT any single-partition
+    window, the same way `ks_drift` builds its ECDFs: one
+    groupBy(value) count collapses the input to its distinct values;
+    approximate-quantile cut points split the value axis into
+    `n_buckets` ranges; per-bucket totals (a bounded <= n_buckets-row
+    collect, which also carries min(x) for the negative guard — again
+    no extra scan) become literal prefix offsets; a window per BUCKET
+    partition finishes the exclusive prefix s_v. A run of c_v ties at
+    value v then occupies ranks s_v+1..s_v+c_v, contributing
+    v*c_v*(2*s_v + c_v + 1) to 2*sum(i*x_i) — summed in
+    DECIMAL(38,0), exact far past long range. This path is EAGER (the
+    result is one row; computing it inside lets the distinct-value
+    frame be unpersisted before returning, no cache leak) and returns
+    columns (n, total, gini) with total in long arithmetic for
+    integral columns. The final division runs in IEEE double on the
+    exact sums with each operand rounded to double first —
+    D(2*si) / (D(n)*D(total)) - (n+1.0)/n — so DuckDB replays it
+    bit-for-bit with the same casts.
     """
     from pyspark.sql import Window
 
     keys = list(group_by or [])
     col = F.col(column)
-    neg = df.filter(col < 0).limit(1).count()
-    if neg:
-        raise ValueError(
-            f"gini_coefficient: {column!r} has negative values"
-        )
-    ranked = df.select(*keys, col.alias("__x")).withColumn(
+    base = df.select(*keys, col.alias("__x")).where(
+        F.col("__x").isNotNull()
+    )
+    if not keys:
+        return _gini_global(base, n_buckets, column, _debug_plans)
+    ranked = base.withColumn(
         "__i", F.row_number().over(
             Window.partitionBy(*[F.col(k) for k in keys])
             .orderBy(F.col("__x"))
@@ -1401,6 +1445,7 @@ def gini_coefficient(
         F.count(F.lit(1)).alias("n"),
         F.sum("__x").alias("total"),
         F.sum(F.col("__i") * F.col("__x")).alias("__si"),
+        F.min("__x").alias("__mn"),
     )
     n = F.col("n").cast("double")
     gini = (
@@ -1408,8 +1453,138 @@ def gini_coefficient(
         / (n * F.col("total").cast("double"))
         - (n + F.lit(1.0)) / n
     )
+    # the guard is a column so it rides the same aggregation pass:
+    # assert_true yields NULL when the group min is non-negative, so
+    # coalesce makes it an exact 0.0 added to the statistic — Catalyst
+    # cannot prune it, and a negative value fails the action.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__mn") >= 0,
+            F.lit(f"gini_coefficient: {column!r} has negative values"),
+        ).cast("double"),
+        F.lit(0.0),
+    )
     return g.select(
         *keys, "n", "total",
-        F.when(F.col("total") == 0, F.lit(0.0)).otherwise(gini)
-        .alias("gini"),
+        (
+            F.when(F.col("total") == 0, F.lit(0.0)).otherwise(gini)
+            + guard
+        ).alias("gini"),
+    )
+
+
+def _gini_global(
+    base: DataFrame,
+    n_buckets: int,
+    column: str,
+    _debug_plans: list | None = None,
+) -> DataFrame:
+    """Ungrouped Gini kernel: distinct-value counts + bucketed literal
+    prefix offsets (see gini_coefficient docstring). No global-window
+    rank anywhere; eager one-row result."""
+    from pyspark.sql import Window
+
+    spark = base.sparkSession
+    vc = base.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
+    vc = vc.persist()
+    try:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        # cut points only balance the buckets (the statistic is
+        # invariant to them) — a 10% sample feeds the sketch
+        cuts_row = vc.sample(fraction=0.1, seed=42).agg(
+            F.percentile_approx(
+                "__x", F.array(*[F.lit(p) for p in probs]), 100
+            ).alias("cuts")
+        ).first()
+        cuts = sorted(set(cuts_row["cuts"] or []))
+        bkt = F.lit(0)
+        for c in cuts:
+            bkt = bkt + F.when(
+                F.col("__x") > F.lit(float(c)), 1
+            ).otherwise(0)
+        jb = vc.withColumn("__b", bkt)
+        # bounded collect: one row per bucket -> literal offsets; the
+        # same rows carry min(x) so the negative guard costs nothing
+        brows = (
+            jb.groupBy("__b")
+            .agg(
+                F.sum("__c").alias("cnt"),
+                F.sum(F.col("__x") * F.col("__c")).alias("tot"),
+                F.min("__x").alias("mn"),
+            )
+            .collect()
+        )
+        if brows and min(r["mn"] for r in brows) < 0:
+            raise ValueError(
+                f"gini_coefficient: {column!r} has negative values"
+            )
+        n = sum(r["cnt"] for r in brows)
+        total = sum(r["tot"] for r in brows) if brows else 0
+        if n == 0 or total == 0:
+            out = [(n, total, 0.0)]
+        else:
+            off: dict[int, int] = {}
+            run = 0
+            for r in sorted(brows, key=lambda r: r["__b"]):
+                off[r["__b"]] = run
+                run += r["cnt"]
+            omap = F.create_map(
+                *[x for b in sorted(off)
+                  for x in (F.lit(b), F.lit(off[b]).cast("long"))]
+            )
+            w = (
+                Window.partitionBy("__b")
+                .orderBy("__x")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            s = omap[F.col("__b")] + F.sum("__c").over(w) - F.col("__c")
+            integral = dict(jb.dtypes)["__x"] in (
+                "tinyint", "smallint", "int", "bigint",
+            )
+            if integral:
+                # exact: every factor in decimal(38,0), exact far past
+                # long range (n up to ~1e12 rows stays under 1e38)
+                contrib = (
+                    F.col("__x").cast("decimal(38,0)")
+                    * F.col("__c").cast("decimal(38,0)")
+                    * (
+                        F.lit(2).cast("decimal(38,0)")
+                        * s.cast("decimal(38,0)")
+                        + F.col("__c").cast("decimal(38,0)")
+                        + F.lit(1).cast("decimal(38,0)")
+                    )
+                )
+            else:
+                # fractional values: the sum is double anyway; cast
+                # each factor first so c*(2s+c+1) cannot overflow long
+                contrib = (
+                    F.col("__x").cast("double")
+                    * F.col("__c").cast("double")
+                    * (
+                        F.lit(2.0) * s.cast("double")
+                        + F.col("__c").cast("double")
+                        + F.lit(1.0)
+                    )
+                )
+            si_frame = jb.select(contrib.alias("__t")).agg(
+                F.sum("__t").alias("__si2")
+            )
+            if _debug_plans is not None:
+                _debug_plans.append(
+                    si_frame._jdf.queryExecution().optimizedPlan().toString()
+                )
+            si2 = si_frame.first()["__si2"]
+            si2 = int(si2) if integral else float(si2)
+            # IEEE-double replay: round each exact operand to double,
+            # then one multiply / one divide / one subtract — the same
+            # shape an external SQL oracle writes with explicit casts
+            gini = float(si2) / (float(n) * float(total)) - (
+                (n + 1.0) / n
+            )
+            out = [(int(n), total, gini)]
+    finally:
+        vc.unpersist()
+    ttype = "bigint" if isinstance(total, int) else "double"
+    return spark.createDataFrame(
+        out, f"n bigint, total {ttype}, gini double"
     )

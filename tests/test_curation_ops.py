@@ -1475,6 +1475,75 @@ def test_gini_coefficient_known_values(spark):
     assert out["mix"]["gini"] == pytest.approx(0.25, abs=1e-12)
     assert out["mix"]["n"] == 4 and out["mix"]["total"] == 10
 
+    # the negative guard rides the aggregation pass (no extra scan),
+    # so it surfaces at ACTION time as a Spark error, not eagerly
     neg = spark.createDataFrame([("a", -1)], "g string, x long")
-    with pytest.raises(ValueError):
-        gini_coefficient(neg, "x", group_by=["g"])
+    with pytest.raises(Exception, match="negative values"):
+        gini_coefficient(neg, "x", group_by=["g"]).collect()
+
+
+def test_gini_coefficient_excludes_nulls(spark):
+    from data_pipeline_framework_spark.functions.profiling import (
+        gini_coefficient,
+    )
+
+    # [null, 10, 10] must behave exactly like [10, 10]: gini 0, n 2.
+    # (Ranking nulls first would inflate the non-null ranks: the old
+    # bug yielded 0.333 here.)
+    df = spark.createDataFrame(
+        [("a", None), ("a", 10), ("a", 10)], "g string, x long"
+    )
+    row = gini_coefficient(df, "x", group_by=["g"]).collect()[0]
+    assert row["n"] == 2 and row["total"] == 20
+    assert row["gini"] == pytest.approx(0.0, abs=1e-12)
+    # ungrouped path: same sample semantics
+    urow = gini_coefficient(df.select("x"), "x").collect()[0]
+    assert urow["n"] == 2 and urow["total"] == 20
+    assert urow["gini"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_gini_ungrouped_distributed(spark):
+    """The ungrouped kernel must (a) equal the windowed per-group
+    formula, (b) contain NO single-partition window — every
+    windowspecdefinition in its optimized plan is partitioned by the
+    bucket column."""
+    import random
+
+    from data_pipeline_framework_spark.functions.profiling import (
+        gini_coefficient,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 500) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+
+    plans: list = []
+    row = gini_coefficient(df, "x", _debug_plans=plans).collect()[0]
+
+    # oracle: exact sample formula in Python over the sorted values
+    s = sorted(vals)
+    n, total = len(s), sum(s)
+    si2 = 2 * sum((i + 1) * v for i, v in enumerate(s))
+    want = float(si2) / (float(n) * float(total)) - (n + 1.0) / n
+    assert row["n"] == n and row["total"] == total
+    assert row["gini"] == pytest.approx(want, abs=1e-15)
+
+    # plan assert: the rank window is per-BUCKET, never global
+    assert plans, "debug plan not captured"
+    plan = plans[0]
+    assert "windowspecdefinition" in plan
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.lstrip().startswith("__b"), (
+            "found a window not partitioned by __b:\n" + plan
+        )
+
+    # degenerate: ties-only input and negative rejection
+    const = spark.createDataFrame([(5,)] * 10, "x long")
+    crow = gini_coefficient(const, "x").collect()[0]
+    assert crow["gini"] == pytest.approx(0.0, abs=1e-15)
+    neg = spark.createDataFrame([(-1,), (2,)], "x long")
+    with pytest.raises(ValueError, match="negative values"):
+        gini_coefficient(neg, "x")
+    empty = spark.createDataFrame([], "x long")
+    erow = gini_coefficient(empty, "x").collect()[0]
+    assert erow["n"] == 0 and erow["gini"] == 0.0
