@@ -5565,6 +5565,39 @@ def bpe_token_count_32k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode∘encode identity audit on the 32,768-merge production
+    table: every document's id stream (with word-boundary sep ids)
+    must decode back to EXACTLY the tokenizer's normalized text —
+    mismatches == 0 is the deliverable a user inspecting packed shards
+    needs to trust detokenization. Engine: rank-priority Arrow encode
+    -> inverse-vocab decode. Oracle: the SEQUENTIAL chained-replace
+    spec folded per distinct word in DuckDB, paren-stripped and
+    compared word-wise — a different algorithm AND a different
+    inversion path, so the zero is cross-checked, not replayed."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        BPETokenizer,
+        _normalize,
+        merges_32k,
+    )
+
+    tok = BPETokenizer(merges_32k())
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("text")
+        .where(F.col("text").isNotNull())
+    )
+    dec = tok.decode_expr(tok.ids_expr(F.col("text"), with_sep=True))
+    return docs.select(
+        dec.alias("rt"), _normalize(F.col("text")).alias("norm")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("rt") != F.col("norm"), 1).otherwise(0)
+        ).alias("mismatches"),
+    )
+
+
 def _cells_for(emb) -> int:
     """IVF contract: cell count grows with the corpus (Σ cell² work
     stays ~linear). The rule lives in the library
@@ -6035,6 +6068,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batch_packing": length_batch_packing,
         "bpe_token_counts": bpe_token_counts,
         "bpe_token_count_32k": bpe_token_count_32k,
+        "bpe_roundtrip_audit": bpe_roundtrip_audit,
         "bpe_shard_packing": bpe_shard_packing,
         "bpe_vocab_usage": bpe_vocab_usage,
         "benchmark_decontamination": benchmark_decontamination,
@@ -6277,6 +6311,58 @@ def _bpe32k_count_oracle() -> str:
         LEFT JOIN fin ON fin.w = wc.w
         GROUP BY d.doc_id
     """
+
+
+def _bpe32k_roundtrip_oracle() -> str:
+    """Oracle for bpe_roundtrip_audit: replay the SEQUENTIAL
+    chained-replace encode per DISTINCT word (same list_reduce fold as
+    _bpe32k_count_oracle), invert it by stripping the parens, and
+    count documents containing any word whose inversion is not the
+    word itself. The engine decodes an id stream through the inverse
+    vocab instead — different algorithm, different inversion — so the
+    (n_docs, mismatches=0) hash match is a genuine cross-check."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        merges_32k,
+    )
+
+    vals = ", ".join(
+        f"({i},'{a} {b}')" for i, (a, b) in enumerate(merges_32k())
+    )
+    return f"""
+        WITH mt(i, p) AS (VALUES {vals}),
+        ml AS (SELECT list(p ORDER BY i) AS l FROM mt),
+        w AS (
+            SELECT doc_id,
+                   unnest(string_split(trim(regexp_replace(
+                       lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+            FROM documents WHERE text IS NOT NULL
+        ),
+        dw AS (SELECT DISTINCT w FROM w WHERE w <> ''),
+        enc AS (
+            SELECT w,
+                   list_reduce(
+                       list_prepend(
+                           regexp_replace(w, '([a-z0-9])', '(\\1)', 'g'),
+                           (SELECT l FROM ml)),
+                       (acc, x) -> replace(acc,
+                           '(' || split_part(x, ' ', 1) || ')('
+                               || split_part(x, ' ', 2) || ')',
+                           '(' || split_part(x, ' ', 1)
+                               || split_part(x, ' ', 2) || ')')
+                   ) AS s
+            FROM dw
+        ),
+        bad AS (
+            SELECT w FROM enc
+            WHERE replace(replace(s, '(', ''), ')', '') <> w
+        ),
+        docbad AS (SELECT DISTINCT doc_id FROM w JOIN bad USING (w))
+        SELECT (SELECT count(*) FROM documents WHERE text IS NOT NULL)
+                   AS n_docs,
+               (SELECT count(*) FROM docbad) AS mismatches
+    """
+
+
 _DD_HASH = "CAST(('0x' || substr(md5({x}), 1, 13)) AS BIGINT)"
 _DD_SHINGLES = f"""
     list_distinct(list_transform(
@@ -8520,6 +8606,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "bpe_token_count_32k": _bpe32k_count_oracle(),
+        "bpe_roundtrip_audit": _bpe32k_roundtrip_oracle(),
         "bpe_shard_packing": f"""
             WITH s AS (
                 SELECT doc_id, {_bpe_stream_sql()} AS st FROM documents

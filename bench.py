@@ -191,7 +191,9 @@ HEADLINE = [
     "bitext_margin_pairs",
     "robust_outliers_events",
     "length_gini_by_source",
+    # round-7 additions
     "gini_concentration_prices",
+    "bpe_roundtrip_audit",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to

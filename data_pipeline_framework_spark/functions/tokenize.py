@@ -66,6 +66,8 @@ __all__ = [
     "PandasTokenizer",
     "WhitespaceTokenizer",
     "bpe_count_sql",
+    "bpe_detokenize",
+    "bpe_encode_ids",
     "bpe_token_count",
     "bpe_tokenize",
     "default_merges",
@@ -227,6 +229,8 @@ class BPETokenizer:
         if engine not in ("auto", "jvm", "arrow"):
             raise ValueError(f"unknown engine: {engine!r}")
         self.engine = engine
+        self._vocab_cache: dict[str, int] | None = None
+        self._inv_cache: dict[int, str] | None = None
         # rank-priority fast path (flat in merge count) is valid only
         # for safe tables; an unsafe user-supplied table falls back to
         # the sequential chained-replace spec per word. Duplicate pairs
@@ -254,10 +258,16 @@ class BPETokenizer:
             return self._count_expr_arrow(col)
         return self._count_expr_jvm(col)
 
-    def tokens_expr(self, col: Column | str) -> Column:
+    def tokens_expr(self, col: Column | str, with_sep: bool = False) -> Column:
+        """Token array. ``with_sep=True`` keeps word boundaries as a
+        literal " " token between words (space cannot collide with any
+        real token — the alphabet is [a-z0-9]), which is what makes the
+        id stream invertible: without it, decode cannot tell
+        "the cat" from "thecat". Plain counts/packing keep the default
+        (boundary tokens would inflate every count)."""
         if self.resolved_engine == "arrow":
-            return self._tokens_expr_arrow(col)
-        return self._tokens_expr_jvm(col)
+            return self._tokens_expr_arrow(col, with_sep)
+        return self._tokens_expr_jvm(col, with_sep)
 
     # ---- JVM chained-replace engine (the oracle-checked reference) ----
 
@@ -267,9 +277,12 @@ class BPETokenizer:
         n = F.length(s) - F.length(F.replace(s, F.lit("("), F.lit("")))
         return F.coalesce(n, F.lit(0)).cast("long")
 
-    def _tokens_expr_jvm(self, col: Column | str) -> Column:
+    def _tokens_expr_jvm(
+        self, col: Column | str, with_sep: bool = False
+    ) -> Column:
         c = F.col(col) if isinstance(col, str) else col
-        s = F.replace(_stream(c, self.merges), F.lit(" "), F.lit(""))
+        sep_repl = F.lit("( )") if with_sep else F.lit("")
+        s = F.replace(_stream(c, self.merges), F.lit(" "), sep_repl)
         inner = F.regexp_replace(s, r"^\(|\)$", "")
         arr = F.split(inner, r"\)\(")
         return F.when(
@@ -303,7 +316,9 @@ class BPETokenizer:
         c = F.col(col) if isinstance(col, str) else col
         return pandas_udf(_cnt, "long")(_normalize(c))
 
-    def _tokens_expr_arrow(self, col: Column | str) -> Column:
+    def _tokens_expr_arrow(
+        self, col: Column | str, with_sep: bool = False
+    ) -> Column:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
@@ -324,7 +339,9 @@ class BPETokenizer:
                 if not t:
                     return []
                 out: list[str] = []
-                for w in t.split(" "):
+                for k, w in enumerate(t.split(" ")):
+                    if with_sep and k:
+                        out.append(" ")
                     out.extend(wt(w))
                 return out
 
@@ -339,42 +356,58 @@ class BPETokenizer:
         base alphabet [a-z0-9] takes 0..35, then one id per merge
         product in rank order. Every encodable token is in the vocab
         (merges only ever produce concatenations of base chars)."""
-        out = {c: i for i, c in enumerate(_ALPHABET)}
-        nxt = len(out)
-        for a, b in self.merges:
-            prod = a + b
-            if prod not in out:
-                out[prod] = nxt
-                nxt += 1
-        return out
+        if getattr(self, "_vocab_cache", None) is None:
+            out = {c: i for i, c in enumerate(_ALPHABET)}
+            nxt = len(out)
+            for a, b in self.merges:
+                prod = a + b
+                if prod not in out:
+                    out[prod] = nxt
+                    nxt += 1
+            self._vocab_cache = out
+        return self._vocab_cache
 
-    def ids_expr(self, col: Column | str) -> Column:
+    @property
+    def sep_id(self) -> int:
+        """Id of the word-boundary token (the " " entry emitted by
+        with_sep encodes): one past the largest real vocab id, so it
+        can never collide with a token id for any merges table."""
+        return len(self.vocab())
+
+    def ids_expr(self, col: Column | str, with_sep: bool = False) -> Column:
         """Encode to int token ids. JVM engine: tokens_expr mapped
         through the vocab as a literal map — a narrow JVM projection
         (fine at the small-table sizes that engine serves). Arrow
         engine: ids come straight out of the per-distinct-word encode —
         a 32K-entry literal create_map would be a megabyte-scale
-        expression tree, the dict lookup is free inside the UDF."""
+        expression tree, the dict lookup is free inside the UDF.
+        ``with_sep=True`` emits ``sep_id`` between words, making the
+        stream invertible by ``decode_expr``."""
         if self.resolved_engine == "arrow":
-            return self._ids_expr_arrow(col)
-        v = self.vocab()
+            return self._ids_expr_arrow(col, with_sep)
+        v = dict(self.vocab())
+        if with_sep:
+            v[" "] = self.sep_id
         m = F.create_map(
             *[x for t, i in v.items() for x in (F.lit(t), F.lit(i))]
         )
         return F.transform(
-            self.tokens_expr(col),
+            self.tokens_expr(col, with_sep),
             lambda t: F.coalesce(
                 F.element_at(m, t), F.lit(-1)
             ).cast("int"),
         )
 
-    def _ids_expr_arrow(self, col: Column | str) -> Column:
+    def _ids_expr_arrow(
+        self, col: Column | str, with_sep: bool = False
+    ) -> Column:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         merges = tuple(self.merges)
         ranks = self._ranks
         vocab = self.vocab()
+        sep = self.sep_id
 
         def _ids(s):
             cache: dict[str, list[int]] = {}
@@ -393,7 +426,9 @@ class BPETokenizer:
                 if not t:
                     return []
                 out: list[int] = []
-                for w in t.split(" "):
+                for k, w in enumerate(t.split(" ")):
+                    if with_sep and k:
+                        out.append(sep)
                     out.extend(wi(w))
                 return out
 
@@ -402,6 +437,50 @@ class BPETokenizer:
         _ids.__annotations__ = {"s": pd.Series, "return": pd.Series}
         c = F.col(col) if isinstance(col, str) else col
         return pandas_udf(_ids, "array<int>")(_normalize(c))
+
+    def decode_ids(self, ids) -> str | None:
+        """Plain-Python inverse of a with_sep id stream: vocab lookup
+        per id, ``sep_id`` -> " ", unknown ids -> U+FFFD. On ids
+        produced by ``ids_expr(col, with_sep=True)`` this returns
+        exactly the NORMALIZED text (lowercased, [^a-z0-9] runs
+        collapsed to single spaces, trimmed) — the original casing and
+        punctuation are not in the stream, by the tokenizer's own
+        normalization contract."""
+        if ids is None:
+            return None
+        inv = getattr(self, "_inv_cache", None)
+        if inv is None:
+            inv = {i: t for t, i in self.vocab().items()}
+            self._inv_cache = inv
+        sep = self.sep_id
+        return "".join(
+            " " if i == sep else inv.get(i, "�") for i in ids
+        )
+
+    def decode_expr(self, ids_col: Column | str) -> Column:
+        """Column form of ``decode_ids``: array<int> -> string via an
+        Arrow-batched pandas UDF (the inverse vocab rides the closure —
+        never a 32K-entry literal map expression)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        inv = {i: t for t, i in self.vocab().items()}
+        sep = self.sep_id
+
+        def _dec(s):
+            def go(ids):
+                if ids is None:
+                    return None
+                return "".join(
+                    " " if i == sep else inv.get(i, "�")
+                    for i in ids
+                )
+
+            return s.map(go)
+
+        _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        c = F.col(ids_col) if isinstance(ids_col, str) else ids_col
+        return pandas_udf(_dec, "string")(c)
 
     # ---- SQL twins (DuckDB dialect) ----
 
@@ -771,6 +850,38 @@ def bpe_tokenize(
     bpe_token_count)."""
     tok = BPETokenizer(merges, engine=engine)
     return df.withColumn(out_col, tok.tokens_expr(text_col))
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "bpe_ids",
+    engine: str = "auto",
+    with_sep: bool = True,
+) -> DataFrame:
+    """Per-row id stream (same engine dispatch). with_sep defaults to
+    True here — an id stream a user intends to DECODE needs the word
+    boundaries; the packing/count paths call ids_expr directly."""
+    tok = BPETokenizer(merges, engine=engine)
+    return df.withColumn(out_col, tok.ids_expr(text_col, with_sep))
+
+
+def bpe_detokenize(
+    df: DataFrame,
+    ids_col: str,
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "text_decoded",
+) -> DataFrame:
+    """Inverse of ``bpe_encode_ids``: id stream -> text. On with_sep
+    streams, decode(encode(text)) == the tokenizer's NORMALIZED text
+    (pytest-pinned on the 32K production table over the documents
+    corpus); casing/punctuation are not in the stream by the
+    normalization contract. The first thing a user inspecting packed
+    shards reaches for — reads as one Arrow-batched projection, no
+    shuffle, flat in vocab size (inverse vocab rides the closure)."""
+    tok = BPETokenizer(merges)
+    return df.withColumn(out_col, tok.decode_expr(ids_col))
 
 
 def bpe_count_sql(

@@ -482,3 +482,70 @@ def test_ids_expr_agrees_across_engines_and_32k(spark):
     assert ids == [[vocab.get(t, -1) for t in row] for row in toks]
     # every id resolves (merge products are always in the vocab)
     assert all(i >= 0 for row in ids for i in row)
+
+
+def test_with_sep_ids_agree_across_engines(spark):
+    """with_sep encodes: the JVM boundary token ('( )' splice) and the
+    Arrow boundary id must produce identical id streams, and the sep id
+    sits one past the real vocab so it never collides."""
+    df = spark.createDataFrame(
+        [(t,) for t in TRICKY] + [("the sand and glass",), (None,)],
+        "text string",
+    )
+    jvm = BPETokenizer(MERGES, engine="jvm")
+    arrow = BPETokenizer(MERGES, engine="arrow")
+    assert jvm.sep_id == arrow.sep_id == len(jvm.vocab())
+    a = [r[0] for r in df.select(jvm.ids_expr("text", with_sep=True)).collect()]
+    b = [r[0] for r in
+         df.select(arrow.ids_expr("text", with_sep=True)).collect()]
+    assert a == b
+    # boundary ids present exactly between words
+    one = dict(zip(
+        [r[0] for r in df.select("text").collect()], a
+    ))["the sand and glass"]
+    assert one.count(jvm.sep_id) == 3
+
+
+def test_bpe_roundtrip_identity_on_documents_32k(spark, sf_dir):
+    """decode(encode(text)) == normalized text — pinned over the real
+    documents corpus on the 32,768-merge production table, plus the
+    tricky edge strings. The id stream (with_sep) is fully invertible;
+    what is NOT recoverable is exactly what normalization drops
+    (casing, punctuation), by contract."""
+    from data_pipeline_framework_spark.functions.tokenize import (
+        _normalize,
+        bpe_detokenize,
+        bpe_encode_ids,
+        merges_32k,
+    )
+    from data_pipeline_framework_spark.sources import read_table
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(400)
+    )
+    extra = spark.createDataFrame(
+        [(10_000 + i, t) for i, t in enumerate(TRICKY)],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(extra)
+    enc = bpe_encode_ids(df, "text", merges=merges_32k())
+    dec = bpe_detokenize(enc, "bpe_ids", merges=merges_32k())
+    bad = dec.select(
+        "doc_id",
+        F.coalesce(_normalize(F.col("text")), F.lit("")).alias("norm"),
+        F.coalesce("text_decoded", F.lit("")).alias("rt"),
+    ).filter(F.col("norm") != F.col("rt"))
+    assert bad.count() == 0, bad.limit(3).collect()
+
+
+def test_decode_ids_python_helper():
+    tok = BPETokenizer(MERGES)
+    v = tok.vocab()
+    ids = [v["the"], tok.sep_id, v["s"], v["an"], v["d"]]
+    assert tok.decode_ids(ids) == "the sand"
+    assert tok.decode_ids(None) is None
+    assert tok.decode_ids([]) == ""
+    # unknown id decodes to the replacement char, not a crash
+    assert "�" in tok.decode_ids([10**6])
