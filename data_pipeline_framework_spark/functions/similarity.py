@@ -452,6 +452,132 @@ def append_ivf_index(
     }
 
 
+def maybe_retrain_ivf(
+    spark,
+    path: str,
+    threshold: float = 1.25,
+    n_cells: int | None = None,
+    seed: int = 42,
+    max_train: int = 65536,
+) -> dict:
+    """The WIRED form of append_ivf_index's documented retrain trigger:
+    measure the index's current staleness and, when it exceeds
+    ``threshold``, rebuild the codebook and re-assign — atomically.
+
+    Staleness here is corpus-wide (mean squared assigned distance over
+    ALL indexed vectors vs the stats sidecar's training-time baseline
+    — one map-side aggregate, no joins), not the per-batch signal the
+    append returns: a retrain decision should weigh the whole index,
+    and a single aggregate scan is the natural cost of making it.
+
+    The swap reuses the rollup commit-marker protocol
+    (operators/rollup.py): the rebuilt index (cells + codebook + fresh
+    baseline stats) is written to ``<path>__swap`` with a ``_commit``
+    marker written LAST, then current -> ``<path>__old``, swap in,
+    drop old. A crash at any point recovers on the next call: a
+    completed swap (marker present) with no live index is adopted; an
+    incomplete one is discarded and the old index restored. Searches
+    against the retrained index are IDENTICAL to a from-scratch
+    ivf_index + write_ivf_index build with the same seed
+    (pytest-pinned in test_ivf.py).
+
+    Returns {staleness_ratio, retrained, n_vectors, n_cells}.
+    """
+    from ..operators.rollup import (
+        _filesystem,
+        _read_commit,
+        _write_commit,
+    )
+
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    root = path.rstrip("/")
+    tmp, old = root + "__swap", root + "__old"
+    fs = _filesystem(spark, root)
+
+    # recover an interrupted previous swap
+    live = P(root + "/cells")
+    if not fs.exists(live):
+        if fs.exists(P(tmp)) and _read_commit(fs, jvm, tmp) is not None:
+            if fs.exists(P(root)):
+                fs.delete(P(root), True)
+            fs.rename(P(tmp), P(root))  # swap had fully landed; adopt
+        elif fs.exists(P(old)):
+            fs.rename(P(old), P(root))  # swap never landed; restore
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    if fs.exists(P(tmp)):
+        fs.delete(P(tmp), True)
+
+    existing, centers = read_ivf_index(spark, root)
+    id_col = next(
+        c for c in existing.columns if c not in ("__v", "__cell")
+    )
+    assigned = existing.select(
+        F.col(id_col),
+        F.col("__v"),
+        F.col("__cell").cast("int").alias("__cell"),
+    )
+    row = assigned.agg(F.count(F.lit(1)).alias("n")).first()
+    n_vectors = int(row["n"])
+    cur_mean = _mean_assigned_dist(assigned, centers)
+    try:
+        baseline = float(
+            spark.read.parquet(f"{root}/stats").first()["baseline_mean_dist"]
+        )
+    except Exception:
+        # pre-sidecar index: current state becomes the baseline
+        baseline = cur_mean
+        spark.createDataFrame(
+            [(float(baseline),)], "baseline_mean_dist double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
+    ratio = (cur_mean / baseline) if baseline > 0 else float("inf")
+    out = {
+        "staleness_ratio": float(ratio),
+        "retrained": False,
+        "n_vectors": n_vectors,
+        "n_cells": len(centers),
+    }
+    if ratio <= threshold:
+        return out
+
+    cells = n_cells if n_cells is not None else len(centers)
+    # Deterministic retrain regardless of parquet read-back order: the
+    # codebook-training sample is collected in id order (the sort runs
+    # AFTER the row-sample, so it touches <= ~max_train rows at any
+    # corpus size), making the rebuild reproducible — ivf_index over
+    # the same corpus sorted by id with the same seed yields the
+    # identical codebook (pytest-pinned).
+    ids_vecs = assigned.select(F.col(id_col), F.col("__v"))
+    if n_vectors <= max_train:
+        svecs = [
+            r["__v"]
+            for r in ids_vecs.orderBy(F.col(id_col)).select("__v").collect()
+        ]
+    else:
+        frac = min(1.0, (max_train * 1.2) / n_vectors)
+        svecs = [
+            r["__v"]
+            for r in ids_vecs.sample(frac, seed=seed)
+            .orderBy(F.col(id_col)).limit(max_train)
+            .select("__v").collect()
+        ]
+    new_centers_arr = _kmeans_numpy(svecs, cells, seed)
+    new_centers = [list(map(float, cc)) for cc in new_centers_arr]
+    new_assigned, _ = ivf_index(
+        ids_vecs, id_col=id_col, vec_col="__v", centers=new_centers
+    )
+    write_ivf_index((new_assigned, new_centers), tmp)
+    _write_commit(fs, jvm, tmp, None)  # marker LAST: swap is now live
+    if fs.exists(P(root)):
+        fs.rename(P(root), P(old))
+    fs.rename(P(tmp), P(root))
+    fs.delete(P(old), True)
+    out["retrained"] = True
+    out["n_cells"] = cells
+    return out
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

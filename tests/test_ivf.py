@@ -384,3 +384,75 @@ def test_margin_bitext_ivf_engine_recovers_planted_pairs(spark):
 
     with pytest.raises(ValueError):
         margin_bitext_mine(src, tgt, method="nope")
+
+
+def test_maybe_retrain_ivf_rebuilds_and_swaps_atomically(spark, tmp_path):
+    """wired retrain trigger: (1) a healthy index is a no-op, (2) drift
+    past the threshold rebuilds the codebook and the swapped index
+    equals a from-scratch build (same seed, id-ordered sample) down to
+    the codebook floats, (3) the baseline resets so the next check
+    reads ~1.0, (4) an interrupted swap (marker present, live index
+    gone) is adopted on the next call."""
+    import random
+    import shutil
+
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    rng = random.Random(13)
+    base = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_rt")
+    SIM.write_ivf_index(SIM.ivf_index(base, n_cells=4, seed=11), path)
+
+    rep = SIM.maybe_retrain_ivf(spark, path)
+    assert not rep["retrained"]
+    assert 0.7 < rep["staleness_ratio"] < 1.3
+    assert rep["n_vectors"] == 300 and rep["n_cells"] == 4
+
+    # drift the corpus far off every centroid, past the trigger
+    drifted = spark.createDataFrame(
+        [(2000 + i, [rng.gauss(25, 1) for _ in range(8)])
+         for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    SIM.append_ivf_index(spark, path, drifted)
+    rep2 = SIM.maybe_retrain_ivf(spark, path, threshold=1.25, seed=99)
+    assert rep2["retrained"]
+    assert rep2["staleness_ratio"] > 1.25
+    assert rep2["n_vectors"] == 500
+
+    # the swapped index == a from-scratch build over the same corpus in
+    # id order with the same seed: identical codebook, identical search
+    union = base.unionByName(drifted)
+    scratch = SIM.ivf_index(union.orderBy("vec_id"), n_cells=4, seed=99)
+    loaded = SIM.read_ivf_index(spark, path)
+    assert loaded[1] == scratch[1]
+    qs = union.limit(4).selectExpr("vec_id as query_id", "embedding")
+    a = SIM.ivf_topk(union, qs, k=5, nprobe=2, index=loaded)
+    b = SIM.ivf_topk(union, qs, k=5, nprobe=2, index=scratch)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+    # baseline was reset by the rebuild: immediately re-checking is calm
+    rep3 = SIM.maybe_retrain_ivf(spark, path, threshold=1.25)
+    assert not rep3["retrained"]
+    assert 0.9 < rep3["staleness_ratio"] < 1.1
+
+    # crash recovery: a completed swap (marker inside) whose rename of
+    # the live index happened but whose swap-in never did is adopted
+    shutil.copytree(path, f"{path}__swap")
+    shutil.rmtree(path)
+    rep4 = SIM.maybe_retrain_ivf(spark, f"{path}", threshold=1.25)
+    assert not rep4["retrained"] and rep4["n_vectors"] == 500
+
+    # and a swap WITHOUT a marker (died mid-write) is discarded in
+    # favor of the old index
+    shutil.copytree(path, f"{path}__old")
+    shutil.copytree(path, f"{path}__swap")
+    import os
+    os.remove(f"{path}__swap/_commit")
+    shutil.rmtree(path)
+    rep5 = SIM.maybe_retrain_ivf(spark, path, threshold=1.25)
+    assert not rep5["retrained"] and rep5["n_vectors"] == 500
