@@ -39,48 +39,59 @@ def exact_percentiles(
     probs: list[float] = (0.25, 0.5, 0.75),
     partitions: int | None = None,
     accuracy: int = 2_000,
+    n_bins: int = 4_096,
 ) -> dict[str, list[float]]:
-    """Exact interpolated percentiles for many columns in TWO narrow agg
-    passes (sketch-bracketed selection), falling back per column to the
-    distributed-sort kernel when verification fails.
+    """Exact interpolated percentiles for many columns via
+    histogram-bracketed selection — three cheap fully-codegen jobs, no
+    quantile sketch anywhere.
 
-    Pass 1: one `df.agg` computing per column count/min/max plus an
-    `approx_percentile` sketch evaluated at p ± margin (margin = 4/accuracy,
-    4x the sketch's ~1/accuracy rank-error bound). Exactness never rides
-    on `accuracy` (ranks are verified, failures fall back to the sort
-    kernel); accuracy only trades sketch cost in pass 1 (~linear) against
-    candidate-window size in pass 2 (~2n*margin rows driver-side) — the
-    2000 default halves pass-1 cost vs 10000 with identical output at
-    test scales, and the docstring's scale rule below still applies. Pass 2: one `df.agg`
-    computing, per (column, prob), the exact rank of the bracket's lower
-    edge (`sum(v < lo)`) and the sorted candidate window (`collect_list`
-    of values inside the bracket — expected size ~2*margin*n, a few
-    hundred values at any accuracy-matched scale). The true floor/ceil
-    rank values are then read off the window driver-side. Rank arithmetic
-    is verified exactly; any column whose window missed the target ranks
-    (sketch bound violated — shouldn't happen, but exactness must not
-    depend on it) is recomputed with `_exact_percentiles_sort`.
+    Job 1: one `df.agg` of count/min/max per column (plain codegen
+    sums — mixing a percentile sketch into a stats agg forces the
+    WHOLE aggregate onto ObjectHashAggregate and was the old kernel's
+    dominant cost). Job 2: one fixed-width `n_bins` histogram per
+    column (explode to (segment, bucket) + hash groupBy — map-side
+    partial agg emits <= n_bins rows per task per column). Bucket
+    counts are EXACT, so the cumulative histogram brackets every
+    target rank with exact rank-below counts — nothing to verify.
+    Job 3: one filtered agg collecting the sorted values of only the
+    bucket(s) straddling each target rank (expected ~n/n_bins values
+    per bucket). Skewed buckets above `collect_cap` refine recursively
+    (a sub-histogram inside the bucket — each round narrows the value
+    range n_bins-fold) before collecting; a column that cannot be
+    narrowed (pathological: one double value holding >cap rows at a
+    quantile boundary) falls back to `_exact_percentiles_sort`.
+    Bucket membership is always evaluated through the SAME floor
+    expression chain used to count, so rank arithmetic is consistent
+    down to float rounding by construction.
 
-    Scale shape: two full scans, no shuffle beyond partial-agg merge, no
-    melt, no global sort. At 100 TB, raise `accuracy` so 2*n/accuracy
-    values fit the driver (or let the sort fallback take over); the
-    window size is bounded and checked, never trusted.
+    Scale shape: three full scans (all whole-stage codegen), shuffle
+    limited to the tiny histogram partial-agg merge, no melt of data
+    rows, no global sort. Driver state per round is <= n_bins rows per
+    segment plus the collected windows (~n/n_bins values, refined
+    under `collect_cap`). `accuracy` is retained for API compatibility
+    with the old sketch-bracketed kernel and is ignored.
 
     Returns {column: [value per prob]}; a column with zero non-null
     values maps to Nones. NaN-free inputs assumed (NaN compares false
-    everywhere and would trip the verified fallback).
+    everywhere and would poison bucket membership).
     """
     if not columns or not probs:
         return {c: [None] * len(probs) for c in columns}
-    aggs = percentile_meta_aggs(columns, probs, accuracy)
+    aggs: list[Column] = []
+    for c in columns:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.count(v).alias(f"{c}__n"),
+            F.min(v).alias(f"{c}__min"),
+            F.max(v).alias(f"{c}__max"),
+        ]
     row = df.agg(*aggs).first()
     meta = {
-        c: (row[f"{c}__n"], row[f"{c}__min"], row[f"{c}__max"],
-            row[f"{c}__b"])
+        c: (row[f"{c}__n"], row[f"{c}__min"], row[f"{c}__max"])
         for c in columns
     }
-    return percentiles_from_meta(
-        df, columns, probs, meta, accuracy=accuracy, partitions=partitions
+    return _exact_percentiles_hist(
+        df, columns, probs, meta, n_bins=n_bins, partitions=partitions
     )
 
 
@@ -183,6 +194,195 @@ def percentiles_from_meta(
         result.update(
             _exact_percentiles_sort(df, retry, probs, partitions)
         )
+    return result
+
+
+def _interp(window: dict[int, float], t: float) -> float:
+    """Shared linear interpolation: value at fractional rank t from a
+    {rank: value} map holding floor(t) and ceil(t). Same formula shape
+    as the sketch kernel (a*(1-frac)+b*frac) so every kernel returns
+    bit-identical doubles."""
+    import math
+
+    lo_r, hi_r = int(math.floor(t)), int(math.ceil(t))
+    a, b = window[lo_r], window[hi_r]
+    frac = t - lo_r
+    return a if lo_r == hi_r else a * (1 - frac) + b * frac
+
+
+def _exact_percentiles_hist(
+    df: DataFrame,
+    columns: list[str],
+    probs: list[float],
+    meta: dict[str, tuple],
+    n_bins: int = 4_096,
+    collect_cap: int = 131_072,
+    max_rounds: int = 3,
+    partitions: int | None = None,
+) -> dict[str, list[float]]:
+    """Histogram-bracketed exact selection (see exact_percentiles).
+    `meta` maps column -> (n_nonnull, min, max) from any prior agg, so
+    a host aggregation can fuse that pass into its own scan. A segment
+    is a set of rows identified by a CHAIN of clamped floor-bucket
+    expressions (never a range predicate — membership must reproduce
+    the counted partition exactly, float rounding included)."""
+    import math
+
+    def bucket_expr(v, origin: float, width: float):
+        return F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - F.lit(origin)) / F.lit(width)).cast("int"),
+            ),
+        )
+
+    def member_expr(v, chain):
+        m = v.isNotNull()
+        for origin, width, b in chain:
+            m = m & (bucket_expr(v, origin, width) == F.lit(b))
+        return m
+
+    result: dict[str, list[float]] = {}
+    values: dict[str, dict[int, float]] = {}   # col -> rank -> value
+    targets: dict[str, list[float]] = {}
+    fallback: list[str] = []
+    # pending segments per column: (chain, lo, hi, base_rank, count,
+    # ranks-needed-inside)
+    pending: dict[str, list[tuple]] = {}
+    for c in columns:
+        n, mn, mx = meta[c]
+        if not n:
+            result[c] = [None] * len(probs)
+            continue
+        ts = [(n - 1) * p for p in probs]
+        targets[c] = ts
+        values[c] = {}
+        wanted = sorted(
+            {int(math.floor(t)) for t in ts}
+            | {int(math.ceil(t)) for t in ts}
+        )
+        if float(mn) == float(mx):
+            # constant column: every rank's value is known outright
+            for r0 in wanted:
+                values[c][r0] = float(mn)
+            continue
+        pending[c] = [([], float(mn), float(mx), 0, int(n), wanted)]
+
+    collectable: list[tuple[str, tuple]] = []
+    rounds = 0
+    while any(pending.values()) and rounds < max_rounds:
+        rounds += 1
+        seg_list: list[tuple[str, tuple]] = []
+        structs: list[Column] = []
+        for c, segs in pending.items():
+            v = F.col(c).cast("double")
+            for seg in segs:
+                chain, lo, hi, base, cnt, ranks = seg
+                width = (hi - lo) / n_bins
+                if cnt <= collect_cap:
+                    collectable.append((c, seg))
+                    continue
+                if not (width > 0 and math.isfinite(width)):
+                    # unsplittable heavy segment: exact sort kernel
+                    if c not in fallback:
+                        fallback.append(c)
+                    continue
+                sid = len(seg_list)
+                seg_list.append((c, seg))
+                structs.append(
+                    F.struct(
+                        F.lit(sid).alias("s"),
+                        F.when(
+                            member_expr(v, chain),
+                            bucket_expr(v, lo, width),
+                        ).alias("b"),
+                    )
+                )
+        pending = {}
+        if not structs:
+            break
+        hist_rows = (
+            df.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.s", "p.b")
+            .where(F.col("b").isNotNull())
+            .groupBy("s", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_seg: dict[int, dict[int, int]] = {}
+        for r in hist_rows:
+            by_seg.setdefault(r["s"], {})[r["b"]] = r["cnt"]
+        for sid, (c, seg) in enumerate(seg_list):
+            chain, lo, hi, base, cnt, ranks = seg
+            width = (hi - lo) / n_bins
+            counts = by_seg.get(sid, {})
+            # exclusive prefix per bucket, exact
+            cum: dict[int, int] = {}
+            run = 0
+            for b in sorted(counts):
+                cum[b] = run
+                run += counts[b]
+            if run != cnt:
+                # membership drift (shouldn't happen): exact fallback
+                if c not in fallback:
+                    fallback.append(c)
+                continue
+            # group needed ranks by the bucket that holds them
+            need: dict[int, list[int]] = {}
+            for r0 in ranks:
+                local = r0 - base
+                for b in sorted(counts):
+                    if cum[b] <= local < cum[b] + counts[b]:
+                        need.setdefault(b, []).append(r0)
+                        break
+            for b, rs in need.items():
+                sub = (
+                    chain + [(lo, width, b)],
+                    lo + b * width,
+                    lo + (b + 1) * width,
+                    base + cum[b],
+                    counts[b],
+                    rs,
+                )
+                pending.setdefault(c, []).append(sub)
+    for c, segs in pending.items():
+        # ran out of rounds with oversized segments
+        if segs and c not in fallback:
+            fallback.append(c)
+    collectable = [(c, s) for c, s in collectable if c not in fallback]
+
+    if collectable:
+        exprs = []
+        any_member = F.lit(False)
+        for i, (c, seg) in enumerate(collectable):
+            v = F.col(c).cast("double")
+            m = member_expr(v, seg[0])
+            any_member = any_member | m
+            exprs.append(
+                F.sort_array(F.collect_list(F.when(m, v))).alias(f"w{i}")
+            )
+        # the where() is purely a row filter for the ObjectAgg: windows
+        # are ~n/n_bins rows, so the agg input shrinks by ~n_bins x
+        win = df.where(any_member).agg(*exprs).first()
+        for i, (c, seg) in enumerate(collectable):
+            chain, lo, hi, base, cnt, ranks = seg
+            w = win[f"w{i}"] or []
+            if len(w) != cnt:
+                if c not in fallback:
+                    fallback.append(c)
+                continue
+            for r0 in ranks:
+                values[c][r0] = w[r0 - base]
+
+    if fallback:
+        result.update(
+            _exact_percentiles_sort(df, fallback, probs, partitions)
+        )
+    for c, ts in targets.items():
+        if c in fallback or c in result:
+            continue
+        result[c] = [_interp(values[c], t) for t in ts]
     return result
 
 
@@ -393,37 +593,46 @@ def profile_columns(
     cols = _numeric_columns(df, columns)
     probs = (0.25, 0.5, 0.75)
     total = F.count(F.lit(1))
-    # Scan 1: every per-column statistic PLUS the quartile bracket sketch
-    # (percentile_meta_aggs) in one fused agg. Quartiles themselves come
-    # from the sketch-bracketed exact-selection kernel: F.percentile's
-    # merge step would build a value->count map of every distinct value in
-    # ONE task (seconds for a 600K-distinct column locally; unbounded at
-    # corpus scale), while the kernel's scan-2 only collects the tiny
-    # verified candidate window around each target rank.
+    # Scan 1: every per-column statistic (count/min/max included — they
+    # double as the quartile kernel's meta pass) in one agg that stays
+    # ENTIRELY whole-stage-codegen: the old fused percentile_approx
+    # sketch forced the whole aggregate onto ObjectHashAggregate and
+    # dominated the profile's cost (~2x the stats alone). Quartiles
+    # come from the histogram-bracketed exact-selection kernel
+    # (_exact_percentiles_hist): F.percentile's merge step would build
+    # a value->count map of every distinct value in ONE task (seconds
+    # for a 600K-distinct column locally; unbounded at corpus scale),
+    # while the kernel's extra jobs are an exact fixed-width histogram
+    # (hash groupBy, <= n_bins rows per task) plus a filtered window
+    # collect of ~n/n_bins rows.
     aggs: list[Column] = [total.alias("__total")]
     for c in cols:
         col = F.col(c)
+        v = col.cast("double")
         aggs += [
             F.sum(col).cast("double").alias(f"{c}__sum"),
             F.avg(col).cast("double").alias(f"{c}__mean"),
             F.stddev(col).cast("double").alias(f"{c}__stddev"),
             F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__n_zero"),
             F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__n_negative"),
+            F.count(v).alias(f"{c}__n"),
+            F.min(v).alias(f"{c}__min"),
+            F.max(v).alias(f"{c}__max"),
         ]
     if not exact:
         for c in cols:
             aggs.append(
                 F.approx_count_distinct(F.col(c), 0.01).alias(f"{c}__nd")
             )
-    aggs += percentile_meta_aggs(cols, probs)
     row = df.agg(*aggs).first()
-    # Scan 2: quartile window extraction (+ verified fallback).
+    # Quartile extraction: exact histogram bracket + window collect.
     meta = {
-        c: (row[f"{c}__n"], row[f"{c}__min"], row[f"{c}__max"],
-            row[f"{c}__b"])
+        c: (row[f"{c}__n"], row[f"{c}__min"], row[f"{c}__max"])
         for c in cols
     }
-    quart = percentiles_from_meta(df, cols, probs, meta) if cols else {}
+    quart = (
+        _exact_percentiles_hist(df, cols, probs, meta) if cols else {}
+    )
     # Scan 3: exact distinct counts in a dedicated agg — fusing several
     # count_distinct columns into the stats agg would Expand (replicate)
     # the input once per distinct column; standalone, column pruning

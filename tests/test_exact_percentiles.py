@@ -28,13 +28,61 @@ def test_exact_percentiles_match_builtin(spark, sf_dir):
 
 
 def test_exact_percentiles_degenerate_sketch_still_exact(spark, sf_dir):
-    """accuracy=1 degrades the bracket to [min, max] (margin clamps to
-    the whole range); the kernel must stay exact regardless of sketch
-    quality because the rank arithmetic is verified, not trusted."""
+    """the legacy `accuracy` knob is compatibility-only (the histogram
+    kernel has no sketch to tune) — any value must leave the result
+    exact."""
     li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     got = exact_percentiles(li, ["l_quantity"], [0.5], accuracy=1)
     expected = li.agg(F.percentile("l_quantity", F.lit(0.5))).first()[0]
     assert got["l_quantity"][0] == pytest.approx(expected, abs=1e-9)
+
+
+def test_hist_kernel_refinement_and_fallbacks(spark):
+    """the histogram kernel with a tiny collect_cap is forced through
+    its refinement rounds (sub-histograms inside straddling buckets)
+    and must stay exact; a column whose quantile bucket cannot shrink
+    (one repeated value holding more rows than the cap) falls back to
+    the sort kernel and is still exact; constant columns short-circuit."""
+    import random
+
+    from data_pipeline_framework_spark.functions.profiling import (
+        _exact_percentiles_hist,
+    )
+
+    rng = random.Random(3)
+    vals = [rng.uniform(0, 1000) for _ in range(5000)]
+    df = spark.createDataFrame(
+        [(v, 7.5, 42.0 if i % 2 else rng.uniform(0, 1.0))
+         for i, v in enumerate(vals)],
+        "a double, konst double, heavy double",
+    )
+    probs = [0.25, 0.5, 0.75]
+    meta_row = df.agg(
+        *[x for c in ("a", "konst", "heavy") for x in (
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.min(F.col(c)).alias(f"{c}__mn"),
+            F.max(F.col(c)).alias(f"{c}__mx"),
+        )]
+    ).first()
+    meta = {
+        c: (meta_row[f"{c}__n"], meta_row[f"{c}__mn"], meta_row[f"{c}__mx"])
+        for c in ("a", "konst", "heavy")
+    }
+    # cap of 64 with 16 bins: 5000-row segments must refine ~2 rounds
+    # before any window is collectable; 'heavy' has 2500 copies of 42.0
+    # at the upper quantiles — its bucket never shrinks below the cap,
+    # so it must take the sort-kernel fallback. 'konst' is constant.
+    got = _exact_percentiles_hist(
+        df, ["a", "konst", "heavy"], probs, meta,
+        n_bins=16, collect_cap=64, max_rounds=4,
+    )
+    exp = df.agg(*[
+        F.percentile(F.col(c), F.array(*[F.lit(p) for p in probs])).alias(c)
+        for c in ("a", "konst", "heavy")
+    ]).first()
+    for c in ("a", "konst", "heavy"):
+        for i in range(len(probs)):
+            assert got[c][i] == pytest.approx(exp[c][i], abs=1e-9), (c, i)
 
 
 def test_exact_percentiles_nulls_and_empty(spark):
