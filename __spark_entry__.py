@@ -6814,8 +6814,14 @@ def _profile_oracle() -> str:
         "n_distinct": "COUNT(DISTINCT {c})::DOUBLE",
         "min": "MIN({c})::DOUBLE",
         "max": "MAX({c})::DOUBLE",
-        "sum": "FLOOR(SUM({c}) * 1e3 + 0.5) / 1e3",
-        "mean": "FLOOR(AVG({c}) * 1e3 + 0.5) / 1e3",
+        # exact DECIMAL(38,10) accumulator, then ONE double division —
+        # replays the engine's order-invariant sum/mean bit-for-bit
+        # (a plain double SUM() wobbles with accumulation order and
+        # straddled the 3-decimal rounding at sf1's 3e11 magnitude)
+        "sum": "FLOOR(SUM(CAST({c} AS DECIMAL(38,10)))::DOUBLE"
+               " * 1e3 + 0.5) / 1e3",
+        "mean": "FLOOR((SUM(CAST({c} AS DECIMAL(38,10)))::DOUBLE"
+                " / COUNT({c})::DOUBLE) * 1e3 + 0.5) / 1e3",
         "stddev": "FLOOR(STDDEV({c}) * 1e3 + 0.5) / 1e3",
         "q25": "FLOOR(quantile_cont({c}, 0.25) * 1e3 + 0.5) / 1e3",
         "median": "FLOOR(quantile_cont({c}, 0.50) * 1e3 + 0.5) / 1e3",

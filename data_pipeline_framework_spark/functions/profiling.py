@@ -609,9 +609,25 @@ def profile_columns(
     for c in cols:
         col = F.col(c)
         v = col.cast("double")
+        # sum/mean accumulate in DECIMAL(38,10), not double: double sums
+        # are order-dependent (parallel partial aggs merge in shuffle
+        # order), and at sf1 the wobble on a 3e11-magnitude money sum
+        # crossed the display-rounding boundary against the oracle. The
+        # decimal accumulator is ORDER-INVARIANT and exact for every
+        # fixed-point-representable input (money, counts, rates —
+        # anything with <= 10 fractional decimal digits; wilder doubles
+        # round at 1e-10 per row, a fair trade for a deterministic
+        # profile). Mean divides the exact sum by the exact count in
+        # one IEEE double division, so any engine replays it
+        # bit-for-bit. Headroom: |sum| < 1e28 before decimal overflow
+        # (-> null), 1e9x beyond a 100 TB money column.
+        sum_dec = F.sum(col.cast("decimal(38,10)"))
         aggs += [
-            F.sum(col).cast("double").alias(f"{c}__sum"),
-            F.avg(col).cast("double").alias(f"{c}__mean"),
+            sum_dec.cast("double").alias(f"{c}__sum"),
+            (
+                sum_dec.cast("double")
+                / F.count(col).cast("double")
+            ).alias(f"{c}__mean"),
             F.stddev(col).cast("double").alias(f"{c}__stddev"),
             F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__n_zero"),
             F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__n_negative"),
