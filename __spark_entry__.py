@@ -1412,6 +1412,23 @@ def cluster_best_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "component", "qual", "keep")
 
 
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: every document keeps a training weight
+    1/|near-dup cluster| (unclustered docs weigh 1.0) instead of being
+    dropped — total loss mass per unique content stays constant no
+    matter how many crawls captured it. Same minhash pairs + connected
+    components as cluster_best_exemplar; weight is one exact IEEE
+    division so the oracle replays it bit-for-bit."""
+    from data_pipeline_framework_spark.functions import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+    out = DD.soft_dedup_weights(pairs, docs.select("doc_id"), alpha=1.0)
+    return out.select(
+        "doc_id", "component", _r(F.col("weight"), 6).alias("weight")
+    )
+
+
 def cross_corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """near-dup decontamination against a held-out reference corpus
     (here: every 20th doc plays the eval set): reference band table
@@ -6080,6 +6097,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_stats": corpus_zipf_stats,
         "cross_corpus_decontamination": cross_corpus_decontamination,
         "cluster_best_exemplar": cluster_best_exemplar,
+        "soft_dedup_weights": soft_dedup_weights,
         "source_js_divergence": source_js_divergence,
         "bigram_logprob_scores": bigram_logprob_scores,
         "document_chunks": document_chunks,
@@ -6735,6 +6753,38 @@ def _best_exemplar_oracle() -> str:
                    PARTITION BY component ORDER BY qual DESC, node
                ) = 1 AS keep
         FROM q
+    """
+
+
+def _soft_dedup_oracle() -> str:
+    """Same recursive-CTE component labels as _best_exemplar_oracle,
+    then per-component sizes and the 1/size weight LEFT-joined to the
+    whole corpus (unclustered docs weigh 1.0)."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte_body()},
+        pairs AS (SELECT ida AS u, idb AS v FROM verified WHERE j >= 0.7),
+        sym AS (
+            SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS n FROM sym),
+        reach(n, l) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT s.u, r.l FROM sym s JOIN reach r ON s.v = r.n
+        ),
+        labels AS (
+            SELECT n AS node, MIN(l) AS component FROM reach GROUP BY n
+        ),
+        sizes AS (
+            SELECT component, COUNT(*) AS csz FROM labels
+            GROUP BY component
+        )
+        SELECT d.doc_id, l.component,
+               FLOOR((CASE WHEN l.component IS NULL THEN 1.0
+                      ELSE 1.0 / s.csz END) * 1e6 + 0.5) / 1e6 AS weight
+        FROM documents d
+        LEFT JOIN labels l ON d.doc_id = l.node
+        LEFT JOIN sizes s ON l.component = s.component
     """
 
 
@@ -8966,6 +9016,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_oracle(),
         "cross_corpus_decontamination": _cross_corpus_oracle(),
         "cluster_best_exemplar": _best_exemplar_oracle(),
+        "soft_dedup_weights": _soft_dedup_oracle(),
         "split_leakage_pairs": _split_leakage_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "pagerank_weighted_trade": _pagerank_oracle(weighted=True),

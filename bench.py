@@ -43,7 +43,7 @@ _WIDE = {
     "holt_trend_smoothing", "funnel_user_stages",
     "bloom_url_membership", "duplicate_span_removal",
     "collocation_pmi_pairs", "semantic_clusters", "badword_scores",
-    "luhn_pan_audit",
+    "luhn_pan_audit", "soft_dedup_weights",
     # winnowing emits one row per window-min fingerprint (~100/doc):
     # collecting millions of rows measures the driver's pickle loop,
     # not the engine. count() still forces the whole fingerprint
@@ -194,6 +194,7 @@ HEADLINE = [
     # round-7 additions
     "gini_concentration_prices",
     "bpe_roundtrip_audit",
+    "soft_dedup_weights",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to

@@ -1122,6 +1122,56 @@ def canonical_by_quality(
     )
 
 
+def soft_dedup_weights(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    out_col: str = "weight",
+) -> DataFrame:
+    """SOFT deduplication: instead of dropping near-duplicates, assign
+    every document a training weight 1 / |cluster|^alpha — the loss
+    mass a duplicated piece of content contributes stays ~constant no
+    matter how many crawls captured it. ``alpha`` interpolates between
+    no dedup (0) and hard-dedup-equivalent total mass (1, the
+    default); documents in no cluster keep weight 1.0. The standard
+    gentle alternative when hard dedup would throw away quality signal
+    (each capture may differ in boilerplate, OCR noise, or freshness)
+    or distort the source mixture.
+
+    Shape: the bounded connected-components rounds over the verified
+    pairs, ONE groupBy(component) count (output = #clusters rows),
+    and ONE left join back to the corpus on the id — the clustered
+    subset is typically a small fraction of the corpus, and AQE
+    broadcasts it when it fits. No window, no per-doc Python.
+
+    alpha == 1.0 computes weight as an exact IEEE division
+    (1.0 / size) rather than pow(size, -1.0), so an external SQL
+    oracle replays the value bit-for-bit; other alphas go through
+    pow with engine-dependent last-ulp semantics.
+
+    Output: every docs row + (component — null when unclustered,
+    ``out_col``).
+    """
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__csz")
+    )
+    lab = labels.join(sizes, "component").select(
+        F.col("node").alias(id_col), "component", "__csz"
+    )
+    out = docs.join(lab, id_col, "left")
+    sz = F.col("__csz").cast("double")
+    if float(alpha) == 1.0:
+        w = F.lit(1.0) / sz
+    else:
+        w = F.pow(sz, F.lit(-float(alpha)))
+    return out.withColumn(
+        out_col,
+        F.when(F.col("__csz").isNull(), F.lit(1.0)).otherwise(w),
+    ).drop("__csz")
+
+
 def set_similarity_pairs(
     df: DataFrame,
     id_col: str,

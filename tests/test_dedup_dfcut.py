@@ -7,6 +7,8 @@ candidate pairs — the scale-killer the df-cut exists to prevent.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_pipeline_framework_spark.functions.dedup import (
@@ -258,3 +260,36 @@ def test_set_similarity_pairs_generic_arrays(spark):
         (a, b) for a in range(10) for b in range(a + 1, 10)
         if a % 2 == b % 2
     }
+
+
+def test_soft_dedup_weights_known_clusters(spark):
+    """weights: 1/|cluster| for clustered docs, 1.0 for the rest;
+    alpha interpolates; total weighted mass of a cluster == 1 at
+    alpha=1 (the hard-dedup-equivalent mass)."""
+    from data_pipeline_framework_spark.functions.dedup import (
+        soft_dedup_weights,
+    )
+
+    # clusters: {1,2,3} (chain), {10,11}; 20 unclustered
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in soft_dedup_weights(pairs, docs).collect()
+    }
+    assert out[1]["weight"] == out[2]["weight"] == out[3]["weight"]
+    assert out[1]["weight"] == pytest.approx(1 / 3, abs=1e-15)
+    assert out[10]["weight"] == 0.5 and out[11]["weight"] == 0.5
+    assert out[20]["weight"] == 1.0 and out[20]["component"] is None
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"]
+    # alpha=0.5: sqrt damping
+    half = {
+        r["doc_id"]: r["weight"]
+        for r in soft_dedup_weights(pairs, docs, alpha=0.5).collect()
+    }
+    assert half[1] == pytest.approx(3 ** -0.5, abs=1e-12)
+    assert half[20] == 1.0
