@@ -95,6 +95,9 @@ _ARROW_OK = {
     # encode (flat in merge count) — a 32K-deep JVM replace chain is
     # not a plan, it's a stack overflow
     "bpe_token_count_32k",
+    # 32K encode + inverse-vocab decode: both ends are the Arrow fast
+    # path (a 32K-entry literal map expression is not viable either way)
+    "bpe_roundtrip_audit",
 }
 
 
