@@ -369,3 +369,55 @@ def test_no_generate_input_substitution(spark, sf_dir):
     # a substituted filter would duplicate it
     assert plan.count("split(lower(") == 1, plan
     assert "Filter (size(transform" not in plan, plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """write_bucketed's contract: two tables bucketed on the same key
+    with the same bucket count equi-join with NO Exchange on either
+    side — the co-located-join primitive that turns a full-cluster
+    shuffle per join into none at 100 TB. Also pins correctness: the
+    bucketed join returns exactly the plain join's rows."""
+    from data_pipeline_framework_spark.sinks.writers import write_bucketed
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at fixture scale the planner would broadcast the small side
+        # (bypassing bucketing entirely); at the 100 TB sizes bucketing
+        # exists for, neither side broadcasts — simulate that regime
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(
+            orders, "t_orders_b", 8, ["o_orderkey"],
+            path=str(tmp_path / "ob"),
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b", 8, ["o_orderkey"],
+            path=str(tmp_path / "lb"),
+        )
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # correctness: identical to the plain (shuffled) join
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+        )
+        assert joined.count() == plain.count()
+        key = lambda r: (r["o_orderkey"], r["l_quantity"])  # noqa: E731
+        assert (
+            sorted(map(key, joined.limit(0).unionByName(joined).collect()))
+            == sorted(map(key, plain.select(joined.columns).collect()))
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
