@@ -877,11 +877,21 @@ def _pq_sub(vec: Column, j: int, sub: int) -> Column:
 
 
 def _sq_dist_lit(sub_vec: Column, centroid: list[float]) -> Column:
-    out = None
-    for d, c in enumerate(centroid):
-        term = (F.element_at(sub_vec, d + 1) - F.lit(float(c))) ** 2
-        out = term if out is None else out + term
-    return out
+    """Squared L2 distance to a literal centroid — loop form
+    (zip_with + left-fold aggregate), NOT an unrolled per-dimension
+    chain: the unrolled terms, inlined m*k times into one generated
+    method, blew janino's 64KB limit at (m=8, k=8, sub=8) and silently
+    demoted the whole PQ stage to interpreted eval (ERROR CodeGenerator
+    in the gate logs; ann_pq_topk spent 10.7 s on a 5K-row corpus).
+    The fold is left-associative with a +0.0 identity seed and squares
+    through the same POWER expr, so every double is bit-identical to
+    the unrolled chain and the SQL oracles replay unchanged."""
+    lit_c = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(sub_vec, lit_c, lambda a, b: (a - b) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def pq_encode(
@@ -1040,12 +1050,13 @@ def ivfpq_topk(
     qv = F.col(vec_col).cast("array<double>")
     q = queries.withColumn("__qv", qv)
     # nprobe nearest cells per query: |cells| distance expressions on the
-    # tiny broadcast query side, ranked in-plan (no driver action)
+    # tiny broadcast query side, ranked in-plan (no driver action).
+    # _sq_dist_lit's loop form matters here too: n_cells x dim unrolled
+    # terms inside the Generate's doConsume blew the 64KB method limit
+    # (same fallback the PQ encode hit), and the fold is bit-identical.
     cell_d = [
-        sum(
-            (F.element_at("__qv", d + 1) - F.lit(float(c[d]))) ** 2
-            for d in range(len(c))
-        ).alias(f"__cd{i}")
+        _sq_dist_lit(F.col("__qv"), [float(x) for x in c])
+        .alias(f"__cd{i}")
         for i, c in enumerate(centers_arr)
     ]
     probes = q.select(
