@@ -1429,6 +1429,24 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """segment-level language-consistency audit: sentence/paragraph
+    segments language-ID'd individually, per-doc majority + disagreement
+    fraction — the mixed-language detector that catches code-switched
+    or badly-extracted docs a whole-doc argmax waves through. Explode +
+    pure expressions + one key shuffle + one co-keyed left join."""
+    from data_pipeline_framework_spark.functions.text import (
+        language_consistency,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = language_consistency(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_segments", "majority_lang", "n_disagree",
+        _r(F.col("mixed_frac"), 6).alias("mixed_frac"),
+    )
+
+
 def cross_corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """near-dup decontamination against a held-out reference corpus
     (here: every 20th doc plays the eval set): reference band table
@@ -6098,6 +6116,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_decontamination": cross_corpus_decontamination,
         "cluster_best_exemplar": cluster_best_exemplar,
         "soft_dedup_weights": soft_dedup_weights,
+        "mixed_language_docs": mixed_language_docs,
         "source_js_divergence": source_js_divergence,
         "bigram_logprob_scores": bigram_logprob_scores,
         "document_chunks": document_chunks,
@@ -6753,6 +6772,89 @@ def _best_exemplar_oracle() -> str:
                    PARTITION BY component ORDER BY qual DESC, node
                ) = 1 AS keep
         FROM q
+    """
+
+
+def _mixed_language_oracle() -> str:
+    """Twin of mixed_language_docs: same segment regex, same marker
+    hit-rate argmax per segment (ties -> lexicographic, zero hits ->
+    unknown/excluded), same per-doc vote fold and left join back to
+    every doc."""
+    from data_pipeline_framework_spark.functions.text import LANG_MARKERS
+
+    marker_sql = {
+        lang: "[" + ", ".join(f"'{m}'" for m in ms) + "]"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    score_exprs = ",\n                   ".join(
+        f"len(list_filter(w, t -> list_contains({marker_sql[l]}, t)))"
+        f" / len(w) AS {l}_score"
+        for l in LANG_MARKERS
+    )
+    pred = "\n                        ".join(
+        f"WHEN {l}_score = best THEN '{l}'" for l in sorted(LANG_MARKERS)
+    )
+    cnt = ",\n                   ".join(
+        f"SUM(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END) AS n_{l}"
+        for l in LANG_MARKERS
+    )
+    tot = " + ".join(f"coalesce(n_{l}, 0)" for l in LANG_MARKERS)
+    topx = "greatest(" + ", ".join(
+        f"coalesce(n_{l}, 0)" for l in LANG_MARKERS
+    ) + ")"
+    majp = "\n                        ".join(
+        f"WHEN coalesce(n_{l}, 0) = top THEN '{l}'"
+        for l in sorted(LANG_MARKERS)
+    )
+    return f"""
+        WITH segs AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '[.!?]+|\\n+')) AS seg
+            FROM documents
+        ),
+        tokd AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(seg), '\\s+'),
+                               t -> t <> '') AS w
+            FROM segs
+        ),
+        sc AS (
+            SELECT doc_id,
+                   {score_exprs}
+            FROM tokd WHERE len(w) >= 3
+        ),
+        lb AS (
+            SELECT doc_id,
+                   CASE WHEN best IS NULL OR NOT best > 0 THEN 'unknown'
+                        {pred}
+                   END AS lang
+            FROM (SELECT *,
+                         greatest(en_score, de_score, fr_score, es_score)
+                             AS best
+                  FROM sc)
+        ),
+        g AS (
+            SELECT doc_id,
+                   {cnt}
+            FROM lb WHERE lang <> 'unknown' GROUP BY doc_id
+        ),
+        j AS (
+            SELECT d.doc_id, {tot} AS n_segments, {topx} AS top,
+                   n_de, n_en, n_es, n_fr
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN g ON d.doc_id = g.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_segments AS BIGINT) AS n_segments,
+               CASE WHEN n_segments > 0 THEN (CASE {majp} END)
+                    ELSE 'unknown' END AS majority_lang,
+               CAST(n_segments - top AS BIGINT) AS n_disagree,
+               CASE WHEN n_segments > 0
+                    THEN FLOOR((n_segments - top)
+                               / CAST(n_segments AS DOUBLE) * 1e6 + 0.5)
+                         / 1e6
+               END AS mixed_frac
+        FROM j
     """
 
 
@@ -9017,6 +9119,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_corpus_decontamination": _cross_corpus_oracle(),
         "cluster_best_exemplar": _best_exemplar_oracle(),
         "soft_dedup_weights": _soft_dedup_oracle(),
+        "mixed_language_docs": _mixed_language_oracle(),
         "split_leakage_pairs": _split_leakage_oracle(),
         "pagerank_trade_graph": _pagerank_oracle(),
         "pagerank_weighted_trade": _pagerank_oracle(weighted=True),

@@ -43,7 +43,7 @@ _WIDE = {
     "holt_trend_smoothing", "funnel_user_stages",
     "bloom_url_membership", "duplicate_span_removal",
     "collocation_pmi_pairs", "semantic_clusters", "badword_scores",
-    "luhn_pan_audit", "soft_dedup_weights",
+    "luhn_pan_audit", "soft_dedup_weights", "mixed_language_docs",
     # winnowing emits one row per window-min fingerprint (~100/doc):
     # collecting millions of rows measures the driver's pickle loop,
     # not the engine. count() still forces the whole fingerprint
@@ -195,6 +195,7 @@ HEADLINE = [
     "gini_concentration_prices",
     "bpe_roundtrip_audit",
     "soft_dedup_weights",
+    "mixed_language_docs",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to

@@ -175,6 +175,95 @@ def language_id(
     return out.withColumn(out_col, F.when(best > 0, pred).otherwise("unknown"))
 
 
+def language_consistency(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 3,
+) -> DataFrame:
+    """Per-document language-consistency audit — the mixed-language
+    detector a multilingual curation pipeline runs AFTER doc-level
+    language ID: a document assembled from several languages
+    (boilerplate + content, code-switched crawls, bad extractions)
+    passes a whole-doc argmax yet poisons a language-targeted training
+    mix. Text splits into sentence/paragraph segments ([.!?]+ or
+    newline runs); segments under `min_tokens` whitespace tokens are
+    ignored (fragments carry no signal); each remaining segment is
+    language-ID'd with the SAME marker hit-rate argmax as
+    `language_id` (ties -> lexicographically first language; zero
+    hits -> unknown, excluded from voting); ONE groupBy(id) folds the
+    votes. Output per document (every input doc appears):
+      n_segments    — scored segments (unknown excluded)
+      majority_lang — most common segment language ('unknown' if none)
+      n_disagree    — scored segments voting against the majority
+      mixed_frac    — n_disagree / n_segments (null when none scored)
+    Shape: explode + pure per-segment expressions + one key shuffle +
+    one co-keyed left join back to the id set — no window, no Python,
+    linear at any corpus size.
+    """
+    seg = F.explode(
+        F.split(F.col(text_col), r"[.!?]+|\n+")
+    ).alias("__seg")
+    base = (
+        df.select(F.col(id_col), seg)
+        .withColumn(
+            "__toks",
+            F.array_remove(F.split(F.lower(F.col("__seg")), r"\s+"), ""),
+        )
+        .where(F.size("__toks") >= int(min_tokens))
+    )
+    n = F.size("__toks")
+
+    def _marker_pred(markers: list[str]):
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.try_divide(
+            F.size(F.filter(F.col("__toks"), _marker_pred(m))), n
+        )
+        for lang, m in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in sorted(LANG_MARKERS):
+        pred = F.coalesce(
+            pred, F.when(scores[lang] == best, F.lit(lang))
+        )
+    lab = base.select(
+        F.col(id_col),
+        F.when(best > 0, pred).otherwise(F.lit("unknown")).alias("__lang"),
+    )
+    g = lab.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("__lang") == lang, 1).otherwise(0))
+        .alias(f"__n_{lang}")
+        for lang in LANG_MARKERS
+    ])
+    cnts = [F.coalesce(F.col(f"__n_{lang}"), F.lit(0))
+            for lang in LANG_MARKERS]
+    n_scored = cnts[0]
+    for c in cnts[1:]:
+        n_scored = n_scored + c
+    top = F.greatest(*cnts)
+    maj = F.lit(None).cast("string")
+    for lang in sorted(LANG_MARKERS):
+        maj = F.coalesce(
+            maj,
+            F.when(
+                F.coalesce(F.col(f"__n_{lang}"), F.lit(0)) == top,
+                F.lit(lang),
+            ),
+        )
+    out = df.select(F.col(id_col)).distinct().join(g, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        n_scored.cast("long").alias("n_segments"),
+        F.when(n_scored > 0, maj).otherwise(F.lit("unknown"))
+        .alias("majority_lang"),
+        (n_scored - top).cast("long").alias("n_disagree"),
+        F.try_divide(n_scored - top, n_scored).alias("mixed_frac"),
+    )
+
+
 def quality_score(
     df: DataFrame, text_col: str, out_col: str = "quality"
 ) -> DataFrame:

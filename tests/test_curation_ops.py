@@ -1547,3 +1547,32 @@ def test_gini_ungrouped_distributed(spark):
     empty = spark.createDataFrame([], "x long")
     erow = gini_coefficient(empty, "x").collect()[0]
     assert erow["n"] == 0 and erow["gini"] == 0.0
+
+
+def test_language_consistency_flags_mixed_docs(spark):
+    """segment-level votes: a clean English doc reads 0 disagreement, a
+    half-English/half-German doc reads ~0.5 mixed_frac, a doc with no
+    scorable segments still appears as 'unknown'."""
+    from data_pipeline_framework_spark.functions.text import (
+        language_consistency,
+    )
+
+    en = "the cat sat on the mat and it was good. it is a fine day for the team."
+    de = "der hund und die katze sind nicht hier. das ist ein und der und die tag."
+    rows = [
+        (1, en),                              # pure en: two en segments
+        (2, en + " " + de),                   # mixed: en + de segments
+        (3, "zzz qqq. xx!"),                  # nothing scorable
+        (4, None),                            # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           language_consistency(df, "doc_id", "text").collect()}
+    assert len(out) == 4
+    assert out[1]["majority_lang"] == "en" and out[1]["n_disagree"] == 0
+    assert out[1]["mixed_frac"] == 0.0
+    assert out[2]["n_segments"] >= 2 and out[2]["n_disagree"] >= 1
+    assert 0.0 < out[2]["mixed_frac"] <= 0.5
+    assert out[3]["majority_lang"] == "unknown"
+    assert out[3]["n_segments"] == 0 and out[3]["mixed_frac"] is None
+    assert out[4]["majority_lang"] == "unknown"
