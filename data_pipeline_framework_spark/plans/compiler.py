@@ -1191,6 +1191,99 @@ def _op_bitext_mine(params: Mapping, ctx) -> OpFn:
     return fn
 
 
+def _op_gini(params: Mapping, ctx) -> OpFn:
+    """Gini concentration — `{"type": "gini", "column": c,
+    "group_by": [...]}`. Omit group_by for the distributed ungrouped
+    kernel (bucketed prefix offsets, no single-partition window;
+    eager one-row result)."""
+    from ..functions.profiling import gini_coefficient
+
+    def fn(df: DataFrame) -> DataFrame:
+        return gini_coefficient(
+            df, params["column"], group_by=params.get("group_by"),
+            n_buckets=int(params.get("n_buckets", 64)),
+        )
+
+    return fn
+
+
+def _op_soft_dedup(params: Mapping, ctx) -> OpFn:
+    """Soft deduplication — `{"type": "soft_dedup", "id_column": ...,
+    "text_column": ..., "threshold": 0.7, "alpha": 1.0}`: minhash
+    near-dup pairs over the frame's text, connected components, and a
+    1/|cluster|^alpha training weight per row (unclustered rows weigh
+    1.0) instead of dropping duplicates."""
+    from ..functions.dedup import minhash_dedup_pairs, soft_dedup_weights
+
+    def fn(df: DataFrame) -> DataFrame:
+        idc = params.get("id_column", "doc_id")
+        pairs = minhash_dedup_pairs(
+            df.select(idc, params.get("text_column", "text")),
+            idc, params.get("text_column", "text"),
+            threshold=float(params.get("threshold", 0.7)),
+        )
+        return soft_dedup_weights(
+            pairs, df, id_col=idc,
+            alpha=float(params.get("alpha", 1.0)),
+            out_col=params.get("output_column", "weight"),
+        )
+
+    return fn
+
+
+def _op_bpe_encode(params: Mapping, ctx) -> OpFn:
+    """Learned-BPE id-stream encode — `{"type": "bpe_encode",
+    "column": text_col, "output_column": "bpe_ids", "merges": "32k",
+    "with_sep": true}`. with_sep keeps word boundaries so the stream
+    is invertible by bpe_detokenize."""
+    from ..functions.tokenize import bpe_encode_ids, merges_32k
+
+    def fn(df: DataFrame) -> DataFrame:
+        merges = (
+            merges_32k() if params.get("merges") == "32k" else None
+        )
+        return bpe_encode_ids(
+            df, params["column"], merges=merges,
+            out_col=params.get("output_column", "bpe_ids"),
+            with_sep=bool(params.get("with_sep", True)),
+        )
+
+    return fn
+
+
+def _op_bpe_detokenize(params: Mapping, ctx) -> OpFn:
+    """Inverse of bpe_encode — `{"type": "bpe_detokenize",
+    "column": ids_col, "output_column": "text_decoded",
+    "merges": "32k"}`: id stream -> the tokenizer's normalized text."""
+    from ..functions.tokenize import bpe_detokenize, merges_32k
+
+    def fn(df: DataFrame) -> DataFrame:
+        merges = (
+            merges_32k() if params.get("merges") == "32k" else None
+        )
+        return bpe_detokenize(
+            df, params["column"], merges=merges,
+            out_col=params.get("output_column", "text_decoded"),
+        )
+
+    return fn
+
+
+def _op_language_consistency(params: Mapping, ctx) -> OpFn:
+    """Mixed-language audit — `{"type": "language_consistency",
+    "id_column": ..., "column": text_col, "min_tokens": 3}`: per-doc
+    segment-level language votes (majority, disagreement fraction)."""
+    from ..functions.text import language_consistency
+
+    def fn(df: DataFrame) -> DataFrame:
+        return language_consistency(
+            df, params.get("id_column", "doc_id"), params["column"],
+            min_tokens=int(params.get("min_tokens", 3)),
+        )
+
+    return fn
+
+
 OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "select": _op_select,
     "filter": _op_filter,
@@ -1245,6 +1338,11 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "luhn_scan": _op_luhn_scan,
     "robust_outliers": _op_robust_outliers,
     "bitext_mine": _op_bitext_mine,
+    "gini": _op_gini,
+    "soft_dedup": _op_soft_dedup,
+    "bpe_encode": _op_bpe_encode,
+    "bpe_detokenize": _op_bpe_detokenize,
+    "language_consistency": _op_language_consistency,
 }
 
 

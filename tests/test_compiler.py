@@ -757,3 +757,58 @@ def test_op_round6_analytics_ops(spark):
     got = {r["src_id"]: r["tgt_id"] for r in mined.collect()}
     for i in range(5):
         assert got[i] == 100 + i
+
+
+def test_op_round7_analytics_ops(spark):
+    # gini: grouped and the distributed ungrouped kernel
+    rows = [("a", 10)] * 5 + [("b", 0)] * 4 + [("b", 100)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    grouped = {r["g"]: r["gini"] for r in compile_ops([
+        {"type": "gini", "params": {"column": "x", "group_by": ["g"]}},
+    ])(df).collect()}
+    assert grouped["a"] == pytest.approx(0.0, abs=1e-12)
+    assert grouped["b"] == pytest.approx(0.8, abs=1e-12)
+    glob = compile_ops([
+        {"type": "gini", "params": {"column": "x"}},
+    ])(df).first()
+    assert glob["n"] == 10 and glob["total"] == 150
+
+    # bpe_encode -> bpe_detokenize round-trips the normalized text
+    docs = spark.createDataFrame(
+        [(1, "The SAND and the sea!"), (2, None)], "doc_id long, text string"
+    )
+    rt = compile_ops([
+        {"type": "bpe_encode", "params": {"column": "text"}},
+        {"type": "bpe_detokenize", "params": {"column": "bpe_ids"}},
+    ])(docs).collect()
+    got = {r["doc_id"]: r["text_decoded"] for r in rt}
+    assert got[1] == "the sand and the sea"
+    assert got[2] == ""  # null text -> empty id stream -> empty string
+
+    # soft_dedup: duplicated text shares weight, unique text weighs 1.0
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again " * 4)
+         for i in (1, 2)]
+        + [(3, "completely different content about spark engines and "
+               "columnar execution at scale for training corpora")],
+        "doc_id long, text string",
+    )
+    weights = {r["doc_id"]: r["weight"] for r in compile_ops([
+        {"type": "soft_dedup",
+         "params": {"id_column": "doc_id", "text_column": "text"}},
+    ])(corpus).collect()}
+    assert weights[1] == weights[2] == 0.5 and weights[3] == 1.0
+
+    # language_consistency: mixed doc flagged, clean doc clean
+    en = ("the cat sat on the mat and it was good. "
+          "it is a fine day for the team.")
+    de = "der hund und die katze sind nicht hier und das ist ein tag."
+    docs2 = spark.createDataFrame(
+        [(1, en), (2, en + " " + de)], "doc_id long, text string"
+    )
+    lc = {r["doc_id"]: r for r in compile_ops([
+        {"type": "language_consistency",
+         "params": {"id_column": "doc_id", "column": "text"}},
+    ])(docs2).collect()}
+    assert lc[1]["majority_lang"] == "en" and lc[1]["n_disagree"] == 0
+    assert lc[2]["n_disagree"] >= 1
