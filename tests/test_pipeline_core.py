@@ -410,3 +410,36 @@ def test_embedding_curation_yaml_example(spark, sf_dir, tmp_path,
     assert 0 < n == result.rows_written
     # at most k_per_cell rows per cell
     assert back.groupBy("cell").count().filter("count > 16").count() == 0
+
+
+def test_soft_curation_yaml_examples(spark, sf_dir, tmp_path, monkeypatch):
+    """the shipped examples/soft_curation.yaml and
+    examples/mixed_language_audit.yaml run end-to-end: soft-dedup
+    weights (1/|cluster|, 1.0 unclustered) and the per-doc
+    language-consistency report."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "sc_out")
+    monkeypatch.setenv("SC_INPUT", f"{sf_dir}/documents.parquet")
+    monkeypatch.setenv("SC_OUT", out)
+    result = Pipeline.from_yaml("examples/soft_curation.yaml", spark).run()
+    assert result.status == "success", result.error
+    back = spark.read.parquet(out)
+    assert result.rows_written == back.count() > 0
+    w = back.agg(F.min("weight"), F.max("weight")).first()
+    assert 0.0 < w[0] <= w[1] <= 1.0
+    # unclustered docs keep weight exactly 1.0
+    assert back.filter(
+        F.col("component").isNull() & (F.col("weight") != 1.0)
+    ).count() == 0
+
+    result2 = Pipeline.from_yaml(
+        "examples/mixed_language_audit.yaml", spark
+    ).run()
+    assert result2.status == "success", result2.error
+    rep = spark.read.parquet(out + "_mixed")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rep.count() == n_docs  # every doc appears in the report
+    assert set(rep.columns) == {
+        "doc_id", "n_segments", "majority_lang", "n_disagree", "mixed_frac"
+    }
