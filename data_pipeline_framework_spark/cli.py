@@ -466,6 +466,35 @@ def cmd_schema(args) -> int:
     return 0
 
 
+def cmd_index_status(args) -> int:
+    """IVF index staleness report (no mutation): corpus-wide mean
+    assigned distance vs the training-time baseline."""
+    from .functions.similarity import maybe_retrain_ivf
+
+    spark = _get_spark()
+    rep = maybe_retrain_ivf(
+        spark, args.path, threshold=float("inf")
+    )
+    print(json.dumps(rep))
+    return 0 if rep["staleness_ratio"] <= args.threshold else 3
+
+
+def cmd_index_maintain(args) -> int:
+    """Wired retrain trigger: rebuild + atomic swap when staleness
+    exceeds the threshold; exit 0 either way, report on stdout."""
+    from .functions.similarity import maybe_retrain_ivf
+
+    spark = _get_spark()
+    rep = maybe_retrain_ivf(
+        spark, args.path,
+        threshold=args.threshold,
+        n_cells=args.cells,
+        seed=args.seed,
+    )
+    print(json.dumps(rep))
+    return 0
+
+
 def cmd_quality_check(args) -> int:
     """Quality checks on a data file (reference cli/quality_commands.py
     :24-96 `quality check`, re-targeted from Postgres tables to files).
@@ -636,6 +665,21 @@ def build_parser() -> argparse.ArgumentParser:
     prof.add_argument("path")
     prof.add_argument("--columns", nargs="*")
     prof.set_defaults(fn=cmd_profile)
+
+    idx = sub.add_parser("index", help="ANN index lifecycle")
+    isub = idx.add_subparsers(dest="index_command", required=True)
+    ist = isub.add_parser(
+        "status", help="staleness report (exit 3 when past threshold)")
+    ist.add_argument("path")
+    ist.add_argument("--threshold", type=float, default=1.25)
+    ist.set_defaults(fn=cmd_index_status)
+    imt = isub.add_parser(
+        "maintain", help="retrain + atomic swap when stale")
+    imt.add_argument("path")
+    imt.add_argument("--threshold", type=float, default=1.25)
+    imt.add_argument("--cells", type=int)
+    imt.add_argument("--seed", type=int, default=42)
+    imt.set_defaults(fn=cmd_index_maintain)
 
     sch = sub.add_parser("schema", help="schema inference report")
     sch.add_argument("path")

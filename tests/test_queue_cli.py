@@ -396,3 +396,45 @@ def test_cli_init_source_variants(tmp_path, capsys, monkeypatch):
         key, pattern = want
         assert key in doc["source"]["config"]
         assert doc["input"]["file_pattern"] == pattern
+
+
+def test_cli_index_status_and_maintain(spark, tmp_path, capsys):
+    """`index status` reports staleness (exit 3 past threshold, no
+    mutation) and `index maintain` retrains + swaps atomically."""
+    import json as _json
+    import random as _random
+
+    from data_pipeline_framework_spark.cli import main as cli_main
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    rng = _random.Random(21)
+    base = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_cli")
+    SIM.write_ivf_index(SIM.ivf_index(base, n_cells=4, seed=7), path)
+
+    rc = cli_main(["index", "status", path])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and not rep["retrained"]
+    assert 0.7 < rep["staleness_ratio"] < 1.3
+
+    drifted = spark.createDataFrame(
+        [(900 + i, [rng.gauss(30, 1) for _ in range(8)])
+         for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    SIM.append_ivf_index(spark, path, drifted)
+    rc = cli_main(["index", "status", path])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 3 and rep["staleness_ratio"] > 1.25
+    assert not rep["retrained"]  # status never mutates
+
+    rc = cli_main(["index", "maintain", path])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["retrained"] and rep["n_vectors"] == 350
+
+    rc = cli_main(["index", "status", path])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and 0.9 < rep["staleness_ratio"] < 1.1
