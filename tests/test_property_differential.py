@@ -668,3 +668,71 @@ def test_dataset_fingerprint_permutation_invariant(spark, rows, seed):
         # domain so this branch never triggers — kept as documentation
         False
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(
+        st.integers(0, 40),  # small domain forces heavy ties
+        min_size=1, max_size=120,
+    ),
+    probs=st.lists(
+        st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+        min_size=1, max_size=4, unique=True,
+    ),
+)
+def test_hist_percentiles_match_sorted_reference(spark, vals, probs):
+    """histogram-bracketed exact selection == the classic sorted-list
+    interpolation, on tie-heavy random integer data, INCLUDING when a
+    tiny collect_cap forces the refinement rounds."""
+    import math
+
+    from data_pipeline_framework_spark.functions.profiling import (
+        _exact_percentiles_hist,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    meta = {"x": (len(vals), float(min(vals)), float(max(vals)))}
+    got = _exact_percentiles_hist(
+        df, ["x"], sorted(probs), meta, n_bins=8, collect_cap=16,
+        max_rounds=4,
+    )["x"]
+    s = sorted(float(v) for v in vals)
+    for p, g in zip(sorted(probs), got):
+        t = (len(s) - 1) * p
+        lo, hi = int(math.floor(t)), int(math.ceil(t))
+        frac = t - lo
+        want = s[lo] if lo == hi else s[lo] * (1 - frac) + s[hi] * frac
+        assert g == pytest.approx(want, abs=0.0), (p, vals)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=1, max_size=80),
+)
+def test_ungrouped_gini_matches_sorted_reference(spark, vals):
+    """the distributed ungrouped Gini (bucketed prefix offsets, decimal
+    moment sums) == the textbook sorted-sample formula, exactly."""
+    from data_pipeline_framework_spark.functions.profiling import (
+        gini_coefficient,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    row = gini_coefficient(df, "x", n_buckets=4).collect()[0]
+    s = sorted(vals)
+    n, total = len(s), sum(s)
+    assert row["n"] == n and row["total"] == total
+    if total == 0:
+        assert row["gini"] == 0.0
+    else:
+        si2 = 2 * sum((i + 1) * v for i, v in enumerate(s))
+        want = float(si2) / (float(n) * float(total)) - (n + 1.0) / n
+        assert row["gini"] == pytest.approx(want, abs=0.0), vals
