@@ -6980,6 +6980,11 @@ def _profile_oracle() -> str:
         "q75": "FLOOR(quantile_cont({c}, 0.75) * 1e3 + 0.5) / 1e3",
         "n_zero": "SUM(CASE WHEN {c} = 0 THEN 1 ELSE 0 END)::DOUBLE",
         "n_negative": "SUM(CASE WHEN {c} < 0 THEN 1 ELSE 0 END)::DOUBLE",
+        # engine counts non-null values the DECIMAL(38,10) accumulator
+        # cannot hold: NaN, +/-Inf, |x| >= 1e28 (per-value cast -> null)
+        "n_lossy": "SUM(CASE WHEN {c} IS NOT NULL AND "
+                   "(isnan({c}::DOUBLE) OR isinf({c}::DOUBLE) OR "
+                   "abs({c}::DOUBLE) >= 1e28) THEN 1 ELSE 0 END)::DOUBLE",
     }
     selects = [
         f"SELECT '{c}' AS \"column\", '{m}' AS metric, "

@@ -583,12 +583,23 @@ def profile_columns(
     """Numeric column profile, long format (column, metric, value).
 
     Metrics per column: count, n_null, n_distinct, min, max, sum, mean,
-    stddev, q25, median, q75, n_zero, n_negative
+    stddev, q25, median, q75, n_zero, n_negative, n_lossy
     (reference data_profiler.py:116-153 stats set). Default n_distinct is
     an HLL sketch folded into scan 1 (one fewer pass — the right default
     at corpus scale, matching the reference's own sampling spirit,
     schema_inference.py:17); ``exact=True`` adds a dedicated exact
     count_distinct agg as a third bounded pass.
+
+    ``n_lossy`` counts non-null values the exact DECIMAL(38,10)
+    accumulator cannot represent — NaN, +/-Infinity, and finite doubles
+    with |x| >= 1e28 (the cast nulls them with ANSI off). When it is
+    nonzero for a column, ``sum``/``mean`` fall back to the plain double
+    accumulation for that column so NaN/Inf PROPAGATE (and huge finite
+    values are still summed) instead of being silently excluded from a
+    sum whose count/min/max include them. The same fallback fires on
+    aggregate-level decimal overflow (every value fits but the total
+    does not). Well-behaved columns (n_lossy == 0, no overflow) keep the
+    order-invariant exact-decimal sum/mean documented below.
     """
     cols = _numeric_columns(df, columns)
     probs = (0.25, 0.5, 0.75)
@@ -622,12 +633,23 @@ def profile_columns(
         # bit-for-bit. Headroom: |sum| < 1e28 before decimal overflow
         # (-> null), 1e9x beyond a 100 TB money column.
         sum_dec = F.sum(col.cast("decimal(38,10)"))
+        # per-value cast loss detector: a non-null value whose
+        # decimal(38,10) cast is null is exactly the set the decimal
+        # accumulator would silently skip (NaN, +/-Inf, |x| >= 1e28).
+        # Stays whole-stage-codegen; drives the double-sum fallback.
+        lossy = F.sum(
+            F.when(
+                col.isNotNull() & col.cast("decimal(38,10)").isNull(), 1
+            ).otherwise(0)
+        )
         aggs += [
             sum_dec.cast("double").alias(f"{c}__sum"),
             (
                 sum_dec.cast("double")
                 / F.count(col).cast("double")
             ).alias(f"{c}__mean"),
+            F.sum(v).alias(f"{c}__dsum"),
+            lossy.alias(f"{c}__n_lossy"),
             F.stddev(col).cast("double").alias(f"{c}__stddev"),
             F.sum(F.when(col == 0, 1).otherwise(0)).alias(f"{c}__n_zero"),
             F.sum(F.when(col < 0, 1).otherwise(0)).alias(f"{c}__n_negative"),
@@ -681,19 +703,35 @@ def profile_columns(
     metrics = [
         "count", "n_null", "n_distinct", "min", "max", "sum", "mean",
         "stddev", "q25", "median", "q75", "n_zero", "n_negative",
+        "n_lossy",
     ]
     out_rows: list[tuple[str, str, float | None]] = []
     for c in cols:
         n = row[f"{c}__n"]
         q = quart.get(c, [None, None, None])
+        n_lossy = row[f"{c}__n_lossy"]
+        # double-sum fallback: per-value cast loss OR aggregate-level
+        # decimal overflow (sum null despite n non-null representable
+        # values) — both mean the exact accumulator misses rows the
+        # other stats include, so propagate via the double path.
+        use_double = (n_lossy or 0) > 0 or (
+            n > 0 and row[f"{c}__sum"] is None
+        )
+        c_sum = row[f"{c}__dsum"] if use_double else row[f"{c}__sum"]
+        c_mean = (
+            (c_sum / n if (c_sum is not None and n) else None)
+            if use_double
+            else row[f"{c}__mean"]
+        )
         vals = {
             "count": float(n),
             "n_null": float(row["__total"] - n),
             "n_distinct": float(nd_row[c]),
             "min": row[f"{c}__min"],
             "max": row[f"{c}__max"],
-            "sum": row[f"{c}__sum"],
-            "mean": row[f"{c}__mean"],
+            "sum": c_sum,
+            "mean": c_mean,
+            "n_lossy": float(n_lossy or 0),
             "stddev": row[f"{c}__stddev"],
             "q25": q[0], "median": q[1], "q75": q[2],
             "n_zero": float(row[f"{c}__n_zero"]),

@@ -144,3 +144,50 @@ def test_threshold_sweep_metrics(spark):
     top = [r for r in empty if round(r["threshold"], 2) == 0.9][0]
     assert top["pred_pos"] == 0 and top["precision"] is None
     assert top["f1"] is None and top["recall"] == 0.0
+
+
+def test_profile_lossy_values_propagate(spark):
+    """Non-finite and |x|>=1e28 values null out under the decimal(38,10)
+    cast (ANSI off); the profile must COUNT them (n_lossy) and fall back
+    to the double accumulator so sum/mean propagate NaN/Inf instead of
+    silently excluding rows that count/min/max include (ADVICE r7)."""
+    import math
+
+    from data_pipeline_framework_spark.functions.profiling import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),), (None,)], "a double"
+    ).unionAll(
+        spark.createDataFrame(
+            [(1.0,), (float("inf"),)], "a double"
+        )
+    ).withColumnRenamed("a", "x")
+    got = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_columns(df, ["x"]).collect()
+    }
+    assert got[("x", "count")] == 5.0  # NaN/Inf are non-null
+    assert got[("x", "n_lossy")] == 2.0
+    assert math.isnan(got[("x", "sum")])  # NaN + Inf -> NaN, propagated
+    assert math.isnan(got[("x", "mean")])
+
+    # huge-but-finite: decimal cast overflows per-value; double sum keeps it
+    big = spark.createDataFrame([(1e30,), (2.0,)], "x double")
+    gb = {
+        (r["metric"]): r["value"]
+        for r in profile_columns(big, ["x"]).collect()
+    }
+    assert gb["n_lossy"] == 1.0
+    assert gb["sum"] == pytest.approx(1e30, rel=1e-12)
+    assert gb["mean"] == pytest.approx(5e29, rel=1e-12)
+
+    # clean column: exact decimal path, n_lossy == 0
+    clean = spark.createDataFrame([(0.1,), (0.2,), (None,)], "x double")
+    gc = {
+        (r["metric"]): r["value"]
+        for r in profile_columns(clean, ["x"]).collect()
+    }
+    assert gc["n_lossy"] == 0.0
+    assert gc["sum"] == pytest.approx(0.3, abs=1e-12)  # exact decimal add
