@@ -467,15 +467,18 @@ def cmd_schema(args) -> int:
 
 
 def cmd_index_status(args) -> int:
-    """IVF index staleness report (no mutation): corpus-wide mean
-    assigned distance vs the training-time baseline."""
+    """IVF index staleness report — genuinely read-only: no swap
+    recovery, no sidecar writes (an interrupted swap is reported from
+    whichever copy recovery would adopt; a pre-sidecar index reports
+    baseline_missing instead of installing its drifted mean as the
+    baseline). Exit 0 fresh, 3 stale, 4 baseline unknown."""
     from .functions.similarity import maybe_retrain_ivf
 
     spark = _get_spark()
-    rep = maybe_retrain_ivf(
-        spark, args.path, threshold=float("inf")
-    )
+    rep = maybe_retrain_ivf(spark, args.path, read_only=True)
     print(json.dumps(rep))
+    if rep.get("baseline_missing"):
+        return 4
     return 0 if rep["staleness_ratio"] <= args.threshold else 3
 
 

@@ -425,10 +425,16 @@ def append_ivf_index(
         f"{path}/cells"
     )
     assigned.unpersist()
-    try:
+    from ..operators.rollup import _filesystem
+
+    fs = _filesystem(spark, path)
+    P = spark._jvm.org.apache.hadoop.fs.Path
+    # existence check, not a bare except: a present-but-unreadable
+    # sidecar must raise, never silently rebaseline (ADVICE r7)
+    if fs.exists(P(f"{path.rstrip('/')}/stats")):
         stats = spark.read.parquet(f"{path}/stats").first()
         baseline = float(stats["baseline_mean_dist"])
-    except Exception:
+    else:
         # index written before the stats sidecar existed: baseline it
         # once from the pre-append assignments (one-time O(corpus))
         baseline = _mean_assigned_dist(
@@ -459,6 +465,7 @@ def maybe_retrain_ivf(
     n_cells: int | None = None,
     seed: int = 42,
     max_train: int = 65536,
+    read_only: bool = False,
 ) -> dict:
     """The WIRED form of append_ivf_index's documented retrain trigger:
     measure the index's current staleness and, when it exceeds
@@ -481,7 +488,19 @@ def maybe_retrain_ivf(
     ivf_index + write_ivf_index build with the same seed
     (pytest-pinned in test_ivf.py).
 
-    Returns {staleness_ratio, retrained, n_vectors, n_cells}.
+    ``read_only=True`` is the pure-report mode behind ``index status``:
+    it NEVER mutates — no swap-recovery renames/deletes, no sidecar
+    writes, no retrain. An interrupted swap is still reported
+    consistently by READING whichever copy the recovery protocol would
+    adopt (live index, else committed ``__swap``, else ``__old``)
+    without touching it. A missing stats sidecar yields
+    ``staleness_ratio=None`` + ``baseline_missing=True`` instead of
+    silently installing the current (possibly drifted) mean as the
+    baseline. In BOTH modes an unreadable-but-present sidecar raises
+    (transient read errors must not rebaseline a drifted index).
+
+    Returns {staleness_ratio, retrained, n_vectors, n_cells} (+
+    ``baseline_missing`` when read_only finds no sidecar).
     """
     from ..operators.rollup import (
         _filesystem,
@@ -497,19 +516,32 @@ def maybe_retrain_ivf(
 
     # recover an interrupted previous swap
     live = P(root + "/cells")
-    if not fs.exists(live):
-        if fs.exists(P(tmp)) and _read_commit(fs, jvm, tmp) is not None:
-            if fs.exists(P(root)):
-                fs.delete(P(root), True)
-            fs.rename(P(tmp), P(root))  # swap had fully landed; adopt
-        elif fs.exists(P(old)):
-            fs.rename(P(old), P(root))  # swap never landed; restore
-    if fs.exists(P(old)):
-        fs.delete(P(old), True)
-    if fs.exists(P(tmp)):
-        fs.delete(P(tmp), True)
+    read_root = root
+    if read_only:
+        # report-only: read whichever copy recovery WOULD adopt,
+        # renaming/deleting nothing
+        if not fs.exists(live):
+            if (
+                fs.exists(P(tmp))
+                and _read_commit(fs, jvm, tmp) is not None
+            ):
+                read_root = tmp
+            elif fs.exists(P(old + "/cells")):
+                read_root = old
+    else:
+        if not fs.exists(live):
+            if fs.exists(P(tmp)) and _read_commit(fs, jvm, tmp) is not None:
+                if fs.exists(P(root)):
+                    fs.delete(P(root), True)
+                fs.rename(P(tmp), P(root))  # swap had fully landed; adopt
+            elif fs.exists(P(old)):
+                fs.rename(P(old), P(root))  # swap never landed; restore
+        if fs.exists(P(old)):
+            fs.delete(P(old), True)
+        if fs.exists(P(tmp)):
+            fs.delete(P(tmp), True)
 
-    existing, centers = read_ivf_index(spark, root)
+    existing, centers = read_ivf_index(spark, read_root)
     id_col = next(
         c for c in existing.columns if c not in ("__v", "__cell")
     )
@@ -521,11 +553,24 @@ def maybe_retrain_ivf(
     row = assigned.agg(F.count(F.lit(1)).alias("n")).first()
     n_vectors = int(row["n"])
     cur_mean = _mean_assigned_dist(assigned, centers)
-    try:
+    # 'sidecar missing' (legitimate pre-lifecycle layout -> baseline
+    # once) is an EXISTENCE check, not a bare except: a present-but-
+    # unreadable sidecar raises in both modes, so a transient read
+    # error can never install a drifted mean as the new baseline.
+    if fs.exists(P(read_root + "/stats")):
         baseline = float(
-            spark.read.parquet(f"{root}/stats").first()["baseline_mean_dist"]
+            spark.read.parquet(f"{read_root}/stats")
+            .first()["baseline_mean_dist"]
         )
-    except Exception:
+    elif read_only:
+        return {
+            "staleness_ratio": None,
+            "retrained": False,
+            "n_vectors": n_vectors,
+            "n_cells": len(centers),
+            "baseline_missing": True,
+        }
+    else:
         # pre-sidecar index: current state becomes the baseline
         baseline = cur_mean
         spark.createDataFrame(
@@ -538,7 +583,7 @@ def maybe_retrain_ivf(
         "n_vectors": n_vectors,
         "n_cells": len(centers),
     }
-    if ratio <= threshold:
+    if read_only or ratio <= threshold:
         return out
 
     cells = n_cells if n_cells is not None else len(centers)

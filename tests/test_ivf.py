@@ -456,3 +456,98 @@ def test_maybe_retrain_ivf_rebuilds_and_swaps_atomically(spark, tmp_path):
     shutil.rmtree(path)
     rep5 = SIM.maybe_retrain_ivf(spark, path, threshold=1.25)
     assert not rep5["retrained"] and rep5["n_vectors"] == 500
+
+
+def test_maybe_retrain_read_only_never_mutates(spark, tmp_path):
+    """read_only=True (the `index status` path) must not recover swaps,
+    write sidecars, or retrain — and a missing stats sidecar reports
+    baseline_missing instead of installing the current (drifted) mean
+    as the baseline (ADVICE r7)."""
+    import os
+    import random
+    import shutil
+
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    rng = random.Random(31)
+    base = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_ro")
+    SIM.write_ivf_index(SIM.ivf_index(base, n_cells=4, seed=5), path)
+
+    # pre-sidecar index: report-only, no sidecar write
+    shutil.rmtree(f"{path}/stats")
+    rep = SIM.maybe_retrain_ivf(spark, path, read_only=True)
+    assert rep["baseline_missing"] and rep["staleness_ratio"] is None
+    assert not rep["retrained"] and rep["n_vectors"] == 200
+    assert not os.path.exists(f"{path}/stats")  # nothing installed
+
+    # non-read-only still baselines a pre-sidecar index once (legacy)
+    rep = SIM.maybe_retrain_ivf(spark, path, threshold=float("inf"))
+    assert os.path.exists(f"{path}/stats")
+    assert 0.9 < rep["staleness_ratio"] < 1.1
+
+    # interrupted committed swap: read_only reports FROM the swap copy
+    # without adopting it; the on-disk layout is untouched
+    shutil.copytree(path, f"{path}__swap")
+    with open(f"{path}__swap/_commit", "w") as fh:
+        fh.write("-1")  # marker a completed retrain swap would carry
+    shutil.rmtree(path)
+    rep = SIM.maybe_retrain_ivf(spark, path, read_only=True)
+    assert not rep["retrained"] and rep["n_vectors"] == 200
+    assert 0.9 < rep["staleness_ratio"] < 1.1
+    assert os.path.exists(f"{path}__swap") and not os.path.exists(path)
+
+    # uncommitted swap + old copy: read_only reads the old copy
+    shutil.copytree(f"{path}__swap", f"{path}__old")
+    os.remove(f"{path}__swap/_commit")
+    rep = SIM.maybe_retrain_ivf(spark, path, read_only=True)
+    assert rep["n_vectors"] == 200
+    assert os.path.exists(f"{path}__swap") and os.path.exists(f"{path}__old")
+
+    # a mutating call afterwards recovers exactly as before
+    rep = SIM.maybe_retrain_ivf(spark, path, threshold=float("inf"))
+    assert rep["n_vectors"] == 200
+    assert os.path.exists(path)
+    assert not os.path.exists(f"{path}__swap")
+    assert not os.path.exists(f"{path}__old")
+
+
+def test_sidecar_read_errors_raise_not_rebaseline(spark, tmp_path):
+    """a PRESENT but unreadable stats sidecar must raise — a transient
+    read error must never install the current mean as baseline."""
+    import random
+
+    import pytest as _pytest
+
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    rng = random.Random(33)
+    base = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_corrupt")
+    SIM.write_ivf_index(SIM.ivf_index(base, n_cells=4, seed=5), path)
+    # corrupt the sidecar: replace parquet files with junk bytes
+    import glob
+    import os
+
+    for f in glob.glob(f"{path}/stats/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+    with _pytest.raises(Exception):
+        SIM.maybe_retrain_ivf(spark, path, read_only=True)
+    with _pytest.raises(Exception):
+        SIM.maybe_retrain_ivf(spark, path)
+    new = spark.createDataFrame(
+        [(500 + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception):
+        SIM.append_ivf_index(spark, path, new)
+    # baseline was NOT overwritten by any of the failed calls
+    assert open(glob.glob(f"{path}/stats/*.parquet")[0], "rb").read() \
+        == b"not a parquet file"

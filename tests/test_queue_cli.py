@@ -438,3 +438,30 @@ def test_cli_index_status_and_maintain(spark, tmp_path, capsys):
     rc = cli_main(["index", "status", path])
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and 0.9 < rep["staleness_ratio"] < 1.1
+
+
+def test_cli_index_status_baseline_missing_is_exit_4(spark, tmp_path, capsys):
+    """`index status` on a pre-sidecar index must NOT install a baseline
+    (read-only) — it reports baseline_missing and exits 4."""
+    import json as _json
+    import os
+    import random as _random
+    import shutil
+
+    from data_pipeline_framework_spark.cli import main as cli_main
+    from data_pipeline_framework_spark.functions import similarity as SIM
+
+    rng = _random.Random(41)
+    base = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_nobase")
+    SIM.write_ivf_index(SIM.ivf_index(base, n_cells=4, seed=7), path)
+    shutil.rmtree(f"{path}/stats")
+
+    rc = cli_main(["index", "status", path])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 4 and rep["baseline_missing"]
+    assert rep["staleness_ratio"] is None
+    assert not os.path.exists(f"{path}/stats")  # still read-only
