@@ -6806,6 +6806,12 @@ def _mixed_language_oracle() -> str:
         f"WHEN coalesce(n_{l}, 0) = top THEN '{l}'"
         for l in sorted(LANG_MARKERS)
     )
+    # generated like every other fragment — adding a language to
+    # LANG_MARKERS must not desync the argmax or the vote projection
+    best = "greatest(" + ", ".join(
+        f"{l}_score" for l in LANG_MARKERS
+    ) + ")"
+    ncols = ", ".join(f"n_{l}" for l in sorted(LANG_MARKERS))
     return f"""
         WITH segs AS (
             SELECT doc_id,
@@ -6828,10 +6834,7 @@ def _mixed_language_oracle() -> str:
                    CASE WHEN best IS NULL OR NOT best > 0 THEN 'unknown'
                         {pred}
                    END AS lang
-            FROM (SELECT *,
-                         greatest(en_score, de_score, fr_score, es_score)
-                             AS best
-                  FROM sc)
+            FROM (SELECT *, {best} AS best FROM sc)
         ),
         g AS (
             SELECT doc_id,
@@ -6840,7 +6843,7 @@ def _mixed_language_oracle() -> str:
         ),
         j AS (
             SELECT d.doc_id, {tot} AS n_segments, {topx} AS top,
-                   n_de, n_en, n_es, n_fr
+                   {ncols}
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN g ON d.doc_id = g.doc_id
         )
