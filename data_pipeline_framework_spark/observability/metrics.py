@@ -372,6 +372,7 @@ class SparkQueryMonitor:
     # -- internals ---------------------------------------------------
 
     def _rest_json(self, path: str):
+        import urllib.error
         import urllib.request
 
         base = self._spark.sparkContext.uiWebUrl
@@ -379,12 +380,25 @@ class SparkQueryMonitor:
             return None
         app = self._spark.sparkContext.applicationId
         url = f"{base}/api/v1/applications/{app}{path}"
-        with urllib.request.urlopen(url, timeout=10) as resp:
-            return json.load(resp)
+        # connection-level failures (reset when the session shuts down
+        # mid-poll, refused when the UI port closed, timeouts) degrade
+        # to None exactly like a disabled UI — a monitor poll must
+        # never let an OSError escape into whatever thread runs it.
+        # One quick retry covers the transient-reset case.
+        for attempt in (0, 1):
+            try:
+                with urllib.request.urlopen(url, timeout=10) as resp:
+                    return json.load(resp)
+            except (urllib.error.URLError, OSError, ValueError):
+                if attempt == 0:
+                    time.sleep(0.2)
+        return None
 
     def _stage_metrics_for_group(self, group: str) -> dict | None:
         try:
-            jobs = self._rest_json("/jobs") or []
+            jobs = self._rest_json("/jobs")
+            if jobs is None:  # UI off or poll failed: skip, don't zero
+                return None
             stage_ids = {
                 sid for j in jobs if j.get("jobGroup") == group
                 for sid in j.get("stageIds", [])
