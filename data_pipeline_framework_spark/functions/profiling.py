@@ -1660,11 +1660,19 @@ def robust_outliers_mad(
     )
 
 
+# largest group a per-group rank window may sort in ONE task before
+# gini_coefficient dispatches to the bucketed-offsets kernel (a 4M-row
+# sorted window partition is comfortably in-memory; past it, a skewed
+# group key would turn the rank window into the straggler task)
+GINI_WINDOW_MAX_GROUP = 4_000_000
+
+
 def gini_coefficient(
     df: DataFrame,
     column: str,
     group_by: list[str] | None = None,
     n_buckets: int = 64,
+    max_window_group: int | None = None,
     _debug_plans: list | None = None,
 ) -> DataFrame:
     """Gini concentration per group — the standard inequality measure a
@@ -1687,6 +1695,19 @@ def gini_coefficient(
     (a min(x) assert folded into the gini expression — no extra scan)
     and therefore surfaces at action time as a Spark error carrying
     "has negative values", not as an eager ValueError.
+
+    SIZE DISPATCH: the rank window sorts each group in one task, which
+    is the right plan for real group keys but a skew trap when one
+    group holds most of the corpus. A cheap pre-agg (map-side-combined
+    per-group count + max) measures the largest group; past
+    ``max_window_group`` (default GINI_WINDOW_MAX_GROUP) every group is
+    routed through `_gini_grouped_bucketed`, the grouped form of the
+    ungrouped bucketed-offsets kernel — identical values (bit-for-bit
+    for integral columns: the decimal moment sum equals the rank-window
+    long sum exactly, and the final division uses the same cast shape),
+    no single-group window anywhere. Pass ``max_window_group=0`` to
+    force the bucketed path, or ``float("inf")`` to skip the pre-agg
+    dispatch scan entirely when group sizes are known small.
 
     Ungrouped (group_by=None): there is no group key to partition a
     rank window by, so ranks are derived WITHOUT any single-partition
@@ -1717,6 +1738,27 @@ def gini_coefficient(
     )
     if not keys:
         return _gini_global(base, n_buckets, column, _debug_plans)
+    import math
+
+    thr = (
+        GINI_WINDOW_MAX_GROUP
+        if max_window_group is None
+        else max_window_group
+    )
+    if thr <= 0 or (
+        not math.isinf(thr)
+        and (
+            base.groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n").alias("m"))
+            .first()["m"]
+            or 0
+        )
+        > thr
+    ):
+        return _gini_grouped_bucketed(
+            base, keys, n_buckets, column, _debug_plans
+        )
     ranked = base.withColumn(
         "__i", F.row_number().over(
             Window.partitionBy(*[F.col(k) for k in keys])
@@ -1869,4 +1911,129 @@ def _gini_global(
     ttype = "bigint" if isinstance(total, int) else "double"
     return spark.createDataFrame(
         out, f"n bigint, total {ttype}, gini double"
+    )
+
+
+def _gini_grouped_bucketed(
+    base: DataFrame,
+    keys: list[str],
+    n_buckets: int,
+    column: str,
+    _debug_plans: list | None = None,
+) -> DataFrame:
+    """Grouped Gini without a per-group rank window — the skew-proof
+    path `gini_coefficient` dispatches to when the largest group
+    exceeds the one-task sort budget.
+
+    Same tie-run algebra as `_gini_global`: collapse to distinct
+    (group, value) counts; split the VALUE axis with global
+    approx-quantile cut points (bucket balance only — the statistic is
+    invariant to where the cuts fall); per-(group, bucket) totals get
+    an exclusive prefix via a window over <= n_buckets rows per group;
+    a co-keyed join hands each distinct value its bucket offset; the
+    within-bucket prefix finishes rank s_v, and a run of c ties at
+    value v contributes v*c*(2*s_v + c + 1) to 2*sum(i*x_i). Every
+    window here partitions by (group, bucket) or iterates <= n_buckets
+    rows — no task ever sorts a whole group. Moment sums are
+    DECIMAL(38,0) for integral columns (== the rank window's long sum
+    exactly), double otherwise; the final division repeats the window
+    path's cast shape so dispatch never changes the value.
+    """
+    from pyspark.sql import Window
+
+    kcols = [F.col(k) for k in keys]
+    vc = base.groupBy(*kcols, "__x").agg(F.count(F.lit(1)).alias("__c"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = base.sample(fraction=0.1, seed=42).agg(
+        F.percentile_approx(
+            "__x", F.array(*[F.lit(p) for p in probs]), 100
+        ).alias("cuts")
+    ).first()
+    cuts = sorted(set(cuts_row["cuts"] or []))
+    bkt = F.lit(0)
+    for c in cuts:
+        bkt = bkt + F.when(F.col("__x") > F.lit(float(c)), 1).otherwise(0)
+    jb = vc.withColumn("__b", bkt)
+    # exclusive prefix of bucket counts per group: <= n_buckets rows
+    # per window partition regardless of group size
+    woff = (
+        Window.partitionBy(*kcols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = (
+        jb.groupBy(*kcols, "__b")
+        .agg(F.sum("__c").alias("__bc"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__bc").over(woff), F.lit(0))
+        )
+        .drop("__bc")
+    )
+    jj = jb.join(boff, [*keys, "__b"])  # co-keyed on (group, bucket)
+    win = (
+        Window.partitionBy(*kcols, F.col("__b"))
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.col("__off") + F.sum("__c").over(win) - F.col("__c")
+    integral = dict(base.dtypes)["__x"] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    if integral:
+        contrib = (
+            F.col("__x").cast("decimal(38,0)")
+            * F.col("__c").cast("decimal(38,0)")
+            * (
+                F.lit(2).cast("decimal(38,0)") * s.cast("decimal(38,0)")
+                + F.col("__c").cast("decimal(38,0)")
+                + F.lit(1).cast("decimal(38,0)")
+            )
+        )
+        total_col = F.sum(F.col("__x") * F.col("__c")).alias("total")
+    else:
+        contrib = (
+            F.col("__x").cast("double")
+            * F.col("__c").cast("double")
+            * (
+                F.lit(2.0) * s.cast("double")
+                + F.col("__c").cast("double")
+                + F.lit(1.0)
+            )
+        )
+        total_col = F.sum(
+            F.col("__x").cast("double") * F.col("__c").cast("double")
+        ).alias("total")
+    g = jj.select(*kcols, "__x", "__c", contrib.alias("__t")).groupBy(
+        *kcols
+    ).agg(
+        F.sum("__c").alias("n"),
+        total_col,
+        F.sum("__t").alias("__si2"),
+        F.min("__x").alias("__mn"),
+    )
+    if _debug_plans is not None:
+        _debug_plans.append(
+            g._jdf.queryExecution().optimizedPlan().toString()
+        )
+    n = F.col("n").cast("double")
+    # __si2 already carries the factor 2; rounding each exact operand
+    # to double first makes this identical to the window path's
+    # 2.0 * D(si) (doubling commutes with the decimal->double round)
+    gini = (
+        F.col("__si2").cast("double") / (n * F.col("total").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__mn") >= 0,
+            F.lit(f"gini_coefficient: {column!r} has negative values"),
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    return g.select(
+        *keys, "n", "total",
+        (
+            F.when(F.col("total") == 0, F.lit(0.0)).otherwise(gini)
+            + guard
+        ).alias("gini"),
     )
