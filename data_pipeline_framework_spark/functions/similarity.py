@@ -35,6 +35,27 @@ def _norm(a) -> Column:
     )
 
 
+def _nested_double_lit(arrs: list[list[float]]) -> Column:
+    """array<array<double>> literal built in ONE driver call.
+
+    Building a codebook literal element-by-element
+    (``F.array(*[F.array(*[F.lit(x) ...]) ...])``) costs one py4j round
+    trip PER FLOAT — a 3200x64 adaptive codebook spent ~3 minutes of
+    pure driver-side plan construction, dwarfing the query it fed
+    (caught by the round-8 sf10 probe of diverse_prototype_sample).
+    from_json over a single string literal is constant-folded by
+    Catalyst into the identical nested literal (verified: the optimized
+    plan inlines the values), and json.dumps round-trips every finite
+    double exactly. NaN/Inf are not JSON-representable — codebooks and
+    hyperplanes are finite by construction.
+    """
+    import json
+
+    return F.from_json(
+        F.lit(json.dumps(arrs)), "array<array<double>>"
+    )
+
+
 def cosine(a, b) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
@@ -334,8 +355,8 @@ def _mean_assigned_dist(assigned: DataFrame, centers) -> float:
     """Mean squared-L2 distance from each indexed vector to its
     assigned centroid — ONE map-side aggregate (centroid looked up from
     a literal array by cell id), no joins, no driver funnel."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    cent_lit = _nested_double_lit(
+        [[float(x) for x in c] for c in centers]
     )
     cv = F.element_at(cent_lit, F.col("__cell") + 1)
     d2 = (
@@ -1094,23 +1115,34 @@ def ivfpq_topk(
     sub = len(codebooks[0][0])
     qv = F.col(vec_col).cast("array<double>")
     q = queries.withColumn("__qv", qv)
-    # nprobe nearest cells per query: |cells| distance expressions on the
-    # tiny broadcast query side, ranked in-plan (no driver action).
-    # _sq_dist_lit's loop form matters here too: n_cells x dim unrolled
-    # terms inside the Generate's doConsume blew the 64KB method limit
-    # (same fallback the PQ encode hit), and the fold is bit-identical.
-    cell_d = [
-        _sq_dist_lit(F.col("__qv"), [float(x) for x in c])
-        .alias(f"__cd{i}")
-        for i, c in enumerate(centers_arr)
-    ]
+    # nprobe nearest cells per query: ONE transform over the nested
+    # codebook literal (built in one driver call — the per-centroid
+    # expression list cost n_cells x dim py4j round trips and minutes
+    # of plan construction at adaptive cell counts), ranked in-plan.
+    # The per-cell distance is the same zip_with + left-fold shape as
+    # _sq_dist_lit, so every double — and the SQL oracles replaying the
+    # unrolled form — is bit-identical. The loop form also keeps the
+    # generated method under janino's 64KB limit (the unrolled chain
+    # demoted the whole stage to interpreted eval).
+    cent_lit = _nested_double_lit(
+        [[float(x) for x in c] for c in centers_arr]
+    )
     probes = q.select(
         query_id_col, "__qv",
         F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("__cell"), cell_d[i].alias("d"))
-                for i in range(len(centers))
-            ])
+            F.transform(
+                cent_lit,
+                lambda c, i: F.struct(
+                    i.alias("__cell"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__qv"), c, lambda a, b: (a - b) ** 2
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                ),
+            )
         ).alias("cd"),
     ).select(query_id_col, "__qv", "cd.__cell", "cd.d")
     wprobe = Window.partitionBy(query_id_col).orderBy("d", "__cell")
@@ -1463,8 +1495,8 @@ def diversity_sample(
         if assign == "literal"
         else _arrow_cell_argmin(centers)
     )
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    cent_lit = _nested_double_lit(
+        [[float(x) for x in c] for c in centers]
     )
     assigned = base.select(
         F.col(id_col), F.col("__v"), cell_expr.alias("cell")

@@ -71,6 +71,19 @@ PROBE_SF10 = [
     # is shown, not asserted: the IVF arm's adaptive cells must hold
     # the two-decade exponent at or under 1.0
     "bitext_margin_pairs",
+    # round-7 verdict task 1: every single-decade exponent >= 0.9 gets
+    # a second decade (bitext proved near-1.0 single-decade numbers can
+    # be constant-overhead distortion OR real tails — only sf10 tells).
+    # diverse_prototype_sample's probe EXPOSED a real one: plan
+    # construction built the adaptive codebook literal one F.lit per
+    # float (~n_cells*dim py4j round trips); _nested_double_lit fixed
+    # it (157.9 -> 13.7 s at sf10, exponent 0.953 -> 0.569)
+    "badword_scores",
+    "duplicate_span_removal",
+    "hard_negative_pairs",
+    "semantic_dedup_keep",
+    "diverse_prototype_sample",
+    "semantic_clusters",
 ]
 
 
