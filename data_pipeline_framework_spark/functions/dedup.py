@@ -1153,7 +1153,24 @@ def soft_dedup_weights(
     Output: every docs row + (component — null when unclustered,
     ``out_col``).
     """
-    labels = connected_components(pairs)
+    return weights_from_labels(
+        connected_components(pairs), docs, id_col, alpha, out_col
+    )
+
+
+def weights_from_labels(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    out_col: str = "weight",
+) -> DataFrame:
+    """Apply (node, component) cluster labels as 1/|cluster|^alpha soft-
+    dedup weights over a corpus — the shared tail of soft_dedup_weights,
+    also the read side of the streaming twin (a persisted label state
+    maintained incrementally by streaming.soft_dedup_batch_fn applies to
+    any corpus snapshot through this exact code, so stream == batch is
+    pinned on the same expressions)."""
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("__csz")
     )

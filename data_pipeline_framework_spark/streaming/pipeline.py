@@ -612,6 +612,180 @@ def neardup_filter_batch_fn(
     return run_batch
 
 
+def soft_dedup_batch_fn(
+    id_col: str,
+    text_col: str,
+    state_path: str,
+    threshold: float = 0.7,
+    n: int = 3,
+):
+    """Streaming SOFT deduplication: incrementally maintain the exact
+    near-dup cluster labels behind 1/|cluster|^alpha training weights
+    (functions/dedup.soft_dedup_weights) as documents arrive — the
+    operator a continuously-ingesting curation pipeline actually runs:
+    cluster sizes (and therefore EXISTING docs' weights) change as new
+    captures of the same content land.
+
+    Returns a foreachBatch callable. State under ``state_path``:
+      shingles/  append-only (id, __sh)       — dedup-on-read by id
+      bands/     append-only (id, band, key)  — dedup-on-read
+      cc/        (node, component) labels, atomically swapped with the
+                 micro-batch id as commit marker (rollup protocol)
+
+    Per batch: shingle + minhash the batch docs with the SAME library
+    kernels as the batch pipeline; candidates = within-batch LSH pairs
+    UNION band collisions against the persistent store; exact-Jaccard
+    verify; fold into the labels by running connected components over
+    (previous labels as component->node edges UNION new verified
+    pairs). A component id is the min member id, so this equals CC over
+    every verified pair ever seen — label state after batch k is
+    IDENTICAL to the batch operator over the first k batches' union
+    (pytest-pinned through weights_from_labels).
+
+    Exactly-once: shingle/band appends land BEFORE the label swap. A
+    crash between them replays the batch — re-appends are dropped on
+    read, same-id band collisions are excluded, and the recomputed pair
+    set is identical; a crash after the swap is caught by the commit
+    marker and the whole batch is skipped. Scale: per batch cost is
+    O(batch + collisions + clustered nodes); unclustered corpus mass
+    never enters the CC state.
+    """
+    from ..functions.dedup import (
+        band_keys,
+        connected_components,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signature_cols,
+        shingled_docs,
+    )
+    from ..operators.rollup import _read_commit, _write_commit
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        P = jvm.org.apache.hadoop.fs.Path
+        root = state_path.rstrip("/")
+        cc, tmp, old = root + "/cc", root + "/cc__swap", root + "/cc__old"
+        fs = P(cc).getFileSystem(conf)
+        # recover an interrupted previous swap
+        if not fs.exists(P(cc)):
+            if fs.exists(P(tmp)) and _read_commit(fs, jvm, tmp) is not None:
+                fs.rename(P(tmp), P(cc))
+            elif fs.exists(P(old)):
+                fs.rename(P(old), P(cc))
+        if fs.exists(P(old)):
+            fs.delete(P(old), True)
+        if fs.exists(P(tmp)):
+            fs.delete(P(tmp), True)
+        if fs.exists(P(cc)):
+            last = _read_commit(fs, jvm, cc)
+            if last is not None and last >= int(batch_id):
+                return  # replayed batch: already folded in
+
+        docs = batch_df.select(id_col, text_col)
+        sh_b = shingled_docs(docs, id_col, text_col, n).persist()
+        sig_b = sh_b.select(id_col, *minhash_signature_cols())
+        bands_b = band_keys(sig_b, id_col).persist()
+
+        cand = lsh_candidate_pairs(sig_b, id_col)
+        shingles_all = sh_b
+        if fs.exists(P(root + "/bands")):
+            store_bands = spark.read.parquet(
+                root + "/bands"
+            ).dropDuplicates([id_col, "band", "key"])
+            store_sh = spark.read.parquet(
+                root + "/shingles"
+            ).dropDuplicates([id_col])
+            # same-id matches excluded: a replayed batch re-encounters
+            # its own appended bands (at-least-once + dedup-on-read)
+            cross = (
+                bands_b.join(
+                    store_bands.withColumnRenamed(id_col, "__sid"),
+                    ["band", "key"],
+                )
+                .filter(F.col("__sid") != F.col(id_col))
+                .select(
+                    F.least(id_col, "__sid").alias("id_a"),
+                    F.greatest(id_col, "__sid").alias("id_b"),
+                )
+                .distinct()
+            )
+            cand = cand.unionByName(cross).distinct()
+            shingles_all = sh_b.unionByName(store_sh).dropDuplicates(
+                [id_col]
+            )
+        edges = jaccard_verify(
+            cand, shingles_all, id_col, threshold
+        ).select("id_a", "id_b")
+
+        if fs.exists(P(cc)):
+            prev = spark.read.parquet(cc)
+            prev_edges = prev.filter(
+                F.col("node") != F.col("component")
+            ).select(
+                F.col("component").alias("id_a"),
+                F.col("node").alias("id_b"),
+            )
+            edges = edges.unionByName(prev_edges).distinct()
+        labels = connected_components(edges)
+
+        # at-least-once side effects FIRST, the exactly-once swap LAST
+        sh_b.write.mode("append").parquet(root + "/shingles")
+        bands_b.write.mode("append").parquet(root + "/bands")
+        labels.write.mode("overwrite").parquet(tmp)
+        _write_commit(fs, jvm, tmp, int(batch_id))
+        if fs.exists(P(cc)):
+            fs.rename(P(cc), P(old))
+        fs.rename(P(tmp), P(cc))
+        fs.delete(P(old), True)
+        sh_b.unpersist()
+        bands_b.unpersist()
+
+    return run_batch
+
+
+def soft_dedup_state_weights(
+    spark,
+    state_path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    out_col: str = "weight",
+) -> DataFrame:
+    """Read side of soft_dedup_batch_fn: apply the maintained label
+    state to a corpus snapshot through the SAME weights_from_labels
+    expressions as the batch operator — stream == batch is pinned on
+    shared code, not parallel implementations. Reads whichever label
+    copy the swap protocol would adopt (live, else committed swap, else
+    old) without mutating; no state yet -> every doc weighs 1.0."""
+    from ..functions.dedup import weights_from_labels
+    from ..operators.rollup import _read_commit
+
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    root = state_path.rstrip("/")
+    cc, tmp, old = root + "/cc", root + "/cc__swap", root + "/cc__old"
+    fs = P(cc).getFileSystem(conf)
+    read_from = None
+    if fs.exists(P(cc)):
+        read_from = cc
+    elif fs.exists(P(tmp)) and _read_commit(fs, jvm, tmp) is not None:
+        read_from = tmp
+    elif fs.exists(P(old)):
+        read_from = old
+    if read_from is None:
+        labels = (
+            docs.select(F.col(id_col).alias("node"))
+            .limit(0)
+            .withColumn("component", F.col("node"))
+        )
+    else:
+        labels = spark.read.parquet(read_from)
+    return weights_from_labels(labels, docs, id_col, alpha, out_col)
+
+
 def bloom_dedup_batch_fn(
     key_col: str,
     store_path: str,
