@@ -814,6 +814,25 @@ def length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_gini_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the SAME per-source Gini forced through the size-dispatched
+    bucketed-offsets kernel (max_window_group=0) — the skew-proof path
+    a giant group routes to. Gate-pinned to the identical textbook
+    oracle as length_gini_by_source: dispatch must never change the
+    value (integral columns are bit-for-bit, property-tested)."""
+    from data_pipeline_framework_spark.functions.profiling import (
+        gini_coefficient,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    out = gini_coefficient(
+        docs, "n_chars", group_by=["source"], max_window_group=0
+    )
+    return out.select(
+        "source", "n", "total", _r(F.col("gini"), 6).alias("gini")
+    )
+
+
 def gini_concentration_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNGROUPED Gini over lineitem price cents — exercises the
     distributed global-rank path (distinct-value counts + bucketed
@@ -6096,6 +6115,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_prices": ks_drift_prices,
         "robust_outliers_events": robust_outliers_events,
         "length_gini_by_source": length_gini_by_source,
+        "length_gini_bucketed": length_gini_bucketed,
         "gini_concentration_prices": gini_concentration_prices,
         "drift_psi_priorities": drift_psi_priorities,
         "stratified_sample_docs": stratified_sample_docs,
@@ -8086,6 +8106,14 @@ _AFP_BITS_SQL = " + ".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    # the bucketed-dispatch gini twin is gate-pinned to the IDENTICAL
+    # textbook oracle: dispatch must never change the value
+    d["length_gini_bucketed"] = d["length_gini_by_source"]
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

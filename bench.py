@@ -196,10 +196,52 @@ HEADLINE = [
     "bpe_roundtrip_audit",
     "soft_dedup_weights",
     "mixed_language_docs",
+    # round-8 additions
+    "length_gini_bucketed",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to
     # time at sf0.1 (the df-cut mode is the scale path)
+]
+
+# sf1 VALUE gate (tools/check.py /tmp/spark_graft_sf1 $SF1_VALUE_GATE):
+# every SF decade of value-gating has caught a real float-accumulation
+# straddle the smaller SFs missed (three at sf0.1 in round 6, the
+# profiler money sum at sf1 in round 7). Round 8 widens the gate from
+# the 31 TPC-H-ish headliners to the LLM-curation families — dedup /
+# similarity / BPE / sampling / drift — whose float paths had never
+# been value-checked above sf0.1.
+SF1_VALUE_GATE = HEADLINE[:31] + [
+    # dedup family
+    "dedup_exact_groups",
+    "neardup_clusters",
+    "soft_dedup_weights",
+    "duplicate_span_removal",
+    "simhash_sigs",
+    "winnowing_doc_fingerprints",
+    # similarity / ANN family
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "semantic_dedup_keep",
+    "semantic_clusters",
+    "embedding_neardup",
+    "bitext_margin_pairs",
+    "hybrid_rrf_search",
+    "semantic_decontamination_flags",
+    "diverse_prototype_sample",
+    "hard_negative_pairs",
+    # tokenizer family
+    "bpe_token_counts",
+    "bpe_roundtrip_audit",
+    # sampling family
+    "stratified_sample_docs",
+    "temperature_mixture_docs",
+    # text signals / drift
+    "badword_scores",
+    "language_scores",
+    "dsir_importance_scores",
+    "gini_concentration_prices",
+    "ks_drift_prices",
 ]
 
 
