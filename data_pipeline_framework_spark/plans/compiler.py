@@ -1195,13 +1195,19 @@ def _op_gini(params: Mapping, ctx) -> OpFn:
     """Gini concentration — `{"type": "gini", "column": c,
     "group_by": [...]}`. Omit group_by for the distributed ungrouped
     kernel (bucketed prefix offsets, no single-partition window;
-    eager one-row result)."""
+    eager one-row result). Optional "max_window_group" tunes the
+    grouped size dispatch (rows above which groups route through the
+    bucketed kernel instead of a per-group rank window; 0 forces the
+    bucketed path, omit for the 4M default)."""
     from ..functions.profiling import gini_coefficient
 
     def fn(df: DataFrame) -> DataFrame:
+        kw = {}
+        if "max_window_group" in params:
+            kw["max_window_group"] = float(params["max_window_group"])
         return gini_coefficient(
             df, params["column"], group_by=params.get("group_by"),
-            n_buckets=int(params.get("n_buckets", 64)),
+            n_buckets=int(params.get("n_buckets", 64)), **kw,
         )
 
     return fn

@@ -773,6 +773,14 @@ def test_op_round7_analytics_ops(spark):
     ])(df).first()
     assert glob["n"] == 10 and glob["total"] == 150
 
+    # max_window_group=0 forces the bucketed grouped kernel through the
+    # DSL — identical values (r8 size dispatch)
+    bucketed = {r["g"]: r["gini"] for r in compile_ops([
+        {"type": "gini", "params": {"column": "x", "group_by": ["g"],
+                                    "max_window_group": 0}},
+    ])(df).collect()}
+    assert bucketed == grouped
+
     # bpe_encode -> bpe_detokenize round-trips the normalized text
     docs = spark.createDataFrame(
         [(1, "The SAND and the sea!"), (2, None)], "doc_id long, text string"
