@@ -219,17 +219,20 @@ SF1_VALUE_GATE = HEADLINE[:31] + [
     "duplicate_span_removal",
     "simhash_sigs",
     "winnowing_doc_fingerprints",
-    # similarity / ANN family
+    # similarity / ANN family. NOT here: semantic_dedup_keep /
+    # semantic_clusters / embedding_neardup / bitext_margin_pairs /
+    # diverse_prototype_sample / hard_negative_pairs — their ENGINE side
+    # runs in seconds at sf1 (SCALE probes), but the DuckDB oracle
+    # replays the O(n_vectors * n_cells * dim) adaptive-cell assignment
+    # (or the per-candidate cosine stream) through interpreted list ops
+    # and exceeds 5 minutes per query at 20K vectors; they stay
+    # value-gated at sf0.1 where the replay is tractable.
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    "semantic_dedup_keep",
-    "semantic_clusters",
-    "embedding_neardup",
-    "bitext_margin_pairs",
+    "ann_lsh_topk",
     "hybrid_rrf_search",
     "semantic_decontamination_flags",
-    "diverse_prototype_sample",
-    "hard_negative_pairs",
+    "paragraph_dedup_docs",
     # tokenizer family
     "bpe_token_counts",
     "bpe_roundtrip_audit",
