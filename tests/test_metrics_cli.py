@@ -154,6 +154,16 @@ def test_dashboard_requires_rbac_permission(spark, tmp_path):
         server.shutdown()
 
 
+@pytest.mark.filterwarnings(
+    # py4j's OWN ClientServerConnection reader thread can catch a
+    # connection reset when the HTTP handler thread's gateway
+    # connection is torn down after server.shutdown() — a third-party
+    # teardown race inside py4j/clientserver.py, not engine code (the
+    # engine's REST poll degrades on reset since r8, pytest-pinned in
+    # test_observability.py). Scoped to this one test so any NEW
+    # unhandled thread exception elsewhere still fails loudly.
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning"
+)
 def test_dashboard_cli_command(spark, tmp_path, capsys, monkeypatch):
     """`dpf-spark dashboard` starts the control plane and points at the
     HTML page; cut the wait loop via simulated Ctrl-C after probing."""
