@@ -39,6 +39,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     min_score: float = 0.0,
+    cache: bool = True,
 ) -> DataFrame:
     """Okapi BM25 top-k documents per query.
 
@@ -57,6 +58,12 @@ def bm25_topk(
         docs.select(F.col(id_col), tokens(text_col).alias("__tk"))
         .withColumn("__dl", F.size("__tk").cast("double"))
     )
+    # the tokenized corpus feeds BOTH the stats aggregate and the
+    # postings explode — persisted so the corpus is tokenized once,
+    # not twice (the same contract as minhash_dedup_pairs; at 100 TB
+    # this would be a checkpoint between stages instead)
+    if cache:
+        base = base.persist()
     # one bounded 1-row aggregate carries both corpus scalars
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("__n_docs"),
