@@ -1778,6 +1778,21 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixed-SIZE deterministic uniform sample: the 64 docs with the
+    smallest seeded hash priorities — exact size (rate-based hash
+    sampling can't promise one), partitioning/retry-independent, and
+    mergeable (bottom-k is a semilattice; the streaming twin maintains
+    the same sample incrementally). TakeOrderedAndProject plan: no
+    global sort, no corpus shuffle."""
+    from data_pipeline_framework_spark.functions.sampling import (
+        priority_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return priority_sample(docs, "doc_id", k=64, seed="p8")
+
+
 def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fixed-token-budget training shards by cumulative token offset —
     the contiguous-offset cut used when materializing training data."""
@@ -6119,6 +6134,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration_prices": gini_concentration_prices,
         "drift_psi_priorities": drift_psi_priorities,
         "stratified_sample_docs": stratified_sample_docs,
+        "priority_sample_docs": priority_sample_docs,
         "token_shard_packing": token_shard_packing,
         "length_batch_packing": length_batch_packing,
         "bpe_token_counts": bpe_token_counts,
@@ -8737,6 +8753,14 @@ def _oracle_sql_dict() -> dict[str, str]:
                                 WHEN 'src1' THEN 500000
                                 WHEN 'src2' THEN 0
                                 ELSE 100000 END
+        """,
+        "priority_sample_docs": f"""
+            SELECT doc_id, source,
+                   {_DD_HASH.format(x="'p8' || CAST(doc_id AS VARCHAR)")}
+                       AS priority
+            FROM documents
+            ORDER BY priority, doc_id
+            LIMIT 64
         """,
         "token_shard_packing": f"""
             WITH t AS (

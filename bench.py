@@ -198,6 +198,7 @@ HEADLINE = [
     "mixed_language_docs",
     # round-8 additions
     "length_gini_bucketed",
+    "priority_sample_docs",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to
@@ -239,6 +240,7 @@ SF1_VALUE_GATE = HEADLINE[:31] + [
     # sampling family
     "stratified_sample_docs",
     "temperature_mixture_docs",
+    "priority_sample_docs",
     # text signals / drift
     "badword_scores",
     "language_scores",

@@ -41,6 +41,44 @@ def hash_sample(
     return df.filter(_bucket(id_col, seed) < int(rate * _BUCKETS))
 
 
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    seed: str = "s0",
+    out_col: str = "priority",
+) -> DataFrame:
+    """Fixed-SIZE deterministic uniform sample: the k rows with the
+    smallest seeded hash priorities (hash52(seed || id), ties to the
+    lower id). The priority order is a uniform permutation per seed, so
+    bottom-k is a uniform k-subset — but unlike rate-based
+    `hash_sample` the size is EXACT, and unlike rand() the result is
+    independent of partitioning, task retries, and row order, so an
+    external SQL engine replays it row-for-row.
+
+    Bottom-k is a semilattice (bottom-k of a union == bottom-k of the
+    sides' bottom-k's), which makes the sample mergeable across shards,
+    epochs, and streams — `streaming.priority_sample_batch_fn`
+    maintains THIS exact sample incrementally over a stream, and a
+    1000-executor job can bottom-k per partition and merge k-row
+    summaries instead of shuffling the corpus.
+
+    Plan shape: one narrow projection + TakeOrderedAndProject
+    (per-partition k-heap, k-row merge) — no global sort, no corpus
+    shuffle. Changing `seed` draws an independent sample.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    pri = hash52(
+        F.concat(F.lit(seed), F.col(id_col).cast("string"))
+    )
+    return (
+        df.withColumn(out_col, pri)
+        .orderBy(F.asc(out_col), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

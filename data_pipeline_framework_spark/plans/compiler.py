@@ -1213,6 +1213,26 @@ def _op_gini(params: Mapping, ctx) -> OpFn:
     return fn
 
 
+def _op_priority_sample(params: Mapping, ctx) -> OpFn:
+    """Fixed-size deterministic uniform sample — `{"type":
+    "priority_sample", "id_column": ..., "k": 1000, "seed": "s0"}`:
+    keep the k rows with the smallest seeded hash priorities. Exact
+    size (unlike rate-based `sample`), independent of partitioning and
+    retries, mergeable across shards/streams (bottom-k semilattice)."""
+    from ..functions.sampling import priority_sample
+
+    def fn(df: DataFrame) -> DataFrame:
+        return priority_sample(
+            df,
+            params.get("id_column", "doc_id"),
+            int(params["k"]),
+            seed=str(params.get("seed", "s0")),
+            out_col=params.get("output_column", "priority"),
+        )
+
+    return fn
+
+
 def _op_soft_dedup(params: Mapping, ctx) -> OpFn:
     """Soft deduplication — `{"type": "soft_dedup", "id_column": ...,
     "text_column": ..., "threshold": 0.7, "alpha": 1.0}`: minhash
@@ -1345,6 +1365,7 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "robust_outliers": _op_robust_outliers,
     "bitext_mine": _op_bitext_mine,
     "gini": _op_gini,
+    "priority_sample": _op_priority_sample,
     "soft_dedup": _op_soft_dedup,
     "bpe_encode": _op_bpe_encode,
     "bpe_detokenize": _op_bpe_detokenize,

@@ -612,6 +612,85 @@ def neardup_filter_batch_fn(
     return run_batch
 
 
+def priority_sample_batch_fn(
+    id_col: str,
+    k: int,
+    state_path: str,
+    seed: str = "s0",
+):
+    """Streaming fixed-size uniform sample: maintain the k rows with the
+    smallest seeded hash priorities over everything that ever arrived —
+    the exactly-once twin of `sampling.priority_sample`. Bottom-k is a
+    semilattice, so folding each micro-batch into the persisted k-row
+    state IS the batch answer: after any prefix of batches the state
+    equals `priority_sample` over that prefix's union, row-for-row
+    (pytest-pinned). The classic use: keep a live uniform audit sample
+    of an unbounded ingest without ever re-reading history.
+
+    Exactly-once via the rollup commit-marker swap (batch id inside the
+    atomically-renamed state dir): a re-delivered batch is skipped, a
+    crash mid-swap recovers, and because the fold is deterministic a
+    replayed crash-before-swap batch recomputes the identical state.
+    Per-batch cost: O(batch + k); state is k rows, period.
+    """
+    from ..functions.sampling import priority_sample
+    from ..operators.rollup import _read_commit, _write_commit
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        P = jvm.org.apache.hadoop.fs.Path
+        root = state_path.rstrip("/")
+        tmp, old = root + "__swap", root + "__old"
+        fs = P(root).getFileSystem(conf)
+        if not fs.exists(P(root)):
+            if fs.exists(P(tmp)) and _read_commit(fs, jvm, tmp) is not None:
+                fs.rename(P(tmp), P(root))
+            elif fs.exists(P(old)):
+                fs.rename(P(old), P(root))
+        if fs.exists(P(old)):
+            fs.delete(P(old), True)
+        if fs.exists(P(tmp)):
+            fs.delete(P(tmp), True)
+        if fs.exists(P(root)):
+            last = _read_commit(fs, jvm, root)
+            if last is not None and last >= int(batch_id):
+                return  # replayed batch: already folded in
+        pool = priority_sample(batch_df, id_col, k, seed)
+        if fs.exists(P(root)):
+            prev = spark.read.parquet(root).drop("priority")
+            pool = priority_sample(
+                prev.unionByName(batch_df), id_col, k, seed
+            )
+        pool.write.mode("overwrite").parquet(tmp)
+        _write_commit(fs, jvm, tmp, int(batch_id))
+        if fs.exists(P(root)):
+            fs.rename(P(root), P(old))
+        fs.rename(P(tmp), P(root))
+        fs.delete(P(old), True)
+
+    return run_batch
+
+
+def priority_sample_state(spark, state_path: str) -> DataFrame:
+    """Read the live sample maintained by priority_sample_batch_fn —
+    whichever copy the swap protocol would adopt, without mutating."""
+    from ..operators.rollup import _read_commit
+
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    root = state_path.rstrip("/")
+    tmp, old = root + "__swap", root + "__old"
+    fs = P(root).getFileSystem(conf)
+    if fs.exists(P(root)):
+        return spark.read.parquet(root)
+    if fs.exists(P(tmp)) and _read_commit(fs, jvm, tmp) is not None:
+        return spark.read.parquet(tmp)
+    return spark.read.parquet(old)
+
+
 def soft_dedup_batch_fn(
     id_col: str,
     text_col: str,

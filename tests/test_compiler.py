@@ -781,6 +781,21 @@ def test_op_round7_analytics_ops(spark):
     ])(df).collect()}
     assert bucketed == grouped
 
+    # priority_sample: exact-size deterministic bottom-k through the DSL
+    ids = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    samp = compile_ops([
+        {"type": "priority_sample", "params": {"k": 10}},
+    ])(ids).collect()
+    assert len(samp) == 10
+    again = compile_ops([
+        {"type": "priority_sample", "params": {"k": 10}},
+    ])(ids.repartition(5)).collect()
+    assert sorted(r["doc_id"] for r in samp) == sorted(
+        r["doc_id"] for r in again
+    )
+
     # bpe_encode -> bpe_detokenize round-trips the normalized text
     docs = spark.createDataFrame(
         [(1, "The SAND and the sea!"), (2, None)], "doc_id long, text string"

@@ -1576,3 +1576,115 @@ def test_language_consistency_flags_mixed_docs(spark):
     assert out[3]["majority_lang"] == "unknown"
     assert out[3]["n_segments"] == 0 and out[3]["mixed_frac"] is None
     assert out[4]["majority_lang"] == "unknown"
+
+
+def test_priority_sample_exact_and_mergeable(spark):
+    """bottom-k by seeded hash == a python md5 reference (exact size,
+    deterministic under repartitioning), and the semilattice property
+    holds: bottom-k of shard-wise bottom-k's == global bottom-k."""
+    import hashlib
+
+    from data_pipeline_framework_spark.functions.sampling import (
+        priority_sample,
+    )
+
+    rows = [(i, f"src{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def ref_pri(i, seed="s0"):
+        return int(hashlib.md5(f"{seed}{i}".encode()).hexdigest()[:13], 16)
+
+    want = sorted(range(500), key=lambda i: (ref_pri(i), i))[:32]
+    got = priority_sample(df.repartition(7), "doc_id", 32).collect()
+    assert [r["doc_id"] for r in got] == want or {
+        r["doc_id"] for r in got
+    } == set(want)
+    assert all(r["priority"] == ref_pri(r["doc_id"]) for r in got)
+
+    # k > n keeps everything; k <= 0 rejected
+    assert priority_sample(df, "doc_id", 10_000).count() == 500
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        priority_sample(df, "doc_id", 0)
+
+    # mergeable: union of two shards' bottom-32 -> bottom-32 == global
+    a = priority_sample(df.filter("doc_id < 250"), "doc_id", 32)
+    b = priority_sample(df.filter("doc_id >= 250"), "doc_id", 32)
+    merged = priority_sample(
+        a.drop("priority").unionByName(b.drop("priority")), "doc_id", 32
+    ).collect()
+    assert sorted(r["doc_id"] for r in merged) == sorted(want)
+
+    # plan: TakeOrderedAndProject, not a global sort
+    plan = (
+        priority_sample(df, "doc_id", 32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_priority_sample_stream_matches_batch(spark, tmp_path):
+    """the streaming twin's state after N micro-batches == the batch
+    operator over the first N batches' union, row-for-row; replays and
+    re-delivered batches fold nothing twice."""
+    from data_pipeline_framework_spark import streaming as ST
+    from data_pipeline_framework_spark.functions.sampling import (
+        priority_sample,
+    )
+
+    schema = "doc_id long, source string"
+    batches = [
+        [(i, f"src{i % 3}") for i in range(100)],
+        [(i, f"src{i % 3}") for i in range(100, 160)],
+        [(i, f"src{i % 3}") for i in range(160, 300)],
+    ]
+    in_dir = tmp_path / "in"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(in_dir))
+
+    state = str(tmp_path / "sample_state")
+    fn = ST.priority_sample_batch_fn("doc_id", 25, state, seed="s1")
+    sdf = ST.read_stream_files(
+        spark, str(in_dir),
+        schema=spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    )
+    q = (
+        sdf.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    corpus = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    want = sorted(
+        tuple(r) for r in
+        priority_sample(corpus, "doc_id", 25, seed="s1").collect()
+    )
+    got = sorted(
+        tuple(r) for r in ST.priority_sample_state(spark, state).collect()
+    )
+    assert got == want
+
+    # checkpointed replay: no new files, state unchanged
+    q2 = (
+        sdf.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        tuple(r) for r in ST.priority_sample_state(spark, state).collect()
+    ) == want
+
+    # re-delivered batch (crash between sink and checkpoint commit):
+    # the commit marker skips the fold
+    fn(spark.createDataFrame(batches[1], schema), 1)
+    assert sorted(
+        tuple(r) for r in ST.priority_sample_state(spark, state).collect()
+    ) == want
