@@ -443,3 +443,25 @@ def test_soft_curation_yaml_examples(spark, sf_dir, tmp_path, monkeypatch):
     assert set(rep.columns) == {
         "doc_id", "n_segments", "majority_lang", "n_disagree", "mixed_frac"
     }
+
+
+def test_audit_sample_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
+    """the shipped examples/audit_sample.yaml runs end-to-end: exactly
+    k rows, deterministic across runs, priorities carried for audit."""
+    out = str(tmp_path / "as_out")
+    monkeypatch.setenv("AS_INPUT", f"{sf_dir}/documents.parquet")
+    monkeypatch.setenv("AS_OUT", out)
+    result = Pipeline.from_yaml("examples/audit_sample.yaml", spark).run()
+    assert result.status == "success", result.error
+    back = spark.read.parquet(out)
+    assert back.count() == 50 == result.rows_written
+    ids1 = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    # deterministic: a second run lands the identical subset
+    result2 = Pipeline.from_yaml("examples/audit_sample.yaml", spark).run()
+    assert result2.status == "success", result2.error
+    ids2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert ids1 == ids2
+    assert "priority" in back.columns
