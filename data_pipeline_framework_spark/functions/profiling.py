@@ -1944,7 +1944,13 @@ def _gini_grouped_bucketed(
     kcols = [F.col(k) for k in keys]
     vc = base.groupBy(*kcols, "__x").agg(F.count(F.lit(1)).alias("__c"))
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts_row = base.sample(fraction=0.1, seed=42).agg(
+    # cut points only balance the buckets (the statistic is invariant
+    # to them) — sketch them from the collapsed distinct-value frame,
+    # mirroring _gini_global: the per-(group,bucket) windows iterate
+    # distinct-VALUE rows, so balancing by distinct values is what
+    # bounds the window partitions, and the collapsed frame is far
+    # smaller than re-scanning the raw corpus through the sketch.
+    cuts_row = vc.sample(fraction=0.1, seed=42).agg(
         F.percentile_approx(
             "__x", F.array(*[F.lit(p) for p in probs]), 100
         ).alias("cuts")
@@ -1969,7 +1975,19 @@ def _gini_grouped_bucketed(
         )
         .drop("__bc")
     )
-    jj = jb.join(boff, [*keys, "__b"])  # co-keyed on (group, bucket)
+    # co-keyed on (group, bucket) — null-SAFE on the group keys: a
+    # plain equi-join would silently drop every NULL-key group (NULL
+    # never satisfies =), while the window path emits a row for it.
+    # eqNullSafe is still a hash-join key (EqualNullSafe), not BNL.
+    ren = boff.withColumnRenamed("__b", "__gb")
+    for i, k in enumerate(keys):
+        ren = ren.withColumnRenamed(k, f"__gk{i}")
+    cond = F.col("__b") == F.col("__gb")
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__gk{i}"))
+    jj = jb.join(ren, cond).drop(
+        "__gb", *[f"__gk{i}" for i in range(len(keys))]
+    )
     win = (
         Window.partitionBy(*kcols, F.col("__b"))
         .orderBy("__x")

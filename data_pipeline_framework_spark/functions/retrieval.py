@@ -53,15 +53,21 @@ def bm25_topk(
     query by (score desc, id asc).
 
     `queries` is assumed small (it is broadcast); `docs` is the corpus.
+
+    With ``cache=True`` (default) the call is EAGER: the tokenized
+    corpus feeds both the stats aggregate and the postings explode, so
+    it is persisted for the duration of one action and unpersisted in
+    a ``finally`` before returning — the result is bounded (<= k rows
+    per query) and comes back as a small materialized DataFrame, so
+    nothing stays cached for the life of the session (at 100 TB this
+    stage boundary would be a checkpoint instead). ``cache=False``
+    returns the fully lazy plan, which tokenizes the corpus twice but
+    never touches the block manager.
     """
     base = (
         docs.select(F.col(id_col), tokens(text_col).alias("__tk"))
         .withColumn("__dl", F.size("__tk").cast("double"))
     )
-    # the tokenized corpus feeds BOTH the stats aggregate and the
-    # postings explode — persisted so the corpus is tokenized once,
-    # not twice (the same contract as minhash_dedup_pairs; at 100 TB
-    # this would be a checkpoint between stages instead)
     if cache:
         base = base.persist()
     # one bounded 1-row aggregate carries both corpus scalars
@@ -107,11 +113,18 @@ def bm25_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.asc(id_col)
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+    if not cache:
+        return out
+    try:
+        rows = out.collect()  # bounded: <= k rows per query
+        return docs.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        base.unpersist()
 
 
 def keyword_topk(

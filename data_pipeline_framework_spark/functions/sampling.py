@@ -66,6 +66,12 @@ def priority_sample(
     Plan shape: one narrow projection + TakeOrderedAndProject
     (per-partition k-heap, k-row merge) — no global sort, no corpus
     shuffle. Changing `seed` draws an independent sample.
+
+    `id_col` is the sampling unit and must be non-null and unique:
+    NULL ids are EXCLUDED (a NULL id hashes to a NULL priority, which
+    asc() would sort first — every garbage row would win the bottom-k),
+    and duplicate ids collide on (priority, id) so which physical row
+    survives the tie is not defined — dedupe first if ids can repeat.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -73,7 +79,8 @@ def priority_sample(
         F.concat(F.lit(seed), F.col(id_col).cast("string"))
     )
     return (
-        df.withColumn(out_col, pri)
+        df.where(F.col(id_col).isNotNull())
+        .withColumn(out_col, pri)
         .orderBy(F.asc(out_col), F.asc(id_col))
         .limit(k)
     )

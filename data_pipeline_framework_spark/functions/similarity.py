@@ -670,10 +670,16 @@ def ivf_topk(
     centers_arr = np.asarray(centers)
 
     def _probe(vecs):
-        # one batch matmul instead of a per-row python loop: same
-        # ||v-c||^2 ordering (argsort over d is shift-invariant, so
-        # dropping the per-row ||v||^2 term changes nothing), stable
-        # ties to the lower cell like the loop form
+        # one batch matmul instead of a per-row python loop. In exact
+        # arithmetic ||c||^2 - 2 v.c orders like ||v-c||^2 (the
+        # per-row ||v||^2 shift is argsort-invariant); in IEEE doubles
+        # the two forms can round near-ties differently, so probe
+        # selection is deterministic for THIS form but not promised
+        # bit-identical to the loop form on near-tied cells — fine for
+        # an approximate index, and EXACT ties still break to the
+        # lower cell (stable argsort).
+        if len(vecs) == 0:  # arrow can hand an empty batch
+            return pd.Series([], dtype=object)
         m = np.stack(vecs.to_numpy())
         d = (centers_arr ** 2).sum(axis=1) - 2.0 * m @ centers_arr.T
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(

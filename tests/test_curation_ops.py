@@ -1622,6 +1622,18 @@ def test_priority_sample_exact_and_mergeable(spark):
     )
     assert "TakeOrderedAndProject" in plan
 
+    # NULL ids are excluded, not sorted-first winners (ADVICE r8): a
+    # NULL id hashes to a NULL priority which asc() would rank ahead of
+    # every real row — the sample must stay the same uniform k-subset.
+    with_nulls = df.unionByName(
+        spark.createDataFrame(
+            [(None, "junk")] * 40, "doc_id long, source string"
+        )
+    )
+    got_n = priority_sample(with_nulls, "doc_id", 32).collect()
+    assert sorted(r["doc_id"] for r in got_n) == sorted(want)
+    assert all(r["doc_id"] is not None for r in got_n)
+
 
 def test_priority_sample_stream_matches_batch(spark, tmp_path):
     """the streaming twin's state after N micro-batches == the batch

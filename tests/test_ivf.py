@@ -49,6 +49,36 @@ def test_ivf_recall_and_pruning(spark, sf_dir):
     assert largest_4_cells < n  # probing 4 of 8 cells cannot scan everything
 
 
+def test_ivf_probe_empty_batch_and_exact_ties(spark):
+    """ADVICE r8: the vectorized probe must survive an empty arrow
+    batch (np.stack raises on []), and EXACT centroid ties must still
+    break to the lower cell index (stable argsort)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    centers = [[1.0, 0.0], [0.0, 1.0]]
+
+    # empty queries -> empty result, no ValueError from the udf
+    empty_q = spark.createDataFrame(
+        [], "query_id long, embedding array<double>"
+    )
+    out = ivf_topk(
+        corpus, empty_q, k=2, nprobe=1, centers=centers, n_cells=2
+    )
+    assert out.count() == 0
+
+    # a query exactly equidistant from both centroids probes cell 0
+    tie_q = spark.createDataFrame(
+        [(99, [1.0, 1.0])], "query_id long, embedding array<double>"
+    )
+    got = ivf_topk(
+        corpus, tie_q, k=3, nprobe=1, centers=centers, n_cells=2
+    ).collect()
+    # cell 0 holds vec 1 ([1,0]) and vec 3 ([1,1] ties to lower cell)
+    assert sorted(r["vec_id"] for r in got) == [1, 3]
+
+
 def test_lsh_topk_with_dim_is_fully_lazy(spark, monkeypatch):
     """With dim given, no driver action may run during plan construction."""
     from pyspark.sql import DataFrame

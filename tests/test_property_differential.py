@@ -745,14 +745,18 @@ def test_ungrouped_gini_matches_sorted_reference(spark, vals):
 )
 @given(
     rows=st.lists(
-        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 30)),
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]), st.integers(0, 30)
+        ),
         min_size=1,
         max_size=80,
     ),
 )
 def test_grouped_gini_bucketed_kernel_matches_window_path(spark, rows):
     """the size-dispatched bucketed grouped kernel (max_window_group=0)
-    == the rank-window path, bit-for-bit on integral data."""
+    == the rank-window path, bit-for-bit on integral data — including
+    NULL group keys (a plain equi-join in the bucketed kernel silently
+    dropped the NULL-key group; ADVICE r8 high)."""
     from data_pipeline_framework_spark.functions.profiling import (
         gini_coefficient,
     )
@@ -817,3 +821,57 @@ def test_grouped_gini_skew_dispatch_avoids_group_window(spark):
         gini_coefficient(
             neg, "x", group_by=["g"], max_window_group=0
         ).collect()
+
+
+def test_grouped_gini_bucketed_keeps_null_key_group(spark):
+    """ADVICE r8 high: the bucketed kernel's (group, bucket) join must
+    be null-SAFE — a NULL group key (common in corpus metadata like
+    'source') must produce the same row the rank-window path emits, not
+    vanish. Pinned exactly against the window path, incl. multi-key."""
+    from data_pipeline_framework_spark.functions.profiling import (
+        gini_coefficient,
+    )
+
+    rows = (
+        [(None, i % 13) for i in range(200)]
+        + [("a", v) for v in (2, 7, 7, 30)]
+        + [(None, 30)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    win = {
+        r["g"]: (r["n"], r["total"], r["gini"])
+        for r in gini_coefficient(
+            df, "x", group_by=["g"], max_window_group=float("inf")
+        ).collect()
+    }
+    bkt = {
+        r["g"]: (r["n"], r["total"], r["gini"])
+        for r in gini_coefficient(
+            df, "x", group_by=["g"], n_buckets=4, max_window_group=0
+        ).collect()
+    }
+    assert None in bkt and bkt == win
+
+    # multi-key: NULL in one of two keys, and NULL in both
+    rows2 = (
+        [(None, "x", i % 7) for i in range(40)]
+        + [("s", None, v) for v in (1, 4, 9)]
+        + [(None, None, v) for v in (5, 5, 6)]
+        + [("s", "x", 8)]
+    )
+    df2 = spark.createDataFrame(rows2, "g string, h string, x long")
+    win2 = {
+        (r["g"], r["h"]): (r["n"], r["total"], r["gini"])
+        for r in gini_coefficient(
+            df2, "x", group_by=["g", "h"],
+            max_window_group=float("inf"),
+        ).collect()
+    }
+    bkt2 = {
+        (r["g"], r["h"]): (r["n"], r["total"], r["gini"])
+        for r in gini_coefficient(
+            df2, "x", group_by=["g", "h"], n_buckets=4,
+            max_window_group=0,
+        ).collect()
+    }
+    assert bkt2 == win2 and len(bkt2) == 4

@@ -188,11 +188,25 @@ def test_bm25_plan_broadcasts_and_filters_before_shuffle(spark, corpus):
     queries = spark.createDataFrame(
         [("q0", "quick dogs")], ["query_id", "query_text"]
     )
-    out = bm25_topk(corpus, queries)
+    # cache=False returns the lazy plan (the eager default materializes
+    # a LocalRelation, which has no join plan left to inspect)
+    out = bm25_topk(corpus, queries, cache=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_releases_cache(spark, corpus):
+    # ADVICE r8: the tokenized-corpus persist must not outlive the call
+    # — per-query sweeps would accumulate executor storage forever.
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    queries = spark.createDataFrame(
+        [("q0", "quick dogs")], ["query_id", "query_text"]
+    )
+    out = bm25_topk(corpus, queries, k=3)
+    assert out.count() > 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
 
 
 def test_semantic_dedup_empty_input_raises(spark):
