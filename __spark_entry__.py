@@ -3045,19 +3045,29 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-NN neighborhoods, and only mutual-best pairs survive. The k-NN
     means fold in rank order on both engines, so the margin doubles
     hash-match at the 6-decimal rounding. method='auto' with
-    brute_max=2048 resolves to exact brute top-k at every gate SF
-    (slices of 3/25/250 vectors — what the oracle replays) and to the
-    adaptive-cells IVF engine on the 10x scale synthetic (2500-vector
-    slices), so the measured scaling exponent covers the probe-limited
-    path a real mining corpus would run."""
+    brute_max=2048 resolves to exact brute top-k at the small gate SFs
+    (slices of 3/25/250 vectors) and to the adaptive-cells IVF engine
+    from sf1 up (2500-vector slices), so the measured scaling exponent
+    covers the probe-limited path a real mining corpus would run. The
+    IVF codebook is the SEEDED FIXED one (adaptive cell count), which
+    makes the probed path a pure function of the data — the oracle
+    replays BOTH engines behind the same size dispatch, so the sf1
+    value gate checks the approximate path exactly."""
     from data_pipeline_framework_spark.functions.similarity import (
+        adaptive_cells,
+        fixed_codebook,
         margin_bitext_mine,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     src = emb.filter(F.col("vec_id") % 8 == 0)
     tgt = emb.filter(F.col("vec_id") % 8 == 1)
-    out = margin_bitext_mine(src, tgt, k=4, mutual=True, brute_max=2048)
+    out = margin_bitext_mine(
+        src, tgt, k=4, mutual=True, brute_max=2048,
+        centers_factory=lambda n: fixed_codebook(
+            64, n_cells=adaptive_cells(n), seed=7
+        ),
+    )
     return out.select(
         "src_id", "tgt_id",
         _r(F.col("cosine"), 6).alias("cosine"),
@@ -7060,6 +7070,15 @@ _ANN_COS = (
     "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
 )
 
+# vectorized centroid-argmin distance over fixed-size DOUBLE[64] arrays
+# (`arr` from the corpus CTE, `cent.ca` from _adaptive_cent_sql) —
+# verified bit-identical to the list_dot_product form on this data
+_D2_ARR = (
+    "array_inner_product(c.arr, c.arr)"
+    " - 2 * array_inner_product(c.arr, cent.ca)"
+    " + array_inner_product(cent.ca, cent.ca)"
+)
+
 
 def _ann_lsh_oracle() -> str:
     """DuckDB twin of queries()['ann_lsh_topk']: same seeded planes, same
@@ -7110,22 +7129,26 @@ def _lsh_blocks_sql() -> str:
     """csig/cb CTE fragment with CORPUS-ADAPTIVE signature width,
     mirroring queries' _planes_for at the gate SFs: <= 500 vectors ->
     16 planes / 4-bit block keys (sf0.001, sf0.01), <= 2000 -> 24
-    planes / 6-bit keys (sf0.1). Larger SFs are bench-only and never
-    oracle-compared; the Python rule keeps growing there. Expects a
-    preceding CTE ``c(vec_id, v)``."""
+    planes / 6-bit keys (sf0.1), above -> 40 planes / 10-bit keys
+    (sf1's 20K — adaptive_planes(20000) == 40). Still-larger SFs are
+    bench-only and never oracle-compared; the Python rule keeps
+    growing there. Expects a preceding CTE ``c(vec_id, v)``."""
     from data_pipeline_framework_spark.functions.similarity import hyperplanes
 
     sig16 = _lsh_sig_sql(hyperplanes(64, 16, seed=42))
     sig24 = _lsh_sig_sql(hyperplanes(64, 24, seed=42))
+    sig40 = _lsh_sig_sql(hyperplanes(64, 40, seed=42))
     return f"""
         nsel AS (
-            SELECT count(*) <= 500 AS small FROM embeddings
+            SELECT count(*) AS n FROM embeddings
         ), csig AS (
             SELECT vec_id, v,
-                   CASE WHEN (SELECT small FROM nsel)
-                        THEN {sig16} ELSE {sig24} END AS sig,
-                   CASE WHEN (SELECT small FROM nsel)
-                        THEN 4 ELSE 6 END AS bits
+                   CASE WHEN (SELECT n FROM nsel) <= 500 THEN {sig16}
+                        WHEN (SELECT n FROM nsel) <= 2000 THEN {sig24}
+                        ELSE {sig40} END AS sig,
+                   CASE WHEN (SELECT n FROM nsel) <= 500 THEN 4
+                        WHEN (SELECT n FROM nsel) <= 2000 THEN 6
+                        ELSE 10 END AS bits
             FROM c
         ), blks AS (
             SELECT unnest([0, 1, 2, 3]) AS blk
@@ -7491,50 +7514,60 @@ _KEYWORD_ORACLE = f"""
 def _adaptive_cent_sql() -> str:
     """cent CTE fragment mirroring queries' _cells_for at the gate SFs:
     the 8-cell seeded codebook at <= 500 vectors (sf0.001/sf0.01), the
-    32-cell one at <= 2000 (sf0.1). Larger SFs are bench-only and never
-    oracle-compared; the Python rule keeps growing there."""
+    32-cell one at <= 2000 (sf0.1), the 320-cell one above (sf1's 20K
+    — adaptive_cells(20000) == 320). Still-larger SFs are bench-only
+    and never oracle-compared; the Python rule keeps growing there.
+
+    Exposes both `cv` (DOUBLE[] list, for the legacy interpreted ops)
+    and `ca` (fixed DOUBLE[64] ARRAY): array_inner_product over the
+    fixed-size form is DuckDB's vectorized kernel and was verified
+    bit-identical to list_dot_product on this data — it is what keeps
+    the 20K x 320-cell sf1 assignment inside the value gate's budget."""
     from data_pipeline_framework_spark.functions.similarity import fixed_codebook
 
-    rows8 = ", ".join(
-        f"({i}, {_sql_dlist(c)})"
-        for i, c in enumerate(fixed_codebook(64, n_cells=8, seed=7))
-    )
-    rows32 = ", ".join(
-        f"({i}, {_sql_dlist(c)})"
-        for i, c in enumerate(fixed_codebook(64, n_cells=32, seed=7))
-    )
-    return f"""cent8(cell, cv) AS (VALUES {rows8}),
-        cent32(cell, cv) AS (VALUES {rows32}),
-        cent_sel AS (SELECT count(*) <= 500 AS small FROM embeddings),
+    def _rows(n):
+        return ", ".join(
+            f"({i}, {_sql_dlist(c)})"
+            for i, c in enumerate(fixed_codebook(64, n_cells=n, seed=7))
+        )
+
+    return f"""cent8(cell, cv) AS (VALUES {_rows(8)}),
+        cent32(cell, cv) AS (VALUES {_rows(32)}),
+        cent320(cell, cv) AS (VALUES {_rows(320)}),
+        cent_n AS (SELECT count(*) AS n FROM embeddings),
         cent AS (
-            SELECT * FROM cent8 WHERE (SELECT small FROM cent_sel)
-            UNION ALL
-            SELECT * FROM cent32 WHERE NOT (SELECT small FROM cent_sel)
+            SELECT cell, cv, cv::DOUBLE[64] AS ca FROM (
+                SELECT * FROM cent8
+                WHERE (SELECT n FROM cent_n) <= 500
+                UNION ALL
+                SELECT * FROM cent32
+                WHERE (SELECT n FROM cent_n) > 500
+                  AND (SELECT n FROM cent_n) <= 2000
+                UNION ALL
+                SELECT * FROM cent320
+                WHERE (SELECT n FROM cent_n) > 2000
+            )
         )"""
 
 
 def _diversity_sample_oracle() -> str:
     """DuckDB twin of queries()['diverse_prototype_sample']: the
     semantic-dedup assignment CTE (centroid argmin, ties to the
-    lowest cell; corpus-adaptive codebook, see _adaptive_cent_sql),
+    lowest cell; corpus-adaptive codebook, see _adaptive_cent_sql;
+    vectorized DOUBLE[64] min-struct form — see _semantic_dedup_oracle),
     centroid cosine in the same dot/sqrt op order as ann_cosine_topk,
     per-cell rank by (cosine desc, id)."""
-    d2 = (
-        "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
-        " + list_dot_product(cent.cv, cent.cv)"
-    )
     return f"""
         WITH {_adaptive_cent_sql()},
         c AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   embedding::DOUBLE[64] AS arr
+            FROM embeddings
         ), cassign AS (
-            SELECT vec_id, v, cell FROM (
-                SELECT c.vec_id, c.v, cent.cell,
-                       row_number() OVER (
-                           PARTITION BY c.vec_id ORDER BY {d2}, cent.cell
-                       ) AS rn
-                FROM c, cent
-            ) WHERE rn = 1
+            SELECT c.vec_id, first(c.v) AS v,
+                   (min(struct_pack(d := {_D2_ARR}, cell := cent.cell))
+                   ).cell AS cell
+            FROM c, cent GROUP BY c.vec_id
         ), scored AS (
             SELECT a.vec_id, a.cell,
                    list_dot_product(a.v, cent.cv)
@@ -7559,11 +7592,12 @@ def _semantic_dedup_oracle() -> str:
     """DuckDB twin of queries()['semantic_dedup_keep']: centroid argmin
     assignment (ties to the lowest cell, as the struct array_min;
     corpus-adaptive codebook, see _adaptive_cent_sql), within-cell
-    lower-id pairing at cosine >= 0.35."""
-    d2 = (
-        "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
-        " + list_dot_product(cent.cv, cent.cv)"
-    )
+    lower-id pairing at cosine >= 0.35. The argmin runs on fixed-size
+    DOUBLE[64] arrays (vectorized, bit-identical to list_dot_product)
+    as one min(struct(d, cell)) aggregate — the same (d, cell)
+    lexicographic tie-break as the old row_number window, without
+    materializing the n x cells cross join through a window (what kept
+    this oracle out of the sf1 value gate)."""
     cos_ab = (
         "list_dot_product(a.v, b.v) / "
         "(sqrt(list_dot_product(a.v, a.v)) * "
@@ -7572,15 +7606,14 @@ def _semantic_dedup_oracle() -> str:
     return f"""
         WITH {_adaptive_cent_sql()},
         c AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   embedding::DOUBLE[64] AS arr
+            FROM embeddings
         ), cassign AS (
-            SELECT vec_id, v, cell FROM (
-                SELECT c.vec_id, c.v, cent.cell,
-                       row_number() OVER (
-                           PARTITION BY c.vec_id ORDER BY {d2}, cent.cell
-                       ) AS rn
-                FROM c, cent
-            ) WHERE rn = 1
+            SELECT c.vec_id, first(c.v) AS v,
+                   (min(struct_pack(d := {_D2_ARR}, cell := cent.cell))
+                   ).cell AS cell
+            FROM c, cent GROUP BY c.vec_id
         ), dup AS (
             SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
             FROM cassign a JOIN cassign b
@@ -7805,12 +7838,10 @@ _FERTILITY_ORACLE_TMPL = """
 
 def _hard_negative_oracle() -> str:
     """DuckDB twin of hard_negative_pairs: same centroid-argmin cells
-    (corpus-adaptive codebook, see _adaptive_cent_sql), within-cell
-    different-label pairing, cosine-desc/id-asc ranking, top 3."""
-    d2 = (
-        "list_dot_product(v, v) - 2 * list_dot_product(v, cent.cv)"
-        " + list_dot_product(cent.cv, cent.cv)"
-    )
+    (corpus-adaptive codebook, see _adaptive_cent_sql; vectorized
+    DOUBLE[64] min-struct form — see _semantic_dedup_oracle),
+    within-cell different-label pairing, cosine-desc/id-asc ranking,
+    top 3."""
     cos_ab = (
         "list_dot_product(a.v, b.v) / "
         "(sqrt(list_dot_product(a.v, a.v)) * "
@@ -7819,15 +7850,14 @@ def _hard_negative_oracle() -> str:
     return f"""
         WITH {_adaptive_cent_sql()},
         c AS (
-            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   embedding::DOUBLE[64] AS arr
+            FROM embeddings
         ), cassign AS (
-            SELECT vec_id, label, v, cell FROM (
-                SELECT c.vec_id, c.label, c.v, cent.cell,
-                       row_number() OVER (
-                           PARTITION BY c.vec_id ORDER BY {d2}, cent.cell
-                       ) AS rn
-                FROM c, cent
-            ) WHERE rn = 1
+            SELECT c.vec_id, first(c.label) AS label, first(c.v) AS v,
+                   (min(struct_pack(d := {_D2_ARR}, cell := cent.cell))
+                   ).cell AS cell
+            FROM c, cent GROUP BY c.vec_id
         ), pairs AS (
             SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
                    CAST(a.label AS BIGINT) AS anchor_label,
@@ -7846,6 +7876,162 @@ def _hard_negative_oracle() -> str:
                cell, FLOOR(cos * 1e6 + 0.5) / 1e6 AS neg_cosine,
                CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 3
+    """
+
+
+def _bitext_margin_oracle() -> str:
+    """DuckDB twin of queries()['bitext_margin_pairs'] replaying BOTH
+    engines behind the query's size dispatch (brute_max=2048 on the
+    larger slice): exact brute top-4 per direction at the small gate
+    SFs, and from sf1 up (2500-vector slices) the IVF-probed path —
+    fixed seeded codebook (adaptive_cells(2500) == 40), centroid
+    argmin assignment of the indexed side, 4 probed cells per query
+    (d2 asc, ties to the lower cell), exact cosine rerank inside the
+    probed cells only. Mining tail (rank-ordered k-NN means, ratio
+    margin, mutual best) is shared. Vectorized DOUBLE[64]
+    array_inner_product throughout (bit-identical to
+    list_dot_product on this data)."""
+    from data_pipeline_framework_spark.functions.similarity import (
+        fixed_codebook,
+    )
+
+    cent40 = ", ".join(
+        f"({i}, {_sql_dlist(c)})"
+        for i, c in enumerate(fixed_codebook(64, n_cells=40, seed=7))
+    )
+
+    def d2(va, ca):
+        return (
+            f"array_inner_product({va}, {va})"
+            f" - 2 * array_inner_product({va}, {ca})"
+            f" + array_inner_product({ca}, {ca})"
+        )
+
+    def cos(a, b):
+        return (
+            f"array_inner_product({a}, {b})"
+            f" / (sqrt(array_inner_product({a}, {a}))"
+            f" * sqrt(array_inner_product({b}, {b})))"
+        )
+
+    return f"""
+        WITH s AS (
+            SELECT vec_id, embedding::DOUBLE[64] AS arr
+            FROM embeddings WHERE vec_id % 8 = 0
+        ), tt AS (
+            SELECT vec_id, embedding::DOUBLE[64] AS arr
+            FROM embeddings WHERE vec_id % 8 = 1
+        ), msel AS (
+            SELECT greatest((SELECT count(*) FROM s),
+                            (SELECT count(*) FROM tt)) > 2048 AS big
+        ),
+        -- ---- brute arm (rows only when NOT big) ----
+        sb AS (SELECT * FROM s WHERE NOT (SELECT big FROM msel)),
+        tb AS (SELECT * FROM tt WHERE NOT (SELECT big FROM msel)),
+        fs AS (
+            -- one scored table serves both directions: IEEE multiply
+            -- is commutative, so cos(s,t) == cos(t,s) bit-exactly
+            SELECT sb.vec_id AS src_id, tb.vec_id AS tgt_id,
+                   {cos('sb.arr', 'tb.arr')} AS cos
+            FROM sb, tb
+        ), fk_b AS (
+            SELECT * FROM (
+                SELECT src_id, tgt_id, cos,
+                       row_number() OVER (PARTITION BY src_id
+                           ORDER BY cos DESC, tgt_id) AS rank
+                FROM fs) WHERE rank <= 4
+        ), bk_b AS (
+            SELECT * FROM (
+                SELECT src_id, tgt_id, cos,
+                       row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY cos DESC, src_id) AS rank
+                FROM fs) WHERE rank <= 4
+        ),
+        -- ---- IVF arm (rows only when big) ----
+        cent(cell, ca) AS (
+            SELECT cell, cv::DOUBLE[64]
+            FROM (SELECT * FROM (VALUES {cent40}) t(cell, cv))
+        ),
+        si AS (SELECT * FROM s WHERE (SELECT big FROM msel)),
+        ti AS (SELECT * FROM tt WHERE (SELECT big FROM msel)),
+        t_asn AS (
+            SELECT ti.vec_id, first(ti.arr) AS arr,
+                   (min(struct_pack(d := {d2('ti.arr', 'cent.ca')},
+                                    cell := cent.cell))).cell AS cell
+            FROM ti, cent GROUP BY ti.vec_id
+        ), s_asn AS (
+            SELECT si.vec_id, first(si.arr) AS arr,
+                   (min(struct_pack(d := {d2('si.arr', 'cent.ca')},
+                                    cell := cent.cell))).cell AS cell
+            FROM si, cent GROUP BY si.vec_id
+        ), s_probe AS (
+            SELECT vec_id, arr, cell FROM (
+                SELECT si.vec_id, si.arr, cent.cell,
+                       row_number() OVER (PARTITION BY si.vec_id
+                           ORDER BY {d2('si.arr', 'cent.ca')}, cent.cell
+                       ) AS rn
+                FROM si, cent) WHERE rn <= 4
+        ), t_probe AS (
+            SELECT vec_id, arr, cell FROM (
+                SELECT ti.vec_id, ti.arr, cent.cell,
+                       row_number() OVER (PARTITION BY ti.vec_id
+                           ORDER BY {d2('ti.arr', 'cent.ca')}, cent.cell
+                       ) AS rn
+                FROM ti, cent) WHERE rn <= 4
+        ), fk_i AS (
+            SELECT * FROM (
+                SELECT p.vec_id AS src_id, a.vec_id AS tgt_id,
+                       {cos('p.arr', 'a.arr')} AS cos,
+                       row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY {cos('p.arr', 'a.arr')} DESC,
+                                    a.vec_id) AS rank
+                FROM s_probe p JOIN t_asn a USING (cell)
+            ) WHERE rank <= 4
+        ), bk_i AS (
+            SELECT * FROM (
+                SELECT a.vec_id AS src_id, p.vec_id AS tgt_id,
+                       {cos('p.arr', 'a.arr')} AS cos,
+                       row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY {cos('p.arr', 'a.arr')} DESC,
+                                    a.vec_id) AS rank
+                FROM t_probe p JOIN s_asn a USING (cell)
+            ) WHERE rank <= 4
+        ),
+        -- ---- shared mining tail ----
+        fk AS (SELECT * FROM fk_b UNION ALL SELECT * FROM fk_i),
+        bk AS (SELECT * FROM bk_b UNION ALL SELECT * FROM bk_i),
+        sa AS (
+            SELECT src_id,
+                   list_reduce(array_agg(cos ORDER BY rank),
+                               (a, x) -> a + x) / count(*) AS src_knn
+            FROM fk GROUP BY 1
+        ), ta AS (
+            SELECT tgt_id,
+                   list_reduce(array_agg(cos ORDER BY rank),
+                               (a, x) -> a + x) / count(*) AS tgt_knn
+            FROM bk GROUP BY 1
+        ), cand AS (
+            SELECT fk.src_id, fk.tgt_id, fk.cos, sa.src_knn, ta.tgt_knn,
+                   fk.cos / ((sa.src_knn + ta.tgt_knn) * 0.5) AS margin
+            FROM fk JOIN sa USING (src_id) JOIN ta USING (tgt_id)
+        ), bs AS (
+            SELECT *, row_number() OVER (PARTITION BY src_id
+                ORDER BY margin DESC, tgt_id) AS r
+            FROM cand
+        ), bt AS (
+            SELECT src_id, tgt_id,
+                   row_number() OVER (PARTITION BY tgt_id
+                       ORDER BY margin DESC, src_id) AS r
+            FROM cand
+        )
+        SELECT b.src_id, b.tgt_id,
+               FLOOR(b.cos * 1e6 + 0.5) / 1e6 AS cosine,
+               FLOOR(b.src_knn * 1e6 + 0.5) / 1e6 AS src_knn_avg,
+               FLOOR(b.tgt_knn * 1e6 + 0.5) / 1e6 AS tgt_knn_avg,
+               FLOOR(b.margin * 1e6 + 0.5) / 1e6 AS margin
+        FROM bs b JOIN bt ON b.src_id = bt.src_id
+                          AND b.tgt_id = bt.tgt_id AND bt.r = 1
+        WHERE b.r = 1
     """
 
 
@@ -9359,66 +9545,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "neardup_clusters": _neardup_clusters_oracle(),
         "corpus_curation": _curation_oracle(),
         # (ann_cosine_topk's oracle lives in the ANN section below)
-        "bitext_margin_pairs": """
-            WITH s AS (
-                SELECT vec_id, embedding::DOUBLE[] AS v
-                FROM embeddings WHERE vec_id % 8 = 0
-            ), tt AS (
-                SELECT vec_id, embedding::DOUBLE[] AS v
-                FROM embeddings WHERE vec_id % 8 = 1
-            ), fs AS (
-                -- one scored table serves both directions: IEEE multiply
-                -- is commutative, so cos(s,t) == cos(t,s) bit-exactly
-                SELECT s.vec_id AS src_id, tt.vec_id AS tgt_id,
-                       list_dot_product(s.v, tt.v)
-                       / (sqrt(list_dot_product(s.v, s.v))
-                          * sqrt(list_dot_product(tt.v, tt.v))) AS cos
-                FROM s, tt
-            ), fk AS (
-                SELECT * FROM (
-                    SELECT src_id, tgt_id, cos,
-                           row_number() OVER (PARTITION BY src_id
-                               ORDER BY cos DESC, tgt_id) AS rank
-                    FROM fs) WHERE rank <= 4
-            ), bk AS (
-                SELECT * FROM (
-                    SELECT src_id, tgt_id, cos,
-                           row_number() OVER (PARTITION BY tgt_id
-                               ORDER BY cos DESC, src_id) AS rank
-                    FROM fs) WHERE rank <= 4
-            ), sa AS (
-                SELECT src_id,
-                       list_reduce(array_agg(cos ORDER BY rank),
-                                   (a, x) -> a + x) / count(*) AS src_knn
-                FROM fk GROUP BY 1
-            ), ta AS (
-                SELECT tgt_id,
-                       list_reduce(array_agg(cos ORDER BY rank),
-                                   (a, x) -> a + x) / count(*) AS tgt_knn
-                FROM bk GROUP BY 1
-            ), cand AS (
-                SELECT fk.src_id, fk.tgt_id, fk.cos, sa.src_knn, ta.tgt_knn,
-                       fk.cos / ((sa.src_knn + ta.tgt_knn) * 0.5) AS margin
-                FROM fk JOIN sa USING (src_id) JOIN ta USING (tgt_id)
-            ), bs AS (
-                SELECT *, row_number() OVER (PARTITION BY src_id
-                    ORDER BY margin DESC, tgt_id) AS r
-                FROM cand
-            ), bt AS (
-                SELECT src_id, tgt_id,
-                       row_number() OVER (PARTITION BY tgt_id
-                           ORDER BY margin DESC, src_id) AS r
-                FROM cand
-            )
-            SELECT b.src_id, b.tgt_id,
-                   FLOOR(b.cos * 1e6 + 0.5) / 1e6 AS cosine,
-                   FLOOR(b.src_knn * 1e6 + 0.5) / 1e6 AS src_knn_avg,
-                   FLOOR(b.tgt_knn * 1e6 + 0.5) / 1e6 AS tgt_knn_avg,
-                   FLOOR(b.margin * 1e6 + 0.5) / 1e6 AS margin
-            FROM bs b JOIN bt ON b.src_id = bt.src_id
-                              AND b.tgt_id = bt.tgt_id AND bt.r = 1
-            WHERE b.r = 1
-        """,
+        "bitext_margin_pairs": _bitext_margin_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "ann_recall_report": _ann_recall_oracle(),

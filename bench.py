@@ -220,14 +220,20 @@ SF1_VALUE_GATE = HEADLINE[:31] + [
     "duplicate_span_removal",
     "simhash_sigs",
     "winnowing_doc_fingerprints",
-    # similarity / ANN family. NOT here: semantic_dedup_keep /
-    # semantic_clusters / embedding_neardup / bitext_margin_pairs /
-    # diverse_prototype_sample / hard_negative_pairs — their ENGINE side
-    # runs in seconds at sf1 (SCALE probes), but the DuckDB oracle
-    # replays the O(n_vectors * n_cells * dim) adaptive-cell assignment
-    # (or the per-candidate cosine stream) through interpreted list ops
-    # and exceeds 5 minutes per query at 20K vectors; they stay
-    # value-gated at sf0.1 where the replay is tractable.
+    # similarity / ANN family. Round 9 closed the last exclusions: the
+    # oracles now run the 20K x 320-cell assignment as one vectorized
+    # DOUBLE[64] min(struct) aggregate (array_inner_product is
+    # bit-identical to list_dot_product) instead of an interpreted
+    # n x cells window, and bitext replays the IVF-probed path behind
+    # the same size dispatch as the engine — all six embedding-family
+    # queries are value-gated at sf1 (~35 s each; semantic_clusters
+    # ~4.5 min, dominated by DuckDB's recursive-CTE reachability).
+    "semantic_dedup_keep",
+    "semantic_clusters",
+    "embedding_neardup",
+    "bitext_margin_pairs",
+    "diverse_prototype_sample",
+    "hard_negative_pairs",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_lsh_topk",

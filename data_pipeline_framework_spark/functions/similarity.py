@@ -1618,6 +1618,7 @@ def margin_bitext_mine(
     nprobe: int = 4,
     seed: int = 42,
     brute_max: int = 4096,
+    centers_factory=None,
 ) -> DataFrame:
     """Parallel-pair mining by ratio-margin scoring (the public
     CCMatrix / Artetxe-Schwenk criterion): a candidate pair (x, y)
@@ -1649,6 +1650,13 @@ def margin_bitext_mine(
     high cosine, exactly where IVF recall concentrates, so mining
     quality degrades far slower than raw k-NN recall.
 
+    `centers_factory` (optional): called as centers_factory(n_side) to
+    supply each IVF side's codebook instead of seeded-kmeans training —
+    with a deterministic factory (e.g. fixed_codebook + adaptive_cells)
+    the whole probed mining path becomes a pure function of the data,
+    so an external SQL oracle can replay it exactly. Ignored on the
+    brute path.
+
     Output: (src_id, tgt_id, cosine, src_knn_avg, tgt_knn_avg, margin)
     — one row per source (forward best) or per mutual pair.
     """
@@ -1671,10 +1679,16 @@ def margin_bitext_mine(
         fwd = ivf_topk(
             tgt, src_q, k=k, id_col=id_col, vec_col=vec_col,
             n_cells=adaptive_cells(n_tgt), nprobe=nprobe, seed=seed,
+            centers=(
+                centers_factory(n_tgt) if centers_factory else None
+            ),
         )
         bwd = ivf_topk(
             src, tgt_q, k=k, id_col=id_col, vec_col=vec_col,
             n_cells=adaptive_cells(n_src), nprobe=nprobe, seed=seed,
+            centers=(
+                centers_factory(n_src) if centers_factory else None
+            ),
         )
 
     def knn_mean(topk: DataFrame, out: str) -> DataFrame:

@@ -415,6 +415,31 @@ def test_margin_bitext_ivf_engine_recovers_planted_pairs(spark):
     with pytest.raises(ValueError):
         margin_bitext_mine(src, tgt, method="nope")
 
+    # centers_factory replaces kmeans training with a supplied codebook
+    # — the probed mining becomes a pure function of the data (what
+    # lets the sf1 value gate replay this path in SQL), and the
+    # planted pairs are still recovered
+    from data_pipeline_framework_spark.functions.similarity import (
+        fixed_codebook,
+    )
+
+    calls = []
+
+    def factory(n):
+        calls.append(n)
+        return fixed_codebook(dim, n_cells=4, seed=7)
+
+    out_f = {
+        r["src_id"]: r
+        for r in margin_bitext_mine(
+            src, tgt, k=4, mutual=True, brute_max=0,
+            centers_factory=factory,
+        ).collect()
+    }
+    assert sorted(calls) == [40, 40]  # one codebook per side
+    for i in range(8):
+        assert i in out_f and out_f[i]["tgt_id"] == 100 + i, i
+
 
 def test_maybe_retrain_ivf_rebuilds_and_swaps_atomically(spark, tmp_path):
     """wired retrain trigger: (1) a healthy index is a no-op, (2) drift
