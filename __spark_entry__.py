@@ -1410,6 +1410,36 @@ def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality scoring with a GENUINELY TRAINED linear model: the
+    committed TRAINED_QUALITY_WEIGHTS come from
+    functions.text.train_hashed_classifier (distributed full-batch
+    logistic regression over hashed bag-of-words features — one
+    whole-stage aggregation per gradient step, dyadic-grid rounding so
+    the whole trajectory is order-independent and engine-exact; see
+    tools/train_classifier.py for provenance: sf0.01 documents, label
+    = even-numbered source). Scoring reuses hashed_classifier_score —
+    the oracle replays it with the same weight literals. The label
+    column rides along so the gate also checks the label derivation."""
+    from data_pipeline_framework_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0)
+        .cast("int").alias("label"),
+    )
+    out = TX.hashed_classifier_score(
+        docs, "doc_id", "text",
+        TX.TRAINED_QUALITY_WEIGHTS, bias=TX.TRAINED_QUALITY_BIAS,
+    )
+    return out.select(
+        "doc_id", "source", "label",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _r(F.col("margin"), 6).alias("margin"),
+        _r(F.col("prob"), 6).alias("prob"),
+    )
+
+
 def cluster_best_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality-aware canonicalization: near-dup clusters (minhash pairs
     -> connected components) keep their HIGHEST-n_chars member instead
@@ -4009,6 +4039,50 @@ def _classifier_oracle() -> str:
     """
 
 
+def _classifier_trained_oracle() -> str:
+    """DuckDB twin of classifier_trained_scores: same md5 bucket hash,
+    the COMMITTED TRAINED weights as literals (the trainer's dyadic
+    grids make the learned weights exactly representable, so the
+    weight sum replays bit-for-bit), same left-join empty-doc
+    handling, same even-source label derivation."""
+    from data_pipeline_framework_spark.functions.text import (
+        TRAINED_QUALITY_BIAS,
+        TRAINED_QUALITY_WEIGHTS,
+    )
+
+    vals = ", ".join(
+        f"({i}, {wi!r})" for i, wi in enumerate(TRAINED_QUALITY_WEIGHTS)
+    )
+    b = repr(TRAINED_QUALITY_BIAS)
+    h = "CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT)"
+    return f"""
+        WITH wts(bkt, wt) AS (VALUES {vals}),
+        tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS t
+            FROM documents
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt) AS sw
+            FROM (SELECT doc_id, {h} % 64 AS bkt FROM tok) x
+            JOIN wts USING (bkt)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.source,
+               CAST(CAST(substr(d.source, 4) AS INT) % 2 = 0 AS INT)
+                   AS label,
+               CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               FLOOR(({b} + COALESCE(a.sw / a.n_tokens, 0.0)) * 1e6 + 0.5)
+                   / 1e6 AS margin,
+               FLOOR(1.0 / (1.0 + exp(-({b} + COALESCE(a.sw / a.n_tokens,
+                                                       0.0))))
+                     * 1e6 + 0.5) / 1e6 AS prob
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def _threshold_sweep_oracle() -> str:
     """DuckDB twin of classifier_threshold_sweep: the classifier oracle's
     raw prob, label = (lang='en'), bucket floor((prob-0)/5e-2) clamped to
@@ -6157,6 +6231,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_flags": duplicate_span_flags,
         "unigram_logprob_scores": unigram_logprob_scores,
         "classifier_quality_scores": classifier_quality_scores,
+        "classifier_trained_scores": classifier_trained_scores,
         "classifier_threshold_sweep": classifier_threshold_sweep,
         "corpus_zipf_stats": corpus_zipf_stats,
         "cross_corpus_decontamination": cross_corpus_decontamination,
@@ -9153,6 +9228,7 @@ def _oracle_sql_dict() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "classifier_quality_scores": _classifier_oracle(),
+        "classifier_trained_scores": _classifier_trained_oracle(),
         "classifier_threshold_sweep": _threshold_sweep_oracle(),
         "corpus_zipf_stats": f"""
             WITH toks AS (

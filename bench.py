@@ -199,6 +199,7 @@ HEADLINE = [
     # round-8 additions
     "length_gini_bucketed",
     "priority_sample_docs",
+    "classifier_trained_scores",
     # token_set_similarity is deliberately NOT a headliner: its gate
     # query runs the exact (uncut) candidate mode, which is quadratic
     # in hot-token postings — correct at sf0.01 gate scale, wrong to
@@ -247,6 +248,7 @@ SF1_VALUE_GATE = HEADLINE[:31] + [
     "stratified_sample_docs",
     "temperature_mixture_docs",
     "priority_sample_docs",
+    "classifier_trained_scores",
     # text signals / drift
     "badword_scores",
     "language_scores",

@@ -537,6 +537,170 @@ def hashed_classifier_score(
     )
 
 
+def _dyadic(x: Column, g: int) -> Column:
+    """Round-half-up onto the 2^-g dyadic grid — every rounded value
+    (and any sum of < 2^(53-g) of them) is exactly representable in
+    float64, so aggregates over them are order-independent."""
+    s = F.lit(float(1 << g))
+    return F.floor(x * s + F.lit(0.5)) / s
+
+
+def dyadic_round(x: float, g: int) -> float:
+    """Driver-side twin of _dyadic (same IEEE ops)."""
+    s = float(1 << g)
+    return math.floor(x * s + 0.5) / s
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 64,
+    steps: int = 20,
+    lr: float = 1.0,
+) -> dict:
+    """Distributed logistic-regression trainer for
+    `hashed_classifier_score`'s model: margin(d) = bias + mean hashed
+    bucket weight, p = sigmoid(margin), full-batch gradient descent on
+    log-loss. This is the TRAINING half of the CCNet/RefinedWeb-style
+    quality-classifier recipe (fit a linear model on labeled seed
+    sets, then score the corpus); the reference's closest surface is
+    the text-feature + model pipeline in its feature-engineering
+    module (reference transformations/feature_engineering.py:141-225).
+
+    Every gradient step is ONE whole-stage-codegen aggregation over a
+    persisted feature frame (per-doc dense bucket-count arrays — built
+    once with a single shuffle), with the current weights broadcast
+    back as literals; no per-row Python anywhere.
+
+    ENGINE-EXACT BY CONSTRUCTION: weights live on the 2^-20 dyadic
+    grid (like classifier_weights), per-doc residuals are rounded to
+    2^-12 and per-doc gradient contributions to 2^-30 before
+    aggregation — so every sum in the trainer is a sum of exactly-
+    representable dyadics (exact integer arithmetic inside float64),
+    order-independent, and therefore identical under any partitioning,
+    any executor count, and on a driver-side reference replaying the
+    same op order. The learned model scores engine-exactly through
+    hashed_classifier_score, and an external SQL oracle replays the
+    scoring bit-for-bit.
+
+    Zero-token documents carry no features and are excluded from
+    training (the scorer still scores them at sigmoid(bias)); rows
+    with NULL labels are excluded.
+
+    Returns {"weights", "bias", "n_docs", "steps", "lr", "n_buckets"}.
+    """
+    nb = n_buckets
+    if nb <= 0 or steps < 0:
+        raise ValueError("n_buckets must be positive, steps >= 0")
+    toks = df.where(F.col(label_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(label_col).cast("double").alias("__y"),
+        F.explode(tokens(text_col)).alias("__t"),
+    )
+    cnts = toks.select(
+        id_col, "__y", (hash52(F.col("__t")) % nb).cast("int").alias("__b")
+    ).groupBy(id_col, "__y", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    feat = (
+        cnts.groupBy(id_col, "__y")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__c"))
+            ).alias("__m"),
+            F.sum("__c").alias("__n"),
+        )
+        .select(
+            "__y",
+            F.col("__n").cast("double").alias("__n"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nb - 1)),
+                lambda b: F.coalesce(
+                    F.element_at(F.col("__m"), b), F.lit(0)
+                ).cast("double"),
+            ).alias("__x"),
+        )
+        .persist()
+    )
+    try:
+        n_docs = feat.count()
+        weights = [0.0] * nb
+        bias = 0.0
+        if n_docs == 0:
+            return {
+                "weights": weights, "bias": bias, "n_docs": 0,
+                "steps": steps, "lr": lr, "n_buckets": nb,
+            }
+        for _ in range(steps):
+            w_lit = F.array(*[F.lit(w) for w in weights])
+            dot = F.aggregate(
+                F.sequence(F.lit(1), F.lit(nb)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(F.col("__x"), i) * F.element_at(w_lit, i),
+            )
+            margin = F.lit(bias) + dot / F.col("__n")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            stepdf = feat.withColumn(
+                "__r", _dyadic(p - F.col("__y"), 12)
+            )
+            row = stepdf.agg(
+                *[
+                    F.sum(
+                        _dyadic(
+                            F.col("__r")
+                            * F.element_at(F.col("__x"), b + 1)
+                            / F.col("__n"),
+                            30,
+                        )
+                    ).alias(f"g{b}")
+                    for b in range(nb)
+                ],
+                F.sum("__r").alias("gb"),
+            ).first()
+            weights = [
+                dyadic_round(
+                    weights[b] - lr * (row[f"g{b}"] / n_docs), 20
+                )
+                for b in range(nb)
+            ]
+            bias = dyadic_round(bias - lr * (row["gb"] / n_docs), 20)
+        return {
+            "weights": weights, "bias": bias, "n_docs": n_docs,
+            "steps": steps, "lr": lr, "n_buckets": nb,
+        }
+    finally:
+        feat.unpersist()
+
+
+# Committed trained weights for the quality-classifier demo query:
+# produced by tools/train_classifier.py — train_hashed_classifier on
+# the sf0.01 documents fixture (/root/testdata/sf0.01), label =
+# even-numbered source (CAST(substr(source, 4) AS INT) % 2 == 0),
+# n_buckets=64, steps=20, lr=1.0. The trainer is engine-exact (dyadic
+# grids, order-independent sums), so retraining reproduces these
+# bit-for-bit — pinned by tests/test_classifier_train.py.
+TRAINED_QUALITY_WEIGHTS: list[float] = [
+    0.008654594421386719, -0.0028314590454101562, 0.0, 0.0,
+    0.0, 0.004414558410644531, 0.0, 0.0,
+    0.0, 0.013702392578125, 0.0, -0.019166946411132812,
+    -0.013753890991210938, -0.0214691162109375, 0.0, 0.0,
+    0.0, 0.0, 0.01409149169921875, 0.00933837890625,
+    0.0, 0.0, 0.011091232299804688, -0.008755683898925781,
+    0.0, 0.0, 0.0, -0.02282428741455078,
+    0.0, 0.0, 0.0, 0.018639564514160156,
+    -0.011964797973632812, 0.0, 0.0, 0.011571884155273438,
+    0.0, 0.0, 0.00774383544921875, 0.0,
+    -0.01883697509765625, 0.0, -0.00347137451171875, -0.00141143798828125,
+    0.0, 0.0, 0.001659393310546875, -0.014071464538574219,
+    0.0, 0.0, 0.0, 0.0,
+    0.00025177001953125, 0.0, 0.010698318481445312, 0.003509521484375,
+    0.02334308624267578, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.00046062469482421875, -0.0005826950073242188,
+]
+TRAINED_QUALITY_BIAS: float = 3.0517578125e-05
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -776,6 +776,55 @@ def _op_bm25(params: Mapping, ctx) -> OpFn:
     )
 
 
+def _op_classifier_score(params: Mapping, ctx) -> OpFn:
+    """Hashed linear quality classifier — `{"type": "classifier_score",
+    "id_column": "doc_id", "text_column": "text"}`. Adds n_tokens,
+    margin and a sigmoid score column (`output_column`, default
+    "prob"). Weights resolve in order: `train_label_column` trains
+    in-pipeline with functions.text.train_hashed_classifier
+    (distributed full-batch logistic regression, engine-exact dyadic
+    steps — the CCNet-style fit-on-seed-labels recipe); an explicit
+    `weights` list scores with a pretrained model; otherwise the
+    committed TRAINED_QUALITY model is used. `min_score` optionally
+    filters to rows at or above the threshold."""
+    from ..functions.text import (
+        TRAINED_QUALITY_BIAS,
+        TRAINED_QUALITY_WEIGHTS,
+        hashed_classifier_score,
+        train_hashed_classifier,
+    )
+
+    idc = params.get("id_column", "doc_id")
+    txt = params.get("text_column", "text")
+    out_col = params.get("output_column", "prob")
+
+    def fn(df: DataFrame) -> DataFrame:
+        lab = params.get("train_label_column")
+        if lab:
+            model = train_hashed_classifier(
+                df, idc, txt, lab,
+                n_buckets=int(params.get("n_buckets", 64)),
+                steps=int(params.get("steps", 20)),
+                lr=float(params.get("lr", 1.0)),
+            )
+            w, b = model["weights"], model["bias"]
+        elif params.get("weights") is not None:
+            w = [float(x) for x in params["weights"]]
+            b = float(params.get("bias", 0.0))
+        else:
+            w, b = TRAINED_QUALITY_WEIGHTS, TRAINED_QUALITY_BIAS
+        scored = hashed_classifier_score(
+            df, idc, txt, w, bias=b, out_col=out_col
+        )
+        if params.get("min_score") is not None:
+            scored = scored.filter(
+                F.col(out_col) >= float(params["min_score"])
+            )
+        return scored
+
+    return fn
+
+
 def _op_semantic_dedup(params: Mapping, ctx) -> OpFn:
     """SemDeDup — `{"type": "semantic_dedup", "threshold": 0.9,
     "id_column": c, "vector_column": v, "n_cells": 8, "dim": 64}`.
@@ -1342,6 +1391,7 @@ OP_REGISTRY: dict[str, Callable[[Mapping, Any], OpFn]] = {
     "funnel": _op_funnel,
     "cohort_retention": _op_cohort_retention,
     "bm25": _op_bm25,
+    "classifier_score": _op_classifier_score,
     "semantic_dedup": _op_semantic_dedup,
     "remove_duplicate_spans": _op_remove_duplicate_spans,
     "blocklist_filter": _op_blocklist_filter,

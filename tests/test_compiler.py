@@ -512,6 +512,52 @@ def test_analytics_ops_in_config_pipeline(spark):
     assert sorted(r["vec_id"] for r in kept.collect()) == [0, 2]
 
 
+def test_op_classifier_score_paths(spark):
+    """classifier_score: explicit weights score like the library fn;
+    the committed-default path adds the score columns; in-pipeline
+    training matches calling the trainer directly."""
+    from data_pipeline_framework_spark.functions.text import (
+        hashed_classifier_score,
+        train_hashed_classifier,
+    )
+    from data_pipeline_framework_spark.plans.compiler import compile_ops
+
+    docs = spark.createDataFrame(
+        [(0, "clean fast spark", 1), (1, "spam junk bait", 0)] * 10,
+        "doc_id long, text string, lab int",
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    w = [0.25] * 8
+    got = compile_ops(
+        [{"type": "classifier_score", "weights": w, "bias": 0.5,
+          "n_buckets": 8}]
+    )(docs)
+    want = hashed_classifier_score(docs, "doc_id", "text", w, bias=0.5)
+    assert (
+        {(r["doc_id"], r["margin"], r["prob"]) for r in got.collect()}
+        == {(r["doc_id"], r["margin"], r["prob"]) for r in want.collect()}
+    )
+
+    # committed default model
+    d = compile_ops([{"type": "classifier_score"}])(docs)
+    assert {"prob", "margin", "n_tokens"} <= set(d.columns)
+
+    # in-pipeline training == the trainer called directly
+    trained = compile_ops(
+        [{"type": "classifier_score", "train_label_column": "lab",
+          "n_buckets": 16, "steps": 3, "min_score": 0.5}]
+    )(docs)
+    model = train_hashed_classifier(
+        docs, "doc_id", "text", "lab", n_buckets=16, steps=3
+    )
+    direct = hashed_classifier_score(
+        docs, "doc_id", "text", model["weights"], bias=model["bias"]
+    ).filter("prob >= 0.5")
+    assert (
+        sorted(r["doc_id"] for r in trained.collect())
+        == sorted(r["doc_id"] for r in direct.collect())
+    )
+
+
 def test_op_remove_duplicate_spans_rewrites_text(spark):
     df = spark.createDataFrame(
         [(1, "a b x y z c"), (2, "p x y z q r")],

@@ -465,3 +465,34 @@ def test_audit_sample_yaml_example(spark, sf_dir, tmp_path, monkeypatch):
     )
     assert ids1 == ids2
     assert "priority" in back.columns
+
+
+def test_trained_quality_filter_yaml_example(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """the shipped examples/trained_quality_filter.yaml runs
+    end-to-end: trains the hashed classifier in-pipeline from the seed
+    label, scores, filters at 0.5, and is deterministic across runs
+    (the trainer's dyadic arithmetic is partition-invariant)."""
+    out = str(tmp_path / "tq_out")
+    monkeypatch.setenv("TQ_INPUT", f"{sf_dir}/documents.parquet")
+    monkeypatch.setenv("TQ_OUT", out)
+    result = Pipeline.from_yaml(
+        "examples/trained_quality_filter.yaml", spark
+    ).run()
+    assert result.status == "success", result.error
+    back = spark.read.parquet(out)
+    n = back.count()
+    assert 0 < n == result.rows_written
+    assert {"prob", "margin", "n_tokens", "seed_label"} <= set(back.columns)
+    assert back.filter("prob < 0.5").count() == 0
+    ids1 = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    result2 = Pipeline.from_yaml(
+        "examples/trained_quality_filter.yaml", spark
+    ).run()
+    assert result2.status == "success", result2.error
+    ids2 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert ids1 == ids2
