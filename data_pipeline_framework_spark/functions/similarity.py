@@ -717,22 +717,37 @@ def embedding_neardup_pairs(
     n_blocks: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    vector_join: str = "broadcast",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) with LSH-block
     candidate generation — the embedding twin of minhash_dedup_pairs.
-    Pass ``dim`` to keep plan construction fully lazy (see lsh_topk)."""
+    Pass ``dim`` to keep plan construction fully lazy (see lsh_topk).
+
+    Plan shape (the round-9 rewrite — a stagewise sf10 profile showed
+    the old plan spent ~90% of its 227 s shuffling candidate rows that
+    carried BOTH 64-double vectors through the self-join and the
+    pair-dedup exchange): candidates stay NARROW (id_a, id_b) through
+    the block self-join and dropDuplicates, and the vectors attach
+    AFTER dedup via two joins against the (id, vector, norm) table, so
+    wide rows never shuffle — the exact-cosine verify runs map-side in
+    the same stage and only surviving pairs flow on. ``vector_join``:
+    "broadcast" (default) attaches map-side — right whenever the
+    embedding table fits executor memory (it is ~dim x 8 bytes per
+    row; 100 MB at 200K x 64d), the common per-shard/per-epoch case;
+    "shuffle" for tables beyond broadcast reach (two sort-merge joins
+    — still strictly narrower than shuffling vectors through the
+    dedup). Cosines are the identical float values either way (same
+    precomputed norms, same dot fold)."""
+    if vector_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown vector_join {vector_join!r}")
     base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
     if dim is None:
         dim = len(base.select("__v").first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     bits_per_block = n_planes // n_blocks
     sig = base.withColumn("__sig", lsh_signature(F.col("__v"), planes))
-    # per-row norm computed ONCE here: the per-pair cosine below is then
-    # a single dot-product aggregate instead of three (dot + 2 norms) —
-    # the identical float value (same inputs, same ops), ~3x less
-    # interpreted higher-order-function work on the candidate stream
     blocks = sig.select(
-        id_col, "__v", _norm(F.col("__v")).alias("__n"),
+        id_col,
         F.explode(
             F.array(*[
                 F.struct(
@@ -744,8 +759,7 @@ def embedding_neardup_pairs(
                 for b in range(n_blocks)
             ])
         ).alias("bk"),
-    ).select(id_col, "__v", "__n", "bk.blk", "bk.key").persist()
-    # persisted: the 16 plane dot-products feed both sides of the self-join
+    ).select(id_col, "bk.blk", "bk.key")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -757,19 +771,32 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
-            F.col("a.__n").alias("__na"),
-            F.col("b.__n").alias("__nb"),
         )
-        # dedup BEFORE scoring: a pair matching in several blocks would
-        # recompute its interpreted 64-dim dot per duplicate — measured
-        # 2.5x slower than shuffling the wider (vectors-attached) rows
-        # once and scoring each surviving pair exactly once
+        # dedup BEFORE attach+verify: a pair matching in several blocks
+        # would otherwise verify once per duplicate, and the dedup
+        # exchange moves 16-byte id pairs instead of 1 KB vector rows
         .dropDuplicates(["id_a", "id_b"])
     )
+    # per-row norm computed ONCE here: the per-pair cosine below is then
+    # a single dot-product aggregate instead of three (dot + 2 norms) —
+    # the identical float value (same inputs, same ops)
+    vec = base.select(
+        F.col(id_col).alias("__vid"), "__v", _norm(F.col("__v")).alias("__n")
+    )
+    va = vec.select(
+        F.col("__vid").alias("id_a"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    vb = vec.select(
+        F.col("__vid").alias("id_b"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    if vector_join == "broadcast":
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
-        cand.withColumn(
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
             "cosine",
             F.try_divide(
                 _dot(F.col("__va"), F.col("__vb")),

@@ -49,6 +49,37 @@ def test_ivf_recall_and_pruning(spark, sf_dir):
     assert largest_4_cells < n  # probing 4 of 8 cells cannot scan everything
 
 
+def test_embedding_neardup_vector_join_modes_identical(spark):
+    """r9 narrow-candidate rewrite: broadcast and shuffle vector
+    attachment produce the identical pair set and cosines (same
+    precomputed norms, same dot fold), and bad modes are rejected."""
+    import pytest
+
+    from data_pipeline_framework_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    a = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            vecs, threshold=0.8, dim=3, vector_join="broadcast"
+        ).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            vecs, threshold=0.8, dim=3, vector_join="shuffle"
+        ).collect()
+    }
+    assert a and a == b
+    with pytest.raises(ValueError, match="vector_join"):
+        embedding_neardup_pairs(vecs, vector_join="nope", dim=3)
+
+
 def test_ivf_probe_empty_batch_and_exact_ties(spark):
     """ADVICE r8: the vectorized probe must survive an empty arrow
     batch (np.stack raises on []), and EXACT centroid ties must still
