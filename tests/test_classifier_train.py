@@ -118,6 +118,8 @@ def test_trainer_partition_invariant(spark):
 def test_trainer_edge_cases(spark):
     import pytest
 
+    # baseline: other session-scoped tests may leave checkpoints cached
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
     df = spark.createDataFrame(
         [(1, "a b", 1), (2, None, 0)], "doc_id long, text string, label int"
     )
@@ -137,8 +139,8 @@ def test_trainer_edge_cases(spark):
             df, "doc_id", "text", "label", n_buckets=0
         )
 
-    # no cached frame may outlive the call
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # no cached frame may outlive the calls above
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
 
 
 def test_committed_weights_reproduce_from_fixture(spark):
