@@ -198,15 +198,23 @@ def test_bm25_plan_broadcasts_and_filters_before_shuffle(spark, corpus):
 
 
 def test_bm25_releases_cache(spark, corpus):
-    # ADVICE r8: the tokenized-corpus persist must not outlive the call
-    # — per-query sweeps would accumulate executor storage forever.
+    # ADVICE r8: the tokenized-corpus persist (eager cache=True path)
+    # must not outlive the call — per-query sweeps would accumulate
+    # executor storage forever — and it must score identically to the
+    # lazy default.
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     queries = spark.createDataFrame(
         [("q0", "quick dogs")], ["query_id", "query_text"]
     )
-    out = bm25_topk(corpus, queries, k=3)
-    assert out.count() > 0
+    out = bm25_topk(corpus, queries, k=3, cache=True)
+    rows = {(r["query_id"], r["doc_id"], r["score"]) for r in out.collect()}
+    assert rows
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
+    lazy = {
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in bm25_topk(corpus, queries, k=3).collect()
+    }
+    assert rows == lazy
 
 
 def test_semantic_dedup_empty_input_raises(spark):
