@@ -56,6 +56,19 @@ def _nested_double_lit(arrs: list[list[float]]) -> Column:
     )
 
 
+def _double_lit(vals: list[float]) -> Column:
+    """array<double> literal in ONE driver call — the 1-D sibling of
+    _nested_double_lit, for single centroids/planes (64 F.lit py4j
+    round trips otherwise). Constant-folded by Catalyst into the
+    identical array literal; json round-trips every finite double
+    exactly."""
+    import json
+
+    return F.from_json(
+        F.lit(json.dumps([float(v) for v in vals])), "array<double>"
+    )
+
+
 def cosine(a, b) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
@@ -168,10 +181,19 @@ def fixed_codebook(
 
 
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature: bit j = 1 iff dot(vec, plane_j) > 0."""
+    """Sign-bit signature: bit j = 1 iff dot(vec, plane_j) > 0.
+
+    Plane constants enter as ONE nested literal indexed with
+    element_at — Catalyst constant-folds each lookup back into the
+    identical per-plane array literal (verified: optimized plans match
+    the per-element form token-for-token modulo lambda ids), so every
+    signature bit is unchanged while plan construction stops paying
+    n_planes x dim py4j round trips (52 x 64 = 3.3K driver calls at
+    200K vectors — the round-8 _nested_double_lit bug class)."""
+    P = _nested_double_lit([[float(x) for x in p] for p in planes])
     bits = []
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+    for j in range(len(planes)):
+        p = F.element_at(P, j + 1)
         bits.append(
             F.when(_dot(vec_col, p) > 0, F.shiftleft(F.lit(1).cast("long"), j))
             .otherwise(F.lit(0).cast("long"))
@@ -888,12 +910,12 @@ def random_projection(
     scale = 1.0 / (out_dim ** 0.5)
     v = F.col("__v")
     out = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
+    P = _nested_double_lit([[float(x) for x in p] for p in planes])
     comps = [
-        (
-            _dot(v, F.array(*[F.lit(float(x)) for x in plane]))
-            * F.lit(scale)
-        )
-        for plane in planes
+        # element_at on the literal matrix folds to the per-plane array
+        # literal — identical floats, out_dim x dim fewer py4j calls
+        (_dot(v, F.element_at(P, j + 1)) * F.lit(scale))
+        for j in range(len(planes))
     ]
     return out.withColumn(out_col, F.array(*comps)).drop("__v")
 
@@ -989,8 +1011,15 @@ def _sq_dist_lit(sub_vec: Column, centroid: list[float]) -> Column:
     in the gate logs; ann_pq_topk spent 10.7 s on a 5K-row corpus).
     The fold is left-associative with a +0.0 identity seed and squares
     through the same POWER expr, so every double is bit-identical to
-    the unrolled chain and the SQL oracles replay unchanged."""
-    lit_c = F.array(*[F.lit(float(c)) for c in centroid])
+    the unrolled chain and the SQL oracles replay unchanged.
+
+    ``centroid`` may be a list of floats or an already-built literal
+    Column (element_at on a _nested_double_lit codebook — folds to the
+    same array literal without per-float py4j calls)."""
+    lit_c = (
+        centroid if isinstance(centroid, Column)
+        else _double_lit(centroid)
+    )
     return F.aggregate(
         F.zip_with(sub_vec, lit_c, lambda a, b: (a - b) ** 2),
         F.lit(0.0),
@@ -1017,6 +1046,7 @@ def pq_encode(
     codes = []
     for j, book in enumerate(codebooks):
         sv = _pq_sub(F.col("__v"), j, sub)
+        B = _nested_double_lit([[float(x) for x in c] for c in book])
         # argmin via array_min over (dist, idx) structs: lexicographic
         # struct comparison gives ties -> lowest index, and each
         # distance expression appears ONCE — the chained-when argmin
@@ -1025,9 +1055,10 @@ def pq_encode(
         # k/2x redundant interpreted evaluation
         cands = [
             F.struct(
-                _sq_dist_lit(sv, c).alias("d"), F.lit(i).alias("i")
+                _sq_dist_lit(sv, F.element_at(B, i + 1)).alias("d"),
+                F.lit(i).alias("i"),
             )
-            for i, c in enumerate(book)
+            for i in range(len(book))
         ]
         codes.append(F.array_min(F.array(*cands))["i"].cast("int"))
     return base.withColumn(out_col, F.array(*codes)).drop("__v")
@@ -1061,8 +1092,13 @@ def pq_topk(
     q = queries.withColumn("__qv", qv)
     for j, book in enumerate(codebooks):
         sv = _pq_sub(F.col("__qv"), j, sub)
+        B = _nested_double_lit([[float(x) for x in c] for c in book])
         q = q.withColumn(
-            f"__qd{j}", F.array(*[_sq_dist_lit(sv, c) for c in book])
+            f"__qd{j}",
+            F.array(*[
+                _sq_dist_lit(sv, F.element_at(B, i + 1))
+                for i in range(len(book))
+            ]),
         )
     q = q.select(query_id_col, *[f"__qd{j}" for j in range(m)])
     approx = None
@@ -1223,9 +1259,13 @@ def _literal_cell_argmin(centers: list[list[float]]) -> Column:
     Bit-exactly replayable by a SQL oracle — but O(n_cells * dim) ops
     PER ROW, and past ~64 cells the generated method outgrows codegen
     and falls back to interpreted eval. Use the Arrow path beyond that."""
+    P = _nested_double_lit([[float(x) for x in c] for c in centers])
     cells = []
-    for j, cvec in enumerate(centers):
-        c = F.array(*[F.lit(float(x)) for x in cvec])
+    for j in range(len(centers)):
+        # element_at on the one nested literal constant-folds to the
+        # identical per-cell array literal (and _dot(c, c) folds to a
+        # double) — same optimized plan, n_cells x dim fewer py4j calls
+        c = F.element_at(P, j + 1)
         d2 = _dot(F.col("__v"), F.col("__v")) - 2.0 * _dot(
             F.col("__v"), c
         ) + _dot(c, c)
@@ -1476,7 +1516,7 @@ def centroid_similarity(
     cnorm = math.sqrt(math.fsum(v * v for v in cvals))
     if cnorm == 0.0:
         raise ValueError("seed centroid is the zero vector")
-    cen = F.array(*[F.lit(v) for v in cvals])
+    cen = _double_lit(cvals)
     v = F.col(vec_col)
     return df.withColumn(
         "centroid_cosine",
