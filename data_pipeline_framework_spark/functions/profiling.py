@@ -1442,8 +1442,10 @@ def ks_drift(
       1. per side, ONE groupBy(value) count — the pooled distinct-value
          table is the working set, never raw rows;
       2. approximate quantile cut points split the value axis into
-         `n_buckets` ranges; per-bucket count totals (a bounded
-         <= n_buckets-row collect) become literal prefix offsets;
+         `n_buckets` ranges; per-bucket count totals (<= n_buckets
+         rows) turn into exclusive prefix offsets in-plan (one array
+         row expanded by bounded higher-order functions,
+         broadcast-joined back);
       3. cumulative counts are a window per bucket partition plus the
          bucket's offset — integer arithmetic throughout, so the ECDFs
          (and D) are exact and engine-portable; the single division per
@@ -1519,9 +1521,10 @@ def _ks_from_value_counts(j: DataFrame, n_buckets: int) -> DataFrame:
     from pyspark.sql import Window
 
     spark = j.sparkSession
-    # three actions read this frame (cut points, bucket totals, the
-    # final statistic) — persist so the counts build runs once, then
-    # unpersist in the finally below once the statistic is collected
+    # TWO actions read this frame (cut points, then the final
+    # statistic — the bucket prefix offsets ride the second action
+    # in-plan, r9: was a third bounded collect) — persist so the
+    # counts build runs once, then unpersist in the finally below
     j = j.persist()
     try:
         probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -1535,56 +1538,86 @@ def _ks_from_value_counts(j: DataFrame, n_buckets: int) -> DataFrame:
             ).alias("cuts")
         ).first()
         cuts = sorted(set(cuts_row["cuts"] or []))
-        bkt = F.lit(0)
-        for c in cuts:
-            bkt = bkt + F.when(F.col("v") > F.lit(float(c)), 1).otherwise(0)
+        if cuts:
+            bkt = F.lit(0)
+            for c in cuts:
+                bkt = bkt + F.when(
+                    F.col("v") > F.lit(float(c)), 1
+                ).otherwise(0)
+        else:
+            # degenerate single bucket (tiny/empty input): a literal 0
+            # would CONSTANT-FOLD out of the window partition spec and
+            # re-introduce the no-partition WindowExec; pmod(hash, 1)
+            # is 0 for every row but opaque to the optimizer
+            bkt = F.pmod(F.hash(F.col("v")), F.lit(1))
         jb = j.withColumn("__b", bkt)
-        # bounded collect: one row per bucket -> literal prefix offsets
-        totals = {
-            r["__b"]: (r["sa"], r["sb"])
-            for r in jb.groupBy("__b")
-            .agg(F.sum("ca").alias("sa"), F.sum("cb").alias("sb"))
-            .collect()
-        }
-        n_a = sum(t[0] for t in totals.values())
-        n_b = sum(t[1] for t in totals.values())
-        if n_a == 0 or n_b == 0:
-            raise ValueError(
-                "ks_drift requires non-empty samples on both sides"
+        # per-bucket totals -> exclusive prefix offsets, IN-PLAN (r9:
+        # was a third bounded collect + literal map): the totals frame
+        # is <= n_buckets rows, so it folds into ONE array row whose
+        # prefix sums expand with in-row higher-order functions
+        # (bounded n_buckets^2 interpreted steps on a single row — no
+        # WindowExec, no extra driver action) and the offsets
+        # broadcast-join back onto the bucket key. Same integer
+        # arithmetic as the old literal-map form.
+        zero = F.lit(0).cast("bigint")
+        offs = (
+            jb.groupBy("__b")
+            .agg(F.sum("ca").alias("__sa"), F.sum("cb").alias("__sb"))
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("__b", "__sa", "__sb"))
+                ).alias("__arr")
             )
-        off_a: dict[int, int] = {}
-        off_b: dict[int, int] = {}
-        run_a = run_b = 0
-        for b in sorted(totals):
-            off_a[b], off_b[b] = run_a, run_b
-            run_a += totals[b][0]
-            run_b += totals[b][1]
-        map_a = F.create_map(
-            *[x for b in sorted(totals)
-              for x in (F.lit(b), F.lit(off_a[b]).cast("long"))]
-        )
-        map_b = F.create_map(
-            *[x for b in sorted(totals)
-              for x in (F.lit(b), F.lit(off_b[b]).cast("long"))]
+            .select(
+                F.explode(
+                    F.transform(
+                        "__arr",
+                        lambda e, i: F.struct(
+                            e["__b"].alias("__b"),
+                            F.aggregate(
+                                F.slice("__arr", 1, i), zero,
+                                lambda acc, x: acc + x["__sa"],
+                            ).alias("__offa"),
+                            F.aggregate(
+                                F.slice("__arr", 1, i), zero,
+                                lambda acc, x: acc + x["__sb"],
+                            ).alias("__offb"),
+                        ),
+                    )
+                ).alias("__e"),
+                F.aggregate(
+                    "__arr", zero, lambda acc, x: acc + x["__sa"]
+                ).alias("__na"),
+                F.aggregate(
+                    "__arr", zero, lambda acc, x: acc + x["__sb"]
+                ).alias("__nb"),
+            )
+            .select("__e.__b", "__e.__offa", "__e.__offb", "__na", "__nb")
         )
         w = (
             Window.partitionBy("__b")
             .orderBy("v")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        d = jb.select(
-            "v",
+        # the ECDF difference keeps the exact integer-cumsum shape of
+        # the literal-map form: (off + cum) cast to double, ONE division
+        # per side — bit-identical D for identical inputs
+        na_d = F.col("__na").cast("double")
+        nb_d = F.col("__nb").cast("double")
+        d = jb.join(F.broadcast(offs), "__b").select(
+            "v", "__na", "__nb",
             (
                 F.abs(
-                    (map_a[F.col("__b")] + F.sum("ca").over(w))
-                    .cast("double") / F.lit(float(n_a))
-                    - (map_b[F.col("__b")] + F.sum("cb").over(w))
-                    .cast("double") / F.lit(float(n_b))
+                    (F.col("__offa") + F.sum("ca").over(w))
+                    .cast("double") / na_d
+                    - (F.col("__offb") + F.sum("cb").over(w))
+                    .cast("double") / nb_d
                 )
             ).alias("d"),
+            na_d.alias("__nad"), nb_d.alias("__nbd"),
         )
         top = d.orderBy(F.desc("d"), F.asc("v")).limit(1)
-        ne = F.lit(float(n_a)) * n_b / (n_a + n_b)
+        ne = F.col("__nad") * F.col("__nb") / (F.col("__na") + F.col("__nb"))
         lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * F.col("d")
         series = F.aggregate(
             F.sequence(F.lit(1), F.lit(100)),
@@ -1601,13 +1634,18 @@ def _ks_from_value_counts(j: DataFrame, n_buckets: int) -> DataFrame:
             )
             .alias("p_value"),
             F.col("v").alias("at_value"),
+            F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
         ).first()
     finally:
         j.unpersist()
+    if row is None or not row["n_a"] or not row["n_b"]:
+        raise ValueError(
+            "ks_drift requires non-empty samples on both sides"
+        )
     return spark.createDataFrame(
         [(
             float(row["ks_stat"]), float(row["p_value"]),
-            int(n_a), int(n_b), float(row["at_value"]),
+            int(row["n_a"]), int(row["n_b"]), float(row["at_value"]),
         )],
         "ks_stat double, p_value double, n_a bigint, n_b bigint, "
         "at_value double",
@@ -1710,14 +1748,15 @@ def gini_coefficient(
     dispatch scan entirely when group sizes are known small.
 
     Ungrouped (group_by=None): there is no group key to partition a
-    rank window by, so ranks are derived WITHOUT any single-partition
-    window, the same way `ks_drift` builds its ECDFs: one
-    groupBy(value) count collapses the input to its distinct values;
-    approximate-quantile cut points split the value axis into
-    `n_buckets` ranges; per-bucket totals (a bounded <= n_buckets-row
-    collect, which also carries min(x) for the negative guard — again
-    no extra scan) become literal prefix offsets; a window per BUCKET
-    partition finishes the exclusive prefix s_v. A run of c_v ties at
+    rank window by, so ranks are derived WITHOUT any data-sized
+    single-partition window, the same way `ks_drift` builds its ECDFs:
+    one groupBy(value) count collapses the input to its distinct
+    values; approximate-quantile cut points split the value axis into
+    `n_buckets` ranges; per-bucket totals (<= n_buckets rows) turn
+    into exclusive prefix offsets in-plan (one array row expanded by
+    bounded higher-order functions, broadcast-joined back — n, total
+    and the min(x) negative guard ride the final aggregation); a
+    window per BUCKET partition finishes the exclusive prefix s_v. A run of c_v ties at
     value v then occupies ranks s_v+1..s_v+c_v, contributing
     v*c_v*(2*s_v + c_v + 1) to 2*sum(i*x_i) — summed in
     DECIMAL(38,0), exact far past long range. This path is EAGER (the
@@ -1821,84 +1860,119 @@ def _gini_global(
             ).alias("cuts")
         ).first()
         cuts = sorted(set(cuts_row["cuts"] or []))
-        bkt = F.lit(0)
-        for c in cuts:
-            bkt = bkt + F.when(
-                F.col("__x") > F.lit(float(c)), 1
-            ).otherwise(0)
+        if cuts:
+            bkt = F.lit(0)
+            for c in cuts:
+                bkt = bkt + F.when(
+                    F.col("__x") > F.lit(float(c)), 1
+                ).otherwise(0)
+        else:
+            # degenerate single bucket (tiny/empty input): a literal 0
+            # would CONSTANT-FOLD out of the window partition spec and
+            # re-introduce the no-partition WindowExec; pmod(hash, 1)
+            # is 0 for every row but opaque to the optimizer
+            bkt = F.pmod(F.hash(F.col("__x")), F.lit(1))
         jb = vc.withColumn("__b", bkt)
-        # bounded collect: one row per bucket -> literal offsets; the
-        # same rows carry min(x) so the negative guard costs nothing
-        brows = (
+        # per-bucket totals -> exclusive prefix offsets, IN-PLAN (r9:
+        # was a bounded driver collect + literal map — one extra action
+        # over the cached frame): the totals frame is <= n_buckets
+        # rows, so it folds into ONE array row whose prefix sums
+        # expand with in-row higher-order functions (bounded
+        # n_buckets^2 interpreted steps on a single row — no
+        # WindowExec, no extra driver action) and the offsets
+        # broadcast-join back onto the bucket key. n/total/min ride
+        # the final aggregation — long/decimal sums are exact and
+        # order-independent, so the values match the collected form
+        # bit-for-bit.
+        zero = F.lit(0).cast("bigint")
+        offs = (
             jb.groupBy("__b")
+            .agg(F.sum("__c").alias("__bc"))
             .agg(
-                F.sum("__c").alias("cnt"),
-                F.sum(F.col("__x") * F.col("__c")).alias("tot"),
-                F.min("__x").alias("mn"),
+                F.sort_array(
+                    F.collect_list(F.struct("__b", "__bc"))
+                ).alias("__arr")
             )
-            .collect()
+            .select(
+                F.explode(
+                    F.transform(
+                        "__arr",
+                        lambda e, i: F.struct(
+                            e["__b"].alias("__b"),
+                            F.aggregate(
+                                F.slice("__arr", 1, i), zero,
+                                lambda acc, x: acc + x["__bc"],
+                            ).alias("__off"),
+                        ),
+                    )
+                ).alias("__e")
+            )
+            .select("__e.__b", "__e.__off")
         )
-        if brows and min(r["mn"] for r in brows) < 0:
+        jb = jb.join(F.broadcast(offs), "__b")
+        w = (
+            Window.partitionBy("__b")
+            .orderBy("__x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        s = F.col("__off") + F.sum("__c").over(w) - F.col("__c")
+        integral = dict(vc.dtypes)["__x"] in (
+            "tinyint", "smallint", "int", "bigint",
+        )
+        if integral:
+            # exact: every factor in decimal(38,0), exact far past
+            # long range (n up to ~1e12 rows stays under 1e38)
+            contrib = (
+                F.col("__x").cast("decimal(38,0)")
+                * F.col("__c").cast("decimal(38,0)")
+                * (
+                    F.lit(2).cast("decimal(38,0)")
+                    * s.cast("decimal(38,0)")
+                    + F.col("__c").cast("decimal(38,0)")
+                    + F.lit(1).cast("decimal(38,0)")
+                )
+            )
+        else:
+            # fractional values: the sum is double anyway; cast
+            # each factor first so c*(2s+c+1) cannot overflow long
+            contrib = (
+                F.col("__x").cast("double")
+                * F.col("__c").cast("double")
+                * (
+                    F.lit(2.0) * s.cast("double")
+                    + F.col("__c").cast("double")
+                    + F.lit(1.0)
+                )
+            )
+        # ONE action: moment sum, n, total and the negative-value
+        # guard all ride the same aggregation (long/decimal sums are
+        # exact and order-independent — identical values to the old
+        # bounded-collect form)
+        si_frame = jb.select(
+            contrib.alias("__t"), "__x", "__c"
+        ).agg(
+            F.sum("__t").alias("__si2"),
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__x") * F.col("__c")).alias("__total"),
+            F.min("__x").alias("__mn"),
+        )
+        if _debug_plans is not None:
+            _debug_plans.append(
+                si_frame._jdf.queryExecution().optimizedPlan().toString()
+            )
+        srow = si_frame.first()
+        if srow["__mn"] is not None and srow["__mn"] < 0:
             raise ValueError(
                 f"gini_coefficient: {column!r} has negative values"
             )
-        n = sum(r["cnt"] for r in brows)
-        total = sum(r["tot"] for r in brows) if brows else 0
+        n = srow["__n"] or 0
+        # empty input degrades to (0, 0, 0.0) with a bigint total —
+        # exactly the old bounded-collect form's `if brows else 0`
+        total = 0 if srow["__total"] is None else srow["__total"]
         if n == 0 or total == 0:
-            out = [(n, total, 0.0)]
+            out = [(int(n), total, 0.0)]
         else:
-            off: dict[int, int] = {}
-            run = 0
-            for r in sorted(brows, key=lambda r: r["__b"]):
-                off[r["__b"]] = run
-                run += r["cnt"]
-            omap = F.create_map(
-                *[x for b in sorted(off)
-                  for x in (F.lit(b), F.lit(off[b]).cast("long"))]
-            )
-            w = (
-                Window.partitionBy("__b")
-                .orderBy("__x")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            s = omap[F.col("__b")] + F.sum("__c").over(w) - F.col("__c")
-            integral = dict(jb.dtypes)["__x"] in (
-                "tinyint", "smallint", "int", "bigint",
-            )
-            if integral:
-                # exact: every factor in decimal(38,0), exact far past
-                # long range (n up to ~1e12 rows stays under 1e38)
-                contrib = (
-                    F.col("__x").cast("decimal(38,0)")
-                    * F.col("__c").cast("decimal(38,0)")
-                    * (
-                        F.lit(2).cast("decimal(38,0)")
-                        * s.cast("decimal(38,0)")
-                        + F.col("__c").cast("decimal(38,0)")
-                        + F.lit(1).cast("decimal(38,0)")
-                    )
-                )
-            else:
-                # fractional values: the sum is double anyway; cast
-                # each factor first so c*(2s+c+1) cannot overflow long
-                contrib = (
-                    F.col("__x").cast("double")
-                    * F.col("__c").cast("double")
-                    * (
-                        F.lit(2.0) * s.cast("double")
-                        + F.col("__c").cast("double")
-                        + F.lit(1.0)
-                    )
-                )
-            si_frame = jb.select(contrib.alias("__t")).agg(
-                F.sum("__t").alias("__si2")
-            )
-            if _debug_plans is not None:
-                _debug_plans.append(
-                    si_frame._jdf.queryExecution().optimizedPlan().toString()
-                )
-            si2 = si_frame.first()["__si2"]
-            si2 = int(si2) if integral else float(si2)
+            si2 = int(srow["__si2"]) if integral else float(srow["__si2"])
             # IEEE-double replay: round each exact operand to double,
             # then one multiply / one divide / one subtract — the same
             # shape an external SQL oracle writes with explicit casts
