@@ -1095,7 +1095,15 @@ def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t,) for t in _CMS_PROBE_TOKENS], "token string"
     )
     est = SK.cms_lookup(table, probes, "token", depth=4, width=512)
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    # only the probe tokens' exact counts are ever read (the join below
+    # is FROM the probe side), so filter before the aggregation: the
+    # exact pass shuffles a handful of (token, count) partials instead
+    # of the full corpus vocabulary
+    exact = (
+        toks.filter(F.col("token").isin(_CMS_PROBE_TOKENS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
     return (
         est.join(exact, "token", "left")
         .select(
