@@ -183,25 +183,33 @@ def fixed_codebook(
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit j = 1 iff dot(vec, plane_j) > 0.
 
-    Plane constants enter as ONE nested literal indexed with
-    element_at — Catalyst constant-folds each lookup back into the
-    identical per-plane array literal (verified: optimized plans match
-    the per-element form token-for-token modulo lambda ids), so every
-    signature bit is unchanged while plan construction stops paying
-    n_planes x dim py4j round trips (52 x 64 = 3.3K driver calls at
-    200K vectors — the round-8 _nested_double_lit bug class)."""
+    Plane constants enter as ONE nested literal (from_json, one driver
+    call) and ALL plane dots are computed by ONE ``transform`` over it
+    (bit j = shiftleft(1, j) when dot > 0, summed with one left-fold
+    ``aggregate``). The round-9 profile showed the previous unrolled
+    per-plane loop spending ~1.2 s of DRIVER time per plan: each
+    zip_with/aggregate construction costs ~12 ms of py4j round trips
+    creating server-side lambdas, and 24 planes x 2 HOFs + the when
+    chain added up (guide §1.2 per-plan work). The transform form
+    builds 4 lambda expressions total regardless of plane count.
+    Per-element arithmetic is unchanged — the same zip_with multiply +
+    left-fold add per plane, the same > 0 test, and the bit sum is an
+    exact long addition in the same order — so every signature value
+    is bit-identical to the unrolled form (pinned by the oracle gates
+    and test_lsh_signature_transform_matches_unrolled)."""
     P = _nested_double_lit([[float(x) for x in p] for p in planes])
-    bits = []
-    for j in range(len(planes)):
-        p = F.element_at(P, j + 1)
-        bits.append(
-            F.when(_dot(vec_col, p) > 0, F.shiftleft(F.lit(1).cast("long"), j))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    bits = F.transform(
+        P,
+        lambda p, i: F.when(
+            _dot(vec_col, p) > 0,
+            # call_function: F.shiftleft only takes a python int for
+            # numBits, but this resolves to the same ShiftLeft expr
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc + b
+    )
 
 
 def lsh_topk(
@@ -911,13 +919,14 @@ def random_projection(
     v = F.col("__v")
     out = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
     P = _nested_double_lit([[float(x) for x in p] for p in planes])
-    comps = [
-        # element_at on the literal matrix folds to the per-plane array
-        # literal — identical floats, out_dim x dim fewer py4j calls
-        (_dot(v, F.element_at(P, j + 1)) * F.lit(scale))
-        for j in range(len(planes))
-    ]
-    return out.withColumn(out_col, F.array(*comps)).drop("__v")
+    # ONE transform over the plane matrix instead of an unrolled
+    # per-plane list: same per-plane dot (zip_with multiply, left-fold
+    # add) times the same scale literal, in the same element order, so
+    # the projected floats are bit-identical — while plan construction
+    # builds 3 lambda expressions instead of out_dim x 2 (each HOF
+    # construction costs ~12 ms of py4j round trips; round-9 profile)
+    comps = F.transform(P, lambda p: _dot(v, p) * F.lit(scale))
+    return out.withColumn(out_col, comps).drop("__v")
 
 
 def quantized_cosine_topk(
@@ -1052,15 +1061,19 @@ def pq_encode(
         # distance expression appears ONCE — the chained-when argmin
         # repeated every dist O(k) times, blowing the expression tree
         # past janino's method limit (codegen fallback) and costing
-        # k/2x redundant interpreted evaluation
-        cands = [
-            F.struct(
-                _sq_dist_lit(sv, F.element_at(B, i + 1)).alias("d"),
-                F.lit(i).alias("i"),
-            )
-            for i in range(len(book))
-        ]
-        codes.append(F.array_min(F.array(*cands))["i"].cast("int"))
+        # k/2x redundant interpreted evaluation. ONE transform over the
+        # codebook literal replaces the unrolled per-codeword list:
+        # same zip_with/left-fold distance per codeword in the same
+        # order, so codes are bit-identical, while plan construction
+        # builds 3 lambdas per subspace instead of k x 2 (round-9
+        # driver profile: ~12 ms of py4j round trips per HOF built)
+        cands = F.transform(
+            B,
+            lambda c, i: F.struct(
+                _sq_dist_lit(sv, c).alias("d"), i.alias("i")
+            ),
+        )
+        codes.append(F.array_min(cands)["i"].cast("int"))
     return base.withColumn(out_col, F.array(*codes)).drop("__v")
 
 
@@ -1093,12 +1106,10 @@ def pq_topk(
     for j, book in enumerate(codebooks):
         sv = _pq_sub(F.col("__qv"), j, sub)
         B = _nested_double_lit([[float(x) for x in c] for c in book])
+        # one transform per subspace, not k unrolled distance exprs —
+        # identical per-codeword arithmetic and element order
         q = q.withColumn(
-            f"__qd{j}",
-            F.array(*[
-                _sq_dist_lit(sv, F.element_at(B, i + 1))
-                for i in range(len(book))
-            ]),
+            f"__qd{j}", F.transform(B, lambda c: _sq_dist_lit(sv, c))
         )
     q = q.select(query_id_col, *[f"__qd{j}" for j in range(m)])
     approx = None
@@ -1227,8 +1238,11 @@ def ivfpq_topk(
     )
     for j, book in enumerate(codebooks):
         sv = _pq_sub(F.col("__qv"), j, sub)
+        B = _nested_double_lit([[float(x) for x in c] for c in book])
+        # one transform per subspace, not k unrolled distance exprs —
+        # identical per-codeword arithmetic and element order
         probes = probes.withColumn(
-            f"__qd{j}", F.array(*[_sq_dist_lit(sv, c) for c in book])
+            f"__qd{j}", F.transform(B, lambda c: _sq_dist_lit(sv, c))
         )
     probes = probes.drop("__qv")
 
@@ -1260,17 +1274,34 @@ def _literal_cell_argmin(centers: list[list[float]]) -> Column:
     PER ROW, and past ~64 cells the generated method outgrows codegen
     and falls back to interpreted eval. Use the Arrow path beyond that."""
     P = _nested_double_lit([[float(x) for x in c] for c in centers])
-    cells = []
-    for j in range(len(centers)):
-        # element_at on the one nested literal constant-folds to the
-        # identical per-cell array literal (and _dot(c, c) folds to a
-        # double) — same optimized plan, n_cells x dim fewer py4j calls
-        c = F.element_at(P, j + 1)
-        d2 = _dot(F.col("__v"), F.col("__v")) - 2.0 * _dot(
-            F.col("__v"), c
-        ) + _dot(c, c)
-        cells.append(F.struct(d2.alias("d"), F.lit(j).alias("cell")))
-    return F.array_min(F.array(*cells))["cell"]
+    # the centroid self-dots are constants: fold them in PYTHON with the
+    # exact left-fold order _dot uses (acc = acc + x*x over doubles), so
+    # the literal is bit-identical to what Catalyst used to constant-fold
+    # out of _dot(c, c)
+    cc = []
+    for c in centers:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        cc.append(acc)
+    CC = _double_lit(cc)
+    # ONE transform over the centroid matrix instead of an unrolled
+    # per-cell struct list: same d2 arithmetic per cell in the same
+    # element order, so argmin (array_min over (d, cell) structs,
+    # lexicographic = ties to lowest cell) is unchanged, while plan
+    # construction builds ~6 lambda expressions instead of n_cells x 6
+    cells = F.transform(
+        P,
+        lambda c, i: F.struct(
+            (
+                _dot(F.col("__v"), F.col("__v"))
+                - 2.0 * _dot(F.col("__v"), c)
+                + F.element_at(CC, i + 1)
+            ).alias("d"),
+            i.alias("cell"),
+        ),
+    )
+    return F.array_min(cells)["cell"]
 
 
 def _arrow_cell_argmin(centers: list[list[float]]) -> Column:
