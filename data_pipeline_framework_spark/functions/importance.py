@@ -115,6 +115,12 @@ def dsir_importance_weights(
     raw_hist = doc_buckets.groupBy("__b").agg(
         F.sum("__n").alias("__c"))
     tgt_hist = _bucket_hist(tgt_grams, buckets)
+    if cache:
+        # tgt_hist feeds the ratio join AND the __nt total below; the
+        # frame is <= `buckets` rows but computing it scans the target
+        # corpus, so without this the target is tokenized twice (the
+        # second pass hid inside the total-grams aggregate).
+        tgt_hist = tgt_hist.persist()
 
     # log-ratio per bucket, dense over all `buckets` ids so unseen
     # buckets still get the smoothed prior ratio (B rows, broadcast)
@@ -126,8 +132,13 @@ def dsir_importance_weights(
         .withColumnRenamed("__c", "__ct")
         .join(raw_hist, "__b", "left")
         .withColumnRenamed("__c", "__cr")
-        .join(F.broadcast(tgt_grams.agg(
-            F.count(F.lit(1)).alias("__nt"))))
+        # total target grams = sum of the histogram's bucket counts —
+        # integer-identical to counting tgt_grams directly, but read off
+        # the <=B-row tgt_hist instead of re-tokenizing the target corpus
+        # a second time (guide §1.2: the stream was already aggregated).
+        # coalesce keeps the empty-target case at 0, matching count().
+        .join(F.broadcast(tgt_hist.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("__nt"))))
         .join(F.broadcast(raw_hist.agg(
             F.sum("__c").alias("__nr"))))
         .select(
