@@ -109,8 +109,53 @@ def exact_duplicates(
     )
 
 
+def _minhash_ab_lit() -> Column:
+    """array<array<bigint>> [[a_i, b_i], ...] literal in ONE driver call
+    (the integer sibling of similarity._nested_double_lit); json
+    round-trips int64 exactly and Catalyst constant-folds it."""
+    import json
+
+    return F.from_json(
+        F.lit(json.dumps([[a, b] for a, b in MINHASH_PARAMS])),
+        "array<array<bigint>>",
+    )
+
+
+def minhash_signature_select(
+    d: DataFrame, id_col: str, hashes_col: str = "__sh"
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) from an array-of-shingle-hashes frame.
+
+    One ``F.aggregate`` folds all k permutation minima at once instead
+    of k separate ``array_min(transform(...))`` columns: each
+    higher-order-function CONSTRUCTION costs ~12-15 ms of py4j round
+    trips, so the unrolled form spent ~240 ms of pure driver time per
+    plan (x2 for cross-corpus). Values are bit-identical: the fold
+    applies the same (h*a+b) % p per element and ``least`` skips NULLs
+    exactly like array_min, with the all-NULL/empty-array case kept
+    NULL by the NULL-initialized accumulator. The two-step select keeps
+    the fold bound to one column so CollapseProject cannot duplicate it
+    into the k extractors (non-cheap expr referenced k times)."""
+    k = len(MINHASH_PARAMS)
+    sig = F.aggregate(
+        F.col(hashes_col),
+        F.array_repeat(F.lit(None).cast("long"), k),
+        lambda acc, h: F.zip_with(
+            acc,
+            _minhash_ab_lit(),
+            lambda m, p: F.least(m, (h * p[0] + p[1]) % MINHASH_P),
+        ),
+    )
+    return d.select(id_col, sig.alias("__mhsig")).select(
+        id_col,
+        *[F.col("__mhsig")[i].alias(f"mh_{i}") for i in range(k)],
+    )
+
+
 def minhash_signature_cols(hashes_col: str = "__sh") -> list[Column]:
-    """k min-hash values from an array of shingle hashes — one agg pass."""
+    """k min-hash values as unrolled per-permutation columns — the
+    pre-round-9 form, kept for expression-level composition and as the
+    equivalence baseline minhash_signature_select is pinned against."""
     # closure factory keeps the lambda unary (default args would change the
     # arity PySpark's higher-order-function binder sees)
     def _perm(a: int, b: int):
@@ -131,7 +176,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: id + mh_0..mh_{k-1}."""
     d = shingled_docs(_spread(df), id_col, text_col, n)
-    return d.select(id_col, *minhash_signature_cols())
+    return minhash_signature_select(d, id_col)
 
 
 def band_keys(sig: DataFrame, id_col: str) -> DataFrame:
@@ -224,7 +269,7 @@ def minhash_dedup_pairs(
     shingled = shingled_docs(_spread(df), id_col, text_col, n)
     if cache:
         shingled = shingled.persist()
-    sig = shingled.select(id_col, *minhash_signature_cols())
+    sig = minhash_signature_select(shingled, id_col)
     if cache:
         sig = sig.persist()
     cand = lsh_candidate_pairs(sig, id_col)
@@ -1037,8 +1082,8 @@ def cross_corpus_neardup(
     """
     tr = shingled_docs(_spread(train), id_col, text_col, n).persist()
     rf = shingled_docs(reference, id_col, text_col, n).persist()
-    tr_sig = tr.select(id_col, *minhash_signature_cols())
-    rf_sig = rf.select(id_col, *minhash_signature_cols())
+    tr_sig = minhash_signature_select(tr, id_col)
+    rf_sig = minhash_signature_select(rf, id_col)
     tb = band_keys(tr_sig, id_col)
     rb = band_keys(rf_sig, id_col)
     if broadcast_reference:

@@ -734,7 +734,7 @@ def soft_dedup_batch_fn(
         connected_components,
         jaccard_verify,
         lsh_candidate_pairs,
-        minhash_signature_cols,
+        minhash_signature_select,
         shingled_docs,
     )
     from ..operators.rollup import _read_commit, _write_commit
@@ -764,7 +764,7 @@ def soft_dedup_batch_fn(
 
         docs = batch_df.select(id_col, text_col)
         sh_b = shingled_docs(docs, id_col, text_col, n).persist()
-        sig_b = sh_b.select(id_col, *minhash_signature_cols())
+        sig_b = minhash_signature_select(sh_b, id_col)
         bands_b = band_keys(sig_b, id_col).persist()
 
         cand = lsh_candidate_pairs(sig_b, id_col)
