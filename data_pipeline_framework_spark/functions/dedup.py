@@ -690,6 +690,11 @@ def remove_duplicate_spans(
                 )
             ).alias("__h"),
         )
+        # occ feeds the canonical/count agg AND the removals join —
+        # without this the explode + n-token concat + md5 (the pass's
+        # dominant cost) runs twice over the corpus. Three longs per
+        # window, far narrower than the text it came from.
+        .persist()
     )
     stats = occ.groupBy("__h").agg(
         F.count(F.lit(1)).alias("__cnt"),
