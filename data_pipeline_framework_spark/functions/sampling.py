@@ -763,7 +763,14 @@ def curriculum_phases(
         return df.withColumn(out_col, F.ntile(n_phases).over(w))
 
     # distributed exact rank: ascending (score, -id) buckets, so the
-    # descending rank is total - rank_asc + 1
+    # descending rank is total - rank_asc + 1.
+    # This mode runs three actions over `df` (percentile sketch, bucket
+    # counts, the returned frame) — persist so the caller's upstream
+    # (often a text-heavy quality score) computes once, not three
+    # times. Released when the returned frame no longer needs it is the
+    # caller's call via the session (same contract as the other
+    # multi-action kernels); the frame is the caller's narrow input.
+    df = df.persist()
     qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
     [row] = df.select(
         F.expr(
