@@ -416,7 +416,11 @@ def lloyd_kmeans(
     """
     pts = df.select(
         F.col(id_col), *[F.col(c).cast("double").alias(c) for c in feature_cols]
-    )
+    ).persist()
+    # narrow (id + |features| doubles) and read by EVERY action here:
+    # the init collect(s), one mean-collect per iteration, and the
+    # returned assignment — without the persist each iteration re-ran
+    # the caller's upstream (scan + feature projection) from scratch
     if init_ids is None:
         init_ids = [
             r[0] for r in
