@@ -4,6 +4,7 @@ and the decorator — all against real parquet materializations."""
 
 from __future__ import annotations
 
+import json
 import time
 
 from pyspark.sql import functions as F
@@ -53,9 +54,16 @@ def test_cached_values_survive_recomputation_drift(spark, tmp_path):
 
 def test_ttl_expiry(spark, tmp_path):
     cache = DataFrameCache(spark, str(tmp_path / "c"))
-    cache.set("k", _df(spark), ttl=2.0)
+    cache.set("k", _df(spark), ttl=3600.0)
     assert cache.exists("k")
-    time.sleep(2.1)
+    # age the entry on disk instead of sleeping past a short TTL:
+    # expiry is evaluated lazily at read time from the meta file, so
+    # rewriting `created` is exactly the state a real expiry leaves —
+    # and a loaded machine can't stretch set()+exists() past the TTL
+    # (a 2 s TTL flaked under a concurrent full-gate run)
+    meta = json.loads(cache._meta_path("k").read_text())
+    meta["created"] -= 3601.0
+    cache._meta_path("k").write_text(json.dumps(meta))
     assert not cache.exists("k")
     assert cache.get("k") is None
     assert cache.stats["expirations"] == 1
