@@ -1438,10 +1438,19 @@ def source_divergence(
     )
     counts = counts.persist()  # feeds totals, vocab, and both join sides
     totals = counts.groupBy("__g").agg(F.sum("__c").alias("__n"))
-    vocab_n = counts.select("__t").distinct().count()
-    # bounded driver collect: one row per SOURCE (the same #sources-bounded
-    # pattern mixture_rates uses), never per token or document
-    srcs = [r[0] for r in totals.select("__g").orderBy("__g").collect()]
+    # ONE bounded driver action for both scalars the plan needs as
+    # literals (r9: was two — a distinct().count() and a sorted source
+    # collect, each a full pass + driver round trip over the cache):
+    # count_distinct is the same exact count, and sort_array(collect_set)
+    # over the (source, token) count table is exactly the distinct
+    # ordered source list totals would have produced — one row per
+    # SOURCE, never per token or document.
+    mrow = counts.agg(
+        F.count_distinct("__t").alias("__v"),
+        F.sort_array(F.collect_set("__g")).alias("__gs"),
+    ).first()
+    vocab_n = mrow["__v"]
+    srcs = list(mrow["__gs"])
     pairs = [(x, y) for i, x in enumerate(srcs) for y in srcs[i + 1:]]
     spark = df.sparkSession
     if not pairs:  # zero or one source: no pairs, typed empty result
