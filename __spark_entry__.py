@@ -3159,7 +3159,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     out = SIM.embedding_neardup_pairs(
-        emb, threshold=0.35, dim=64, n_planes=_planes_for(emb)
+        emb, threshold=0.35, dim=64, n_planes=_planes_for(sf_dir)
     )
     return out.select("id_a", "id_b", _r(F.col("cosine"), 6).alias("cosine"))
 
@@ -3385,7 +3385,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
-    nc = _cells_for(emb)
+    nc = _cells_for(sf_dir)
     out = SIM.semantic_dedup(
         emb, threshold=0.35,
         centers=SIM.fixed_codebook(64, n_cells=nc, seed=7),
@@ -3402,7 +3402,7 @@ def diverse_prototype_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
-    nc = _cells_for(emb)
+    nc = _cells_for(sf_dir)
     out = SIM.diversity_sample(
         emb, k_per_cell=3,
         centers=SIM.fixed_codebook(64, n_cells=nc, seed=7),
@@ -5176,12 +5176,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
     )
-    per_order = ls.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("is_late").alias("n_late"),
-    )
+    # per-order counts as a WINDOW over ls instead of a groupBy + self
+    # join: the join form planned the whole ls subtree (lineitem ⋈
+    # orders + its aggregation) TWICE — event-log attribution showed
+    # the two ~0.9 s shuffle-map jobs running side by side — while the
+    # window reuses the single ls stream through one exchange on
+    # l_orderkey. count()/sum() over the unbounded order partition are
+    # exactly per_order's n_supp/n_late (same rows, same integer
+    # arithmetic), so the filter keeps identical candidates; partitions
+    # are bounded by lines-per-order (~7), skew-free at any scale.
+    w_ord = Window.partitionBy("l_orderkey")
     cand = (
-        ls.join(per_order, "l_orderkey")
+        ls.withColumn("n_supp", F.count(F.lit(1)).over(w_ord))
+        .withColumn("n_late", F.sum("is_late").over(w_ord))
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)
                 & (F.col("is_late") == 1))
     )
@@ -5759,7 +5766,21 @@ def bpe_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cells_for(emb) -> int:
+def _emb_rows(sf_dir: str) -> int:
+    """Exact embeddings row count from parquet footers
+    (sources.pruning.fast_row_count) — metadata pages only, no Spark
+    job. Identical to `_t(..., "embeddings").count()`: the table is
+    read unfiltered and footer num_rows is exact, but the old count()
+    action cost a full job submission per adaptive-sizing probe
+    (5 headline queries pay it)."""
+    from data_pipeline_framework_spark.sources.pruning import (
+        fast_row_count,
+    )
+
+    return fast_row_count(f"{sf_dir}/embeddings.parquet")
+
+
+def _cells_for(sf_dir: str) -> int:
     """IVF contract: cell count grows with the corpus (Σ cell² work
     stays ~linear). The rule lives in the library
     (similarity.adaptive_cells, anchored at 8 cells for the 500-vector
@@ -5769,7 +5790,7 @@ def _cells_for(emb) -> int:
         adaptive_cells,
     )
 
-    return adaptive_cells(emb.count())
+    return adaptive_cells(_emb_rows(sf_dir))
 
 
 # oracle-checked cell count (sf0.01's 500 vectors): at and below this the
@@ -5778,7 +5799,7 @@ def _cells_for(emb) -> int:
 # — the literal expression is O(n_cells*dim) per row and outgrows codegen
 
 
-def _planes_for(emb) -> int:
+def _planes_for(sf_dir: str) -> int:
     """LSH contract (the twin of _cells_for): signature bits per block
     grow ~log2 with the corpus so bucket populations — and therefore
     per-block candidate pairs — stay LINEAR in corpus size instead of
@@ -5793,7 +5814,7 @@ def _planes_for(emb) -> int:
         adaptive_planes,
     )
 
-    return adaptive_planes(emb.count())
+    return adaptive_planes(_emb_rows(sf_dir))
 
 
 def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5804,7 +5825,7 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import similarity as SIM
 
     emb = _t(spark, sf_dir, "embeddings")
-    nc = _cells_for(emb)
+    nc = _cells_for(sf_dir)
     out = SIM.hard_negative_mining(
         emb, k=3,
         centers=SIM.fixed_codebook(64, n_cells=nc, seed=7),
@@ -5945,7 +5966,7 @@ def semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = SIM.embedding_neardup_pairs(
-        emb, threshold=0.35, dim=64, n_planes=_planes_for(emb)
+        emb, threshold=0.35, dim=64, n_planes=_planes_for(sf_dir)
     )
     labels = DD.connected_components(pairs)
     w = Window.partitionBy("component")

@@ -543,6 +543,22 @@ def connected_components(
             .distinct()
         )
 
+    # ONE action decides small-vs-distributed AND fetches the small
+    # case's edges: a bounded limit(threshold+1) collect. If every edge
+    # came back (len <= threshold) this IS the full edge set — limit
+    # only drops rows beyond the bound — so the old count-action +
+    # collect-action pair collapses into one driver round trip for the
+    # common small-graph case (4 headline queries end in this path).
+    # The distributed path pays one bounded (<= threshold+1 narrow
+    # rows) probe read of the already-persisted frame, then proceeds
+    # exactly as before.
+    probe = e.select("u", "v").limit(driver_finish_threshold + 1).collect()
+    if len(probe) <= driver_finish_threshold:
+        labels = _driver_union_find(
+            ((r["u"], r["v"]) for r in probe), e.sparkSession
+        )
+        e.unpersist()
+        return labels
     prev_sum = _checksum(e)
     for _ in range(max_iter):
         if prev_sum[0] <= driver_finish_threshold:

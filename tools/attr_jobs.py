@@ -46,6 +46,8 @@ def main() -> None:
             "spark.ui.enabled": "false",
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
             "spark.sql.ui.retainedExecutions": "8",
         },
     )
