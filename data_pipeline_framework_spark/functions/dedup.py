@@ -822,63 +822,67 @@ def source_overlap_matrix(
     sh = shingled_docs(_spread(df), id_col, text_col, n=n, carry=(group_col,))
     src_shingle = sh.select(group_col, F.explode("__sh").alias("__h"))
     # collect_set dedups (source, shingle) itself — no separate
-    # distinct pass; persist the bounded-width result because BOTH the
-    # size table and the pair expansion read it (without the persist
-    # the tokenize+shingle+explode stream is computed twice).
+    # distinct pass
     per_shingle = src_shingle.groupBy("__h").agg(
         F.array_sort(F.collect_set(group_col)).alias("__ss")
-    ).persist()
-    sizes = (
-        per_shingle.select(F.explode("__ss").alias(group_col))
-        .groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
     )
+    # ONE aggregation pass carries BOTH the pair counts and the
+    # per-source sizes: each shingle row expands in-row to its source
+    # PAIRS (i<j walk) plus one (source, NULL) marker per member, so a
+    # single groupBy yields `shared_shingles` on the pair keys and the
+    # per-source set sizes on the NULL rows. r9: the previous shape
+    # persisted per_shingle because the size table and the pair
+    # expansion were separate plan branches, then ran an extra eager
+    # count to swap caches — two actions and a corpus-width persist for
+    # a <= sources^2 result. Now the shingle stream is computed ONCE
+    # inside ONE action, nothing is persisted, and the collected frame
+    # is bounded by sources^2 + sources rows (the same #sources-bounded
+    # driver pattern as mixture_rates). Jaccard is assembled driver-side
+    # with the identical IEEE ops (exact long adds, one double divide),
+    # so values match the old in-plan form bit-for-bit.
     ss = F.col("__ss")
-    pairs = per_shingle.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    ss,
-                    lambda x, i: F.transform(
-                        F.slice(ss, i + 2, F.size(ss)),
-                        lambda y: F.struct(
-                            x.alias("source_a"), y.alias("source_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("__p")
-    ).select("__p.source_a", "__p.source_b")
-    shared = pairs.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("shared_shingles")
-    )
-    sa = sizes.withColumnRenamed(group_col, "source_a").withColumnRenamed(
-        "__n", "n_a"
-    )
-    sb = sizes.withColumnRenamed(group_col, "source_b").withColumnRenamed(
-        "__n", "n_b"
-    )
-    out = (
-        shared.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
-        .select(
-            "source_a", "source_b",
-            F.col("shared_shingles").cast("long").alias("shared_shingles"),
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            (
-                F.col("shared_shingles")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles"))
-                .cast("double")
-            ).alias("jaccard"),
+    pair_structs = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + 2, F.size(ss)),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
         )
     )
-    # the matrix is <= sources^2 rows — materialize it, then release
-    # the persisted shingle table (same eager pattern as semantic_dedup)
-    out = out.persist()
-    out.count()
-    per_shingle.unpersist()
-    return out
+    member_structs = F.transform(
+        ss,
+        lambda x: F.struct(
+            x.alias("source_a"),
+            F.lit(None).cast("string").alias("source_b"),
+        ),
+    )
+    counted = (
+        per_shingle.select(
+            F.explode(F.concat(pair_structs, member_structs)).alias("__p")
+        )
+        .groupBy("__p.source_a", "__p.source_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    sizes = {r["source_a"]: r["__c"] for r in counted if r["source_b"] is None}
+    rows = []
+    for r in counted:
+        a, b = r["source_a"], r["source_b"]
+        if b is None:
+            continue
+        shared, na, nb = r["__c"], sizes[a], sizes[b]
+        # exact long arithmetic, then ONE double division — the same
+        # shape (and therefore the same bits) as the old in-plan
+        # shared / cast(n_a + n_b - shared as double)
+        rows.append((a, b, shared, na, nb, shared / float(na + nb - shared)))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "source_a string, source_b string, shared_shingles bigint, "
+        "n_a bigint, n_b bigint, jaccard double",
+    )
 
 
 def winnowing_fingerprints(
