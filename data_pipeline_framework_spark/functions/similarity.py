@@ -1762,9 +1762,23 @@ def margin_bitext_mine(
 
     if method not in ("auto", "brute", "ivf"):
         raise ValueError(f"unknown method {method!r}")
+
+    def _both_counts():
+        # ONE action for both side counts (r9: was two count() jobs):
+        # tag each side, count rows and sum the tag — exact longs, so
+        # n_src/n_tgt are the same integers the two counts returned
+        row = (
+            src.select(F.lit(1).alias("__s"))
+            .unionAll(tgt.select(F.lit(0).alias("__s")))
+            .agg(F.sum("__s").alias("s"), F.count(F.lit(1)).alias("t"))
+            .first()
+        )
+        n_s = int(row["s"] or 0)
+        return n_s, int(row["t"]) - n_s
+
     n_src = n_tgt = None
     if method == "auto":
-        n_src, n_tgt = src.count(), tgt.count()
+        n_src, n_tgt = _both_counts()
         method = "brute" if max(n_src, n_tgt) <= brute_max else "ivf"
     src_q = src.select(F.col(id_col).alias("query_id"), vec_col)
     tgt_q = tgt.select(F.col(id_col).alias("query_id"), vec_col)
@@ -1773,7 +1787,7 @@ def margin_bitext_mine(
         bwd = cosine_topk(src, tgt_q, k=k, id_col=id_col, vec_col=vec_col)
     else:
         if n_src is None:
-            n_src, n_tgt = src.count(), tgt.count()
+            n_src, n_tgt = _both_counts()
         fwd = ivf_topk(
             tgt, src_q, k=k, id_col=id_col, vec_col=vec_col,
             n_cells=adaptive_cells(n_tgt), nprobe=nprobe, seed=seed,

@@ -1151,7 +1151,7 @@ def collocation_pmi(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     t1 = uni.agg(F.sum("c").alias("t")).withColumnRenamed("t", "__t1")
-    bi = (
+    bi_all = (
         _gram_stream(base, id_col, 2)
         .select(
             F.split_part(F.col("__gram"), F.lit(" "), F.lit(1)).alias("w1"),
@@ -1159,14 +1159,16 @@ def collocation_pmi(
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count"))
-        .filter(F.col("pair_count") >= min_count)
     )
-    # total bigrams without a second gram pass: sum of (n_words - 1)
-    t2 = base.agg(
-        F.sum(
-            F.greatest(F.col("n_words") - 1, F.lit(0))
-        ).alias("__t2")
-    )
+    bi = bi_all.filter(F.col("pair_count") >= min_count)
+    # total bigrams from the bigram counts themselves: sum(pair_count)
+    # over the UNfiltered pair table == the gram-stream row count ==
+    # Σ max(n_words - 1, 0) (docs with < 2 words emit no grams). Exact
+    # long arithmetic either way, and the shared subtree lets Spark
+    # reuse the bigram exchange instead of paying a THIRD
+    # tokenize+explode pass over the corpus for the old
+    # sum(greatest(n_words - 1, 0)) scan (r9; guide §1.2).
+    t2 = bi_all.agg(F.sum("pair_count").alias("__t2"))
     j = (
         bi.join(uni.withColumnRenamed("w", "w1")
                 .withColumnRenamed("c", "c1"), "w1")
