@@ -9,6 +9,7 @@ noise cannot flip the value hash.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 import numpy as np
@@ -53,12 +54,26 @@ _SESSION_PINS = {
 }
 
 
+# Sessions already pinned: _prep runs once per query AND once per table
+# read, each pin a py4j round trip — ~10-60 redundant round trips per
+# query for confs that were set on the first call and never change
+# (guide §4: driver boundary). Weak so a stopped session releases its
+# entry; a NEW session object always gets pinned.
+_PINNED_SESSIONS = weakref.WeakSet()
+
+
 def _prep(spark: SparkSession) -> SparkSession:
+    if spark in _PINNED_SESSIONS:
+        return spark
     for k, v in _SESSION_PINS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # never let a conf refusal mask the query itself
+    try:
+        _PINNED_SESSIONS.add(spark)
+    except TypeError:
+        pass
     return spark
 
 

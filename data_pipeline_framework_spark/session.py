@@ -40,6 +40,15 @@ _DEFAULT_CONF: dict[str, str] = {
     # Read TIMESTAMP(NANOS) parquet columns as nanosecond longs instead of
     # erroring; sources.readers.read_parquet converts them to timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # PySpark-side call-site capture costs ~8 py4j round trips PER
+    # DataFrame/Column/functions call (getActiveSession + conf.get +
+    # PySparkCurrentOrigin.set/clear and their reflection lookups) plus a
+    # Python stack walk, all to enrich error messages with the user's
+    # call site. Hundreds of calls build each plan, so this is ~0.2 s of
+    # pure driver latency per query (guide §4: the JVM boundary). The
+    # documented conf below disables only that enrichment; plans and
+    # results are identical. See performance/driver_boundary.py.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # InferFiltersFromGenerate rewrites `explode(expr)` into
     # `Filter(size(expr) > 0) -> Generate(explode(expr))`, SUBSTITUTING the
     # generator input into the filter. For a stored array column that skips
@@ -100,4 +109,26 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+
+    # Cache (SparkContext, name) -> JVM function handle: pyspark re-does
+    # two py4j reflection round trips on EVERY functions.* call otherwise
+    # (guide §4). Installed here so every engine session benefits.
+    from .performance.driver_boundary import install_jvm_function_cache
+
+    install_jvm_function_cache()
+
+    spark = builder.getOrCreate()
+    if spark.conf.get(
+        "spark.python.sql.dataFrameDebugging.enabled", "true"
+    ) != conf["spark.python.sql.dataFrameDebugging.enabled"]:
+        # getOrCreate() may have returned a pre-existing session the
+        # builder conf couldn't reach; the flag is read (and cached) by
+        # pyspark at the first wrapped API call, so set it directly too.
+        try:
+            spark.conf.set(
+                "spark.python.sql.dataFrameDebugging.enabled",
+                conf["spark.python.sql.dataFrameDebugging.enabled"],
+            )
+        except Exception:
+            pass
+    return spark

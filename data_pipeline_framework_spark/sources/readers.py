@@ -13,9 +13,15 @@ replaces the reference's boto3 list+fnmatch loop (s3_source.py:218-242).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Sessions whose nanosAsLong conf has been pinned already (weak: a
+# stopped session releases its entry; a new session re-pins).
+_NANOS_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _with_source_file(df: DataFrame, add: bool, colname: str = "_source_file") -> DataFrame:
@@ -79,17 +85,35 @@ def read_parquet(
     settable, so it is applied here rather than assumed on the session —
     callers with a vanilla SparkSession (e.g. an external harness) read
     NANOS files without special setup."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.read.options(**options)
+    if spark not in _NANOS_PINNED:
+        # once per session: each conf.set is a py4j round trip and this
+        # runs on every table read of every query (guide §4)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            _NANOS_PINNED.add(spark)
+        except TypeError:
+            pass
+    reader = spark.read
+    if options:
+        reader = reader.options(**options)
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.parquet(
         *(path if isinstance(path, list) else [path])
     )
-    for c in nanos_ts_columns:
-        field = next((f for f in df.schema.fields if f.name == c), None)
-        if field is not None and isinstance(field.dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    if nanos_ts_columns:
+        # when the caller supplied the scan schema, consult it directly:
+        # df.schema would fetch + re-parse the same StructType from the
+        # JVM (4 round trips and an analysis) for an answer already in
+        # hand. Identical by construction — the supplied schema IS the
+        # scan schema.
+        fields = (schema if schema is not None else df.schema).fields
+        for c in nanos_ts_columns:
+            field = next((f for f in fields if f.name == c), None)
+            if field is not None and isinstance(field.dataType, T.LongType):
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+                )
     return _with_source_file(df, source_file_column)
 
 
