@@ -51,6 +51,54 @@ def _double_array_lit(vals) -> Column:
     return F.expr("array(" + ", ".join(f"{v!r}D" for v in fs) + ")")
 
 
+def _inplan_cuts(frame: DataFrame, value_col: str, n_buckets: int) -> DataFrame:
+    """One-row frame holding the sorted-distinct approximate cut points
+    of ``value_col`` as ``__cuts array<double>`` — the in-plan twin of
+    the old driver-side ``sorted(set(percentile_approx(...).first()))``
+    collect (r10). Identical values by construction: the same sketch
+    over the same 10% sample, ``array_distinct`` keeps one of each
+    equal element exactly like ``set()``, ``array_sort`` orders
+    ascending like ``sorted()``, and the doubles never round-trip
+    through Python. Broadcast-joining this row lets the bucket
+    assignment ride the consumer's single action instead of paying a
+    separate driver action (and, for lazy consumers, a separate
+    corpus pass) just to turn cut points into literals. NULL (empty
+    sample) degrades to an empty array — zero cut points — matching
+    the old degenerate single-bucket path; the array comes from an
+    aggregation, so the optimizer cannot constant-fold the resulting
+    bucket ordinal out of window partition specs (the hazard the old
+    path dodged with pmod(hash, 1))."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    return (
+        frame.sample(fraction=0.1, seed=42)
+        .agg(
+            F.percentile_approx(
+                value_col, _double_array_lit(probs), 100
+            ).alias("__cuts_raw")
+        )
+        .select(
+            F.array_sort(
+                F.array_distinct(
+                    F.coalesce(
+                        F.col("__cuts_raw"),
+                        F.expr("CAST(array() AS array<double>)"),
+                    )
+                )
+            ).alias("__cuts")
+        )
+    )
+
+
+def _inplan_bucket(value_col: str) -> Column:
+    """Ordinal bucket of ``value_col`` among the broadcast ``__cuts``
+    array: the count of cut points strictly below the value — the same
+    integer `_ordinal_bucket_expr` computes from collected literals,
+    evaluated against the in-plan array instead."""
+    return F.size(
+        F.filter("__cuts", lambda c: F.col(value_col) > c)
+    )
+
+
 def _ordinal_bucket_expr(col_name: str, cuts: list) -> Column:
     """Ordinal bucket of ``col_name`` among sorted ``cuts`` — the count
     of cut points strictly below the value, as a single expression.
@@ -73,8 +121,9 @@ def _ordinal_bucket_expr(col_name: str, cuts: list) -> Column:
         for c in fs:
             bkt = bkt + F.when(F.col(col_name) > F.lit(c), 1).otherwise(0)
         return bkt
+    quoted = "`" + col_name.replace("`", "``") + "`"  # escape backticks
     terms = " + ".join(
-        f"(CASE WHEN `{col_name}` > {c!r}D THEN 1 ELSE 0 END)" for c in fs
+        f"(CASE WHEN {quoted} > {c!r}D THEN 1 ELSE 0 END)" for c in fs
     )
     return F.expr("0 + " + terms)
 
@@ -1465,6 +1514,7 @@ def ks_drift(
     df_b: DataFrame,
     column: str,
     n_buckets: int = 64,
+    _debug_plans: list | None = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov drift test between two
     snapshots of a numeric column — the nonparametric complement to
@@ -1519,7 +1569,7 @@ def ks_drift(
             F.coalesce("cb", F.lit(0)).alias("cb"),
         )
     )
-    return _ks_from_value_counts(j, n_buckets)
+    return _ks_from_value_counts(j, n_buckets, _debug_plans)
 
 
 def ks_drift_split(
@@ -1528,6 +1578,7 @@ def ks_drift_split(
     side_a,
     side_b,
     n_buckets: int = 64,
+    _debug_plans: list | None = None,
 ) -> DataFrame:
     """`ks_drift` for the common case where both samples are slices of
     ONE table (early vs late, flag R vs flag N, treatment vs control):
@@ -1553,10 +1604,12 @@ def ks_drift_split(
         )
         .filter(F.col("ca") + F.col("cb") > 0)
     )
-    return _ks_from_value_counts(j, n_buckets)
+    return _ks_from_value_counts(j, n_buckets, _debug_plans)
 
 
-def _ks_from_value_counts(j: DataFrame, n_buckets: int) -> DataFrame:
+def _ks_from_value_counts(
+    j: DataFrame, n_buckets: int, _debug_plans: list | None = None
+) -> DataFrame:
     """Shared KS tail: (v, ca, cb) per pooled distinct value -> the
     one-row statistic. See ks_drift for the distribution strategy.
     EAGER: the result is one row, so it is materialized here and the
@@ -1567,34 +1620,22 @@ def _ks_from_value_counts(j: DataFrame, n_buckets: int) -> DataFrame:
     from pyspark.sql import Window
 
     spark = j.sparkSession
-    # TWO actions read this frame (cut points, then the final
-    # statistic — the bucket prefix offsets ride the second action
-    # in-plan, r9: was a third bounded collect) — persist so the
-    # counts build runs once, then unpersist in the finally below
+    # THREE subtrees of ONE action read this frame (the in-plan cut
+    # points, the bucket offsets, and the main ECDF stream — r10: the
+    # cut-point collect was a separate driver action, r9: the offsets
+    # were a third) — persist so the counts build runs once, then
+    # unpersist in the finally below
     j = j.persist()
     try:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
         # cut points only BALANCE the buckets (the statistic is invariant
         # to them), so a 10% sample feeds the sketch: bucket sizes wobble
         # ±30%, sketch-insert CPU drops 10x. An empty sample (tiny input)
         # degrades to one bucket — still correct, one window partition.
-        cuts_row = j.sample(fraction=0.1, seed=42).agg(
-            F.percentile_approx(
-                "v", _double_array_lit(probs), 100
-            ).alias("cuts")
-        ).first()
-        cuts = sorted(set(cuts_row["cuts"] or []))
-        if cuts:
-            # one-call SQL form of the chained-when bucket ordinal —
-            # identical tree, ~0.6 s less driver plan-build (see helper)
-            bkt = _ordinal_bucket_expr("v", cuts)
-        else:
-            # degenerate single bucket (tiny/empty input): a literal 0
-            # would CONSTANT-FOLD out of the window partition spec and
-            # re-introduce the no-partition WindowExec; pmod(hash, 1)
-            # is 0 for every row but opaque to the optimizer
-            bkt = F.pmod(F.hash(F.col("v")), F.lit(1))
-        jb = j.withColumn("__b", bkt)
+        # r10: the cuts ride the plan as a broadcast one-row array (same
+        # sketch, same values — see _inplan_cuts) so the kernel is ONE
+        # driver action instead of two.
+        jb = j.crossJoin(F.broadcast(_inplan_cuts(j, "v", n_buckets)))
+        jb = jb.withColumn("__b", _inplan_bucket("v"))
         # per-bucket totals -> exclusive prefix offsets, IN-PLAN (r9:
         # was a third bounded collect + literal map): the totals frame
         # is <= n_buckets rows, so it folds into ONE array row whose
@@ -1679,7 +1720,12 @@ def _ks_from_value_counts(j: DataFrame, n_buckets: int) -> DataFrame:
             .alias("p_value"),
             F.col("v").alias("at_value"),
             F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
-        ).first()
+        )
+        if _debug_plans is not None:
+            _debug_plans.append(
+                row._jdf.queryExecution().optimizedPlan().toString()
+            )
+        row = row.first()
     finally:
         j.unpersist()
     if row is None or not row["n_a"] or not row["n_b"]:
@@ -1895,26 +1941,13 @@ def _gini_global(
     vc = base.groupBy("__x").agg(F.count(F.lit(1)).alias("__c"))
     vc = vc.persist()
     try:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
         # cut points only balance the buckets (the statistic is
-        # invariant to them) — a 10% sample feeds the sketch
-        cuts_row = vc.sample(fraction=0.1, seed=42).agg(
-            F.percentile_approx(
-                "__x", _double_array_lit(probs), 100
-            ).alias("cuts")
-        ).first()
-        cuts = sorted(set(cuts_row["cuts"] or []))
-        if cuts:
-            # one-call SQL form of the chained-when bucket ordinal —
-            # identical tree, ~0.6 s less driver plan-build (see helper)
-            bkt = _ordinal_bucket_expr("__x", cuts)
-        else:
-            # degenerate single bucket (tiny/empty input): a literal 0
-            # would CONSTANT-FOLD out of the window partition spec and
-            # re-introduce the no-partition WindowExec; pmod(hash, 1)
-            # is 0 for every row but opaque to the optimizer
-            bkt = F.pmod(F.hash(F.col("__x")), F.lit(1))
-        jb = vc.withColumn("__b", bkt)
+        # invariant to them) — a 10% sample feeds the sketch. r10: the
+        # cuts ride the plan as a broadcast one-row array (same sketch,
+        # same values — see _inplan_cuts), folding the kernel's two
+        # driver actions into ONE.
+        jb = vc.crossJoin(F.broadcast(_inplan_cuts(vc, "__x", n_buckets)))
+        jb = jb.withColumn("__b", _inplan_bucket("__x"))
         # per-bucket totals -> exclusive prefix offsets, IN-PLAN (r9:
         # was a bounded driver collect + literal map — one extra action
         # over the cached frame): the totals frame is <= n_buckets
@@ -2059,25 +2092,20 @@ def _gini_grouped_bucketed(
 
     kcols = [F.col(k) for k in keys]
     vc = base.groupBy(*kcols, "__x").agg(F.count(F.lit(1)).alias("__c"))
-    probs = [i / n_buckets for i in range(1, n_buckets)]
     # cut points only balance the buckets (the statistic is invariant
     # to them) — sketch them from the collapsed distinct-value frame,
     # mirroring _gini_global: the per-(group,bucket) windows iterate
     # distinct-VALUE rows, so balancing by distinct values is what
     # bounds the window partitions, and the collapsed frame is far
     # smaller than re-scanning the raw corpus through the sketch.
-    cuts_row = vc.sample(fraction=0.1, seed=42).agg(
-        F.percentile_approx(
-            "__x", _double_array_lit(probs), 100
-        ).alias("cuts")
-    ).first()
-    cuts = sorted(set(cuts_row["cuts"] or []))
-    # one-call SQL form of the chained-when bucket ordinal — identical
-    # tree, ~0.6 s less driver plan-build (see helper). Empty cuts
-    # (tiny input) keep lit(0): the window below also partitions by
-    # the group keys, so constant-folding __b away is harmless here.
-    bkt = _ordinal_bucket_expr("__x", cuts) if cuts else F.lit(0)
-    jb = vc.withColumn("__b", bkt)
+    # r10: the cuts ride the plan as a broadcast one-row array (same
+    # sketch, same values — see _inplan_cuts). This kernel returns a
+    # LAZY frame, so the old driver-side cut collect cost an entire
+    # extra pass over the un-persisted vc subtree (scan + tokenize +
+    # shuffle) before the caller's action re-ran it; now the sketch is
+    # a subtree of that same action.
+    jb = vc.crossJoin(F.broadcast(_inplan_cuts(vc, "__x", n_buckets)))
+    jb = jb.withColumn("__b", _inplan_bucket("__x"))
     # exclusive prefix of bucket counts per group: <= n_buckets rows
     # per window partition regardless of group size
     woff = (
