@@ -793,6 +793,12 @@ def snapshot_diff(
     )
 
 
+# rows the source_overlap_matrix driver assembly may collect before
+# dispatching to the distributed join form (sources^2 + sources rows;
+# 2^17 covers ~500 sources — far past the operator's mixture-design use)
+_OVERLAP_COLLECT_CAP = 1 << 17
+
+
 def source_overlap_matrix(
     df: DataFrame,
     id_col: str,
@@ -852,36 +858,88 @@ def source_overlap_matrix(
             ),
         )
     )
+    # the NULL size-marker and the output columns keep the group
+    # column's NATIVE type (int source ids stay ints — r10, was a
+    # hardcoded string cast that silently coerced non-string sources)
+    gtype = df.schema[group_col].dataType
     member_structs = F.transform(
         ss,
         lambda x: F.struct(
             x.alias("source_a"),
-            F.lit(None).cast("string").alias("source_b"),
+            F.lit(None).cast(gtype).alias("source_b"),
         ),
     )
-    counted = (
+    counted_df = (
         per_shingle.select(
             F.explode(F.concat(pair_structs, member_structs)).alias("__p")
         )
         .groupBy("__p.source_a", "__p.source_b")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
     )
-    sizes = {r["source_a"]: r["__c"] for r in counted if r["source_b"] is None}
-    rows = []
-    for r in counted:
-        a, b = r["source_a"], r["source_b"]
-        if b is None:
-            continue
-        shared, na, nb = r["__c"], sizes[a], sizes[b]
-        # exact long arithmetic, then ONE double division — the same
-        # shape (and therefore the same bits) as the old in-plan
-        # shared / cast(n_a + n_b - shared as double)
-        rows.append((a, b, shared, na, nb, shared / float(na + nb - shared)))
-    return df.sparkSession.createDataFrame(
-        rows,
-        "source_a string, source_b string, shared_shingles bigint, "
-        "n_a bigint, n_b bigint, jaccard double",
+    out_schema = T.StructType([
+        T.StructField("source_a", gtype),
+        T.StructField("source_b", gtype),
+        T.StructField("shared_shingles", T.LongType()),
+        T.StructField("n_a", T.LongType()),
+        T.StructField("n_b", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+    # bounded limit-probe (the CC dispatch pattern): the collected
+    # frame is sources^2 + sources rows for the operator's intended
+    # few-sources use, but nothing used to stop a high-cardinality
+    # group_col (URL domains, user ids) from OOMing the driver. If
+    # every row comes back under the cap the probe IS the full set and
+    # the driver assembly proceeds exactly as before; otherwise fall
+    # back to the fully distributed join form (r10 guard).
+    cap = _OVERLAP_COLLECT_CAP
+    probe = counted_df.limit(cap + 1).collect()
+    if len(probe) <= cap:
+        sizes = {
+            r["source_a"]: r["__c"] for r in probe if r["source_b"] is None
+        }
+        rows = []
+        for r in probe:
+            a, b = r["source_a"], r["source_b"]
+            if b is None:
+                continue
+            shared, na, nb = r["__c"], sizes[a], sizes[b]
+            # exact long arithmetic, then ONE double division — the same
+            # shape (and therefore the same bits) as the old in-plan
+            # shared / cast(n_a + n_b - shared as double)
+            rows.append(
+                (a, b, shared, na, nb, shared / float(na + nb - shared))
+            )
+        return df.sparkSession.createDataFrame(rows, out_schema)
+    # distributed assembly: split the one aggregation's output into the
+    # size rows and the pair rows, join sizes on per-side keys, and run
+    # the IDENTICAL IEEE division in-plan. persist: the probe already
+    # computed the aggregation once; three more consumers read it here.
+    counted_df = counted_df.persist()
+    sizes_df = counted_df.filter(F.col("source_b").isNull()).select(
+        F.col("source_a").alias("__s"), F.col("__c").alias("__n")
+    )
+    pairs_df = counted_df.filter(F.col("source_b").isNotNull())
+    joined = (
+        pairs_df
+        .join(
+            sizes_df.withColumnRenamed("__s", "source_a")
+            .withColumnRenamed("__n", "n_a"),
+            "source_a",
+        )
+        .join(
+            sizes_df.withColumnRenamed("__s", "source_b")
+            .withColumnRenamed("__n", "n_b"),
+            "source_b",
+        )
+    )
+    return joined.select(
+        "source_a", "source_b",
+        F.col("__c").alias("shared_shingles"),
+        "n_a", "n_b",
+        (
+            F.col("__c").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("__c")).cast("double")
+        ).alias("jaccard"),
     )
 
 

@@ -1160,15 +1160,24 @@ def collocation_pmi(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
+    # the pair-count table feeds BOTH the min_count filter and the
+    # bigram total below. Catalyst does NOT reuse the aggregation
+    # subtree between them (r9's fold produced two full gram-stream
+    # passes — zero ReusedExchange in the after plan), so persist the
+    # bounded post-aggregation table: one tokenize+explode+shuffle
+    # builds it, both consumers read the cache. Released by the
+    # caller's/session's cache clear — the same lazy-return contract
+    # as the other persisting kernels (r10; guide §5).
+    bi_all = bi_all.persist()
     bi = bi_all.filter(F.col("pair_count") >= min_count)
     # total bigrams from the bigram counts themselves: sum(pair_count)
     # over the UNfiltered pair table == the gram-stream row count ==
     # Σ max(n_words - 1, 0) (docs with < 2 words emit no grams). Exact
-    # long arithmetic either way, and the shared subtree lets Spark
-    # reuse the bigram exchange instead of paying a THIRD
-    # tokenize+explode pass over the corpus for the old
-    # sum(greatest(n_words - 1, 0)) scan (r9; guide §1.2).
-    t2 = bi_all.agg(F.sum("pair_count").alias("__t2"))
+    # long arithmetic either way; coalesce keeps the no-bigrams edge
+    # case at the old count-form's 0 instead of a NULL sum.
+    t2 = bi_all.agg(
+        F.coalesce(F.sum("pair_count"), F.lit(0).cast("bigint")).alias("__t2")
+    )
     j = (
         bi.join(uni.withColumnRenamed("w", "w1")
                 .withColumnRenamed("c", "c1"), "w1")
