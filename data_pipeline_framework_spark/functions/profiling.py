@@ -314,13 +314,20 @@ def _exact_percentiles_hist(
     collect_cap: int = 131_072,
     max_rounds: int = 3,
     partitions: int | None = None,
+    preseed: dict[str, dict[int, int]] | None = None,
 ) -> dict[str, list[float]]:
     """Histogram-bracketed exact selection (see exact_percentiles).
     `meta` maps column -> (n_nonnull, min, max) from any prior agg, so
     a host aggregation can fuse that pass into its own scan. A segment
     is a set of rows identified by a CHAIN of clamped floor-bucket
     expressions (never a range predicate — membership must reproduce
-    the counted partition exactly, float rounding included)."""
+    the counted partition exactly, float rounding included).
+    ``preseed`` optionally supplies each column's ROUND-1 (full-range)
+    bucket counts, computed by a host action with the identical
+    clamped floor-bucket arithmetic (profile_columns fuses that
+    histogram into its stats action via a broadcast of the one-row
+    stats frame) — those segments then skip the histogram action
+    here entirely."""
     import math
 
     def bucket_expr(v, origin: float, width: float):
@@ -369,6 +376,7 @@ def _exact_percentiles_hist(
     while any(pending.values()) and rounds < max_rounds:
         rounds += 1
         seg_list: list[tuple[str, tuple]] = []
+        ready: list[tuple[str, tuple, dict[int, int]]] = []
         structs: list[Column] = []
         for c, segs in pending.items():
             v = F.col(c).cast("double")
@@ -383,6 +391,12 @@ def _exact_percentiles_hist(
                     if c not in fallback:
                         fallback.append(c)
                     continue
+                if preseed is not None and not chain and c in preseed:
+                    # round-1 counts already computed by the host
+                    # aggregation's fused histogram (see profile_columns)
+                    # — same bucket arithmetic, no extra action
+                    ready.append((c, seg, preseed[c]))
+                    continue
                 sid = len(seg_list)
                 seg_list.append((c, seg))
                 structs.append(
@@ -395,23 +409,27 @@ def _exact_percentiles_hist(
                     )
                 )
         pending = {}
-        if not structs:
+        if not structs and not ready:
             break
-        hist_rows = (
-            df.select(F.explode(F.array(*structs)).alias("p"))
-            .select("p.s", "p.b")
-            .where(F.col("b").isNotNull())
-            .groupBy("s", "b")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
         by_seg: dict[int, dict[int, int]] = {}
-        for r in hist_rows:
-            by_seg.setdefault(r["s"], {})[r["b"]] = r["cnt"]
-        for sid, (c, seg) in enumerate(seg_list):
+        if structs:
+            hist_rows = (
+                df.select(F.explode(F.array(*structs)).alias("p"))
+                .select("p.s", "p.b")
+                .where(F.col("b").isNotNull())
+                .groupBy("s", "b")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            for r in hist_rows:
+                by_seg.setdefault(r["s"], {})[r["b"]] = r["cnt"]
+        work = [
+            (c, seg, by_seg.get(sid, {}))
+            for sid, (c, seg) in enumerate(seg_list)
+        ] + ready
+        for c, seg, counts in work:
             chain, lo, hi, base, cnt, ranks = seg
             width = (hi - lo) / n_bins
-            counts = by_seg.get(sid, {})
             # exclusive prefix per bucket, exact
             cum: dict[int, int] = {}
             run = 0
@@ -757,18 +775,15 @@ def profile_columns(
             aggs.append(
                 F.approx_count_distinct(F.col(c), 0.01).alias(f"{c}__nd")
             )
-    row = df.agg(*aggs).first()
-    meta = {
-        c: (row[f"{c}__n"], row[f"{c}__min"], row[f"{c}__max"])
-        for c in cols
-    }
     # Exact distinct counts run in a DEDICATED agg (fusing several
     # count_distinct columns into the stats agg would Expand-replicate
     # the input once per distinct column, and measured slower than the
     # two scans it saves) — but on a PARALLEL driver thread: the scan
-    # is independent of the quartile kernel, Spark schedules concurrent
-    # jobs from separate threads onto idle cores, and the profile's
-    # wall time becomes max(quartiles, distinct) instead of the sum.
+    # is independent of the stats+histogram action, Spark schedules
+    # concurrent jobs from separate threads onto idle cores, and the
+    # profile's wall time becomes max(stats path, distinct) instead of
+    # the sum (r10: launched BEFORE the stats action so the two scans
+    # overlap from the start).
     nd_box: dict = {}
     nd_thread = None
     if cols and exact:
@@ -784,9 +799,81 @@ def profile_columns(
 
         nd_thread = threading.Thread(target=_nd, daemon=True)
         nd_thread.start()
-    # Quartile extraction: exact histogram bracket + window collect.
+    # Scan 1 + quartile-histogram round 1 in ONE action (r10; was two):
+    # the quartile kernel's first histogram only needs each column's
+    # (min, max) to size its buckets, so instead of collecting the
+    # stats row first and burning a second driver action, the histogram
+    # evaluates the SAME clamped floor-bucket arithmetic against a
+    # broadcast of the one-row stats frame ((max-min)/n_bins in IEEE
+    # double either way — identical bucket ids), and the stats columns
+    # ride back attached to the collected histogram rows (a union'd
+    # marker row guarantees at least one row carries them). The two
+    # broadcasts of the stats frame dedup via ReuseExchange, so the
+    # stats aggregation still runs once.
+    n_bins = 4_096
+    if cols:
+        # the one-row stats frame feeds BOTH broadcasts (bucket exprs +
+        # ride-back); AQE does not ReuseExchange across them, so persist
+        # the single row — one stats scan, two cache reads. Unpersisted
+        # in the finally below.
+        stats_frame = df.agg(*aggs).persist()
+        structs: list[Column] = []
+        for i, c in enumerate(cols):
+            v = F.col(c).cast("double")
+            mn_c = F.col(f"{c}__min")
+            mx_c = F.col(f"{c}__max")
+            width_c = (mx_c - mn_c) / F.lit(float(n_bins))
+            b = F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((v - mn_c) / width_c).cast("int"),
+                ),
+            )
+            structs.append(
+                F.struct(
+                    F.lit(i).alias("s"),
+                    F.when(v.isNotNull() & (mn_c < mx_c), b).alias("b"),
+                )
+            )
+        hist = (
+            df.crossJoin(F.broadcast(stats_frame))
+            .select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.s", "p.b")
+            .where(F.col("b").isNotNull())
+            .groupBy("s", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        marker = df.sparkSession.range(1).select(
+            F.lit(-1).alias("s"),
+            F.lit(0).alias("b"),
+            F.lit(0).cast("bigint").alias("cnt"),
+        )
+        try:
+            frows = (
+                hist.unionByName(marker)
+                .crossJoin(F.broadcast(stats_frame))
+                .collect()
+            )
+        finally:
+            stats_frame.unpersist()
+        row = frows[0]  # every row carries the full stats columns
+        preseed: dict[str, dict[int, int]] = {}
+        for r in frows:
+            if r["s"] >= 0:
+                preseed.setdefault(cols[r["s"]], {})[r["b"]] = r["cnt"]
+    else:
+        row = df.agg(*aggs).first()
+        preseed = {}
+    meta = {
+        c: (row[f"{c}__n"], row[f"{c}__min"], row[f"{c}__max"])
+        for c in cols
+    }
+    # Quartile extraction: exact histogram bracket + window collect,
+    # with round 1 pre-seeded by the fused histogram above.
     quart = (
-        _exact_percentiles_hist(df, cols, probs, meta) if cols else {}
+        _exact_percentiles_hist(df, cols, probs, meta, preseed=preseed)
+        if cols else {}
     )
     if nd_thread is not None:
         nd_thread.join()
