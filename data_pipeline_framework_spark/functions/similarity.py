@@ -722,13 +722,29 @@ def ivf_topk(
     _probe.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     probe_cells = F.pandas_udf(_probe, "array<int>")
 
+    # norms hoisted to one per row on BOTH sides (the cosine_topk /
+    # semantic_dedup treatment, r10): the inline cosine() recomputed
+    # each side's norm per CANDIDATE — at nprobe * n/n_cells candidates
+    # per query that is ~3x the per-pair array arithmetic for values
+    # the row already determines. Identical IEEE expression per value,
+    # so every cosine (and the oracle hash) is unchanged.
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("__cell", F.explode(probe_cells(F.col("__qv"))))
-    cand = assigned.join(F.broadcast(q), "__cell").select(
-        query_id_col, id_col,
-        cosine(F.col("__qv"), F.col("__v")).alias("cosine"),
+    ).withColumns({
+        "__qn": _norm(F.col("__qv")),
+        "__cell": F.explode(probe_cells(F.col("__qv"))),
+    })
+    cand = (
+        assigned.withColumn("__cn", _norm(F.col("__v")))
+        .join(F.broadcast(q), "__cell")
+        .select(
+            query_id_col, id_col,
+            F.try_divide(
+                _dot(F.col("__qv"), F.col("__v")),
+                F.col("__qn") * F.col("__cn"),
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
