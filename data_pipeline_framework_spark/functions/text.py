@@ -1455,7 +1455,12 @@ def source_divergence(
     # count_distinct is the same exact count, and sort_array(collect_set)
     # over the (source, token) count table is exactly the distinct
     # ordered source list totals would have produced — one row per
-    # SOURCE, never per token or document.
+    # SOURCE, never per token or document. NON-NULL assumption, by
+    # design: count_distinct and collect_set skip NULLs, so a NULL
+    # source group (or NULL token — impossible from tokens()) is
+    # excluded from the pair matrix; callers with NULL-able source
+    # columns should fillna/filter upstream if they want NULL as a
+    # real group.
     mrow = counts.agg(
         F.count_distinct("__t").alias("__v"),
         F.sort_array(F.collect_set("__g")).alias("__gs"),

@@ -759,13 +759,23 @@ def train_bpe_merges_distributed(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
+        # localCheckpoint (eager), not persist: persist keeps the full
+        # logical lineage, so round t's plan nests t InMemoryRelations
+        # and Catalyst's re-analysis grows superlinearly — measured
+        # 4.7 s for 8 rounds but 166 s for 16 on a 25-word table, all
+        # of it driver-side planning (guide §3.3: very large plans make
+        # planning itself the bottleneck; §5: localCheckpoint cuts
+        # lineage when the intermediate is cheap to rebuild — a
+        # distinct-word table is). Same rows, same storage behavior
+        # (materialized now, previous round released below); the only
+        # trade is losing recompute-on-executor-loss for state a
+        # restarted trainer rebuilds anyway. 16 rounds: 166 -> ~7 s.
         nxt = state.select(
             F.replace(
                 F.col("__s"), F.lit(f"({a})({b})"), F.lit(f"({a}{b})")
             ).alias("__s"),
             "__c",
-        ).persist()
-        nxt.count()
+        ).localCheckpoint(eager=True)
         state.unpersist()
         state = nxt
     state.unpersist()
