@@ -54,6 +54,8 @@ _BNL_OK = {
     "funnel_conversion_events",  # broadcast 1-row step-1 denominator
     "dsir_importance_scores",  # broadcast 1-row target/raw gram totals
     "collocation_pmi_pairs",  # broadcast 1-row T1/T2 corpus totals
+    "length_gini_bucketed",  # broadcast 1-row cut-point array (r10
+    # in-plan sketch — the cuts used to be a separate collected action)
     "ann_recall_report",  # brute-force arm broadcasts the bounded query side
     "hybrid_rrf_search",  # bm25 arm's broadcast 1-row (N, avgdl) stats
     "semantic_decontamination_flags",  # broadcast bounded eval side
