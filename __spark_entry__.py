@@ -1102,9 +1102,15 @@ def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_framework_spark.functions import sketches as SK
     from data_pipeline_framework_spark.functions import text as TX
 
-    toks = _t(spark, sf_dir, "documents").select(
-        F.explode(TX.tokens("text")).alias("token")
-    )
+    # _spread before the CPU-bound tokenize+sketch pass: the sf0.1
+    # documents file is one scan split, which serialized the heaviest
+    # stage (1.14 s on 3 tasks by event-log attribution) on a sliver of
+    # the machine; a no-op at scale where inputs are already wide
+    # (guide §2.5 input skew). Counts are exact integer sums, so the
+    # round-robin repartition cannot change any value.
+    toks = TX._spread(
+        _t(spark, sf_dir, "documents").select("text")
+    ).select(F.explode(TX.tokens("text")).alias("token"))
     table = SK.count_min_table(toks, "token", depth=4, width=512)
     probes = spark.createDataFrame(
         [(t,) for t in _CMS_PROBE_TOKENS], "token string"
